@@ -1,38 +1,332 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
-"""
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
 
+The engine under test is ``sparkfts`` (SURVEY.md §2): a from-scratch
+PySpark inverted-index builder + BM25 query engine. Gate queries run the
+REAL pipeline — tokenize → postings (delta+varint+block-max) → shard
+parquet → BM25 top-k — over the ``documents`` table (doc_id as docid),
+and the DuckDB oracles recompute the same semantics in ANSI SQL.
+"""
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TOKEN_SPLIT = "[^a-z0-9]+"   # analyzer contract shared with the SQL oracle
+K1, B = 1.2, 0.75
+
+# Fixed reference terms over the documents vocabulary (hot/mid), chosen
+# deterministically; "zzzunseen" is absent from the corpus.
+T_HOT, T_MID, T_MID2, T_RARE = "batch", "window", "customer", "vector"
+FETCH_IDS = [0, 7, 42, 123, 499]
+
+_INDEX_CACHE: dict[str, object] = {}
+_FORMAT_VERSION = "v1"  # bump when the on-disk index format changes
+
+
+def _index_for(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the full index over documents."""
+    from sparkfts import BuildConfig, FTSIndex, build_index
+    from sparkfts.storage import manifest_exists
+    key = os.path.abspath(sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    root = os.path.join("/tmp/sparkfts_gate", _FORMAT_VERSION,
+                        key.strip("/").replace("/", "_"))
+    if not manifest_exists(root):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        build_index(spark, docs, root, text_col="text", docid_col="doc_id",
+                    cfg=BuildConfig(num_shards=4))
+    idx = FTSIndex(spark, root)
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _ranked(idx, spark, query, mode, method="wand", k=10) -> DataFrame:
+    pdf = idx.topk_pandas(query, k=k, mode=mode, method=method)
+    pdf = pdf.reset_index(drop=True)
+    pdf["rank"] = pdf.index + 1
+    pdf["score_r"] = pdf["score"].round(4)
+    return spark.createDataFrame(
+        pdf[["rank", "docid", "score_r"]],
+        schema="rank long, docid long, score_r double")
+
+
+# --------------------------------------------------------------------
+# queries(): each runs the real sparkfts pipeline
+# --------------------------------------------------------------------
+
+def q_tokenize_doclen(spark, sf_dir):
+    """B1/B5: analyzer UDF + doc length stats."""
+    from sparkfts.build import _make_tokenize_udf
+    from sparkfts.analyzer import DEFAULT
+    tok = _make_tokenize_udf(DEFAULT)
+    return (_docs(spark, sf_dir)
+            .select(F.col("doc_id").alias("docid"),
+                    F.size(tok(F.col("text"))).cast("long").alias("dl"))
+            .sort("docid"))
+
+
+def q_collection_stats(spark, sf_dir):
+    """B5: N + avgdl from the built index's stats table."""
+    idx = _index_for(spark, sf_dir)
+    return (spark.read.parquet(idx.root + "/stats")
+            .select(F.col("n").alias("n_docs"),
+                    F.round(F.col("avgdl"), 6).alias("avgdl_r")))
+
+
+def q_term_stats(spark, sf_dir):
+    """B2/B3: global df/cf for reference terms from the merged dictionary."""
+    idx = _index_for(spark, sf_dir)
+    return (spark.read.parquet(idx.root + "/term_stats")
+            .where(F.col("term").isin([T_HOT, T_MID, T_MID2, T_RARE]))
+            .select("term", "df", "cf").sort("term"))
+
+
+def q_postings_decode(spark, sf_dir):
+    """B2/B4: decoded (term, docid, tf) postings for one term — proves the
+    delta+varint+block pipeline round-trips through shard parquet."""
+    import pandas as pd
+    from sparkfts.query import _decode_term_rows
+    idx = _index_for(spark, sf_dir)
+
+    def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for t in sorted(pdf["term"].unique()):
+            d, tf, _ = _decode_term_rows(pdf[pdf["term"] == t])
+            outs.append(pd.DataFrame({"term": t, "docid": d, "tf": tf}))
+        return (pd.concat(outs) if outs
+                else pd.DataFrame({"term": [], "docid": [], "tf": []}))
+
+    rows = (spark.read.parquet(idx.root + "/postings")
+            .where(F.col("term").isin([T_MID, T_RARE])))
+    return (rows.groupBy("shard")
+            .applyInPandas(per_shard, schema="term string, docid long, tf long")
+            .sort("term", "docid"))
+
+
+def q_bm25_single(spark, sf_dir):
+    idx = _index_for(spark, sf_dir)
+    return _ranked(idx, spark, T_MID, "or")
+
+
+def q_bm25_or_multi(spark, sf_dir):
+    idx = _index_for(spark, sf_dir)
+    return _ranked(idx, spark, f"{T_HOT} {T_MID} {T_RARE}", "or")
+
+
+def q_bm25_and(spark, sf_dir):
+    idx = _index_for(spark, sf_dir)
+    return _ranked(idx, spark, f"{T_MID} {T_MID2}", "and")
+
+
+def q_bm25_exact_method(spark, sf_dir):
+    """Same query as q_bm25_or_multi but via exhaustive scoring — pins
+    that block-max pruning (wand) and exact agree through the gate too."""
+    idx = _index_for(spark, sf_dir)
+    return _ranked(idx, spark, f"{T_HOT} {T_MID} {T_RARE}", "or",
+                   method="exact")
+
+
+def q_intersection(spark, sf_dir):
+    """B7: posting-list intersection (no scoring)."""
+    idx = _index_for(spark, sf_dir)
+    return idx.match_docids(f"{T_MID} {T_MID2}", "and")
+
+
+def q_docstore_fetch(spark, sf_dir):
+    """B9: shard-pruned doc-store point fetch."""
+    idx = _index_for(spark, sf_dir)
+    return (idx.fetch_docs(FETCH_IDS)
+            .select("docid", "text", "lang").sort("docid"))
+
+
+def q_docid_assignment(spark, sf_dir):
+    """A3-analog: stable rank-based docid assignment (order by lang, doc_id),
+    parallelism-independent by construction."""
+    from sparkfts.build import assign_docids
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang").withColumnRenamed("doc_id", "src_id")
+    out = assign_docids(docs, ["lang", "src_id"], partitions=8)
+    return out.select(F.col("src_id"), F.col("docid").alias("rank_id")).sort("src_id")
+
+
+def q_shard_routing(spark, sf_dir):
+    """A4/A5-analog: balanced doc-range sharding; per-shard doc counts."""
+    idx = _index_for(spark, sf_dir)
+    return (spark.read.parquet(idx.root + "/doclens")
+            .groupBy(F.col("shard").cast("int").alias("shard"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("docid").alias("min_docid"),
+                 F.max("docid").alias("max_docid"))
+            .sort("shard"))
+
+
+def q_manifest_lineage(spark, sf_dir):
+    """A14/A16-analog: per-shard manifest with posting counts."""
+    idx = _index_for(spark, sf_dir)
+    return (spark.read.parquet(idx.root + "/manifest")
+            .select("shard", "n_terms", "n_postings", "status")
+            .sort("shard"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the index over sf0.001 documents, run a 3-term OR
+    BM25 top-10 with block-max pruning, join hits back to the doc store."""
+    sf_dir = "/root/testdata/sf0.001"
+    idx = _index_for(spark, sf_dir)
+    hits = idx.search(f"{T_HOT} {T_MID} {T_RARE}", k=10, mode="or")
+    return hits.select("docid", "score", "text")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "fts_tokenize_doclen": q_tokenize_doclen,
+        "fts_collection_stats": q_collection_stats,
+        "fts_term_stats": q_term_stats,
+        "fts_postings_decode": q_postings_decode,
+        "fts_bm25_top10_single": q_bm25_single,
+        "fts_bm25_top10_or_multi": q_bm25_or_multi,
+        "fts_bm25_top10_and": q_bm25_and,
+        "fts_bm25_top10_exact": q_bm25_exact_method,
+        "fts_intersection_and": q_intersection,
+        "fts_docstore_fetch": q_docstore_fetch,
+        "fts_docid_assignment": q_docid_assignment,
+        "fts_shard_routing": q_shard_routing,
+        "fts_manifest_lineage": q_manifest_lineage,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------
+# oracle_sql(): DuckDB ANSI-SQL equivalents over the same tables
+# --------------------------------------------------------------------
+
+_TOKS = f"""
+  toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '{TOKEN_SPLIT}')) AS term
+    FROM documents
+  ),
+  tok AS (SELECT doc_id, term FROM toks
+          WHERE term <> '' AND length(term) <= 64)
+"""
+
+_BM25_BASE = f"""
+WITH {_TOKS},
+  tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+  dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+  stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                   (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl),
+  dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
+"""
+
+
+def _bm25_sql(terms: list[str], mode: str) -> str:
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    having = (f"HAVING count(*) = {len(set(terms))}"
+              if mode == "and" else "")
+    return f"""{_BM25_BASE},
+  scored AS (
+    SELECT tf.doc_id,
+           sum(ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * ({K1} + 1)
+               / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+    FROM tf
+    JOIN dl ON dl.doc_id = tf.doc_id
+    JOIN dfreq ON dfreq.term = tf.term
+    CROSS JOIN stats s
+    WHERE tf.term IN ({tl})
+    GROUP BY tf.doc_id
+    {having}
+  )
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id AS docid, round(score, 4) AS score_r
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    terms4 = ", ".join(f"'{t}'" for t in sorted([T_HOT, T_MID, T_MID2, T_RARE]))
+    return {
+        "fts_tokenize_doclen": f"""
+            WITH {_TOKS}
+            SELECT d.doc_id AS docid,
+                   coalesce(t.dl, 0) AS dl
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1) t
+              ON t.doc_id = d.doc_id
+            ORDER BY docid""",
+        "fts_collection_stats": f"""
+            WITH {_TOKS},
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1)
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   round(sum(dl) / (SELECT count(*) FROM documents), 6)
+                     AS avgdl_r
+            FROM dl""",
+        "fts_term_stats": f"""
+            WITH {_TOKS}
+            SELECT term,
+                   count(DISTINCT doc_id) AS df,
+                   count(*) AS cf
+            FROM tok WHERE term IN ({terms4})
+            GROUP BY term ORDER BY term""",
+        "fts_postings_decode": f"""
+            WITH {_TOKS}
+            SELECT term, doc_id AS docid, count(*) AS tf
+            FROM tok WHERE term IN ('{T_MID}', '{T_RARE}')
+            GROUP BY term, doc_id ORDER BY term, docid""",
+        "fts_bm25_top10_single": _bm25_sql([T_MID], "or"),
+        "fts_bm25_top10_or_multi": _bm25_sql([T_HOT, T_MID, T_RARE], "or"),
+        "fts_bm25_top10_and": _bm25_sql([T_MID, T_MID2], "and"),
+        "fts_bm25_top10_exact": _bm25_sql([T_HOT, T_MID, T_RARE], "or"),
+        "fts_intersection_and": f"""
+            WITH {_TOKS}
+            SELECT doc_id AS docid FROM tok
+            WHERE term IN ('{T_MID}', '{T_MID2}')
+            GROUP BY doc_id HAVING count(DISTINCT term) = 2
+            ORDER BY docid""",
+        "fts_docstore_fetch": f"""
+            SELECT doc_id AS docid, text, lang FROM documents
+            WHERE doc_id IN ({', '.join(str(i) for i in FETCH_IDS)})
+            ORDER BY docid""",
+        "fts_docid_assignment": """
+            SELECT doc_id AS src_id,
+                   row_number() OVER (ORDER BY lang, doc_id) - 1 AS rank_id
+            FROM documents ORDER BY src_id""",
+        "fts_shard_routing": """
+            WITH geom AS (
+              SELECT ceil((max(doc_id) + 1) / 4.0)::BIGINT AS dps
+              FROM documents)
+            SELECT (doc_id // dps)::INT AS shard,
+                   count(*) AS n_docs,
+                   min(doc_id) AS min_docid,
+                   max(doc_id) AS max_docid
+            FROM documents, geom
+            GROUP BY 1 ORDER BY 1""",
+        "fts_manifest_lineage": f"""
+            WITH geom AS (
+              SELECT ceil((max(doc_id) + 1) / 4.0)::BIGINT AS dps
+              FROM documents),
+            {_TOKS.strip().lstrip()},
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+            SELECT (doc_id // dps)::INT AS shard,
+                   count(DISTINCT term) AS n_terms,
+                   count(*) AS n_postings,
+                   'committed' AS status
+            FROM tf, geom
+            GROUP BY 1 ORDER BY 1""",
+    }

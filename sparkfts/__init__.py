@@ -1,0 +1,17 @@
+"""sparkfts — PySpark-native offline full-text index builder + BM25 engine.
+
+A from-scratch re-expression of the capability of
+purecloudlabs/elasticsearch-lambda (Hadoop MR → embedded Elasticsearch →
+shard snapshots) as an idiomatic Spark DataFrame pipeline: posting-list
+construction, delta+varint compression with block-max metadata, BM25
+(k1=1.2, b=0.75) top-k with block-max pruning, shard-pruned doc fetch,
+and checkpoint-resumable builds with per-shard lineage manifests.
+"""
+from .analyzer import TokenizerConfig, tokenize_series, tokenize_text
+from .build import BuildConfig, assign_docids, build_index
+from .query import FTSIndex
+
+__all__ = [
+    "TokenizerConfig", "tokenize_series", "tokenize_text",
+    "BuildConfig", "assign_docids", "build_index", "FTSIndex",
+]

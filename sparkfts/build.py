@@ -1,0 +1,355 @@
+"""Index build pipeline: transcripts DataFrame → on-disk inverted index.
+
+PySpark-native replacement for the reference's MapReduce→embedded-ES→
+snapshot pipeline (ExampleIndexingJob.java:23-76, BaseESReducer.java:81-190).
+Doc-partitioned shard design, mirroring the reference's
+one-reducer-builds-one-shard model (README.md:29-33) but from scratch:
+
+  1. Stable global docID assignment under (conv_id, turn_idx) ordering —
+     range repartition + sortWithinPartitions + driver prefix-sum of
+     per-partition counts (deterministic and independent of parallelism:
+     the docID of a row is its global rank regardless of where partition
+     boundaries fall, which is what makes local[8] ≡ local[32] output).
+     No monotonically_increasing_id (partition-layout-dependent), no
+     global single-partition window.
+  2. shard = docid // ceil(N / num_shards): contiguous, perfectly
+     balanced doc ranges. This doubles as the skew strategy — a hot term's
+     postings are split across ALL shards by construction (the analog of
+     the reference's numShardsPerOrg spread,
+     ElasticsearchRoutingStrategyV1.java:16-23), so no term-level salting
+     stage is needed; per-shard posting length is bounded by
+     docs_per_shard.
+  3. Tokenize via vectorized pandas UDF (Arrow batches, no per-row
+     Python) → doc lengths, global avgdl/N.
+  4. explode → groupBy(shard, term, docid, dl).count() — Catalyst plans a
+     map-side partial aggregate before the shuffle, so duplicate
+     (term, docid) token instances collapse early (the shuffle carries
+     distinct postings, not raw tokens).
+  5. repartition(P, shard) + sortWithinPartitions(shard, term, docid) →
+     streaming mapInPandas encoder: one pass, bounded memory, emits
+     delta+varint blocks with block-max metadata (codec.py). Terms whose
+     per-shard posting exceeds max_chunk_postings are flushed as multiple
+     chunk rows (docid-range-ordered, so query-side concat by chunk id
+     restores global order without a merge).
+  6. Write everything as parquet partitioned by shard (Iceberg-style
+     layout; partition pruning at query time = the analog of the
+     reference's getPossibleRoutingHashes shard pruning,
+     ElasticsearchRoutingStrategyV1.java:137-148). The per-shard manifest
+     rows (lineage + timings + counts) replace the reference's merged
+     manifests + job counters (IndexingPostProcessor.java:33-48,
+     BaseESReducer.java:29-31); placeholder rows for empty shards mirror
+     IndexingPostProcessor.placeMissingShards (:80-108).
+
+Checkpoint-resume at shard granularity: a manifest row marks a shard
+committed; resume anti-joins expected-vs-committed and rebuilds only the
+gap (the pipeline is pure-functional until the write, so re-running a
+shard is idempotent — unlike the reference, which must disable
+speculative execution, ExampleIndexingJob.java:59).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from . import codec
+from .analyzer import DEFAULT, TokenizerConfig, tokenize_series
+
+POSTING_SCHEMA = T.StructType([
+    T.StructField("shard", T.IntegerType(), False),
+    T.StructField("term", T.StringType(), False),
+    T.StructField("chunk", T.IntegerType(), False),
+    T.StructField("df", T.LongType(), False),
+    T.StructField("cf", T.LongType(), False),
+    T.StructField("blob", T.BinaryType(), False),
+    T.StructField("block_first", T.ArrayType(T.LongType()), False),
+    T.StructField("block_last", T.ArrayType(T.LongType()), False),
+    T.StructField("block_off", T.ArrayType(T.LongType()), False),
+    T.StructField("block_n", T.ArrayType(T.IntegerType()), False),
+    T.StructField("block_max_partial", T.ArrayType(T.DoubleType()), False),
+    T.StructField("enc_us", T.LongType(), False),
+])
+
+
+@dataclass(frozen=True)
+class BuildConfig:
+    num_shards: int = 8
+    partitions: int | None = None          # shuffle width; None → session default
+    max_chunk_postings: int = 1 << 18      # flush giant per-shard terms in chunks
+    block: int = codec.BLOCK
+    k1: float = codec.K1
+    b: float = codec.B
+    tokenizer: TokenizerConfig = field(default_factory=lambda: DEFAULT)
+
+
+def assign_docids(df: DataFrame, order_cols: list[str],
+                  partitions: int | None = None) -> DataFrame:
+    """Add a stable dense int64 ``docid`` = global rank under order_cols.
+
+    Scales: range shuffle + per-partition local rank + a driver-side
+    prefix sum over per-partition counts (num_partitions integers — O(P),
+    not O(N), on the driver).
+    """
+    p = partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    srt = (df.repartitionByRange(int(p), *order_cols)
+             .sortWithinPartitions(*order_cols)
+             .withColumn("_pid", F.spark_partition_id()))
+    srt.persist()
+    counts = {r["_pid"]: r["cnt"] for r in
+              srt.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [T.StructField("docid", T.LongType(), False)])
+
+    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            base = offsets.get(pid, 0) + local
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["docid"] = np.arange(base, base + len(pdf), dtype=np.int64)
+            local += len(pdf)
+            yield pdf
+
+    out = srt.mapInPandas(add_ids, schema=out_schema)
+    return out
+
+
+def _make_tokenize_udf(cfg: TokenizerConfig):
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def tok(texts: pd.Series) -> pd.Series:
+        return tokenize_series(texts, cfg)
+    return tok
+
+
+def _make_encoder(avgdl: float, cfg: BuildConfig):
+    """Streaming posting encoder for mapInPandas over rows sorted by
+    (shard, term, docid). Bounded memory: state is one (shard, term)
+    group's buffered arrays, flushed eagerly in max_chunk_postings
+    chunks."""
+    k1, b, block, max_chunk = cfg.k1, cfg.b, cfg.block, cfg.max_chunk_postings
+
+    def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t0 = time.perf_counter()
+        rows: list[dict] = []
+        key: tuple[int, str] | None = None
+        bufs: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        buffered = 0
+        next_chunk = 0
+
+        def flush(final: bool) -> None:
+            nonlocal bufs, buffered, next_chunk
+            if not bufs or (not final and buffered < max_chunk):
+                return
+            docids = np.concatenate([x[0] for x in bufs])
+            tfs = np.concatenate([x[1] for x in bufs])
+            dls = np.concatenate([x[2] for x in bufs])
+            start = 0
+            while start < len(docids):
+                end = len(docids) if final else min(start + max_chunk, len(docids))
+                if not final and end - start < max_chunk:
+                    break  # keep the partial tail buffered
+                enc = codec.encode_postings(
+                    docids[start:end], tfs[start:end], dls[start:end],
+                    avgdl, k1, b, block)
+                rows.append({
+                    "shard": key[0], "term": key[1], "chunk": next_chunk,
+                    "df": enc["df"], "cf": enc["cf"], "blob": enc["blob"],
+                    "block_first": enc["block_first"],
+                    "block_last": enc["block_last"],
+                    "block_off": enc["block_off"],
+                    "block_n": enc["block_n"],
+                    "block_max_partial": enc["block_max_partial"],
+                    "enc_us": int((time.perf_counter() - t0) * 1e6),
+                })
+                next_chunk += 1
+                start = end
+            if start > 0:
+                bufs = ([(docids[start:], tfs[start:], dls[start:])]
+                        if start < len(docids) else [])
+                buffered = len(docids) - start
+
+        def emit() -> pd.DataFrame:
+            nonlocal rows
+            pdf = pd.DataFrame(rows, columns=[f.name for f in POSTING_SCHEMA])
+            rows = []
+            return pdf
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            shard = pdf["shard"].to_numpy()
+            term = pdf["term"].to_numpy()
+            docid = pdf["docid"].to_numpy(dtype=np.int64)
+            tf = pdf["tf"].to_numpy(dtype=np.int64)
+            dl = pdf["dl"].to_numpy(dtype=np.int64)
+            # group boundaries within the batch (vectorized)
+            change = np.flatnonzero(
+                (shard[1:] != shard[:-1]) | (term[1:] != term[:-1]))
+            starts = np.concatenate(([0], change + 1))
+            ends = np.concatenate((change + 1, [len(pdf)]))
+            for s, e in zip(starts, ends):
+                gk = (int(shard[s]), str(term[s]))
+                if gk != key:
+                    flush(final=True)
+                    key, bufs, buffered, next_chunk = gk, [], 0, 0
+                bufs.append((docid[s:e], tf[s:e], dl[s:e]))
+                buffered += e - s
+                flush(final=False)
+            if len(rows) >= 1024:
+                yield emit()
+        flush(final=True)
+        if rows:
+            yield emit()
+
+    return encoder
+
+
+def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
+                text_col: str = "text",
+                docid_col: str | None = None,
+                order_cols: list[str] | None = None,
+                cfg: BuildConfig = BuildConfig(),
+                resume: bool = False,
+                _only_shards: list[int] | None = None) -> dict:
+    """Build (or resume) the full index under ``out_dir``.
+
+    Either ``docid_col`` (pre-existing unique int64 ids) or ``order_cols``
+    (stable ordering for rank-based assignment, e.g.
+    ["conv_id", "turn_idx"]) must be given. Returns a summary dict.
+    ``_only_shards`` is a test hook simulating a partial (killed) build.
+    """
+    from . import storage
+    build_id = storage.new_build_id(out_dir)
+    t_start = time.perf_counter()
+
+    committed: set[int] = set()
+    if resume:
+        committed = storage.committed_shards(spark, out_dir)
+
+    if docid_col is not None:
+        base = df.withColumn("docid", F.col(docid_col).cast("long"))
+    else:
+        assert order_cols, "need docid_col or order_cols"
+        base = assign_docids(df, order_cols, cfg.partitions)
+
+    n_docs = base.count()
+    if n_docs == 0:
+        docs_per_shard = 1
+    else:
+        max_id = base.agg(F.max("docid")).collect()[0][0]
+        docs_per_shard = max(1, -(-(max_id + 1) // cfg.num_shards))
+    doc = base.withColumn(
+        "shard", (F.col("docid") / F.lit(docs_per_shard)).cast("int"))
+
+    tok = _make_tokenize_udf(cfg.tokenizer)
+    doc = (doc.withColumn("tokens", tok(F.col(text_col)))
+              .withColumn("dl", F.size("tokens").cast("long")))
+    doc.persist()
+
+    todo = [s for s in range(cfg.num_shards) if s not in committed]
+    if _only_shards is not None:
+        todo = [s for s in todo if s in _only_shards]
+    todo_set = set(todo)
+
+    if todo:
+        sub = doc.where(F.col("shard").isin(todo))
+        # doc store: the reference's _source / fetch path (BaseESReducer
+        # keeps JSON in ES; ours is the input row keyed by docid, sorted
+        # so parquet row-group min/max stats prune docid point lookups).
+        store_cols = [c for c in df.columns if c not in ("tokens",)]
+        (sub.select("shard", "docid", *[c for c in store_cols if c != docid_col])
+            .sortWithinPartitions("docid")
+            .write.mode("append").partitionBy("shard")
+            .parquet(storage.path(out_dir, "docstore")))
+        (sub.select("shard", "docid", "dl")
+            .sortWithinPartitions("docid")
+            .write.mode("append").partitionBy("shard")
+            .parquet(storage.path(out_dir, "doclens")))
+
+    # Global stats must reflect the FULL corpus (all docs, not just the
+    # shards rebuilt this run); cheap two-column agg.
+    stats_src = doc.agg(F.count("*").alias("n"),
+                        F.avg("dl").alias("avgdl")).collect()[0]
+    N, avgdl = int(stats_src["n"]), float(stats_src["avgdl"] or 0.0)
+
+    if todo:
+        pairs = (doc.where(F.col("shard").isin(todo))
+                 .select("shard", "docid", "dl",
+                         F.explode("tokens").alias("term")))
+        agg = (pairs.groupBy("shard", "term", "docid", "dl")
+                    .agg(F.count("*").alias("tf")))
+        p = cfg.partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions"))
+        enc_in = (agg.repartition(min(p, max(1, len(todo))), "shard")
+                     .sortWithinPartitions("shard", "term", "docid"))
+        enc_out = enc_in.mapInPandas(_make_encoder(avgdl, cfg),
+                                     schema=POSTING_SCHEMA)
+        (enc_out.write.mode("append").partitionBy("shard")
+                .parquet(storage.path(out_dir, "postings")))
+
+    # Derived artifacts are always recomputed from the on-disk shards so a
+    # resumed build converges to the same state as a clean one.
+    post = spark.read.parquet(storage.path(out_dir, "postings"))
+    (post.groupBy("term")
+         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+         .sort("term")
+         .write.mode("overwrite")
+         .parquet(storage.path(out_dir, "term_stats")))
+
+    dl_all = spark.read.parquet(storage.path(out_dir, "doclens"))
+    st = dl_all.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    stats_row = [(int(st["n"]), float(st["avgdl"] or 0.0), cfg.num_shards,
+                  int(docs_per_shard), float(cfg.k1), float(cfg.b),
+                  int(cfg.block), build_id)]
+    spark.createDataFrame(
+        stats_row,
+        "n long, avgdl double, num_shards int, docs_per_shard long, "
+        "k1 double, b double, block int, build_id string"
+    ).write.mode("overwrite").parquet(storage.path(out_dir, "stats"))
+
+    # Manifest: one committed row per shard built this run, including
+    # empty-shard placeholders (IndexingPostProcessor.java:80-108 analog).
+    if todo:
+        built = {r["shard"]: r for r in
+                 (post.where(F.col("shard").isin(todo)).groupBy("shard")
+                      .agg(F.countDistinct("term").alias("n_terms"),
+                           F.sum("df").alias("n_postings"),
+                           F.sum(F.length("blob")).alias("bytes"),
+                           F.max("enc_us").alias("max_enc_us"))
+                      .collect())}
+        wall_us = int((time.perf_counter() - t_start) * 1e6)
+        man_rows = []
+        for s in sorted(todo_set):
+            r = built.get(s)
+            man_rows.append((
+                int(s),
+                int(r["n_terms"]) if r else 0,
+                int(r["n_postings"]) if r else 0,
+                int(r["bytes"]) if r else 0,
+                int(r["max_enc_us"]) if r else 0,
+                "committed", build_id, wall_us, N))
+        spark.createDataFrame(
+            man_rows,
+            "shard int, n_terms long, n_postings long, bytes long, "
+            "max_enc_us long, status string, build_id string, "
+            "build_wall_us long, corpus_docs long"
+        ).write.mode("append").parquet(storage.path(out_dir, "manifest"))
+
+    doc.unpersist()
+    return {"n_docs": N, "avgdl": avgdl, "num_shards": cfg.num_shards,
+            "docs_per_shard": docs_per_shard, "built_shards": sorted(todo_set),
+            "build_id": build_id,
+            "wall_sec": time.perf_counter() - t_start}

@@ -1,0 +1,315 @@
+"""Query engine: analyzed top-k retrieval over the built index.
+
+The capability the reference's restored ES cluster serves (SURVEY.md §2B
+B6-B9), built from scratch: tokenize the query with the same analyzer as
+the build, look up only the query terms' dictionary rows (parquet
+predicate pushdown on the term column — rows are term-sorted within each
+shard file, so row-group min/max stats prune), score BM25 per shard
+(docs live in exactly one shard, so per-shard scores are final given
+global idf), take per-shard top-k, merge k·num_shards candidates on the
+driver. Scoring methods:
+
+  exact : decode every posting of every query term, vectorized numpy
+          aggregation (np.unique + bincount).
+  wand  : block-max pruning — exact top-k, but only decodes blocks that
+          can contain a doc whose score upper bound reaches a lower bound
+          on the k-th best score. Two phases per shard:
+            seed : decode each term's top-m blocks by upper bound
+                   (ub = idf · block_max_partial); the k-th largest
+                   partial sum over decoded postings is a valid lower
+                   bound θ on the true k-th best score.
+            sweep: piecewise-constant UB(docid) from block interval
+                   boundaries; candidate region = {UB ≥ θ}; decode only
+                   blocks intersecting it; score candidates exactly.
+          Docs outside the region have true score ≤ UB < θ ≤ k-th best,
+          so the result is identical to exhaustive scoring (ties included,
+          since the region test is ≥).
+
+Scores are float64 end-to-end with a fixed summation order (ascending
+term, then ascending docid) so results are rank-identical to the
+brute-force oracle; ties broken by docid ascending.
+"""
+from __future__ import annotations
+
+import math
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import codec, storage
+from .analyzer import TokenizerConfig, tokenize_text
+
+
+def _bm25_idf(N: float, df: float) -> float:
+    return math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+
+
+def _decode_term_rows(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode all chunks of one term (rows sorted by chunk) → concatenated
+    (docids, tfs, dls); global docid order holds because chunks are
+    docid-range-ordered by construction (build.py encoder)."""
+    parts = [codec.decode_postings(r.blob, np.asarray(r.block_off),
+                                   np.asarray(r.block_n))
+             for r in rows.sort_values("chunk").itertuples()]
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]))
+
+
+def _decode_selected(rows: pd.DataFrame, keep_mask_per_row: list[np.ndarray],
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode only the selected blocks of one term's chunk rows."""
+    d, t, l = [], [], []
+    for (r, keep) in zip(rows.sort_values("chunk").itertuples(),
+                         keep_mask_per_row):
+        offs = np.asarray(r.block_off)
+        ns = np.asarray(r.block_n)
+        buf = np.frombuffer(r.blob, dtype=np.uint8)
+        for bi in np.flatnonzero(keep):
+            dd, tt, ll = codec.decode_block(buf, int(offs[bi]), int(ns[bi]))
+            d.append(dd); t.append(tt); l.append(ll)
+    if not d:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), e.copy()
+    return np.concatenate(d), np.concatenate(t), np.concatenate(l)
+
+
+def _aggregate_topk(docids: np.ndarray, contribs: np.ndarray, k: int,
+                    mode: str, n_query_terms: int) -> pd.DataFrame:
+    """Group contributions by docid (fixed input order ⇒ fixed summation
+    order) and take top-k by (score desc, docid asc)."""
+    if docids.size == 0:
+        return pd.DataFrame({"docid": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    uniq, inv = np.unique(docids, return_inverse=True)
+    scores = np.zeros(uniq.shape[0], dtype=np.float64)
+    np.add.at(scores, inv, contribs)
+    hits = np.bincount(inv, minlength=uniq.shape[0])
+    if mode == "and":
+        m = hits == n_query_terms
+        uniq, scores = uniq[m], scores[m]
+    order = np.lexsort((uniq, -scores))[:k]
+    return pd.DataFrame({"docid": uniq[order], "score": scores[order]})
+
+
+def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
+                k1: float, b: float, k: int, mode: str,
+                n_query_terms: int, method: str = "wand") -> pd.DataFrame:
+    """Score one shard's dictionary rows (all query terms) → top-k."""
+    terms = sorted(pdf["term"].unique())
+    per_term = {t: pdf[pdf["term"] == t] for t in terms}
+
+    if method == "exact" or mode == "and":
+        # AND needs every posting of every term for the hit count; block
+        # pruning is an OR-mode optimization.
+        all_d, all_c = [], []
+        for t in terms:
+            d, tf, dl = _decode_term_rows(per_term[t])
+            all_d.append(d)
+            all_c.append(idf[t] * codec.bm25_partial(tf, dl, avgdl, k1, b))
+        if not all_d:
+            return _aggregate_topk(np.empty(0, np.int64),
+                                   np.empty(0, np.float64), k, mode,
+                                   n_query_terms)
+        return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
+                               k, mode, n_query_terms)
+
+    # ---- block-max pruning (exact top-k; see module docstring) ----
+    # Per term: flat arrays over all blocks of all chunk rows.
+    tinfo = {}
+    for t in terms:
+        rows = per_term[t].sort_values("chunk")
+        firsts = np.concatenate([np.asarray(r.block_first) for r in rows.itertuples()])
+        lasts = np.concatenate([np.asarray(r.block_last) for r in rows.itertuples()])
+        maxp = np.concatenate([np.asarray(r.block_max_partial) for r in rows.itertuples()])
+        row_sizes = [len(r.block_n) for r in rows.itertuples()]
+        tinfo[t] = (rows, firsts, lasts, idf[t] * maxp, row_sizes)
+
+    # seed: decode each term's top-m blocks by ub → lower bound θ on k-th best
+    m_seed = max(1, -(-k // codec.BLOCK)) + 1
+    seed_d, seed_c = [], []
+    for t in terms:
+        rows, firsts, lasts, ub, row_sizes = tinfo[t]
+        top = np.argsort(-ub)[:m_seed]
+        keep = np.zeros(ub.shape[0], dtype=bool)
+        keep[top] = True
+        masks, pos = [], 0
+        for sz in row_sizes:
+            masks.append(keep[pos:pos + sz]); pos += sz
+        d, tf, dl = _decode_selected(rows, masks)
+        seed_d.append(d)
+        seed_c.append(idf[t] * codec.bm25_partial(tf, dl, avgdl, k1, b))
+    sd = np.concatenate(seed_d) if seed_d else np.empty(0, np.int64)
+    sc = np.concatenate(seed_c) if seed_c else np.empty(0, np.float64)
+    if sd.size:
+        uniq, inv = np.unique(sd, return_inverse=True)
+        part = np.zeros(uniq.shape[0])
+        np.add.at(part, inv, sc)
+        theta = float(np.sort(part)[-k]) if part.shape[0] >= k else 0.0
+    else:
+        theta = 0.0
+
+    # sweep: piecewise-constant sum of block ubs over docid space
+    pts, deltas = [], []
+    for t in terms:
+        _, firsts, lasts, ub, _ = tinfo[t]
+        pts.append(firsts); deltas.append(ub)
+        pts.append(lasts + 1); deltas.append(-ub)
+    xs = np.concatenate(pts)
+    ds = np.concatenate(deltas)
+    order = np.argsort(xs, kind="stable")
+    xs, ds = xs[order], ds[order]
+    bounds = np.unique(xs)
+    # cumulative ub at each boundary start
+    seg_ub = np.add.reduceat(ds, np.searchsorted(xs, bounds, side="left"))
+    seg_ub = np.cumsum(seg_ub)
+    live = seg_ub >= theta if theta > 0 else np.ones_like(seg_ub, dtype=bool)
+    # candidate intervals [bounds[i], bounds[i+1]) where live
+    starts = bounds[live]
+    nxt = np.append(bounds[1:], np.iinfo(np.int64).max)
+    ends = nxt[live]  # exclusive
+
+    all_d, all_c = [], []
+    for t in terms:
+        rows, firsts, lasts, ub, row_sizes = tinfo[t]
+        # block [f,l] intersects some candidate interval [s,e)?
+        # idx of first interval with end > f; intersects iff start <= l
+        ii = np.searchsorted(ends, firsts, side="right")
+        keep = (ii < starts.shape[0]) & (starts[np.minimum(ii, starts.shape[0] - 1)] <= lasts)
+        masks, pos = [], 0
+        for sz in row_sizes:
+            masks.append(keep[pos:pos + sz]); pos += sz
+        d, tf, dl = _decode_selected(rows, masks)
+        if d.size:
+            # restrict to candidate docids
+            jj = np.searchsorted(ends, d, side="right")
+            inlive = (jj < starts.shape[0]) & (starts[np.minimum(jj, starts.shape[0] - 1)] <= d)
+            d, tf, dl = d[inlive], tf[inlive], dl[inlive]
+        all_d.append(d)
+        all_c.append(idf[t] * codec.bm25_partial(tf, dl, avgdl, k1, b))
+    if not all_d:
+        return _aggregate_topk(np.empty(0, np.int64), np.empty(0, np.float64),
+                               k, mode, n_query_terms)
+    return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
+                           k, "or", n_query_terms)
+
+
+class FTSIndex:
+    """Loaded index handle; query entry points."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 tokenizer: TokenizerConfig = TokenizerConfig()):
+        self.spark = spark
+        self.root = root
+        self.tokenizer = tokenizer
+        st = spark.read.parquet(storage.path(root, "stats")).collect()[0]
+        self.N = int(st["n"])
+        self.avgdl = float(st["avgdl"])
+        self.num_shards = int(st["num_shards"])
+        self.docs_per_shard = int(st["docs_per_shard"])
+        self.k1 = float(st["k1"])
+        self.b = float(st["b"])
+
+    # -- helpers -----------------------------------------------------
+    def _terms(self, query: str) -> list[str]:
+        return sorted(set(tokenize_text(query, self.tokenizer)))
+
+    def _idf_map(self, terms: list[str]) -> dict[str, float]:
+        if not terms:
+            return {}
+        rows = (self.spark.read.parquet(storage.path(self.root, "term_stats"))
+                .where(F.col("term").isin(terms)).collect())
+        dfm = {r["term"]: float(r["df"]) for r in rows}
+        return {t: _bm25_idf(float(self.N), dfm.get(t, 0.0)) for t in terms}
+
+    def _posting_rows(self, terms: list[str]) -> DataFrame:
+        return (self.spark.read
+                .parquet(storage.path(self.root, "postings"))
+                .where(F.col("term").isin(terms)))
+
+    # -- public API ---------------------------------------------------
+    def topk(self, query: str, k: int = 10, mode: str = "or",
+             method: str = "wand") -> DataFrame:
+        """Distributed top-k: per-shard scoring via applyInPandas, driver
+        merge of num_shards·k candidates. Returns (docid, score)."""
+        terms = self._terms(query)
+        idf = self._idf_map(terms)
+        empty = self.spark.createDataFrame([], "docid long, score double")
+        if not terms:
+            return empty
+        nq = len(terms)
+        avgdl, k1, b = self.avgdl, self.k1, self.b
+
+        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = score_shard(pdf, idf, avgdl, k1, b, k, mode, nq, method)
+            return out
+
+        rows = self._posting_rows(terms)
+        shard_tops = (rows.groupBy("shard")
+                      .applyInPandas(per_shard, schema="docid long, score double")
+                      .collect())
+        if not shard_tops:
+            return empty
+        merged = pd.DataFrame([r.asDict() for r in shard_tops])
+        merged = merged.sort_values(["score", "docid"],
+                                    ascending=[False, True]).head(k)
+        return self.spark.createDataFrame(merged.astype(
+            {"docid": "int64", "score": "float64"}),
+            schema="docid long, score double")
+
+    def topk_pandas(self, query: str, k: int = 10, mode: str = "or",
+                    method: str = "wand") -> pd.DataFrame:
+        """Driver-local result as pandas (test/bench convenience)."""
+        return (self.topk(query, k, mode, method)
+                .toPandas().reset_index(drop=True))
+
+    def match_docids(self, query: str, mode: str = "and") -> DataFrame:
+        """Boolean match without scoring (B7): docids containing all
+        (and) / any (or) query terms, sorted ascending."""
+        terms = self._terms(query)
+        if not terms:
+            return self.spark.createDataFrame([], "docid long")
+        nq = len(terms)
+
+        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            res: np.ndarray | None = None
+            union: list[np.ndarray] = []
+            for t in sorted(pdf["term"].unique()):
+                d, _, _ = _decode_term_rows(pdf[pdf["term"] == t])
+                if mode == "and":
+                    res = d if res is None else np.intersect1d(res, d,
+                                                               assume_unique=True)
+                else:
+                    union.append(d)
+            if mode == "and":
+                n_present = pdf["term"].nunique()
+                if n_present < nq or res is None:
+                    res = np.empty(0, dtype=np.int64)
+            else:
+                res = (np.unique(np.concatenate(union))
+                       if union else np.empty(0, dtype=np.int64))
+            return pd.DataFrame({"docid": res})
+
+        return (self._posting_rows(terms).groupBy("shard")
+                .applyInPandas(per_shard, schema="docid long")
+                .sort("docid"))
+
+    def fetch_docs(self, docids: Iterable[int]) -> DataFrame:
+        """Doc-store fetch (B9): shard-pruned + docid-pushdown read."""
+        ids = sorted(int(d) for d in docids)
+        shards = sorted({d // self.docs_per_shard for d in ids})
+        return (self.spark.read
+                .parquet(storage.path(self.root, "docstore"))
+                .where(F.col("shard").isin(shards))
+                .where(F.col("docid").isin(ids)))
+
+    def search(self, query: str, k: int = 10, mode: str = "or",
+               method: str = "wand") -> DataFrame:
+        """topk + doc-store join: the full 'search' the restored ES
+        cluster would serve."""
+        hits = self.topk(query, k, mode, method)
+        docs = self.fetch_docs([r["docid"] for r in hits.collect()])
+        return (hits.join(F.broadcast(docs).drop("shard"), "docid")
+                    .sort(F.desc("score"), F.asc("docid")))

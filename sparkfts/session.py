@@ -1,0 +1,27 @@
+"""SparkSession factory with the engine's recommended configuration."""
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(master: str | None = None, app: str = "sparkfts",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    sp = shuffle_partitions or int(cpus) if cpus.isdigit() else 32
+    b = (SparkSession.builder
+         .master(master)
+         .appName(app)
+         .config("spark.sql.shuffle.partitions", str(sp))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.driver.memory",
+                 os.environ.get("SPARKFTS_DRIVER_MEM", "8g"))
+         .config("spark.ui.enabled", "false"))
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,121 @@
+"""End-to-end: build index over the deterministic transcripts fixture,
+query it, and require rank-identical top-k vs the brute-force oracle
+(SURVEY.md §5 plan #2 — the replacement for "restore into ES and compare").
+"""
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkfts import BuildConfig, FTSIndex, build_index
+from sparkfts.fixtures import make_transcripts
+from sparkfts.oracle import BM25Oracle
+
+SEED = 42
+N_CONVS = 40
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pdf = make_transcripts(N_CONVS, seed=SEED)
+    # oracle docids = rank under (conv_id, turn_idx) — same rule as engine
+    pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return BM25Oracle(np.arange(len(corpus), dtype=np.int64), corpus["text"])
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx"))
+    sdf = spark.createDataFrame(make_transcripts(N_CONVS, seed=SEED))
+    summary = build_index(spark, sdf, root,
+                          order_cols=["conv_id", "turn_idx"],
+                          cfg=BuildConfig(num_shards=4, partitions=8))
+    assert summary["n_docs"] == len(corpus)
+    return FTSIndex(spark, root)
+
+
+def reference_queries(oracle):
+    """FIXTURES.md §2: hot/mid/rare single terms, AND queries, one absent."""
+    df = oracle.df.sort_values(ascending=False)
+    hot = df.index[0]
+    mid = df.index[len(df) // 2]
+    rare = df.index[-1]
+    return [
+        (hot, "or"), (mid, "or"), (rare, "or"),
+        ("definitely_absent_term_xyz", "or"),
+        (f"{hot} {mid}", "or"), (f"{hot} {rare}", "or"),
+        (f"{hot} {mid}", "and"), (f"{hot} {rare}", "and"),
+        ("rebuild nightly index", "and"),     # shared-phrase terms
+        ("checkpoint resume committed", "and"),
+        (f"{hot} {hot}", "or"),               # duplicate query term
+    ]
+
+
+@pytest.mark.parametrize("method", ["exact", "wand"])
+def test_topk_rank_identical_to_oracle(index, oracle, method):
+    for q, mode in reference_queries(oracle):
+        got = index.topk_pandas(q, k=10, mode=mode, method=method)
+        want = oracle.topk(q, k=10, mode=mode)
+        assert got["docid"].tolist() == want["docid"].tolist(), (q, mode)
+        assert got["score"].to_numpy() == pytest.approx(
+            want["score"].to_numpy(), abs=1e-9), (q, mode)
+
+
+@pytest.mark.parametrize("k", [1, 3, 25])
+def test_wand_equals_exact_at_various_k(index, oracle, k):
+    df = oracle.df.sort_values(ascending=False)
+    for q in [df.index[0], f"{df.index[0]} {df.index[3]} {df.index[-2]}"]:
+        e = index.topk_pandas(q, k=k, method="exact")
+        w = index.topk_pandas(q, k=k, method="wand")
+        assert e["docid"].tolist() == w["docid"].tolist()
+        assert w["score"].to_numpy() == pytest.approx(e["score"].to_numpy())
+
+
+def test_match_docids_and(index, oracle):
+    q = f"{oracle.df.index[0]} {oracle.df.sort_values().index[-1]}"
+    got = [r["docid"] for r in index.match_docids(q, "and").collect()]
+    terms = sorted(set(q.split()))
+    sets = [set(oracle.tf[oracle.tf.term == t].docid) for t in terms]
+    want = sorted(set.intersection(*sets)) if sets else []
+    assert got == want
+
+
+def test_docstore_roundtrip_invariant(index, spark, corpus):
+    """input_hint invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering."""
+    store = (spark.read.parquet(index.root + "/docstore")
+             .select("docid", "conv_id", "turn_idx", "text")
+             .sort("docid").toPandas())
+    assert len(store) == len(corpus)
+    assert store["docid"].tolist() == list(range(len(corpus)))
+    assert store["text"].tolist() == corpus["text"].tolist()
+    assert store["conv_id"].tolist() == corpus["conv_id"].tolist()
+    assert store["turn_idx"].tolist() == corpus["turn_idx"].tolist()
+
+
+def test_search_returns_text(index):
+    hits = index.search("rebuild nightly index", k=5, mode="and").collect()
+    assert len(hits) > 0
+    for r in hits:
+        assert "rebuild" in r["text"].lower()
+
+
+def test_docid_assignment_parallelism_independent(spark, corpus):
+    """docids must equal global rank regardless of partition count."""
+    from sparkfts.build import assign_docids
+    sdf = spark.createDataFrame(make_transcripts(N_CONVS, seed=SEED))
+    a = (assign_docids(sdf, ["conv_id", "turn_idx"], partitions=2)
+         .select("conv_id", "turn_idx", "docid").toPandas()
+         .sort_values("docid").reset_index(drop=True))
+    b = (assign_docids(sdf, ["conv_id", "turn_idx"], partitions=7)
+         .select("conv_id", "turn_idx", "docid").toPandas()
+         .sort_values("docid").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert a["docid"].tolist() == list(range(len(corpus)))
+    exp = corpus[["conv_id", "turn_idx"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["conv_id", "turn_idx"]].astype({"turn_idx": "int32"}), exp)

@@ -1,0 +1,85 @@
+"""Codec unit tests (FIXTURES.md §4): seeded numpy arrays, no Spark."""
+import numpy as np
+import pytest
+
+from sparkfts import codec
+
+
+@pytest.mark.parametrize("n", [0, 1, 127, 128, 129, 10_000])
+def test_varint_roundtrip(n):
+    rng = np.random.default_rng(42 + n)
+    vals = rng.integers(0, 1 << 28, size=n, dtype=np.uint64)
+    buf = codec.varint_encode(vals)
+    out, end = codec.varint_decode(buf, n)
+    assert end == len(buf)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_varint_edge_values():
+    vals = np.array([0, 1, 127, 128, 129, 16383, 16384,
+                     (1 << 28) - 1, 1 << 28, (1 << 63) - 1,
+                     np.uint64((1 << 64) - 1)], dtype=np.uint64)
+    out, _ = codec.varint_decode(codec.varint_encode(vals), len(vals))
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_varint_sequential_sections():
+    a = np.arange(10, dtype=np.uint64)
+    b = np.arange(100, 400, 3, dtype=np.uint64)
+    buf = codec.varint_encode(a) + codec.varint_encode(b)
+    out_a, off = codec.varint_decode(buf, len(a))
+    out_b, end = codec.varint_decode(buf, len(b), off)
+    np.testing.assert_array_equal(out_a, a)
+    np.testing.assert_array_equal(out_b, b)
+    assert end == len(buf)
+
+
+@pytest.mark.parametrize("n", [1, 127, 128, 129, 1000, 10_000])
+def test_postings_roundtrip(n):
+    rng = np.random.default_rng(7 * n + 1)
+    gaps = rng.integers(1, 1 << 20, size=n)
+    docids = np.cumsum(gaps).astype(np.int64)
+    tfs = rng.integers(1, 255, size=n).astype(np.int64)
+    dls = rng.integers(1, 500, size=n).astype(np.int64)
+    enc = codec.encode_postings(docids, tfs, dls, avgdl=40.0)
+    assert enc["df"] == n
+    assert enc["cf"] == tfs.sum()
+    d, t, l = codec.decode_postings(enc["blob"], enc["block_off"],
+                                    enc["block_n"])
+    np.testing.assert_array_equal(d, docids)
+    np.testing.assert_array_equal(t, tfs)
+    np.testing.assert_array_equal(l, dls)
+
+
+def test_blockmax_metadata_invariants():
+    rng = np.random.default_rng(99)
+    n = 1000
+    docids = np.cumsum(rng.integers(1, 50, size=n)).astype(np.int64)
+    tfs = rng.integers(1, 20, size=n).astype(np.int64)
+    dls = rng.integers(5, 100, size=n).astype(np.int64)
+    avgdl = 42.5
+    enc = codec.encode_postings(docids, tfs, dls, avgdl=avgdl)
+    nblocks = len(enc["block_n"])
+    assert nblocks == -(-n // codec.BLOCK)
+    assert enc["block_n"].sum() == n
+    partial = codec.bm25_partial(tfs, dls, avgdl)
+    for i in range(nblocks):
+        lo, hi = i * codec.BLOCK, min((i + 1) * codec.BLOCK, n)
+        assert enc["block_first"][i] == docids[lo]
+        assert enc["block_last"][i] == docids[hi - 1]
+        # per-block upper bound dominates every true partial in the block
+        assert enc["block_max_partial"][i] == pytest.approx(
+            partial[lo:hi].max())
+        d, t, l = codec.decode_block(enc["blob"], int(enc["block_off"][i]),
+                                     int(enc["block_n"][i]))
+        np.testing.assert_array_equal(d, docids[lo:hi])
+
+
+def test_single_posting_and_empty_block_list():
+    enc = codec.encode_postings(np.array([5]), np.array([3]), np.array([17]),
+                                avgdl=10.0)
+    d, t, l = codec.decode_postings(enc["blob"], enc["block_off"],
+                                    enc["block_n"])
+    assert d.tolist() == [5] and t.tolist() == [3] and l.tolist() == [17]
+    d, t, l = codec.decode_postings(b"", np.empty(0), np.empty(0))
+    assert d.size == 0
