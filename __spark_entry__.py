@@ -30,7 +30,7 @@ T_HOT, T_MID, T_MID2, T_RARE = "batch", "window", "customer", "vector"
 FETCH_IDS = [0, 7, 42, 123, 499]
 
 _INDEX_CACHE: dict[str, object] = {}
-_FORMAT_VERSION = "v1"  # bump when the on-disk index format changes
+_FORMAT_VERSION = "v2"  # bump when the on-disk index format changes
 
 
 def _index_for(spark: SparkSession, sf_dir: str):
@@ -167,7 +167,7 @@ def q_docid_assignment(spark, sf_dir):
 def q_shard_routing(spark, sf_dir):
     """A4/A5-analog: balanced doc-range sharding; per-shard doc counts."""
     idx = _index_for(spark, sf_dir)
-    return (spark.read.parquet(idx.root + "/doclens")
+    return (spark.read.parquet(idx.root + "/docstore")
             .groupBy(F.col("shard").cast("int").alias("shard"))
             .agg(F.count("*").alias("n_docs"),
                  F.min("docid").alias("min_docid"),
@@ -181,6 +181,104 @@ def q_manifest_lineage(spark, sf_dir):
     return (spark.read.parquet(idx.root + "/manifest")
             .select("shard", "n_terms", "n_postings", "status")
             .sort("shard"))
+
+
+# --------------------------------------------------------------------
+# datapipe operators (training-data pipeline ops; SURVEY.md + brief)
+# --------------------------------------------------------------------
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = _emb(spark, sf_dir).where("vec_id = 0").collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+def q_dp_exact_dedup(spark, sf_dir):
+    from datapipe.dedup import exact_dedup
+    return exact_dedup(_docs(spark, sf_dir)).sort("doc_id")
+
+
+def q_dp_minhash_signatures(spark, sf_dir):
+    from datapipe.dedup import minhash_signatures
+    return minhash_signatures(_docs(spark, sf_dir)).sort("doc_id")
+
+
+def q_dp_minhash_lsh_pairs(spark, sf_dir):
+    from datapipe.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(spark, sf_dir)).sort("a", "b")
+
+
+def q_dp_jaccard_pairs(spark, sf_dir):
+    from datapipe.dedup import jaccard_pairs
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.9).sort("a", "b")
+
+
+def q_dp_simhash(spark, sf_dir):
+    from datapipe.dedup import simhash
+    return simhash(_docs(spark, sf_dir)).sort("doc_id")
+
+
+def q_dp_embedding_dups(spark, sf_dir):
+    from datapipe.dedup import embedding_dup_pairs
+    return (embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+            .select("a", "b", F.round("cos", 4).alias("cos_r4"))
+            .sort("a", "b"))
+
+
+def q_dp_cosine_topk(spark, sf_dir):
+    from datapipe.similarity import cosine_topk
+    out = cosine_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
+    return out.select("vec_id", F.round("cos_r", 4).alias("cos_r4"))
+
+
+def q_dp_token_count(spark, sf_dir):
+    from datapipe.textstats import token_count
+    return token_count(_docs(spark, sf_dir)).sort("doc_id")
+
+
+def q_dp_quality(spark, sf_dir):
+    from datapipe.textstats import quality_score
+    return quality_score(_docs(spark, sf_dir)).sort("doc_id")
+
+
+def q_dp_lang_id(spark, sf_dir):
+    from datapipe.textstats import lang_id
+    return lang_id(_docs(spark, sf_dir)).sort("doc_id")
+
+
+def q_dp_fingerprint(spark, sf_dir):
+    from datapipe.textstats import fingerprint
+    return fingerprint(_docs(spark, sf_dir)).sort("doc_id")
+
+
+def q_dp_winnow(spark, sf_dir):
+    """Winnowing fingerprints — positional rolling-hash semantics, no SQL
+    oracle (driver records rows-only); invariants covered in pytest."""
+    from datapipe.textstats import winnow_fingerprints
+    return winnow_fingerprints(_docs(spark, sf_dir)).sort("doc_id", "fp_pos")
+
+
+def q_dp_lsh_topk(spark, sf_dir):
+    """Sign-LSH ANN — approximate by design, no SQL oracle (rows-only);
+    recall vs brute force asserted in pytest."""
+    from datapipe.similarity import lsh_topk
+    return lsh_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
+
+
+def q_dp_mm_features(spark, sf_dir):
+    from datapipe.multimodal import extract_features, synth_media
+    feats = extract_features(synth_media(_docs(spark, sf_dir)))
+    return (feats.select("doc_id", "media_type", "n_bytes", "content_hash")
+            .sort("doc_id"))
+
+
+def q_dp_mm_frames(spark, sf_dir):
+    from datapipe.multimodal import sample_frames, synth_media
+    return (sample_frames(synth_media(_docs(spark, sf_dir)))
+            .sort("doc_id", "frame_idx"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -207,6 +305,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_docid_assignment": q_docid_assignment,
         "fts_shard_routing": q_shard_routing,
         "fts_manifest_lineage": q_manifest_lineage,
+        "dp_exact_dedup": q_dp_exact_dedup,
+        "dp_minhash_signatures": q_dp_minhash_signatures,
+        "dp_minhash_lsh_pairs": q_dp_minhash_lsh_pairs,
+        "dp_jaccard_pairs": q_dp_jaccard_pairs,
+        "dp_simhash": q_dp_simhash,
+        "dp_embedding_dups": q_dp_embedding_dups,
+        "dp_cosine_topk": q_dp_cosine_topk,
+        "dp_token_count": q_dp_token_count,
+        "dp_quality": q_dp_quality,
+        "dp_lang_id": q_dp_lang_id,
+        "dp_fingerprint": q_dp_fingerprint,
+        "dp_winnow": q_dp_winnow,
+        "dp_lsh_topk": q_dp_lsh_topk,
+        "dp_mm_features": q_dp_mm_features,
+        "dp_mm_frames": q_dp_mm_frames,
     }
 
 
@@ -259,8 +372,55 @@ ORDER BY score DESC, doc_id ASC
 LIMIT 10"""
 
 
+_DP_TOK = f"""
+  dtok AS (
+    SELECT DISTINCT doc_id, term FROM (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '{TOKEN_SPLIT}')) AS term
+      FROM documents)
+    WHERE term <> '' AND length(term) <= 64)
+"""
+
+_MH_COLS = ",\n".join(
+    f"min(substr(md5('{i}:' || term), 1, 15)) AS mh_{i}" for i in range(12))
+
+_MH_SIG = f"""
+  sig AS (SELECT doc_id, {_MH_COLS} FROM dtok GROUP BY doc_id)
+"""
+
+_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, md5(mh_{3*b} || '|' || mh_{3*b+1} || '|' "
+    f"|| mh_{3*b+2}) AS band_hash FROM sig" for b in range(4))
+
+_COS = ("list_cosine_similarity(a.embedding::DOUBLE[], "
+        "b.embedding::DOUBLE[])")
+
+_QUALITY_TOKS = """
+  qt AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '')) AS n_tokens,
+           length(text) AS n_chars,
+           length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+             AS n_alnum,
+           length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+               t -> t IN ('a','the','and','or','of','to','in','is','it','on')))
+             AS n_stop
+    FROM documents)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     terms4 = ", ".join(f"'{t}'" for t in sorted([T_HOT, T_MID, T_MID2, T_RARE]))
+    lang_counts = ",\n".join(
+        "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+        f"t -> t IN ({', '.join(repr(m) for m in ms)}))) AS s_{lang}"
+        for lang, ms in [("en", ["the", "and", "of", "to", "in"]),
+                         ("de", ["der", "die", "das", "und", "ist"]),
+                         ("es", ["el", "la", "los", "que", "es"]),
+                         ("fr", ["le", "la", "les", "et", "est"]),
+                         ("zh", ["de0", "shi4", "le0", "zai4", "he2"])])
     return {
         "fts_tokenize_doclen": f"""
             WITH {_TOKS}
@@ -329,4 +489,136 @@ def oracle_sql() -> dict[str, str]:
                    'committed' AS status
             FROM tf, geom
             GROUP BY 1 ORDER BY 1""",
+        "dp_exact_dedup": """
+            SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
+                   count(*) AS group_size
+            FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+        "dp_minhash_signatures": f"""
+            WITH {_DP_TOK}, {_MH_SIG}
+            SELECT * FROM sig ORDER BY doc_id""",
+        "dp_minhash_lsh_pairs": f"""
+            WITH {_DP_TOK}, {_MH_SIG},
+            bands AS ({_BANDS})
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r
+              ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+             AND l.doc_id < r.doc_id
+            ORDER BY a, b""",
+        "dp_jaccard_pairs": f"""
+            WITH {_DP_TOK},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM dtok GROUP BY 1),
+            inter AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+              FROM dtok l JOIN dtok r
+                ON l.term = r.term AND l.doc_id < r.doc_id
+              GROUP BY 1, 2)
+            SELECT a, b,
+                   round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.9
+            ORDER BY a, b""",
+        "dp_simhash": f"""
+            WITH tf AS (
+              SELECT doc_id, term, count(*) AS tf, md5(term) AS h FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text),
+                                                 '{TOKEN_SPLIT}')) AS term
+                FROM documents)
+              WHERE term <> '' AND length(term) <= 64 GROUP BY 1, 2),
+            bits AS (SELECT unnest(generate_series(0, 63)) AS bpos),
+            votes AS (
+              SELECT doc_id, bpos,
+                sum(CASE WHEN floor((strpos('0123456789abcdef',
+                      substr(h, (bpos // 4)::INT + 1, 1)) - 1)
+                      / power(2, 3 - bpos % 4))::INT % 2 = 1
+                    THEN tf ELSE -tf END) AS v
+              FROM tf CROSS JOIN bits GROUP BY 1, 2),
+            nibs AS (SELECT doc_id, bpos // 4 AS nibble,
+                sum((CASE WHEN v > 0 THEN 1 ELSE 0 END)
+                    * (power(2, 3 - bpos % 4))::INT) AS nv
+              FROM votes GROUP BY 1, 2)
+            SELECT doc_id,
+                   string_agg(substr('0123456789abcdef', (nv + 1)::INT, 1),
+                              '' ORDER BY nibble) AS simhash
+            FROM nibs GROUP BY 1 ORDER BY doc_id""",
+        "dp_embedding_dups": f"""
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(round({_COS}, 6), 4) AS cos_r4
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_COS} >= 0.4
+            ORDER BY a, b""",
+        "dp_cosine_topk": f"""
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT b.vec_id,
+                   round(round(list_cosine_similarity(
+                       b.embedding::DOUBLE[],
+                       (SELECT embedding FROM q)::DOUBLE[]), 6), 4) AS cos_r4
+            FROM embeddings b
+            ORDER BY list_cosine_similarity(b.embedding::DOUBLE[],
+                       (SELECT embedding FROM q)::DOUBLE[]) DESC,
+                     b.vec_id ASC
+            LIMIT 10""",
+        "dp_token_count": """
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(lower(text),
+                                                      '[^a-z0-9]+'),
+                                   t -> t <> '')) AS n_tokens,
+                   length(text) AS n_chars
+            FROM documents ORDER BY doc_id""",
+        "dp_quality": f"""
+            WITH {_QUALITY_TOKS}
+            SELECT doc_id, n_tokens,
+                   round(n_alnum::DOUBLE / greatest(n_tokens, 1), 6)
+                     AS mean_tok_len,
+                   round(punct::DOUBLE / greatest(n_chars, 1), 6)
+                     AS punct_ratio,
+                   round(n_stop::DOUBLE / greatest(n_tokens, 1), 6)
+                     AS stop_ratio,
+                   round(0.4 * least(n_tokens::DOUBLE, 50) / 50
+                         + 0.3 * (1 - punct::DOUBLE / greatest(n_chars, 1))
+                         + 0.3 * (1 - n_stop::DOUBLE / greatest(n_tokens, 1)),
+                         6) AS quality
+            FROM qt ORDER BY doc_id""",
+        "dp_lang_id": f"""
+            WITH ls AS (
+              SELECT doc_id, {lang_counts}
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0
+                        THEN 'und'
+                        WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                        THEN 'en'
+                        WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                        THEN 'de'
+                        WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                        THEN 'es'
+                        WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                        THEN 'fr'
+                        ELSE 'zh' END AS pred_lang,
+                   greatest(s_en, s_de, s_es, s_fr, s_zh)::BIGINT
+                     AS marker_hits
+            FROM ls ORDER BY doc_id""",
+        "dp_fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                     AS fingerprint
+            FROM documents ORDER BY doc_id""",
+        "dp_mm_features": """
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS content_hash
+            FROM documents ORDER BY doc_id""",
+        "dp_mm_frames": """
+            WITH v AS (
+              SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                     octet_length(encode(text)) % 30 + 1 AS nf
+              FROM documents WHERE doc_id % 3 = 2)
+            SELECT doc_id,
+                   unnest(generate_series(0, nf - 1, 10)) AS frame_idx,
+                   n_bytes
+            FROM v ORDER BY doc_id, frame_idx""",
     }

@@ -1,0 +1,160 @@
+"""Benchmark harness: index-build throughput + query latency + scaling.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-phase sec...}, "sf": <sf>,
+   "build_turns_per_sec": ..., "scaling": {...}}
+
+Workload (deterministic, seed=42):
+  1. Synthesize the transcripts table (FIXTURES.md §1) at a size scaled
+     to the sf dir, write parquet.
+  2. Build the full inverted index at local[N] (N = SPARK_GRAFT_CPUS).
+  3. Run the reference query set (hot/mid/rare OR + AND, block-max WAND).
+  4. Rebuild at local[N/4] on the SAME input → throughput at both
+     parallelism levels + scaling efficiency (the sandbox stand-in for
+     the north rule's N vs 4N executor criterion; BASELINE.md).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), SPARKFTS_BENCH_CONVS (override size),
+     SPARKFTS_SKIP_SCALING=1 to skip phase 4.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_CONVS = {"sf0.001": 250, "sf0.01": 2_500, "sf0.1": 25_000}
+
+
+def make_spark(cores: int):
+    from pyspark.sql import SparkSession
+    return (SparkSession.builder
+            .master(f"local[{cores}]")
+            .appName(f"sparkfts-bench-{cores}")
+            .config("spark.sql.shuffle.partitions", str(max(8, cores)))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.driver.memory",
+                    os.environ.get("SPARKFTS_DRIVER_MEM", "24g"))
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate())
+
+
+def build_once(cores: int, src: str, root: str, num_shards: int,
+               warmup_src: str | None = None, work: str = "/tmp") -> dict:
+    from sparkfts import BuildConfig, build_index
+    spark = make_spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if warmup_src:
+            # JIT/codegen warmup so the two parallelism levels compare
+            # fairly (same-process JVM reuse would otherwise bias run 1)
+            wroot = os.path.join(work, f"warmup_{cores}_{os.path.basename(root)}")
+            build_index(spark, spark.read.parquet(warmup_src), wroot,
+                        order_cols=["conv_id", "turn_idx"],
+                        cfg=BuildConfig(num_shards=4, partitions=4))
+        df = spark.read.parquet(src)
+        t0 = time.perf_counter()
+        s = build_index(spark, df, root,
+                        order_cols=["conv_id", "turn_idx"],
+                        cfg=BuildConfig(num_shards=num_shards,
+                                        partitions=max(8, cores)))
+        wall = time.perf_counter() - t0
+        return {"wall_sec": wall, "n_docs": s["n_docs"],
+                "turns_per_sec": s["n_docs"] / wall, "spark": spark}
+    except Exception:
+        spark.stop()
+        raise
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    sf = float(sf_name.replace("sf", "") or 0.1) if sf_name.startswith("sf") else 0.1
+    n_convs = int(os.environ.get("SPARKFTS_BENCH_CONVS",
+                                 SF_CONVS.get(sf_name, 25_000)))
+
+    work = tempfile.mkdtemp(prefix="sparkfts_bench_")
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    try:
+        # 1. synthesize transcripts (+ a tiny warmup corpus)
+        from sparkfts.fixtures import write_transcripts_parquet
+        t0 = time.perf_counter()
+        src = os.path.join(work, "transcripts.parquet")
+        n_turns = write_transcripts_parquet(src, n_convs, seed=42)
+        warm = os.path.join(work, "warmup.parquet")
+        write_transcripts_parquet(warm, 20, seed=7)
+        timings["gen_data"] = time.perf_counter() - t0
+
+        # 2. build at full parallelism
+        num_shards = max(8, cpus)
+        rootN = os.path.join(work, "idx_full")
+        bN = build_once(cpus, src, rootN, num_shards, warmup_src=warm,
+                        work=work)
+        spark = bN.pop("spark")
+        timings["build"] = bN["wall_sec"]
+
+        # 3. query set over the built index (block-max WAND)
+        from sparkfts import FTSIndex
+        idx = FTSIndex(spark, rootN)
+        qset = {
+            "q_hot_or": ("alpha index query", "or"),
+            "q_mid_and": ("shard merge", "and"),
+            "q_rare_or": ("zulu whiskey uniform", "or"),
+            "q_phrase_and": ("rebuild nightly index snapshot", "and"),
+        }
+        total_q = 0.0
+        for name, (q, mode) in qset.items():
+            t0 = time.perf_counter()
+            idx.topk_pandas(q, k=10, mode=mode, method="wand")
+            dt = time.perf_counter() - t0
+            timings[name] = dt
+            total_q += dt
+        spark.stop()
+
+        # 4. scaling: same input at quarter parallelism
+        scaling = {}
+        if os.environ.get("SPARKFTS_SKIP_SCALING") != "1":
+            small = max(1, cpus // 4)
+            rootS = os.path.join(work, "idx_small")
+            bS = build_once(small, src, rootS, num_shards, warmup_src=warm,
+                            work=work)
+            bS.pop("spark").stop()
+            timings["build_quarter_par"] = bS["wall_sec"]
+            speedup = bS["wall_sec"] / bN["wall_sec"]
+            eff = speedup / (cpus / small)
+            scaling = {
+                "cores_low": small, "cores_high": cpus,
+                "turns_per_sec_low": round(bS["turns_per_sec"], 1),
+                "turns_per_sec_high": round(bN["turns_per_sec"], 1),
+                "speedup": round(speedup, 3),
+                "efficiency": round(eff, 3),
+            }
+
+        total = time.perf_counter() - t_all
+        print(json.dumps({
+            "metric": "fts index build + BM25 query wall time",
+            "value": round(timings["build"] + total_q, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 4) for k, v in timings.items()},
+            "sf": sf,
+            "n_turns": n_turns,
+            "build_turns_per_sec": round(bN["turns_per_sec"], 1),
+            "scaling": scaling,
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

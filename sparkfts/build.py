@@ -71,6 +71,7 @@ POSTING_SCHEMA = T.StructType([
     T.StructField("block_off", T.ArrayType(T.LongType()), False),
     T.StructField("block_n", T.ArrayType(T.IntegerType()), False),
     T.StructField("block_max_partial", T.ArrayType(T.DoubleType()), False),
+    T.StructField("nbytes", T.LongType(), False),
     T.StructField("enc_us", T.LongType(), False),
 ])
 
@@ -101,6 +102,7 @@ def assign_docids(df: DataFrame, order_cols: list[str],
     srt.persist()
     counts = {r["_pid"]: r["cnt"] for r in
               srt.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    total = sum(counts.values())
     offsets = {}
     acc = 0
     for pid in sorted(counts):
@@ -124,6 +126,9 @@ def assign_docids(df: DataFrame, order_cols: list[str],
             yield pdf
 
     out = srt.mapInPandas(add_ids, schema=out_schema)
+    # dense rank ⇒ n_docs and max docid are already known on the driver
+    out._sparkfts_n_docs = total          # type: ignore[attr-defined]
+    out._sparkfts_cached_parent = srt     # type: ignore[attr-defined]
     return out
 
 
@@ -172,6 +177,7 @@ def _make_encoder(avgdl: float, cfg: BuildConfig):
                     "block_off": enc["block_off"],
                     "block_n": enc["block_n"],
                     "block_max_partial": enc["block_max_partial"],
+                    "nbytes": len(enc["blob"]),
                     "enc_us": int((time.perf_counter() - t0) * 1e6),
                 })
                 next_chunk += 1
@@ -234,6 +240,13 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
     from . import storage
     build_id = storage.new_build_id(out_dir)
     t_start = time.perf_counter()
+    phases: dict[str, float] = {}
+    _t = [t_start]
+
+    def mark(name: str) -> None:
+        now = time.perf_counter()
+        phases[name] = round(now - _t[0], 3)
+        _t[0] = now
 
     committed: set[int] = set()
     if resume:
@@ -241,18 +254,25 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
 
     if docid_col is not None:
         base = df.withColumn("docid", F.col(docid_col).cast("long"))
+        agg0 = base.agg(F.count("*").alias("n"),
+                        F.max("docid").alias("mx")).collect()[0]
+        n_docs, max_id = int(agg0["n"]), agg0["mx"]
+        cached_parent = None
     else:
         assert order_cols, "need docid_col or order_cols"
         base = assign_docids(df, order_cols, cfg.partitions)
+        n_docs = base._sparkfts_n_docs          # dense rank: no extra job
+        max_id = n_docs - 1
+        cached_parent = base._sparkfts_cached_parent
 
-    n_docs = base.count()
     if n_docs == 0:
         docs_per_shard = 1
     else:
-        max_id = base.agg(F.max("docid")).collect()[0][0]
         docs_per_shard = max(1, -(-(max_id + 1) // cfg.num_shards))
     doc = base.withColumn(
         "shard", (F.col("docid") / F.lit(docs_per_shard)).cast("int"))
+
+    mark("assign_docids")
 
     tok = _make_tokenize_udf(cfg.tokenizer)
     doc = (doc.withColumn("tokens", tok(F.col(text_col)))
@@ -269,21 +289,20 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
         # doc store: the reference's _source / fetch path (BaseESReducer
         # keeps JSON in ES; ours is the input row keyed by docid, sorted
         # so parquet row-group min/max stats prune docid point lookups).
-        store_cols = [c for c in df.columns if c not in ("tokens",)]
-        (sub.select("shard", "docid", *[c for c in store_cols if c != docid_col])
+        # dl rides along (the Lucene-norms analog), so no separate
+        # doclens artifact is needed.
+        store_cols = [c for c in df.columns if c != docid_col]
+        (sub.select("shard", "docid", "dl", *store_cols)
             .sortWithinPartitions("docid")
             .write.mode("append").partitionBy("shard")
             .parquet(storage.path(out_dir, "docstore")))
-        (sub.select("shard", "docid", "dl")
-            .sortWithinPartitions("docid")
-            .write.mode("append").partitionBy("shard")
-            .parquet(storage.path(out_dir, "doclens")))
+    mark("docstore_write")
 
     # Global stats must reflect the FULL corpus (all docs, not just the
-    # shards rebuilt this run); cheap two-column agg.
-    stats_src = doc.agg(F.count("*").alias("n"),
-                        F.avg("dl").alias("avgdl")).collect()[0]
-    N, avgdl = int(stats_src["n"]), float(stats_src["avgdl"] or 0.0)
+    # shards rebuilt this run); cheap agg on the cached tokenized docs.
+    stats_src = doc.agg(F.avg("dl").alias("avgdl")).collect()[0]
+    N, avgdl = n_docs, float(stats_src["avgdl"] or 0.0)
+    mark("global_stats")
 
     if todo:
         pairs = (doc.where(F.col("shard").isin(todo))
@@ -299,19 +318,20 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
                                      schema=POSTING_SCHEMA)
         (enc_out.write.mode("append").partitionBy("shard")
                 .parquet(storage.path(out_dir, "postings")))
+    mark("postings_write")
 
     # Derived artifacts are always recomputed from the on-disk shards so a
-    # resumed build converges to the same state as a clean one.
+    # resumed build converges to the same state as a clean one (column-
+    # pruned read: term/df/cf only, never the blobs).
     post = spark.read.parquet(storage.path(out_dir, "postings"))
     (post.groupBy("term")
          .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
          .sort("term")
          .write.mode("overwrite")
          .parquet(storage.path(out_dir, "term_stats")))
+    mark("term_stats")
 
-    dl_all = spark.read.parquet(storage.path(out_dir, "doclens"))
-    st = dl_all.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-    stats_row = [(int(st["n"]), float(st["avgdl"] or 0.0), cfg.num_shards,
+    stats_row = [(N, avgdl, cfg.num_shards,
                   int(docs_per_shard), float(cfg.k1), float(cfg.b),
                   int(cfg.block), build_id)]
     spark.createDataFrame(
@@ -327,7 +347,7 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
                  (post.where(F.col("shard").isin(todo)).groupBy("shard")
                       .agg(F.countDistinct("term").alias("n_terms"),
                            F.sum("df").alias("n_postings"),
-                           F.sum(F.length("blob")).alias("bytes"),
+                           F.sum("nbytes").alias("bytes"),
                            F.max("enc_us").alias("max_enc_us"))
                       .collect())}
         wall_us = int((time.perf_counter() - t_start) * 1e6)
@@ -349,7 +369,10 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
         ).write.mode("append").parquet(storage.path(out_dir, "manifest"))
 
     doc.unpersist()
+    if cached_parent is not None:
+        cached_parent.unpersist()
+    mark("manifest")
     return {"n_docs": N, "avgdl": avgdl, "num_shards": cfg.num_shards,
             "docs_per_shard": docs_per_shard, "built_shards": sorted(todo_set),
-            "build_id": build_id,
+            "build_id": build_id, "phases": phases,
             "wall_sec": time.perf_counter() - t_start}

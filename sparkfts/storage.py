@@ -5,8 +5,7 @@ analog of the reference's scheme-switched SnapshotTransportStrategy.java:
 17-27 — Spark's Hadoop FS connectors pick the backend from the path
 scheme, so s3a://... works unchanged at scale):
 
-  <root>/docstore/shard=K/    input rows + docid, sorted by docid
-  <root>/doclens/shard=K/     (docid, dl)
+  <root>/docstore/shard=K/    input rows + docid + dl, sorted by docid
   <root>/postings/shard=K/    dictionary + compressed posting rows
   <root>/term_stats/          global (term, df, cf) — idf source
   <root>/stats/               single row: N, avgdl, shard geometry, k1/b
