@@ -53,3 +53,19 @@ def tokenize_series(texts: pd.Series, cfg: TokenizerConfig = DEFAULT) -> pd.Seri
 def tokenize_text(text: str, cfg: TokenizerConfig = DEFAULT) -> list[str]:
     """Single-string convenience (query side)."""
     return tokenize_series(pd.Series([text]), cfg).iloc[0]
+
+
+def jvm_tokens(col, cfg: TokenizerConfig = DEFAULT):
+    """Tokenizer as a pure Catalyst expression (whole-stage codegen, no
+    Python worker in the hot path) when the config is JVM-expressible:
+    lowercase + regex-delimiter split + length bounds. Returns a Column
+    of array<string>, or None when the config needs the pandas path
+    (e.g. match-mode Unicode patterns). Must stay semantically identical
+    to tokenize_series — pinned by tests/test_analyzer.py."""
+    if not cfg.split:
+        return None
+    from pyspark.sql import functions as F
+    c = F.lower(col) if cfg.lowercase else col
+    toks = F.split(c, cfg.pattern)
+    lo, hi = cfg.min_len, cfg.max_len
+    return F.filter(toks, lambda t: (F.length(t) >= lo) & (F.length(t) <= hi))

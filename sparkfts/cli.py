@@ -1,0 +1,100 @@
+"""CLI driver (the reference's driver/Driver.java:14-27 analog, argparse
+instead of Hadoop ProgramDriver; UTC forced via session config).
+
+Run via spark-submit:
+    zip -r sparkfts.zip sparkfts datapipe
+    spark-submit --py-files sparkfts.zip -m sparkfts.cli <cmd> ...
+or plain python (local mode):
+    python -m sparkfts.cli generate --n-convs 1000 --out /tmp/tr.parquet
+    python -m sparkfts.cli build --input /tmp/tr.parquet --out /tmp/idx \
+        --num-shards 16
+    python -m sparkfts.cli query --index /tmp/idx --q "alpha index" --k 10
+    python -m sparkfts.cli resume --input /tmp/tr.parquet --out /tmp/idx
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="sparkfts")
+    p.add_argument("--master", default=None,
+                   help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate",
+                       help="deterministic synthetic transcripts "
+                            "(GenerateData.java analog)")
+    g.add_argument("--n-convs", type=int, default=1000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--out", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--docid-col", default=None)
+    b.add_argument("--order-cols", default="conv_id,turn_idx")
+    b.add_argument("--num-shards", type=int, default=16)
+    b.add_argument("--partitions", type=int, default=None)
+
+    r = sub.add_parser("resume", help="resume a partial build "
+                                      "(IndexingPostProcessor analog)")
+    for a in ("--input", "--out"):
+        r.add_argument(a, required=True)
+    r.add_argument("--text-col", default="text")
+    r.add_argument("--docid-col", default=None)
+    r.add_argument("--order-cols", default="conv_id,turn_idx")
+    r.add_argument("--num-shards", type=int, default=16)
+    r.add_argument("--partitions", type=int, default=None)
+
+    q = sub.add_parser("query", help="BM25 top-k search")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", choices=["or", "and"], default="or")
+    q.add_argument("--method", choices=["wand", "exact"], default="wand")
+    q.add_argument("--fetch", action="store_true",
+                   help="join hits back to the doc store")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "generate":
+        from .fixtures import write_transcripts_parquet
+        n = write_transcripts_parquet(args.out, args.n_convs, args.seed)
+        print(json.dumps({"rows": n, "out": args.out}))
+        return 0
+
+    from .session import get_spark
+    spark = get_spark(master=args.master, app=f"sparkfts-{args.cmd}")
+    try:
+        if args.cmd in ("build", "resume"):
+            from .build import BuildConfig, build_index
+            df = spark.read.parquet(args.input)
+            summary = build_index(
+                spark, df, args.out, text_col=args.text_col,
+                docid_col=args.docid_col,
+                order_cols=(args.order_cols.split(",")
+                            if not args.docid_col else None),
+                cfg=BuildConfig(num_shards=args.num_shards,
+                                partitions=args.partitions),
+                resume=(args.cmd == "resume"))
+            print(json.dumps(summary))
+        elif args.cmd == "query":
+            from .query import FTSIndex
+            idx = FTSIndex(spark, args.index)
+            if args.fetch:
+                out = idx.search(args.q, args.k, args.mode, args.method)
+            else:
+                out = idx.topk(args.q, args.k, args.mode, args.method)
+            for row in out.collect():
+                print(json.dumps(row.asDict(), default=str))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -104,6 +104,19 @@ def test_search_returns_text(index):
         assert "rebuild" in r["text"].lower()
 
 
+def test_jvm_tokenizer_matches_pandas(spark, corpus):
+    """The codegen tokenizer and the pandas tokenizer must be identical
+    (the index build uses whichever applies; query-side always pandas)."""
+    from pyspark.sql import functions as F
+    from sparkfts.analyzer import DEFAULT, jvm_tokens, tokenize_series
+    sdf = spark.createDataFrame(corpus[["text"]])
+    got = (sdf.select(jvm_tokens(F.col("text"), DEFAULT).alias("t"))
+           .toPandas()["t"].map(list).tolist())
+    want = tokenize_series(corpus["text"].reset_index(drop=True),
+                           DEFAULT).tolist()
+    assert got == want
+
+
 def test_docid_assignment_parallelism_independent(spark, corpus):
     """docids must equal global rank regardless of partition count."""
     from sparkfts.build import assign_docids
