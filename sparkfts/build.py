@@ -272,6 +272,7 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
                 order_cols: list[str] | None = None,
                 cfg: BuildConfig = BuildConfig(),
                 resume: bool = False,
+                docid_offset: int = 0,
                 _only_shards: list[int] | None = None) -> dict:
     """Build (or resume) the full index under ``out_dir``.
 
@@ -296,6 +297,7 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
         committed = storage.committed_shards(spark, out_dir)
 
     if docid_col is not None:
+        assert docid_offset == 0, "docid_offset only applies to rank ids"
         base = df.withColumn("docid", F.col(docid_col).cast("long"))
         agg0 = base.agg(F.count("*").alias("n"),
                         F.max("docid").alias("mx")).collect()[0]
@@ -307,13 +309,18 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
         n_docs = base._sparkfts_n_docs          # dense rank: no extra job
         max_id = n_docs - 1
         cached_parent = base._sparkfts_cached_parent
+        if docid_offset:
+            # delta/streaming indexes live in an id space above the base
+            base = base.withColumn(
+                "docid", F.col("docid") + F.lit(docid_offset))
 
     if n_docs == 0:
         docs_per_shard = 1
     else:
         docs_per_shard = max(1, -(-(max_id + 1) // cfg.num_shards))
     doc = base.withColumn(
-        "shard", (F.col("docid") / F.lit(docs_per_shard)).cast("int"))
+        "shard", ((F.col("docid") - F.lit(docid_offset))
+                  / F.lit(docs_per_shard)).cast("int"))
 
     mark("assign_docids")
 
@@ -384,11 +391,11 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
 
     stats_row = [(N, avgdl, cfg.num_shards,
                   int(docs_per_shard), float(cfg.k1), float(cfg.b),
-                  int(cfg.block), build_id)]
+                  int(cfg.block), int(docid_offset), build_id)]
     spark.createDataFrame(
         stats_row,
         "n long, avgdl double, num_shards int, docs_per_shard long, "
-        "k1 double, b double, block int, build_id string"
+        "k1 double, b double, block int, docid_offset long, build_id string"
     ).write.mode("overwrite").parquet(storage.path(out_dir, "stats"))
 
     # Manifest: one committed row per shard built this run, including

@@ -211,6 +211,8 @@ class FTSIndex:
         self.docs_per_shard = int(st["docs_per_shard"])
         self.k1 = float(st["k1"])
         self.b = float(st["b"])
+        self.docid_offset = (int(st["docid_offset"])
+                             if "docid_offset" in st.__fields__ else 0)
 
     # -- helpers -----------------------------------------------------
     def _terms(self, query: str) -> list[str]:
@@ -299,7 +301,8 @@ class FTSIndex:
     def fetch_docs(self, docids: Iterable[int]) -> DataFrame:
         """Doc-store fetch (B9): shard-pruned + docid-pushdown read."""
         ids = sorted(int(d) for d in docids)
-        shards = sorted({d // self.docs_per_shard for d in ids})
+        shards = sorted({(d - self.docid_offset) // self.docs_per_shard
+                         for d in ids})
         return (self.spark.read
                 .parquet(storage.path(self.root, "docstore"))
                 .where(F.col("shard").isin(shards))

@@ -1,0 +1,119 @@
+"""Index rotation + lagged read/write selection.
+
+The reference rotates nightly-rebuilt indices via ZooKeeper metadata
+(ElasticsearchIndexRotationManagerZookeeper.java:105-179: register the
+rebuilt index name/alias + rebuild pipeline state; readers swap when the
+node cache updates) and picks read/write targets with a lag rule
+(RealtimeIndexSelectionStrategyLagged.java:41-146: within LAG days of
+index birth use the live index, else the rebuilt alias). ZooKeeper is an
+infrastructure choice, not a capability — here the registry is a small
+parquet table of immutable version rows + an atomic alias pointer
+(write-temp + os.replace, the same atomicity contract as a ZK znode
+update), and the lag rule is a pure function over timestamps.
+
+All timestamps are explicit arguments (no wall-clock reads inside logic —
+deterministic, mirrors the reference's forced-UTC discipline,
+driver/Driver.java:22-23).
+"""
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import asdict, dataclass
+from datetime import date, datetime, timedelta, timezone
+
+DEFAULT_LAG_DAYS = 2  # RealtimeIndexSelectionStrategyLagged.java:39
+
+
+@dataclass(frozen=True)
+class IndexVersion:
+    """ElasticSearchIndexMetadata.java:22-65 analog."""
+    alias: str
+    root: str                 # index directory (storage.py layout)
+    index_date: str           # ISO date the data covers ("birth date")
+    registered_at: str        # ISO timestamp of registration
+    num_shards: int
+    build_id: str
+    state: str = "COMPLETE"   # RebuildPipelineState.java:3-6: RUNNING|COMPLETE
+
+
+class RotationRegistry:
+    """Versioned registry under <base>/registry: one JSON file per
+    version (immutable), plus <alias>.current containing the active
+    version id — swapped atomically via os.replace (POSIX rename)."""
+
+    def __init__(self, base: str):
+        self.base = os.path.join(base, "registry")
+        os.makedirs(self.base, exist_ok=True)
+
+    def _vpath(self, vid: str) -> str:
+        return os.path.join(self.base, f"version-{vid}.json")
+
+    def _apath(self, alias: str) -> str:
+        return os.path.join(self.base, f"{alias}.current")
+
+    def register(self, v: IndexVersion) -> str:
+        """Register a rebuilt index version (the ZK registerIndexAvailableOnRotation
+        analog). Returns the version id; does NOT move the alias."""
+        vid = uuid.uuid4().hex[:12]
+        with open(self._vpath(vid), "w") as f:
+            json.dump({"vid": vid, **asdict(v)}, f)
+        return vid
+
+    def swap(self, alias: str, vid: str) -> None:
+        """Atomically point the alias at a registered version."""
+        if not os.path.exists(self._vpath(vid)):
+            raise ValueError(f"unknown version {vid}")
+        tmp = self._apath(alias) + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            f.write(vid)
+        os.replace(tmp, self._apath(alias))
+
+    def current(self, alias: str) -> dict | None:
+        try:
+            with open(self._apath(alias)) as f:
+                vid = f.read().strip()
+            with open(self._vpath(vid)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def versions(self, alias: str | None = None) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(self.base)):
+            if fn.startswith("version-"):
+                with open(os.path.join(self.base, fn)) as f:
+                    v = json.load(f)
+                if alias is None or v["alias"] == alias:
+                    out.append(v)
+        return out
+
+
+def lagged_selection(index_date: date, today: date,
+                     lag_days: int = DEFAULT_LAG_DAYS) -> str:
+    """RealtimeIndexSelectionStrategyLagged.java:41-59 analog: data
+    younger than the lag hasn't been through a nightly rebuild yet →
+    serve it from the 'live' (realtime) side; older data from the
+    rebuilt index."""
+    return "live" if index_date > today - timedelta(days=lag_days) \
+        else "rebuilt"
+
+
+def select_root(registry: RotationRegistry, alias: str,
+                query_date: date, today: date,
+                live_root: str | None = None,
+                lag_days: int = DEFAULT_LAG_DAYS) -> str:
+    """Resolve which index root serves a query about ``query_date``."""
+    if lagged_selection(query_date, today, lag_days) == "live":
+        if live_root is None:
+            raise ValueError("live index required for recent data")
+        return live_root
+    cur = registry.current(alias)
+    if cur is None:
+        raise ValueError(f"no rebuilt version for alias {alias}")
+    return cur["root"]
+
+
+def utcnow_iso() -> str:
+    return datetime.now(timezone.utc).isoformat()
