@@ -30,7 +30,7 @@ T_HOT, T_MID, T_MID2, T_RARE = "batch", "window", "customer", "vector"
 FETCH_IDS = [0, 7, 42, 123, 499]
 
 _INDEX_CACHE: dict[str, object] = {}
-_FORMAT_VERSION = "v3"  # bump when the on-disk index format changes
+_FORMAT_VERSION = "v5"  # bump when the on-disk index format changes
 
 
 def _index_for(spark: SparkSession, sf_dir: str):

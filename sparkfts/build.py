@@ -19,16 +19,17 @@ one-reducer-builds-one-shard model (README.md:29-33) but from scratch:
      ElasticsearchRoutingStrategyV1.java:16-23), so no term-level salting
      stage is needed; per-shard posting length is bounded by
      docs_per_shard.
-  3. Tokenize via vectorized pandas UDF (Arrow batches, no per-row
-     Python) → doc lengths, global avgdl/N.
-  4. explode → groupBy(shard, term, docid, dl).count() — Catalyst plans a
-     map-side partial aggregate before the shuffle, so duplicate
-     (term, docid) token instances collapse early (the shuffle carries
-     distinct postings, not raw tokens).
-  5. repartition(P, shard) + sortWithinPartitions(shard, term, docid) →
-     streaming mapInPandas encoder: one pass, bounded memory, emits
-     delta+varint blocks with block-max metadata (codec.py). Terms whose
-     per-shard posting exceeds max_chunk_postings are flushed as multiple
+  3. Doc store written as a pure relational pass (no tokenization: doc
+     lengths live inside the posting streams, Lucene-norms style, and
+     avgdl falls out of the dictionary as sum(cf)/N).
+  4. ONE shuffle at doc granularity — repartitionByRange(P, shard) of
+     (shard, docid, text) rows (exact shard balance; hash placement is
+     binomial) + a cheap int sort on shard.
+  5. Arrow shard kernel (mapInArrow, _make_shard_kernel): pyarrow re2
+     tokenization (~15x java regex), dictionary-encode + np.lexsort
+     inversion, run-length tf, delta+varint block encode with
+     (max_tf, min_dl) block-max metadata (codec.py). Terms whose
+     per-shard posting exceeds max_chunk_postings are emitted as multiple
      chunk rows (docid-range-ordered, so query-side concat by chunk id
      restores global order without a merge).
   6. Write everything as parquet partitioned by shard (Iceberg-style
@@ -62,6 +63,10 @@ from .analyzer import DEFAULT, TokenizerConfig, tokenize_series
 POSTING_SCHEMA = T.StructType([
     T.StructField("shard", T.IntegerType(), False),
     T.StructField("term", T.StringType(), False),
+    T.StructField("th", T.LongType(), False),   # xxhash64(term): rows are
+    # hash-sorted within shard files, so query-time pushdown filters on
+    # this sorted int64 (row-group min/max pruning) instead of the
+    # hash-ordered term string
     T.StructField("chunk", T.IntegerType(), False),
     T.StructField("df", T.LongType(), False),
     T.StructField("cf", T.LongType(), False),
@@ -70,7 +75,8 @@ POSTING_SCHEMA = T.StructType([
     T.StructField("block_last", T.ArrayType(T.LongType()), False),
     T.StructField("block_off", T.ArrayType(T.LongType()), False),
     T.StructField("block_n", T.ArrayType(T.IntegerType()), False),
-    T.StructField("block_max_partial", T.ArrayType(T.DoubleType()), False),
+    T.StructField("block_max_tf", T.ArrayType(T.LongType()), False),
+    T.StructField("block_min_dl", T.ArrayType(T.LongType()), False),
     T.StructField("nbytes", T.LongType(), False),
     T.StructField("enc_us", T.LongType(), False),
 ])
@@ -132,6 +138,44 @@ def assign_docids(df: DataFrame, order_cols: list[str],
     return out
 
 
+def assign_docids_grouped(df: DataFrame, conv_col: str, turn_col: str
+                          ) -> DataFrame | None:
+    """Fast path for the canonical transcripts ordering
+    (conv_id, turn_idx) when turn_idx is dense 0..len-1 per conversation:
+    docid = conv_offset + turn_idx, with conv offsets from a prefix sum
+    over per-conversation sizes (one map-side-combined groupBy of
+    conv-level rows + a broadcast join — no range shuffle of full rows,
+    no sampling pass, no Python). Returns None when the density
+    precondition fails (caller falls back to the general rank path).
+
+    Driver holds one entry per conversation — fine to ~10^7 convs; above
+    that, apply the same prefix-sum trick recursively on the conv table
+    (range-partition convs, per-partition counts, driver prefix over
+    partitions).
+    """
+    spark = df.sparkSession
+    sizes = (df.groupBy(conv_col)
+             .agg(F.count("*").alias("n"),
+                  F.min(turn_col).alias("lo"),
+                  F.max(turn_col).alias("hi"))
+             .collect())
+    if any(r["lo"] != 0 or r["hi"] != r["n"] - 1 for r in sizes):
+        return None
+    sizes.sort(key=lambda r: r[conv_col])
+    offsets, acc = [], 0
+    for r in sizes:
+        offsets.append((r[conv_col], acc))
+        acc += r["n"]
+    odf = spark.createDataFrame(offsets, f"{conv_col} string, _off long")
+    out = (df.join(F.broadcast(odf), conv_col)
+             .withColumn("docid",
+                         F.col("_off") + F.col(turn_col).cast("long"))
+             .drop("_off"))
+    out._sparkfts_n_docs = acc            # type: ignore[attr-defined]
+    out._sparkfts_cached_parent = None    # type: ignore[attr-defined]
+    return out
+
+
 def _make_tokenize_udf(cfg: TokenizerConfig):
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def tok(texts: pd.Series) -> pd.Series:
@@ -139,131 +183,139 @@ def _make_tokenize_udf(cfg: TokenizerConfig):
     return tok
 
 
-def _make_encoder(avgdl: float, cfg: BuildConfig):
-    """Streaming posting encoder for mapInPandas over RAW token rows
-    (shard, term, docid, dl) sorted by (shard, term, docid) — duplicate
-    (term, docid) rows are adjacent, so tf is a run-length count
-    (np.unique on the sorted slice). No upstream groupBy: the relational
-    plan pays ONE shuffle of the exploded tokens instead of a 10^7-entry
-    hash aggregate plus a second shuffle (measured 2-3x faster; at 100 TB
-    the sort-based shuffle also spills gracefully where a giant hash agg
-    would not).
+def _make_shard_kernel(cfg: BuildConfig):
+    """Per-shard inverted-index kernel for mapInArrow over doc rows
+    (shard, docid, text) sorted by shard within each partition — the
+    from-scratch analog of the reference's reducer-boots-embedded-ES step
+    (BaseESReducer.java:135-166), entirely Arrow/numpy:
 
-    Bounded memory: state is one (shard, term) group's buffers. raw rows
-    are aggregated into postings whenever the buffer passes
-    max_chunk_postings, cutting at a docid-run boundary (a docid's
-    duplicates never split across chunks), and full chunks are emitted
-    eagerly — so a stopword's per-shard posting list streams through in
-    O(max_chunk) memory.
+      tokenize  pyarrow re2 split (~15x java.util.regex)
+      invert    dictionary-encode terms → int codes; np.lexsort by
+                (code, docid); run-length collapse → (term, docid, tf)
+      encode    codec.encode_postings per term (delta+varint blocks with
+                (max_tf, min_dl) block-max metadata), chunked at
+                max_chunk_postings per dictionary row
+
+    Memory is O(one shard's tokens) — the same sizing contract as the
+    reference's one-shard-per-reducer design (README.md:29-33): pick
+    num_shards so a shard's token arrays (~16 bytes/token) fit an
+    executor. Partitions may hold several shards (range-partitioned);
+    shards are processed one at a time as the sorted stream crosses
+    shard boundaries.
     """
-    k1, b, block, max_chunk = cfg.k1, cfg.b, cfg.block, cfg.max_chunk_postings
+    import pyarrow as pa
 
-    def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    block, max_chunk = cfg.block, cfg.max_chunk_postings
+    tokenizer = cfg.tokenizer
+    out_fields = [
+        ("shard", pa.int32()), ("term", pa.string()), ("th", pa.int64()),
+        ("chunk", pa.int32()), ("df", pa.int64()), ("cf", pa.int64()),
+        ("blob", pa.binary()),
+        ("block_first", pa.list_(pa.int64())),
+        ("block_last", pa.list_(pa.int64())),
+        ("block_off", pa.list_(pa.int64())),
+        ("block_n", pa.list_(pa.int32())),
+        ("block_max_tf", pa.list_(pa.int64())),
+        ("block_min_dl", pa.list_(pa.int64())),
+        ("nbytes", pa.int64()), ("enc_us", pa.int64()),
+    ]
+    out_schema = pa.schema(out_fields)
+
+    def kernel(batches):
+        from .analyzer import tokenize_arrow
         t0 = time.perf_counter()
-        rows: list[dict] = []
-        key: tuple[int, str] | None = None
-        raw: list[tuple[np.ndarray, np.ndarray]] = []   # (docids, dls)
-        raw_n = 0
-        agg: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []  # d, tf, dl
-        agg_n = 0
-        next_chunk = 0
+        cur: int | None = None
+        acc_ids: list[np.ndarray] = []
+        acc_txt: list[pa.Array] = []
+        cols: dict[str, list] = {n: [] for n, _ in out_fields}
 
-        def aggregate(final: bool) -> None:
-            """raw duplicate rows → unique postings appended to agg."""
-            nonlocal raw, raw_n, agg, agg_n
-            if not raw:
+        def emit_row(shard, term, chunk, enc):
+            cols["shard"].append(shard)
+            cols["term"].append(term)
+            cols["th"].append(codec.term_hash(term))
+            cols["chunk"].append(chunk)
+            cols["df"].append(enc["df"])
+            cols["cf"].append(enc["cf"])
+            cols["blob"].append(enc["blob"])
+            cols["block_first"].append(enc["block_first"])
+            cols["block_last"].append(enc["block_last"])
+            cols["block_off"].append(enc["block_off"])
+            cols["block_n"].append(enc["block_n"])
+            cols["block_max_tf"].append(enc["block_max_tf"])
+            cols["block_min_dl"].append(enc["block_min_dl"])
+            cols["nbytes"].append(len(enc["blob"]))
+            cols["enc_us"].append(int((time.perf_counter() - t0) * 1e6))
+
+        def flush_batch():
+            batch = pa.RecordBatch.from_pydict(
+                {n: pa.array(cols[n], type=t) for n, t in out_fields},
+                schema=out_schema)
+            for n, _ in out_fields:
+                cols[n] = []
+            return batch
+
+        def process_shard():
+            if not acc_ids:
                 return
-            d = np.concatenate([x[0] for x in raw])
-            l = np.concatenate([x[1] for x in raw])
-            if not final:
-                # keep the last docid's (possibly continuing) run buffered
-                cut = int(np.searchsorted(d, d[-1], side="left"))
-                if cut == 0:
-                    return
-                d, keep_d = d[:cut], d[cut:]
-                l, keep_l = l[:cut], l[cut:]
-                raw, raw_n = [(keep_d, keep_l)], len(keep_d)
-            else:
-                raw, raw_n = [], 0
-            uniq, idx, counts = np.unique(d, return_index=True,
-                                          return_counts=True)
-            agg.append((uniq, counts.astype(np.int64), l[idx]))
-            agg_n += len(uniq)
-
-        def emit_chunks(final: bool) -> None:
-            nonlocal agg, agg_n, next_chunk
-            if not agg or (not final and agg_n < max_chunk):
+            shard = int(cur)
+            docids = np.concatenate(acc_ids)
+            texts = pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                 for a in acc_txt])
+            acc_ids.clear()
+            acc_txt.clear()
+            flat, counts = tokenize_arrow(texts, tokenizer)
+            if len(flat) == 0:
                 return
-            d = np.concatenate([x[0] for x in agg])
-            t = np.concatenate([x[1] for x in agg])
-            l = np.concatenate([x[2] for x in agg])
-            start = 0
-            while start < len(d):
-                end = len(d) if final else min(start + max_chunk, len(d))
-                if not final and end - start < max_chunk:
-                    break
-                enc = codec.encode_postings(d[start:end], t[start:end],
-                                            l[start:end], avgdl, k1, b, block)
-                rows.append({
-                    "shard": key[0], "term": key[1], "chunk": next_chunk,
-                    "df": enc["df"], "cf": enc["cf"], "blob": enc["blob"],
-                    "block_first": enc["block_first"],
-                    "block_last": enc["block_last"],
-                    "block_off": enc["block_off"],
-                    "block_n": enc["block_n"],
-                    "block_max_partial": enc["block_max_partial"],
-                    "nbytes": len(enc["blob"]),
-                    "enc_us": int((time.perf_counter() - t0) * 1e6),
-                })
-                next_chunk += 1
-                start = end
-            agg = ([(d[start:], t[start:], l[start:])]
-                   if start < len(d) else [])
-            agg_n = len(d) - start
+            de = flat.dictionary_encode()
+            codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = de.dictionary.to_pylist()
+            row_idx = np.repeat(np.arange(len(docids), dtype=np.int64),
+                                counts)
+            d_rep = docids[row_idx]
+            l_rep = counts[row_idx]
+            order = np.lexsort((d_rep, codes))
+            c_s, d_s, l_s = codes[order], d_rep[order], l_rep[order]
+            # collapse equal (code, docid) runs → tf
+            change = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
+            idx = np.concatenate(([0], np.flatnonzero(change) + 1))
+            tf = np.diff(np.append(idx, len(c_s))).astype(np.int64)
+            c_u, d_u, l_u = c_s[idx], d_s[idx], l_s[idx]
+            # per-term slices
+            tchange = np.flatnonzero(c_u[1:] != c_u[:-1])
+            tstarts = np.concatenate(([0], tchange + 1))
+            tends = np.concatenate((tchange + 1, [len(c_u)]))
+            for s, e in zip(tstarts, tends):
+                term = vocab[c_u[s]]
+                for chunk, cs in enumerate(range(s, e, max_chunk)):
+                    ce = min(cs + max_chunk, e)
+                    enc = codec.encode_postings(d_u[cs:ce], tf[cs:ce],
+                                                l_u[cs:ce], block)
+                    emit_row(shard, term, chunk, enc)
 
-        def finish_group() -> None:
-            nonlocal raw, raw_n, agg, agg_n, next_chunk
-            aggregate(final=True)
-            emit_chunks(final=True)
-            raw, raw_n, agg, agg_n, next_chunk = [], 0, [], 0, 0
-
-        def emit() -> pd.DataFrame:
-            nonlocal rows
-            pdf = pd.DataFrame(rows, columns=[f.name for f in POSTING_SCHEMA])
-            rows = []
-            return pdf
-
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            shard = pdf["shard"].to_numpy()
-            term = pdf["term"].to_numpy()
-            docid = pdf["docid"].to_numpy(dtype=np.int64)
-            dl = pdf["dl"].to_numpy(dtype=np.int64)
-            # group boundaries within the batch (vectorized)
-            change = np.flatnonzero(
-                (shard[1:] != shard[:-1]) | (term[1:] != term[:-1]))
-            starts = np.concatenate(([0], change + 1))
-            ends = np.concatenate((change + 1, [len(pdf)]))
-            for s, e in zip(starts, ends):
-                gk = (int(shard[s]), str(term[s]))
-                if gk != key:
-                    if key is not None:
-                        finish_group()
-                    key = gk
-                raw.append((docid[s:e], dl[s:e]))
-                raw_n += e - s
-                if raw_n >= max_chunk:
-                    aggregate(final=False)
-                    emit_chunks(final=False)
-            if len(rows) >= 1024:
-                yield emit()
-        if key is not None:
-            finish_group()
-        if rows:
-            yield emit()
+            shard = rb.column("shard").to_numpy(zero_copy_only=False)
+            docid = rb.column("docid").to_numpy(zero_copy_only=False)
+            text = rb.column("text")
+            bounds = np.concatenate(
+                ([0], np.flatnonzero(shard[1:] != shard[:-1]) + 1,
+                 [len(shard)]))
+            for i in range(len(bounds) - 1):
+                s, e = int(bounds[i]), int(bounds[i + 1])
+                if cur is not None and shard[s] != cur:
+                    process_shard()
+                    if cols["shard"]:
+                        yield flush_batch()
+                cur = int(shard[s])
+                acc_ids.append(docid[s:e].astype(np.int64))
+                acc_txt.append(text.slice(s, e - s))
+        process_shard()
+        if cols["shard"]:
+            yield flush_batch()
 
-    return encoder
+    return kernel
 
 
 def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
@@ -305,7 +357,15 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
         cached_parent = None
     else:
         assert order_cols, "need docid_col or order_cols"
-        base = assign_docids(df, order_cols, cfg.partitions)
+        base = None
+        if (len(order_cols) == 2
+                and isinstance(df.schema[order_cols[0]].dataType,
+                               T.StringType)
+                and isinstance(df.schema[order_cols[1]].dataType,
+                               (T.IntegerType, T.LongType, T.ShortType))):
+            base = assign_docids_grouped(df, order_cols[0], order_cols[1])
+        if base is None:
+            base = assign_docids(df, order_cols, cfg.partitions)
         n_docs = base._sparkfts_n_docs          # dense rank: no extra job
         max_id = n_docs - 1
         cached_parent = base._sparkfts_cached_parent
@@ -324,18 +384,6 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
 
     mark("assign_docids")
 
-    # Tokenizer: pure Catalyst expression when possible (whole-stage
-    # codegen, zero Python in the hot path); pandas-UDF fallback for
-    # non-JVM-expressible analyzer configs. Token arrays are NEVER
-    # cached — only scalar dl is — so the persist holds no 10^8-object
-    # token graph (GC poison at scale).
-    from .analyzer import jvm_tokens
-    tokens_col = jvm_tokens(F.col(text_col), cfg.tokenizer)
-    if tokens_col is None:
-        tokens_col = _make_tokenize_udf(cfg.tokenizer)(F.col(text_col))
-    doc = doc.withColumn("dl", F.size(tokens_col).cast("long"))
-    doc.persist()
-
     todo = [s for s in range(cfg.num_shards) if s not in committed]
     if _only_shards is not None:
         todo = [s for s in todo if s in _only_shards]
@@ -346,34 +394,34 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
         # doc store: the reference's _source / fetch path (BaseESReducer
         # keeps JSON in ES; ours is the input row keyed by docid, sorted
         # so parquet row-group min/max stats prune docid point lookups).
-        # dl rides along (the Lucene-norms analog), so no separate
-        # doclens artifact is needed.
+        # Pure relational pass -- no tokenization here (doc lengths live
+        # inside the posting streams, Lucene-norms style).
         store_cols = [c for c in df.columns if c != docid_col]
-        (sub.select("shard", "docid", "dl", *store_cols)
+        (sub.select("shard", "docid", *store_cols)
             .sortWithinPartitions("docid")
             .write.mode("append").partitionBy("shard")
             .parquet(storage.path(out_dir, "docstore")))
     mark("docstore_write")
 
-    # Global stats must reflect the FULL corpus (all docs, not just the
-    # shards rebuilt this run); cheap agg on the cached docs.
-    stats_src = doc.agg(F.avg("dl").alias("avgdl")).collect()[0]
-    N, avgdl = n_docs, float(stats_src["avgdl"] or 0.0)
-    mark("global_stats")
+    N = n_docs
 
     if todo:
-        # ONE shuffle: raw exploded tokens, partitioned by shard, sorted
-        # by (shard, term, docid); tf computed by run-length in the
-        # encoder (see _make_encoder for the groupBy-vs-sort tradeoff).
-        pairs = (doc.where(F.col("shard").isin(todo))
-                 .select("shard", "docid", "dl",
-                         F.explode(tokens_col).alias("term")))
+        # ONE shuffle, at DOC granularity: the exchange moves N rows of
+        # (shard, docid, text) -- never exploded tokens; all token work
+        # happens inside the Arrow shard kernel. repartitionByRange (not
+        # hash): num_shards -> P partitions lands exactly num_shards/P
+        # contiguous shards per partition, where hash placement is
+        # binomial and the slowest task gets ~1.5-2x the mean. The only
+        # in-stage JVM work after the exchange is a cheap int sort on
+        # shard so the kernel sees one shard at a time.
         p = cfg.partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions"))
-        enc_in = (pairs.repartition(min(p, max(1, len(todo))), "shard")
-                       .sortWithinPartitions("shard", "term", "docid"))
-        enc_out = enc_in.mapInPandas(_make_encoder(avgdl, cfg),
-                                     schema=POSTING_SCHEMA)
+        enc_in = (doc.where(F.col("shard").isin(todo))
+                  .select("shard", "docid", F.col(text_col).alias("text"))
+                  .repartitionByRange(min(p, max(1, len(todo))), "shard")
+                  .sortWithinPartitions("shard"))
+        enc_out = enc_in.mapInArrow(_make_shard_kernel(cfg),
+                                    schema=POSTING_SCHEMA)
         (enc_out.write.mode("append").partitionBy("shard")
                 .parquet(storage.path(out_dir, "postings")))
     mark("postings_write")
@@ -387,6 +435,11 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
          .sort("term")
          .write.mode("overwrite")
          .parquet(storage.path(out_dir, "term_stats")))
+    # avgdl = total tokens / N == sum(cf)/N -- no separate doc-length
+    # pass anywhere in the build
+    ts = spark.read.parquet(storage.path(out_dir, "term_stats"))
+    tot_cf = ts.agg(F.sum("cf").alias("c")).collect()[0]["c"] or 0
+    avgdl = (float(tot_cf) / N) if N else 0.0
     mark("term_stats")
 
     stats_row = [(N, avgdl, cfg.num_shards,
@@ -426,7 +479,6 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
             "build_wall_us long, corpus_docs long"
         ).write.mode("append").parquet(storage.path(out_dir, "manifest"))
 
-    doc.unpersist()
     if cached_parent is not None:
         cached_parent.unpersist()
     mark("manifest")

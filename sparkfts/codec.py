@@ -20,9 +20,15 @@ Layout per term (one "posting row" in the index):
             block_last  : int64  last docid of block (skip pointer)
             block_off   : int64  byte offset of block start in blob
             block_n     : int32  postings in block
-            block_max_partial : float64  max over block of the BM25
-                tf/dl partial  tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl));
-                upper bound for block-max WAND: score <= idf * max_partial.
+            block_max_tf : int64  max tf in block
+            block_min_dl : int64  min dl in block
+          The BM25 partial tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) is
+          increasing in tf and decreasing in dl, so
+          partial(max_tf, min_dl, avgdl) computed AT QUERY TIME is a
+          sound block upper bound for block-max WAND under ANY avgdl —
+          including the union avgdl of a base+delta streaming query —
+          unlike a baked-in max-partial, which is only valid for the
+          avgdl it was encoded with.
 
 Doc lengths (dl) are embedded in the posting stream so a shard's dictionary
 rows are self-contained for exact BM25 scoring — no doclens join at query
@@ -32,11 +38,22 @@ quantization).
 """
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 
 BLOCK = 128
 K1 = 1.2
 B = 0.75
+
+
+def term_hash(term: str) -> int:
+    """Dictionary pruning key: first 8 bytes of md5(term) as a signed
+    int64. md5 (not Spark's xxhash64) so BOTH the executor-side encoder
+    and the driver-side query planner can compute it in plain Python —
+    no JVM round trip per query."""
+    return int.from_bytes(hashlib.md5(term.encode("utf-8")).digest()[:8],
+                          "big", signed=True)
 
 _POW128 = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
 
@@ -105,7 +122,6 @@ def bm25_idf(N: float, df: np.ndarray | float) -> np.ndarray | float:
 
 
 def encode_postings(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-                    avgdl: float, k1: float = K1, b: float = B,
                     block: int = BLOCK) -> dict:
     """Encode one term's postings (docids strictly increasing) into the
     blob + block-max metadata described in the module docstring."""
@@ -121,14 +137,13 @@ def encode_postings(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     block_starts = np.arange(1, nblocks) * block
     gaps[block_starts] = docids[block_starts].astype(np.uint64)
 
-    partial = bm25_partial(tfs, dls, avgdl, k1, b)
-
     chunks: list[bytes] = []
     block_off = np.zeros(nblocks, dtype=np.int64)
     block_first = np.zeros(nblocks, dtype=np.int64)
     block_last = np.zeros(nblocks, dtype=np.int64)
     block_n = np.zeros(nblocks, dtype=np.int32)
-    block_max_partial = np.zeros(nblocks, dtype=np.float64)
+    block_max_tf = np.zeros(nblocks, dtype=np.int64)
+    block_min_dl = np.zeros(nblocks, dtype=np.int64)
     off = 0
     for i in range(nblocks):
         lo, hi = i * block, min((i + 1) * block, n)
@@ -141,7 +156,8 @@ def encode_postings(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         block_first[i] = docids[lo]
         block_last[i] = docids[hi - 1]
         block_n[i] = hi - lo
-        block_max_partial[i] = partial[lo:hi].max()
+        block_max_tf[i] = tfs[lo:hi].max()
+        block_min_dl[i] = dls[lo:hi].min()
     return {
         "blob": b"".join(chunks),
         "df": n,
@@ -150,7 +166,8 @@ def encode_postings(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         "block_last": block_last,
         "block_off": block_off,
         "block_n": block_n,
-        "block_max_partial": block_max_partial,
+        "block_max_tf": block_max_tf,
+        "block_min_dl": block_min_dl,
     }
 
 

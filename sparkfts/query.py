@@ -123,9 +123,16 @@ def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
         rows = per_term[t].sort_values("chunk")
         firsts = np.concatenate([np.asarray(r.block_first) for r in rows.itertuples()])
         lasts = np.concatenate([np.asarray(r.block_last) for r in rows.itertuples()])
-        maxp = np.concatenate([np.asarray(r.block_max_partial) for r in rows.itertuples()])
+        # block upper bound computed AT QUERY TIME from (max_tf, min_dl):
+        # the BM25 partial is increasing in tf and decreasing in dl, so
+        # partial(max_tf, min_dl) dominates every posting in the block
+        # under the avgdl of THIS query (exact for any corpus composition,
+        # including base+delta streaming unions).
+        maxtf = np.concatenate([np.asarray(r.block_max_tf) for r in rows.itertuples()])
+        mindl = np.concatenate([np.asarray(r.block_min_dl) for r in rows.itertuples()])
+        ub = idf[t] * codec.bm25_partial(maxtf, mindl, avgdl, k1, b)
         row_sizes = [len(r.block_n) for r in rows.itertuples()]
-        tinfo[t] = (rows, firsts, lasts, idf[t] * maxp, row_sizes)
+        tinfo[t] = (rows, firsts, lasts, ub, row_sizes)
 
     # seed: decode each term's top-m blocks by ub → lower bound θ on k-th best
     m_seed = max(1, -(-k // codec.BLOCK)) + 1
@@ -213,6 +220,12 @@ class FTSIndex:
         self.b = float(st["b"])
         self.docid_offset = (int(st["docid_offset"])
                              if "docid_offset" in st.__fields__ else 0)
+        # one file-index per handle: re-creating the read per query would
+        # re-list the directory tree every time
+        self._postings = spark.read.parquet(storage.path(root, "postings"))
+        self._term_stats = spark.read.parquet(
+            storage.path(root, "term_stats"))
+        self._docstore = spark.read.parquet(storage.path(root, "docstore"))
 
     # -- helpers -----------------------------------------------------
     def _terms(self, query: str) -> list[str]:
@@ -221,14 +234,18 @@ class FTSIndex:
     def _idf_map(self, terms: list[str]) -> dict[str, float]:
         if not terms:
             return {}
-        rows = (self.spark.read.parquet(storage.path(self.root, "term_stats"))
-                .where(F.col("term").isin(terms)).collect())
+        rows = self._term_stats.where(F.col("term").isin(terms)).collect()
         dfm = {r["term"]: float(r["df"]) for r in rows}
         return {t: _bm25_idf(float(self.N), dfm.get(t, 0.0)) for t in terms}
 
     def _posting_rows(self, terms: list[str]) -> DataFrame:
-        return (self.spark.read
-                .parquet(storage.path(self.root, "postings"))
+        """Dictionary lookup: pushdown filter on `th` = md5-based int64
+        term hash (parquet row-group pruning; computed driver-side in
+        plain Python, codec.term_hash); the term IN-filter keeps
+        exactness under hash collisions."""
+        hs = [codec.term_hash(t) for t in terms]
+        return (self._postings
+                .where(F.col("th").isin(hs))
                 .where(F.col("term").isin(terms)))
 
     # -- public API ---------------------------------------------------
@@ -303,8 +320,7 @@ class FTSIndex:
         ids = sorted(int(d) for d in docids)
         shards = sorted({(d - self.docid_offset) // self.docs_per_shard
                          for d in ids})
-        return (self.spark.read
-                .parquet(storage.path(self.root, "docstore"))
+        return (self._docstore
                 .where(F.col("shard").isin(shards))
                 .where(F.col("docid").isin(ids)))
 

@@ -19,6 +19,11 @@ def get_spark(master: str | None = None, app: str = "sparkfts",
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         # bigger Arrow batches → fewer JVM<->Python round trips in the
+         # encoder/docid stages (default 10k rows is tuned for wide rows;
+         # ours are narrow)
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+         .config("spark.sql.files.maxPartitionBytes", "16m")
          .config("spark.driver.memory",
                  os.environ.get("SPARKFTS_DRIVER_MEM", "8g"))
          .config("spark.ui.enabled", "false"))

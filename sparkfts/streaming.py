@@ -13,11 +13,9 @@ UNION-global stats (N, df, avgdl summed/reweighted across sub-indexes),
 so results are exactly what a monolithic rebuild over base+delta rows
 would produce — verified against the brute-force oracle in tests.
 
-Block-max caveat handled for correctness: stored block_max_partial was
-computed with each sub-index's OWN avgdl; the bound is only valid for a
-query avgdl ≤ build avgdl (the partial grows with avgdl). CombinedIndex
-therefore uses WAND per sub-index only when safe and falls back to
-exhaustive decode otherwise — results identical either way.
+Block-max metadata stores (max_tf, min_dl) per block and the bound is
+evaluated at query time under the union's avgdl, so WAND pruning stays
+exact across base+delta — no special-casing needed.
 """
 from __future__ import annotations
 
@@ -150,12 +148,10 @@ class CombinedIndex:
         k1, b, avgdl = self.k1, self.b, self.avgdl
         parts = []
         for i, s in enumerate(self.subs):
-            # stored block-max bounds are valid only if query avgdl <=
-            # build avgdl (see module docstring)
-            m = method if (method == "exact" or avgdl <= s.avgdl) else "exact"
-            rows = (self.spark.read
-                    .parquet(storage.path(s.root, "postings"))
-                    .where(F.col("term").isin(terms)))
+            # block bounds are (max_tf, min_dl) pairs evaluated at query
+            # time, so WAND stays exact under the union avgdl
+            m = method
+            rows = s._posting_rows(terms)
 
             def per_shard(pdf):
                 # single-arg signature: applyInPandas must not pass the

@@ -117,6 +117,25 @@ def test_jvm_tokenizer_matches_pandas(spark, corpus):
     assert got == want
 
 
+def test_grouped_docid_fast_path_matches_general(spark, corpus):
+    """assign_docids_grouped (broadcast prefix-sum) must produce exactly
+    the ranks the general range-sort path produces."""
+    from sparkfts.build import assign_docids, assign_docids_grouped
+    sdf = spark.createDataFrame(make_transcripts(N_CONVS, seed=SEED))
+    fast = assign_docids_grouped(sdf, "conv_id", "turn_idx")
+    assert fast is not None
+    a = (fast.select("conv_id", "turn_idx", "docid").toPandas()
+         .sort_values("docid").reset_index(drop=True))
+    b = (assign_docids(sdf, ["conv_id", "turn_idx"], partitions=4)
+         .select("conv_id", "turn_idx", "docid").toPandas()
+         .sort_values("docid").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # non-dense turn_idx → fast path declines
+    holey = spark.createDataFrame(
+        [("c1", 0), ("c1", 2)], "conv_id string, turn_idx int")
+    assert assign_docids_grouped(holey, "conv_id", "turn_idx") is None
+
+
 def test_docid_assignment_parallelism_independent(spark, corpus):
     """docids must equal global rank regardless of partition count."""
     from sparkfts.build import assign_docids

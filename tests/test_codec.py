@@ -41,7 +41,7 @@ def test_postings_roundtrip(n):
     docids = np.cumsum(gaps).astype(np.int64)
     tfs = rng.integers(1, 255, size=n).astype(np.int64)
     dls = rng.integers(1, 500, size=n).astype(np.int64)
-    enc = codec.encode_postings(docids, tfs, dls, avgdl=40.0)
+    enc = codec.encode_postings(docids, tfs, dls)
     assert enc["df"] == n
     assert enc["cf"] == tfs.sum()
     d, t, l = codec.decode_postings(enc["blob"], enc["block_off"],
@@ -57,27 +57,32 @@ def test_blockmax_metadata_invariants():
     docids = np.cumsum(rng.integers(1, 50, size=n)).astype(np.int64)
     tfs = rng.integers(1, 20, size=n).astype(np.int64)
     dls = rng.integers(5, 100, size=n).astype(np.int64)
-    avgdl = 42.5
-    enc = codec.encode_postings(docids, tfs, dls, avgdl=avgdl)
+    enc = codec.encode_postings(docids, tfs, dls)
     nblocks = len(enc["block_n"])
     assert nblocks == -(-n // codec.BLOCK)
     assert enc["block_n"].sum() == n
-    partial = codec.bm25_partial(tfs, dls, avgdl)
     for i in range(nblocks):
         lo, hi = i * codec.BLOCK, min((i + 1) * codec.BLOCK, n)
         assert enc["block_first"][i] == docids[lo]
         assert enc["block_last"][i] == docids[hi - 1]
-        # per-block upper bound dominates every true partial in the block
-        assert enc["block_max_partial"][i] == pytest.approx(
-            partial[lo:hi].max())
+        assert enc["block_max_tf"][i] == tfs[lo:hi].max()
+        assert enc["block_min_dl"][i] == dls[lo:hi].min()
+        # query-time bound partial(max_tf, min_dl, avgdl) dominates every
+        # true partial in the block, for an arbitrary avgdl
+        for avgdl in (5.0, 40.0, 400.0):
+            ub = codec.bm25_partial(
+                np.array([enc["block_max_tf"][i]]),
+                np.array([enc["block_min_dl"][i]]), avgdl)[0]
+            assert (codec.bm25_partial(tfs[lo:hi], dls[lo:hi], avgdl)
+                    <= ub + 1e-15).all()
         d, t, l = codec.decode_block(enc["blob"], int(enc["block_off"][i]),
                                      int(enc["block_n"][i]))
         np.testing.assert_array_equal(d, docids[lo:hi])
 
 
 def test_single_posting_and_empty_block_list():
-    enc = codec.encode_postings(np.array([5]), np.array([3]), np.array([17]),
-                                avgdl=10.0)
+    enc = codec.encode_postings(np.array([5]), np.array([3]),
+                                np.array([17]))
     d, t, l = codec.decode_postings(enc["blob"], enc["block_off"],
                                     enc["block_n"])
     assert d.tolist() == [5] and t.tolist() == [3] and l.tolist() == [17]
