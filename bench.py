@@ -178,6 +178,13 @@ def main() -> None:
             dt = time.perf_counter() - t0
             timings[name] = dt
             total_q += dt
+        # single-node low-latency path (no Spark job): the latency-parity
+        # answer to the reference's always-on ES cluster
+        idx.topk_local("warmup", k=10)
+        for name, (q, mode) in qset.items():
+            t0 = time.perf_counter()
+            idx.topk_local(q, k=10, mode=mode, method="wand")
+            timings[name + "_local"] = time.perf_counter() - t0
         spark.stop()
 
         # 4. scaling evidence: identical job/plan at N=2 vs 4N=8 cores.

@@ -284,6 +284,44 @@ class FTSIndex:
         return (self.topk(query, k, mode, method)
                 .toPandas().reset_index(drop=True))
 
+    def topk_local(self, query: str, k: int = 10, mode: str = "or",
+                   method: str = "wand") -> pd.DataFrame:
+        """Low-latency single-node query path: pyarrow dataset reads with
+        the same th/term pushdown (no Spark job at all) + the same numpy
+        scoring kernel. Because docs live in exactly one shard, scoring
+        all returned dictionary rows in one pass is identical to the
+        per-shard + merge result. This is the latency-parity answer to
+        the reference's always-on ES cluster (ms, not Spark-job seconds);
+        the distributed topk() path exists for indexes too large for one
+        reader. Returns (docid, score) pandas, rank-identical to topk().
+        """
+        import pyarrow.dataset as ds
+        terms = self._terms(query)
+        empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if not terms:
+            return empty
+        hs = [codec.term_hash(t) for t in terms]
+        if not hasattr(self, "_pa_postings"):
+            # file listing once per handle, not per query
+            self._pa_postings = ds.dataset(
+                storage.path(self.root, "postings"),
+                format="parquet", partitioning="hive")
+            self._pa_term_stats = ds.dataset(
+                storage.path(self.root, "term_stats"), format="parquet")
+        flt = ds.field("th").isin(hs) & ds.field("term").isin(terms)
+        pdf = self._pa_postings.to_table(filter=flt).to_pandas()
+        if pdf.empty:
+            return empty
+        trows = self._pa_term_stats.to_table(
+            filter=ds.field("term").isin(terms),
+            columns=["term", "df"]).to_pandas()
+        dfm = dict(zip(trows["term"], trows["df"].astype(float)))
+        idf = {t: _bm25_idf(float(self.N), dfm.get(t, 0.0)) for t in terms}
+        out = score_shard(pdf, idf, self.avgdl, self.k1, self.b,
+                          k, mode, len(terms), method)
+        return out.reset_index(drop=True)
+
     def match_docids(self, query: str, mode: str = "and") -> DataFrame:
         """Boolean match without scoring (B7): docids containing all
         (and) / any (or) query terms, sorted ascending."""

@@ -65,6 +65,17 @@ def test_topk_rank_identical_to_oracle(index, oracle, method):
             want["score"].to_numpy(), abs=1e-9), (q, mode)
 
 
+@pytest.mark.parametrize("method", ["exact", "wand"])
+def test_topk_local_rank_identical_to_oracle(index, oracle, method):
+    """The no-Spark-job query path must agree with the oracle too."""
+    for q, mode in reference_queries(oracle):
+        got = index.topk_local(q, k=10, mode=mode, method=method)
+        want = oracle.topk(q, k=10, mode=mode)
+        assert got["docid"].tolist() == want["docid"].tolist(), (q, mode)
+        assert got["score"].to_numpy() == pytest.approx(
+            want["score"].to_numpy(), abs=1e-9), (q, mode)
+
+
 @pytest.mark.parametrize("k", [1, 3, 25])
 def test_wand_equals_exact_at_various_k(index, oracle, k):
     df = oracle.df.sort_values(ascending=False)
