@@ -30,7 +30,7 @@ T_HOT, T_MID, T_MID2, T_RARE = "batch", "window", "customer", "vector"
 FETCH_IDS = [0, 7, 42, 123, 499]
 
 _INDEX_CACHE: dict[str, object] = {}
-_FORMAT_VERSION = "v5"  # bump when the on-disk index format changes
+_FORMAT_VERSION = "v6"  # bump when the on-disk index format changes
 
 
 def _index_for(spark: SparkSession, sf_dir: str):
@@ -139,6 +139,24 @@ def q_bm25_exact_method(spark, sf_dir):
     idx = _index_for(spark, sf_dir)
     return _ranked(idx, spark, f"{T_HOT} {T_MID} {T_RARE}", "or",
                    method="exact")
+
+
+def q_phrase_match(spark, sf_dir):
+    """B7+: positions-based exact phrase matching (Lucene .prx analog)."""
+    idx = _index_for(spark, sf_dir)
+    return (idx.phrase_topk(f"{T_HOT} {T_MID}", k=100000)
+            .select("docid").sort("docid"))
+
+
+def q_phrase_top10(spark, sf_dir):
+    """Phrase match + BM25 ranking of the phrase's terms."""
+    idx = _index_for(spark, sf_dir)
+    pdf = idx.phrase_topk(f"{T_MID2} query", k=10).toPandas()
+    pdf = pdf.reset_index(drop=True)
+    pdf["rank"] = pdf.index + 1
+    pdf["score_r"] = pdf["score"].round(4)
+    return spark.createDataFrame(pdf[["rank", "docid", "score_r"]],
+                                 schema="rank long, docid long, score_r double")
 
 
 def q_intersection(spark, sf_dir):
@@ -300,6 +318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_bm25_top10_or_multi": q_bm25_or_multi,
         "fts_bm25_top10_and": q_bm25_and,
         "fts_bm25_top10_exact": q_bm25_exact_method,
+        "fts_phrase_match": q_phrase_match,
+        "fts_phrase_top10": q_phrase_top10,
         "fts_intersection_and": q_intersection,
         "fts_docstore_fetch": q_docstore_fetch,
         "fts_docid_assignment": q_docid_assignment,
@@ -453,6 +473,20 @@ def oracle_sql() -> dict[str, str]:
         "fts_bm25_top10_or_multi": _bm25_sql([T_HOT, T_MID, T_RARE], "or"),
         "fts_bm25_top10_and": _bm25_sql([T_MID, T_MID2], "and"),
         "fts_bm25_top10_exact": _bm25_sql([T_HOT, T_MID, T_RARE], "or"),
+        "fts_phrase_match": f"""
+            SELECT doc_id AS docid FROM documents
+            WHERE ' ' || trim(regexp_replace(lower(text),
+                                             '{TOKEN_SPLIT}', ' ', 'g'))
+                  || ' ' LIKE '% {T_HOT} {T_MID} %'
+            ORDER BY docid""",
+        "fts_phrase_top10": _bm25_sql([T_MID2, "query"], "and").replace(
+            "GROUP BY tf.doc_id",
+            f"""AND tf.doc_id IN (
+                  SELECT doc_id FROM documents
+                  WHERE ' ' || trim(regexp_replace(lower(text),
+                                    '{TOKEN_SPLIT}', ' ', 'g'))
+                        || ' ' LIKE '% {T_MID2} query %')
+            GROUP BY tf.doc_id"""),
         "fts_intersection_and": f"""
             WITH {_TOKS}
             SELECT doc_id AS docid FROM tok

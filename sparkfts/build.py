@@ -274,13 +274,19 @@ def _make_shard_kernel(cfg: BuildConfig):
                                 counts)
             d_rep = docids[row_idx]
             l_rep = counts[row_idx]
+            # in-doc token offset (over kept tokens) — the positions index
+            doc_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            pos = (np.arange(len(row_idx), dtype=np.int64)
+                   - np.repeat(doc_starts, counts))
             order = np.lexsort((d_rep, codes))
             c_s, d_s, l_s = codes[order], d_rep[order], l_rep[order]
+            p_s = pos[order]   # ascending within each (term, doc) run
             # collapse equal (code, docid) runs → tf
             change = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
             idx = np.concatenate(([0], np.flatnonzero(change) + 1))
             tf = np.diff(np.append(idx, len(c_s))).astype(np.int64)
             c_u, d_u, l_u = c_s[idx], d_s[idx], l_s[idx]
+            pb = np.concatenate(([0], np.cumsum(tf)))  # posting→pos slice
             # per-term slices
             tchange = np.flatnonzero(c_u[1:] != c_u[:-1])
             tstarts = np.concatenate(([0], tchange + 1))
@@ -289,8 +295,9 @@ def _make_shard_kernel(cfg: BuildConfig):
                 term = vocab[c_u[s]]
                 for chunk, cs in enumerate(range(s, e, max_chunk)):
                     ce = min(cs + max_chunk, e)
-                    enc = codec.encode_postings(d_u[cs:ce], tf[cs:ce],
-                                                l_u[cs:ce], block)
+                    enc = codec.encode_postings(
+                        d_u[cs:ce], tf[cs:ce], l_u[cs:ce],
+                        positions=p_s[pb[cs]:pb[ce]], block=block)
                     emit_row(shard, term, chunk, enc)
 
         for rb in batches:

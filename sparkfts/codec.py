@@ -9,11 +9,14 @@ possible varint byte positions, and over blocks for offsets).
 
 Layout per term (one "posting row" in the index):
 
-  blob  = varint stream, three sections per 128-posting block, concatenated:
-            [docid gaps][tfs][dls]
+  blob  = varint stream, four sections per 128-posting block, concatenated:
+            [docid gaps][tfs][dls][positions]
           docid gaps: first docid of block stored absolute (varint), the
           rest as gaps (d[i] - d[i-1], >=1 since docids strictly increase).
-          tfs and dls stored as raw varints.
+          tfs and dls stored as raw varints. positions: for each posting,
+          tf values — the token offsets of the term inside the doc, first
+          absolute then gaps (supports phrase/proximity queries; the
+          Lucene .prx analog).
   meta  = per-block arrays (kept as parquet list columns in the index):
             block_first : int64  first docid of block (redundant w/ blob,
                                  enables skipping without decode)
@@ -122,13 +125,32 @@ def bm25_idf(N: float, df: np.ndarray | float) -> np.ndarray | float:
 
 
 def encode_postings(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                    positions: np.ndarray | None = None,
                     block: int = BLOCK) -> dict:
     """Encode one term's postings (docids strictly increasing) into the
-    blob + block-max metadata described in the module docstring."""
+    blob + block-max metadata described in the module docstring.
+
+    ``positions``: flat int array of length sum(tfs) — the ascending
+    in-doc token offsets of each posting, concatenated in posting order.
+    None → empty positions sections (tests / positions-free callers)."""
     docids = np.ascontiguousarray(docids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
     dls = np.ascontiguousarray(dls, dtype=np.int64)
     n = docids.shape[0]
+    if positions is None:
+        pos_deltas = None
+        pbounds = np.zeros(n + 1, dtype=np.int64)
+    else:
+        positions = np.ascontiguousarray(positions, dtype=np.int64)
+        pbounds = np.concatenate(([0], np.cumsum(tfs)))
+        # per-posting delta: first position absolute, rest gaps
+        pos_deltas = np.empty(len(positions), dtype=np.uint64)
+        if len(positions):
+            pos_deltas[0] = positions[0]
+            pos_deltas[1:] = (positions[1:] - positions[:-1]
+                              ).astype(np.uint64)
+            starts = pbounds[:-1][tfs > 0]
+            pos_deltas[starts] = positions[starts].astype(np.uint64)
     nblocks = (n + block - 1) // block
     # gaps: first of each block absolute, rest deltas
     gaps = np.empty(n, dtype=np.uint64)
@@ -147,9 +169,12 @@ def encode_postings(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     off = 0
     for i in range(nblocks):
         lo, hi = i * block, min((i + 1) * block, n)
+        psec = (varint_encode(pos_deltas[pbounds[lo]:pbounds[hi]])
+                if pos_deltas is not None else b"")
         enc = (varint_encode(gaps[lo:hi])
                + varint_encode(tfs[lo:hi].astype(np.uint64))
-               + varint_encode(dls[lo:hi].astype(np.uint64)))
+               + varint_encode(dls[lo:hi].astype(np.uint64))
+               + psec)
         chunks.append(enc)
         block_off[i] = off
         off += len(enc)
@@ -172,25 +197,39 @@ def encode_postings(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
 
 
 def decode_block(blob: bytes | np.ndarray, off: int, n: int,
-                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode one block → (docids, tfs, dls)."""
+                 with_positions: bool = False):
+    """Decode one block → (docids, tfs, dls[, positions])."""
     buf = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
     gaps, off = varint_decode(buf, n, off)
     tfs, off = varint_decode(buf, n, off)
-    dls, _ = varint_decode(buf, n, off)
+    dls, off = varint_decode(buf, n, off)
     docids = np.cumsum(gaps.astype(np.int64))
-    return docids, tfs.astype(np.int64), dls.astype(np.int64)
+    tfs64 = tfs.astype(np.int64)
+    if not with_positions:
+        return docids, tfs64, dls.astype(np.int64)
+    pdel, _ = varint_decode(buf, int(tfs64.sum()), off)
+    # segmented cumsum: pos[i] = g[i] - g[segment_start - 1]
+    g = np.cumsum(pdel.astype(np.int64))
+    if len(g):
+        starts = np.concatenate(([0], np.cumsum(tfs64)[:-1]))
+        base = np.where(starts > 0, g[np.maximum(starts - 1, 0)], 0)
+        pos = g - np.repeat(base, tfs64)
+    else:
+        pos = g
+    return docids, tfs64, dls.astype(np.int64), pos
 
 
 def decode_postings(blob: bytes, block_off: np.ndarray, block_n: np.ndarray,
-                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode all blocks of a posting row → (docids, tfs, dls)."""
+                    with_positions: bool = False):
+    """Decode all blocks of a posting row → (docids, tfs, dls
+    [, positions])."""
     buf = np.frombuffer(blob, dtype=np.uint8)
-    parts = [decode_block(buf, int(o), int(n))
+    parts = [decode_block(buf, int(o), int(n), with_positions)
              for o, n in zip(block_off, block_n)]
     if not parts:
         e = np.empty(0, dtype=np.int64)
-        return e, e.copy(), e.copy()
-    return (np.concatenate([p[0] for p in parts]),
-            np.concatenate([p[1] for p in parts]),
-            np.concatenate([p[2] for p in parts]))
+        return ((e, e.copy(), e.copy(), e.copy()) if with_positions
+                else (e, e.copy(), e.copy()))
+    cols = 4 if with_positions else 3
+    return tuple(np.concatenate([p[j] for p in parts])
+                 for j in range(cols))

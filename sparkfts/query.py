@@ -203,6 +203,69 @@ def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
                            k, "or", n_query_terms)
 
 
+def _decode_term_rows_pos(rows: pd.DataFrame):
+    """Decode all chunks of one term WITH positions → (docids, tfs, dls,
+    positions, posting→position-slice bounds)."""
+    d, t, l, p = [], [], [], []
+    for r in rows.sort_values("chunk").itertuples():
+        dd, tt, ll, pp = codec.decode_postings(
+            r.blob, np.asarray(r.block_off), np.asarray(r.block_n),
+            with_positions=True)
+        d.append(dd); t.append(tt); l.append(ll); p.append(pp)
+    dd = np.concatenate(d); tt = np.concatenate(t)
+    ll = np.concatenate(l); pp = np.concatenate(p)
+    pb = np.concatenate(([0], np.cumsum(tt)))
+    return dd, tt, ll, pp, pb
+
+
+def _phrase_shard(pdf: pd.DataFrame, seq: list[str], uniq: list[str],
+                  idf: dict[str, float], avgdl: float, k1: float, b: float,
+                  k: int) -> pd.DataFrame:
+    """One shard's phrase matching + BM25 ranking (see phrase_topk)."""
+    out_empty = pd.DataFrame({"docid": pd.Series(dtype=np.int64),
+                              "score": pd.Series(dtype=np.float64)})
+    per_term = {}
+    for t in uniq:
+        sub = pdf[pdf["term"] == t]
+        if sub.empty:
+            return out_empty  # a phrase term missing from this shard
+        per_term[t] = _decode_term_rows_pos(sub)
+    # AND candidates
+    cand = None
+    for t in uniq:
+        d = per_term[t][0]
+        cand = d if cand is None else np.intersect1d(cand, d,
+                                                     assume_unique=True)
+    if cand is None or cand.size == 0:
+        return out_empty
+    # adjacency check per candidate doc
+    matches = []
+    for doc in cand.tolist():
+        cur = None
+        ok = True
+        for t in seq:
+            dd, tt, ll, pp, pb = per_term[t]
+            j = int(np.searchsorted(dd, doc))
+            pos = pp[pb[j]:pb[j + 1]]
+            cur = pos if cur is None else np.intersect1d(cur + 1, pos,
+                                                         assume_unique=True)
+            if cur.size == 0:
+                ok = False
+                break
+        if ok:
+            matches.append(doc)
+    if not matches:
+        return out_empty
+    marr = np.asarray(matches, dtype=np.int64)
+    scores = np.zeros(marr.shape[0], dtype=np.float64)
+    for t in uniq:  # fixed ascending-term summation order
+        dd, tt, ll, _, _ = per_term[t]
+        j = np.searchsorted(dd, marr)
+        scores += idf[t] * codec.bm25_partial(tt[j], ll[j], avgdl, k1, b)
+    order = np.lexsort((marr, -scores))[:k]
+    return pd.DataFrame({"docid": marr[order], "score": scores[order]})
+
+
 class FTSIndex:
     """Loaded index handle; query entry points."""
 
@@ -352,6 +415,37 @@ class FTSIndex:
         return (self._posting_rows(terms).groupBy("shard")
                 .applyInPandas(per_shard, schema="docid long")
                 .sort("docid"))
+
+    def phrase_topk(self, query: str, k: int = 10) -> DataFrame:
+        """Exact phrase query (positions-based, the Lucene .prx analog):
+        docs containing the query tokens consecutively, ranked by BM25
+        over the phrase's distinct terms, ties by docid. Adjacency is
+        checked per shard by intersecting position sets shifted by one
+        ((pos(t_i) + 1) ∩ pos(t_{i+1})), after an AND intersection of the
+        terms' postings narrows the candidates."""
+        seq = tokenize_text(query, self.tokenizer)
+        empty = self.spark.createDataFrame([], "docid long, score double")
+        if not seq:
+            return empty
+        uniq = sorted(set(seq))
+        idf = self._idf_map(uniq)
+        avgdl, k1, b = self.avgdl, self.k1, self.b
+
+        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _phrase_shard(pdf, seq, uniq, idf, avgdl, k1, b, k)
+
+        rows = self._posting_rows(uniq)
+        tops = (rows.groupBy("shard")
+                .applyInPandas(per_shard, schema="docid long, score double")
+                .collect())
+        if not tops:
+            return empty
+        merged = (pd.DataFrame([r.asDict() for r in tops])
+                  .sort_values(["score", "docid"],
+                               ascending=[False, True]).head(k))
+        return self.spark.createDataFrame(
+            merged.astype({"docid": "int64", "score": "float64"}),
+            schema="docid long, score double")
 
     def fetch_docs(self, docids: Iterable[int]) -> DataFrame:
         """Doc-store fetch (B9): shard-pruned + docid-pushdown read."""
