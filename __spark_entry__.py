@@ -30,7 +30,7 @@ T_HOT, T_MID, T_MID2, T_RARE = "batch", "window", "customer", "vector"
 FETCH_IDS = [0, 7, 42, 123, 499]
 
 _INDEX_CACHE: dict[str, object] = {}
-_FORMAT_VERSION = "v6"  # bump when the on-disk index format changes
+_FORMAT_VERSION = "v7"  # bump when the on-disk index format changes
 
 
 def _index_for(spark: SparkSession, sf_dir: str):
@@ -81,11 +81,13 @@ def q_tokenize_doclen(spark, sf_dir):
 
 
 def q_collection_stats(spark, sf_dir):
-    """B5: N + avgdl from the built index's stats table."""
+    """B5: N + avgdl from the built index's stats table (latest seq row)."""
+    from sparkfts import storage
     idx = _index_for(spark, sf_dir)
-    return (spark.read.parquet(idx.root + "/stats")
-            .select(F.col("n").alias("n_docs"),
-                    F.round(F.col("avgdl"), 6).alias("avgdl_r")))
+    st = storage.read_stats(idx.root)
+    return spark.createDataFrame(
+        [(int(st["n"]), round(float(st["avgdl"]), 6))],
+        schema="n_docs long, avgdl_r double")
 
 
 def q_term_stats(spark, sf_dir):

@@ -91,6 +91,10 @@ class BuildConfig:
     k1: float = codec.K1
     b: float = codec.B
     tokenizer: TokenizerConfig = field(default_factory=lambda: DEFAULT)
+    # grouped-docid fast path collects one row per conversation to the
+    # driver; above this many conversations it falls back to the fully
+    # distributed rank path (assign_docids, O(P) driver state)
+    grouped_max_convs: int = 2_000_000
 
 
 def assign_docids(df: DataFrame, order_cols: list[str],
@@ -138,28 +142,36 @@ def assign_docids(df: DataFrame, order_cols: list[str],
     return out
 
 
-def assign_docids_grouped(df: DataFrame, conv_col: str, turn_col: str
-                          ) -> DataFrame | None:
+def assign_docids_grouped(df: DataFrame, conv_col: str, turn_col: str,
+                          max_convs: int = 2_000_000) -> DataFrame | None:
     """Fast path for the canonical transcripts ordering
-    (conv_id, turn_idx) when turn_idx is dense 0..len-1 per conversation:
-    docid = conv_offset + turn_idx, with conv offsets from a prefix sum
-    over per-conversation sizes (one map-side-combined groupBy of
-    conv-level rows + a broadcast join — no range shuffle of full rows,
-    no sampling pass, no Python). Returns None when the density
+    (conv_id, turn_idx) when turn_idx is a dense permutation 0..len-1 per
+    conversation: docid = conv_offset + turn_idx, with conv offsets from
+    a prefix sum over per-conversation sizes (one map-side-combined
+    groupBy of conv-level rows + a broadcast join — no range shuffle of
+    full rows, no sampling pass, no Python). Returns None when the
     precondition fails (caller falls back to the general rank path).
 
-    Driver holds one entry per conversation — fine to ~10^7 convs; above
-    that, apply the same prefix-sum trick recursively on the conv table
-    (range-partition convs, per-partition counts, driver prefix over
-    partitions).
+    Safety rails (both fall back to assign_docids):
+    - the driver-side collect is bounded by ``max_convs`` via LIMIT
+      max_convs+1 — the conv table never materializes unbounded on the
+      driver, so a 10^9-conversation corpus degrades gracefully to the
+      distributed rank path instead of killing the driver;
+    - per-conv distinctness of turn_idx is checked (min/max/count alone
+      admit e.g. [0,2,2,3], which would mint duplicate docids and break
+      the strictly-increasing-docid codec invariant).
     """
     spark = df.sparkSession
-    sizes = (df.groupBy(conv_col)
-             .agg(F.count("*").alias("n"),
-                  F.min(turn_col).alias("lo"),
-                  F.max(turn_col).alias("hi"))
-             .collect())
-    if any(r["lo"] != 0 or r["hi"] != r["n"] - 1 for r in sizes):
+    agg = (df.groupBy(conv_col)
+           .agg(F.count("*").alias("n"),
+                F.min(turn_col).alias("lo"),
+                F.max(turn_col).alias("hi"),
+                F.countDistinct(turn_col).alias("nd")))
+    sizes = agg.limit(max_convs + 1).collect()
+    if len(sizes) > max_convs:
+        return None
+    if any(r["lo"] != 0 or r["hi"] != r["n"] - 1 or r["nd"] != r["n"]
+           for r in sizes):
         return None
     sizes.sort(key=lambda r: r[conv_col])
     offsets, acc = [], 0
@@ -339,6 +351,22 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
     (stable ordering for rank-based assignment, e.g.
     ["conv_id", "turn_idx"]) must be given. Returns a summary dict.
     ``_only_shards`` is a test hook simulating a partial (killed) build.
+
+    Job structure (the serial floor between parallel stages is what caps
+    N-vs-4N scaling efficiency, so the count matters): (1) conv-sizes agg
+    for docid assignment, (2) docstore write — this action materializes
+    the ONE doc-granularity range shuffle into the cache, (3) postings
+    write — Arrow kernel over the cached shuffle output, no recompute and
+    no second exchange, (4) global term_stats write, (5) per-shard
+    manifest aggregate (collect from the cached narrow projection).
+    Stats + manifest parquet are written driver-side (pyarrow, atomic
+    rename) — tiny tables don't get Spark jobs.
+
+    Crash-safe resume: docstore/postings use dynamic partition overwrite,
+    so re-running a shard REPLACES its partition directory instead of
+    appending — a build killed mid-write leaves uncommitted shard dirs
+    that the resume rewrites rather than duplicates; a shard is visible
+    to readers iff its manifest row says committed.
     """
     from . import storage
     build_id = storage.new_build_id(out_dir)
@@ -370,7 +398,8 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
                                T.StringType)
                 and isinstance(df.schema[order_cols[1]].dataType,
                                (T.IntegerType, T.LongType, T.ShortType))):
-            base = assign_docids_grouped(df, order_cols[0], order_cols[1])
+            base = assign_docids_grouped(df, order_cols[0], order_cols[1],
+                                         max_convs=cfg.grouped_max_convs)
         if base is None:
             base = assign_docids(df, order_cols, cfg.partitions)
         n_docs = base._sparkfts_n_docs          # dense rank: no extra job
@@ -396,98 +425,104 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
         todo = [s for s in todo if s in _only_shards]
     todo_set = set(todo)
 
+    part = None
     if todo:
-        sub = doc.where(F.col("shard").isin(todo))
-        # doc store: the reference's _source / fetch path (BaseESReducer
-        # keeps JSON in ES; ours is the input row keyed by docid, sorted
-        # so parquet row-group min/max stats prune docid point lookups).
-        # Pure relational pass -- no tokenization here (doc lengths live
-        # inside the posting streams, Lucene-norms style).
+        # ONE shuffle, at DOC granularity: the exchange moves N rows of
+        # (shard, docid, <input cols>) -- never exploded tokens; all
+        # token work happens inside the Arrow shard kernel.
+        # repartitionByRange (not hash): num_shards -> P partitions lands
+        # exactly num_shards/P contiguous shards per partition, where
+        # hash placement is binomial and the slowest task gets ~1.5-2x
+        # the mean. The shuffled+sorted rows are CACHED and feed both
+        # writes: the docstore (pure projection) and the postings kernel
+        # -- fusing what used to be two full passes over the input into
+        # one shuffle + two cache-local actions.
+        p = cfg.partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions"))
         store_cols = [c for c in df.columns if c != docid_col]
-        (sub.select("shard", "docid", *store_cols)
-            .sortWithinPartitions("docid")
-            .write.mode("append").partitionBy("shard")
-            .parquet(storage.path(out_dir, "docstore")))
+        part = (doc.where(F.col("shard").isin(todo))
+                .select("shard", "docid", *store_cols)
+                .repartitionByRange(min(p, max(1, len(todo))), "shard")
+                .sortWithinPartitions("shard", "docid")
+                .persist())
+        # doc store: the reference's _source / fetch path (BaseESReducer
+        # keeps JSON in ES; ours is the input row keyed by docid). Rows
+        # are (shard, docid)-sorted, so each shard file is fully docid-
+        # sorted and parquet row-group min/max stats prune point lookups.
+        (part.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("shard")
+             .parquet(storage.path(out_dir, "docstore")))
     mark("docstore_write")
 
     N = n_docs
 
     if todo:
-        # ONE shuffle, at DOC granularity: the exchange moves N rows of
-        # (shard, docid, text) -- never exploded tokens; all token work
-        # happens inside the Arrow shard kernel. repartitionByRange (not
-        # hash): num_shards -> P partitions lands exactly num_shards/P
-        # contiguous shards per partition, where hash placement is
-        # binomial and the slowest task gets ~1.5-2x the mean. The only
-        # in-stage JVM work after the exchange is a cheap int sort on
-        # shard so the kernel sees one shard at a time.
-        p = cfg.partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions"))
-        enc_in = (doc.where(F.col("shard").isin(todo))
-                  .select("shard", "docid", F.col(text_col).alias("text"))
-                  .repartitionByRange(min(p, max(1, len(todo))), "shard")
-                  .sortWithinPartitions("shard"))
+        enc_in = part.select("shard", "docid",
+                             F.col(text_col).alias("text"))
         enc_out = enc_in.mapInArrow(_make_shard_kernel(cfg),
                                     schema=POSTING_SCHEMA)
-        (enc_out.write.mode("append").partitionBy("shard")
+        (enc_out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("shard")
                 .parquet(storage.path(out_dir, "postings")))
+        part.unpersist()
+    if cached_parent is not None:
+        cached_parent.unpersist()
     mark("postings_write")
 
     # Derived artifacts are always recomputed from the on-disk shards so a
     # resumed build converges to the same state as a clean one (column-
-    # pruned read: term/df/cf only, never the blobs).
-    post = spark.read.parquet(storage.path(out_dir, "postings"))
-    (post.groupBy("term")
-         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-         .sort("term")
-         .write.mode("overwrite")
-         .parquet(storage.path(out_dir, "term_stats")))
+    # pruned read: dictionary metadata only, never the blobs). The narrow
+    # projection is cached so the global dictionary merge and the
+    # per-shard manifest aggregate share one scan.
+    narrow = (spark.read.parquet(storage.path(out_dir, "postings"))
+              .select("shard", "term", "df", "cf", "nbytes", "enc_us")
+              .persist())
+    (narrow.groupBy("term")
+           .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+           .sort("term")
+           .write.mode("overwrite")
+           .parquet(storage.path(out_dir, "term_stats")))
+    shard_rows = {int(r["shard"]): r for r in
+                  (narrow.groupBy("shard")
+                         .agg(F.countDistinct("term").alias("n_terms"),
+                              F.sum("df").alias("n_postings"),
+                              F.sum("cf").alias("cf"),
+                              F.sum("nbytes").alias("bytes"),
+                              F.max("enc_us").alias("max_enc_us"))
+                         .collect())}
+    narrow.unpersist()
     # avgdl = total tokens / N == sum(cf)/N -- no separate doc-length
     # pass anywhere in the build
-    ts = spark.read.parquet(storage.path(out_dir, "term_stats"))
-    tot_cf = ts.agg(F.sum("cf").alias("c")).collect()[0]["c"] or 0
+    tot_cf = sum(int(r["cf"]) for r in shard_rows.values())
     avgdl = (float(tot_cf) / N) if N else 0.0
     mark("term_stats")
 
-    stats_row = [(N, avgdl, cfg.num_shards,
-                  int(docs_per_shard), float(cfg.k1), float(cfg.b),
-                  int(cfg.block), int(docid_offset), build_id)]
-    spark.createDataFrame(
-        stats_row,
-        "n long, avgdl double, num_shards int, docs_per_shard long, "
-        "k1 double, b double, block int, docid_offset long, build_id string"
-    ).write.mode("overwrite").parquet(storage.path(out_dir, "stats"))
+    storage.append_stats_row(out_dir, {
+        "n": N, "avgdl": avgdl, "num_shards": cfg.num_shards,
+        "docs_per_shard": int(docs_per_shard), "k1": float(cfg.k1),
+        "b": float(cfg.b), "block": int(cfg.block),
+        "docid_offset": int(docid_offset), "build_id": build_id,
+        "fields": "", "routing": ""})
 
     # Manifest: one committed row per shard built this run, including
     # empty-shard placeholders (IndexingPostProcessor.java:80-108 analog).
     if todo:
-        built = {r["shard"]: r for r in
-                 (post.where(F.col("shard").isin(todo)).groupBy("shard")
-                      .agg(F.countDistinct("term").alias("n_terms"),
-                           F.sum("df").alias("n_postings"),
-                           F.sum("nbytes").alias("bytes"),
-                           F.max("enc_us").alias("max_enc_us"))
-                      .collect())}
         wall_us = int((time.perf_counter() - t_start) * 1e6)
         man_rows = []
         for s in sorted(todo_set):
-            r = built.get(s)
-            man_rows.append((
-                int(s),
-                int(r["n_terms"]) if r else 0,
-                int(r["n_postings"]) if r else 0,
-                int(r["bytes"]) if r else 0,
-                int(r["max_enc_us"]) if r else 0,
-                "committed", build_id, wall_us, N))
-        spark.createDataFrame(
-            man_rows,
-            "shard int, n_terms long, n_postings long, bytes long, "
-            "max_enc_us long, status string, build_id string, "
-            "build_wall_us long, corpus_docs long"
-        ).write.mode("append").parquet(storage.path(out_dir, "manifest"))
+            r = shard_rows.get(s)
+            man_rows.append({
+                "shard": int(s),
+                "n_terms": int(r["n_terms"]) if r else 0,
+                "n_postings": int(r["n_postings"]) if r else 0,
+                "bytes": int(r["bytes"]) if r else 0,
+                "max_enc_us": int(r["max_enc_us"]) if r else 0,
+                "status": "committed", "build_id": build_id,
+                "build_wall_us": wall_us, "corpus_docs": N})
+        storage.append_manifest_rows(out_dir, man_rows, build_id)
 
-    if cached_parent is not None:
-        cached_parent.unpersist()
     mark("manifest")
     return {"n_docs": N, "avgdl": avgdl, "num_shards": cfg.num_shards,
             "docs_per_shard": docs_per_shard, "built_shards": sorted(todo_set),

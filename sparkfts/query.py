@@ -274,15 +274,14 @@ class FTSIndex:
         self.spark = spark
         self.root = root
         self.tokenizer = tokenizer
-        st = spark.read.parquet(storage.path(root, "stats")).collect()[0]
+        st = storage.read_stats(root)   # driver-side read, no Spark job
         self.N = int(st["n"])
         self.avgdl = float(st["avgdl"])
         self.num_shards = int(st["num_shards"])
         self.docs_per_shard = int(st["docs_per_shard"])
         self.k1 = float(st["k1"])
         self.b = float(st["b"])
-        self.docid_offset = (int(st["docid_offset"])
-                             if "docid_offset" in st.__fields__ else 0)
+        self.docid_offset = int(st.get("docid_offset") or 0)
         # one file-index per handle: re-creating the read per query would
         # re-list the directory tree every time
         self._postings = spark.read.parquet(storage.path(root, "postings"))

@@ -53,18 +53,49 @@ class RotationRegistry:
     def _apath(self, alias: str) -> str:
         return os.path.join(self.base, f"{alias}.current")
 
+    def _next_seq(self) -> int:
+        seqs = [int(fn.split("-")[1]) for fn in os.listdir(self.base)
+                if fn.startswith("version-")]
+        return (max(seqs) + 1) if seqs else 0
+
     def register(self, v: IndexVersion) -> str:
         """Register a rebuilt index version (the ZK registerIndexAvailableOnRotation
-        analog). Returns the version id; does NOT move the alias."""
-        vid = uuid.uuid4().hex[:12]
+        analog). Returns the version id; does NOT move the alias. Version
+        ids carry a monotone sequence prefix so listing order ==
+        registration order (deterministic history)."""
+        vid = f"{self._next_seq():08d}-{uuid.uuid4().hex[:12]}"
         with open(self._vpath(vid), "w") as f:
             json.dump({"vid": vid, **asdict(v)}, f)
         return vid
 
+    def mark_state(self, vid: str, state: str) -> None:
+        """Advance a version's rebuild pipeline state
+        (RebuildPipelineState.java:3-6: RUNNING → COMPLETE)."""
+        p = self._vpath(vid)
+        if not os.path.exists(p):
+            raise ValueError(f"unknown version {vid}")
+        with open(p) as f:
+            v = json.load(f)
+        v["state"] = state
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(v, f)
+        os.replace(tmp, p)
+
     def swap(self, alias: str, vid: str) -> None:
-        """Atomically point the alias at a registered version."""
+        """Atomically point the alias at a registered version. Refuses
+        versions whose rebuild pipeline hasn't reached COMPLETE — the
+        reader-side state check the reference does before honoring a
+        rotation (ElasticsearchIndexRotationManagerZookeeper.java:149-179
+        + RebuildPipelineState.java:3-6)."""
         if not os.path.exists(self._vpath(vid)):
             raise ValueError(f"unknown version {vid}")
+        with open(self._vpath(vid)) as f:
+            v = json.load(f)
+        if v.get("state") != "COMPLETE":
+            raise ValueError(
+                f"version {vid} state={v.get('state')!r}: only COMPLETE "
+                "versions can serve an alias")
         tmp = self._apath(alias) + f".tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
             f.write(vid)

@@ -10,7 +10,7 @@ def get_spark(master: str | None = None, app: str = "sparkfts",
               shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    sp = shuffle_partitions or int(cpus) if cpus.isdigit() else 32
+    sp = shuffle_partitions or (int(cpus) if cpus.isdigit() else 32)
     b = (SparkSession.builder
          .master(master)
          .appName(app)

@@ -19,9 +19,11 @@ exact across base+delta — no special-casing needed.
 """
 from __future__ import annotations
 
+import contextlib
 import json
 import math
 import os
+import time
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -36,17 +38,41 @@ def _log_path(root: str) -> str:
     return os.path.join(root, "delta", "_log.json")
 
 
-def read_delta_log(root: str) -> list[dict]:
+@contextlib.contextmanager
+def _log_lock(root: str, timeout: float = 60.0):
+    """Mutual exclusion for ledger read-modify-write: an O_EXCL-style
+    mkdir lock (atomic on POSIX and object-store-backed FUSE mounts
+    alike). Without it two concurrent streams could both read the ledger
+    before either appends and reserve the same docid offset."""
+    lock = _log_path(root) + ".lock"
+    os.makedirs(os.path.dirname(lock), exist_ok=True)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            os.mkdir(lock)
+            break
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"ledger lock held too long: {lock}")
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        os.rmdir(lock)
+
+
+def read_delta_log(root: str, include_pending: bool = False) -> list[dict]:
     try:
         with open(_log_path(root)) as f:
-            return json.load(f)
+            log = json.load(f)
     except FileNotFoundError:
         return []
+    if include_pending:
+        return log
+    return [e for e in log if e.get("state", "committed") == "committed"]
 
 
-def _append_delta_log(root: str, entry: dict) -> None:
-    log = read_delta_log(root)
-    log.append(entry)
+def _write_delta_log(root: str, log: list[dict]) -> None:
     tmp = _log_path(root) + ".tmp"
     os.makedirs(os.path.dirname(tmp), exist_ok=True)
     with open(tmp, "w") as f:
@@ -69,23 +95,42 @@ def make_batch_indexer(base_root: str, text_col: str = "text",
     cfg = cfg or BuildConfig(num_shards=2, partitions=2)
 
     def process(df: DataFrame, batch_id: int) -> None:
-        log = read_delta_log(base_root)
-        if any(e["batch_id"] == batch_id
-               and e.get("stream", "manual") == stream_name for e in log):
-            return  # already committed (streaming retry)
         spark = df.sparkSession
-        base_n = (spark.read.parquet(storage.path(base_root, "stats"))
-                  .collect()[0]["n"])
-        offset = int(base_n) + sum(e["n_docs"] for e in log)
         droot = os.path.join(base_root, "delta",
                              f"stream={stream_name}", f"batch={batch_id}")
+        n_batch = df.count()
+        # Phase 1 — reserve an id-space slice under the ledger lock:
+        # committed + pending reservations both count, so a crashed build
+        # leaves a (harmless) hole rather than a future collision, and a
+        # streaming retry of the same batch id reuses its reservation
+        # (idempotent: the rebuild overwrites the same droot).
+        with _log_lock(base_root):
+            log = read_delta_log(base_root, include_pending=True)
+            mine = [e for e in log if e["batch_id"] == batch_id
+                    and e.get("stream", "manual") == stream_name]
+            if any(e.get("state", "committed") == "committed" for e in mine):
+                return  # already committed (streaming retry)
+            if mine:
+                offset = int(mine[0]["docid_offset"])
+            else:
+                base_n = int(storage.read_stats(base_root)["n"])
+                offset = base_n + sum(int(e["n_docs"]) for e in log)
+                log.append({"stream": stream_name, "batch_id": batch_id,
+                            "root": droot, "n_docs": int(n_batch),
+                            "docid_offset": offset, "state": "pending"})
+                _write_delta_log(base_root, log)
+        # Phase 2 — build outside the lock (long), then commit the entry.
         summary = build_index(spark, df, droot, text_col=text_col,
                               order_cols=order_cols, cfg=cfg,
                               docid_offset=offset)
-        _append_delta_log(base_root, {
-            "stream": stream_name, "batch_id": batch_id, "root": droot,
-            "n_docs": summary["n_docs"], "docid_offset": offset,
-            "build_id": summary["build_id"]})
+        with _log_lock(base_root):
+            log = read_delta_log(base_root, include_pending=True)
+            for e in log:
+                if (e["batch_id"] == batch_id
+                        and e.get("stream", "manual") == stream_name):
+                    e.update(state="committed", n_docs=summary["n_docs"],
+                             build_id=summary["build_id"])
+            _write_delta_log(base_root, log)
 
     return process
 
@@ -111,7 +156,13 @@ def start_stream_index(stream_df: DataFrame, base_root: str,
 class CombinedIndex:
     """Query base + delta mini-indexes as one corpus with exact
     union-global BM25 (B6) — the reference's 'search hits both the
-    rebuilt index and the realtime index' semantics."""
+    rebuilt index and the realtime index' semantics.
+
+    ONE Spark job per query regardless of delta count: the sub-indexes'
+    dictionary rows (schema-identical parquet) are unioned with a `sub`
+    tag and scored in a single applyInPandas over (sub, shard) groups —
+    docid spaces are disjoint by the ledger's offset reservation, so the
+    per-group top-k merge is the same as the single-index path."""
 
     def __init__(self, spark: SparkSession, base_root: str):
         self.spark = spark
@@ -125,14 +176,23 @@ class CombinedIndex:
         self.k1, self.b = s0.k1, s0.b
         self.tokenizer = s0.tokenizer
 
+    def _union(self, mk) -> DataFrame:
+        dfs = [mk(s).withColumn("sub", F.lit(i))
+               for i, s in enumerate(self.subs)]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
     def _idf(self, terms: list[str]) -> dict[str, float]:
+        """Union-global document frequencies in ONE job."""
+        rows = (self._union(lambda s: s._term_stats
+                            .where(F.col("term").isin(terms))
+                            .select("term", "df"))
+                .groupBy("term").agg(F.sum("df").alias("df")).collect())
         df_tot = {t: 0.0 for t in terms}
-        for s in self.subs:
-            rows = (self.spark.read
-                    .parquet(storage.path(s.root, "term_stats"))
-                    .where(F.col("term").isin(terms)).collect())
-            for r in rows:
-                df_tot[r["term"]] += float(r["df"])
+        for r in rows:
+            df_tot[r["term"]] = float(r["df"])
         return {t: math.log(1.0 + (self.N - d + 0.5) / (d + 0.5))
                 for t, d in df_tot.items()}
 
@@ -146,26 +206,40 @@ class CombinedIndex:
         idf = self._idf(terms)
         nq = len(terms)
         k1, b, avgdl = self.k1, self.b, self.avgdl
-        parts = []
-        for i, s in enumerate(self.subs):
+
+        def per_group(pdf):
             # block bounds are (max_tf, min_dl) pairs evaluated at query
             # time, so WAND stays exact under the union avgdl
-            m = method
-            rows = s._posting_rows(terms)
+            return score_shard(pdf, idf, avgdl, k1, b, k, mode, nq, method)
 
-            def per_shard(pdf):
-                # single-arg signature: applyInPandas must not pass the
-                # group key tuple
-                return score_shard(pdf, idf, avgdl, k1, b, k, mode, nq, m)
-
-            out = (rows.groupBy("shard")
-                   .applyInPandas(per_shard, schema="docid long, score double")
-                   .toPandas())
-            parts.append(out)
-        allp = pd.concat(parts) if parts else pd.DataFrame()
+        allp = (self._union(lambda s: s._posting_rows(terms))
+                .groupBy("sub", "shard")
+                .applyInPandas(per_group, schema="docid long, score double")
+                .toPandas())
         if allp.empty:
             return pd.DataFrame({"docid": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
         return (allp.sort_values(["score", "docid"],
                                  ascending=[False, True])
                 .head(k).reset_index(drop=True))
+
+
+def compact(spark: SparkSession, base_root: str, out_root: str,
+            text_col: str = "text", order_cols: list[str] | None = None,
+            cfg: BuildConfig | None = None) -> dict:
+    """Fold base + committed deltas into a fresh monolithic index at
+    ``out_root`` — the nightly-rebuild half of the reference's lambda
+    architecture (README.md:3-13). Reads every sub-index's docstore
+    (the full input rows), unions, and re-runs the batch build; the
+    result is byte-for-byte what a from-scratch build over all rows
+    produces (docids re-ranked under order_cols). The caller swaps it in
+    via rotation.RotationRegistry and starts a fresh delta log."""
+    order_cols = order_cols or ["conv_id", "turn_idx"]
+    roots = [base_root] + [e["root"] for e in read_delta_log(base_root)]
+    dfs = [spark.read.parquet(storage.path(r, "docstore"))
+           .drop("shard", "docid") for r in roots]
+    allrows = dfs[0]
+    for d in dfs[1:]:
+        allrows = allrows.unionByName(d)
+    return build_index(spark, allrows, out_root, text_col=text_col,
+                       order_cols=order_cols, cfg=cfg or BuildConfig())

@@ -26,9 +26,9 @@ def test_register_swap_roundtrip(tmp_path):
     v2 = reg.register(_v(root="/tmp/idxB"))
     reg.swap("conversations", v2)
     assert reg.current("conversations")["root"] == "/tmp/idxB"
-    # history preserved (immutable versions)
+    # history preserved (immutable versions, listed in registration order)
     assert [v["root"] for v in reg.versions("conversations")] \
-        == sorted(["/tmp/idxA", "/tmp/idxB"])
+        == ["/tmp/idxA", "/tmp/idxB"]
 
 
 def test_swap_unknown_version_rejected(tmp_path):
@@ -68,3 +68,20 @@ def test_pipeline_state_field(tmp_path):
         alias="c", root="/r", index_date="2026-01-10",
         registered_at="t", num_shards=4, build_id="b", state="RUNNING"))
     assert reg.versions("c")[0]["state"] == "RUNNING"
+    assert vid  # registered but not swappable yet
+
+
+def test_swap_refuses_running_version(tmp_path):
+    """RebuildPipelineState gating: a RUNNING rebuild must not serve an
+    alias; marking it COMPLETE unlocks the swap
+    (ElasticsearchIndexRotationManagerZookeeper.java:149-179 analog)."""
+    reg = RotationRegistry(str(tmp_path))
+    vid = reg.register(IndexVersion(
+        alias="c", root="/r", index_date="2026-01-10",
+        registered_at="t", num_shards=4, build_id="b", state="RUNNING"))
+    with pytest.raises(ValueError, match="COMPLETE"):
+        reg.swap("c", vid)
+    assert reg.current("c") is None
+    reg.mark_state(vid, "COMPLETE")
+    reg.swap("c", vid)
+    assert reg.current("c")["root"] == "/r"

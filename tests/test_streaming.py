@@ -86,3 +86,109 @@ def test_streaming_api_end_to_end(spark, setup, tmp_path_factory):
     assert log[-1]["n_docs"] == len(pdf)
     ci = CombinedIndex(spark, root)
     assert ci.N == sum(s.N for s in ci.subs)
+
+
+@pytest.fixture(scope="module")
+def setup2(spark, tmp_path_factory):
+    """Isolated base+3 deltas (later tests mutate the shared `setup`
+    root's ledger, so the one-job/compact checks get their own)."""
+    import numpy as np
+    import pandas as pd
+    root = str(tmp_path_factory.mktemp("base_idx2"))
+    base_pdf = make_transcripts(10, seed=11)
+    batches = [make_transcripts(3, seed=s) for s in (21, 31, 41)]
+    build_index(spark, spark.createDataFrame(base_pdf), root,
+                order_cols=["conv_id", "turn_idx"], cfg=CFG)
+    idxer = make_batch_indexer(root, cfg=CFG)
+    for i, b in enumerate(batches):
+        idxer(spark.createDataFrame(b), batch_id=i)
+    union = list(base_pdf.sort_values(["conv_id", "turn_idx"])["text"])
+    for b in batches:
+        union += list(b.sort_values(["conv_id", "turn_idx"])["text"])
+    from sparkfts.oracle import BM25Oracle
+    oracle = BM25Oracle(np.arange(len(union), dtype=np.int64),
+                        pd.Series(union))
+    return root, oracle
+
+
+def test_combined_topk_is_one_spark_job(spark, setup2):
+    """VERDICT r01 #7: CombinedIndex must not launch one job per delta —
+    posting rows from all sub-indexes are unioned and scored in a single
+    applyInPandas job."""
+    root, oracle = setup2
+    ci = CombinedIndex(spark, root)
+    assert len(ci.subs) >= 3
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    sc.setJobGroup("ci-one-job", "combined topk")
+    got = ci.topk("alpha query index", k=10, mode="or")
+    # constant job count (idf + AQE stage jobs + arrow collect), NOT
+    # proportional to the number of sub-indexes (old code: >=2 per sub)
+    jobs = tracker.getJobIdsForGroup("ci-one-job")
+    sc.setJobGroup(None, None)
+    assert len(jobs) <= 5, f"expected constant <=5 jobs, got {len(jobs)}"
+    assert len(jobs) < 2 * len(ci.subs)
+    want = oracle.topk("alpha query index", k=10, mode="or")
+    assert got["docid"].tolist() == want["docid"].tolist()
+
+
+def test_compact_folds_deltas_into_fresh_base(spark, setup2,
+                                              tmp_path_factory):
+    """compact(): base + deltas re-built into one monolithic index whose
+    BM25 results are rank-identical to the CombinedIndex view (and to the
+    union oracle)."""
+    import numpy as np
+    import pandas as pd
+    from sparkfts import FTSIndex
+    from sparkfts.oracle import BM25Oracle
+    from sparkfts.streaming import compact
+    root, _ = setup2
+    # compact re-ranks docids GLOBALLY under (conv_id, turn_idx), so the
+    # oracle is the globally-sorted union (not base-then-delta order)
+    allpdf = pd.concat([make_transcripts(10, seed=11)]
+                       + [make_transcripts(3, seed=s) for s in (21, 31, 41)])
+    allpdf = allpdf.sort_values(["conv_id", "turn_idx"])
+    oracle = BM25Oracle(np.arange(len(allpdf), dtype=np.int64),
+                        allpdf["text"].reset_index(drop=True))
+    out = str(tmp_path_factory.mktemp("compacted"))
+    s = compact(spark, root, out, cfg=CFG)
+    assert s["n_docs"] == oracle.N
+    idx = FTSIndex(spark, out)
+    for q, mode in [("alpha query index", "or"), ("shard merge", "and")]:
+        got = idx.topk_pandas(q, k=10, mode=mode)
+        want = oracle.topk(q, k=10, mode=mode)
+        assert got["docid"].tolist() == want["docid"].tolist(), (q, mode)
+        assert got["score"].to_numpy() == pytest.approx(
+            want["score"].to_numpy(), abs=1e-9)
+
+
+def test_ledger_pending_reservation_survives_crash(spark, setup,
+                                                   tmp_path_factory):
+    """A reservation left pending by a crashed batch build must hole the
+    id space (no reuse by later batches) and be reusable by the retry of
+    the SAME batch id."""
+    import json
+    from sparkfts.streaming import _log_path, read_delta_log
+    root, _ = setup
+    log = read_delta_log(root, include_pending=True)
+    n_committed = len(read_delta_log(root))
+    # hand-craft a pending entry as a crashed build would leave it
+    tail = sum(int(e["n_docs"]) for e in log)
+    from sparkfts import storage as st
+    base_n = int(st.read_stats(root)["n"])
+    pend = {"stream": "crashy", "batch_id": 99, "root": "/nope",
+            "n_docs": 5, "docid_offset": base_n + tail, "state": "pending"}
+    with open(_log_path(root)) as f:
+        full = json.load(f)
+    full.append(pend)
+    with open(_log_path(root), "w") as f:
+        json.dump(full, f)
+    # a NEW batch reserves ABOVE the pending hole
+    idxer = make_batch_indexer(root, cfg=CFG)
+    idxer(spark.createDataFrame(make_transcripts(2, seed=404)),
+          batch_id=100)
+    log2 = read_delta_log(root, include_pending=True)
+    new = [e for e in log2 if e["batch_id"] == 100][0]
+    assert new["docid_offset"] >= pend["docid_offset"] + pend["n_docs"]
+    assert len(read_delta_log(root)) == n_committed + 1  # pending excluded
