@@ -275,17 +275,19 @@ def q_dp_fingerprint(spark, sf_dir):
 
 
 def q_dp_winnow(spark, sf_dir):
-    """Winnowing fingerprints — positional rolling-hash semantics, no SQL
-    oracle (driver records rows-only); invariants covered in pytest."""
+    """Winnowing fingerprints — pure JVM built-ins with md5 k-gram
+    hashes, so the positional semantics now have an exact SQL oracle."""
     from datapipe.textstats import winnow_fingerprints
     return winnow_fingerprints(_docs(spark, sf_dir)).sort("doc_id", "fp_pos")
 
 
 def q_dp_lsh_topk(spark, sf_dir):
-    """Sign-LSH ANN — approximate by design, no SQL oracle (rows-only);
-    recall vs brute force asserted in pytest."""
+    """Sign-LSH ANN over deterministic hyperplanes — bucket probing +
+    exact re-rank is fully SQL-expressible (planes inlined as literals),
+    so this gate is value-checked, not rows-only."""
     from datapipe.similarity import lsh_topk
-    return lsh_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
+    out = lsh_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
+    return out.select("vec_id", F.round("cos_r", 4).alias("cos_r4"))
 
 
 def q_dp_mm_features(spark, sf_dir):
@@ -431,6 +433,80 @@ _QUALITY_TOKS = """
              AS n_stop
     FROM documents)
 """
+
+
+def _winnow_sql(kgram: int = 5, window: int = 4) -> str:
+    """Winnowing in ANSI-ish SQL: k-gram md5 hashes with positions, then
+    for each window start w the rightmost minimal hash (ORDER BY h ASC,
+    p DESC, row 1), distinct selections."""
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT}'),
+                             t -> t <> '') AS tl
+          FROM documents),
+        kg AS (
+          SELECT doc_id, i - 1 AS p,
+                 substr(md5(array_to_string(tl[i:i+{kgram - 1}], ' ')),
+                        1, 15) AS h
+          FROM base, UNNEST(generate_series(1, len(tl) - {kgram - 1}))
+               AS g(i)),
+        cnt AS (SELECT doc_id, count(*) AS n FROM kg GROUP BY 1),
+        ws AS (
+          SELECT doc_id,
+                 unnest(generate_series(0, greatest(n - {window}, 0)::BIGINT))
+                   AS w
+          FROM cnt),
+        win AS (
+          SELECT kg.doc_id, ws.w, kg.p, kg.h,
+                 row_number() OVER (PARTITION BY kg.doc_id, ws.w
+                                    ORDER BY kg.h ASC, kg.p DESC) AS rn
+          FROM kg JOIN ws ON ws.doc_id = kg.doc_id
+                         AND kg.p BETWEEN ws.w AND ws.w + {window - 1})
+        SELECT DISTINCT doc_id, h AS fp_hash, p::INT AS fp_pos
+        FROM win WHERE rn = 1 ORDER BY doc_id, fp_pos"""
+
+
+def _lsh_topk_sql(dim: int = 64, n_planes: int = 16,
+                  max_hamming: int = 2, k: int = 10) -> str:
+    """Sign-LSH probe + exact cosine re-rank with the SAME deterministic
+    hyperplanes as datapipe.similarity.hyperplanes, inlined as literals."""
+    from datapipe.similarity import hyperplanes
+    planes = hyperplanes(dim, n_planes=n_planes)
+    plane_rows = ",\n            ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes))
+    masks = {0}
+    if max_hamming >= 1:
+        masks |= {1 << i for i in range(n_planes)}
+    if max_hamming >= 2:
+        masks |= {(1 << i) ^ (1 << j)
+                  for i in range(n_planes) for j in range(i + 1, n_planes)}
+    mask_rows = ", ".join(f"({m})" for m in sorted(masks))
+    return f"""
+        WITH E AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        planes(i, p) AS (VALUES
+            {plane_rows}),
+        sigs AS (
+          SELECT e.vec_id,
+                 sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                          THEN (1::BIGINT << pl.i) ELSE 0 END)::BIGINT
+                   AS bucket
+          FROM E e CROSS JOIN planes pl GROUP BY e.vec_id),
+        qs AS (SELECT bucket AS qb FROM sigs WHERE vec_id = 0),
+        masks(m) AS (VALUES {mask_rows}),
+        probe AS (SELECT DISTINCT xor(qs.qb, masks.m::BIGINT) AS b
+                  FROM qs, masks),
+        cand AS (SELECT s.vec_id FROM sigs s JOIN probe pr
+                 ON s.bucket = pr.b),
+        qv AS (SELECT v FROM E WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(round(list_cosine_similarity(
+                   e.v, (SELECT v FROM qv)), 6), 4) AS cos_r4
+        FROM E e JOIN cand c ON c.vec_id = e.vec_id
+        ORDER BY list_cosine_similarity(e.v, (SELECT v FROM qv)) DESC,
+                 e.vec_id
+        LIMIT {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -641,6 +717,8 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                      AS fingerprint
             FROM documents ORDER BY doc_id""",
+        "dp_winnow": _winnow_sql(),
+        "dp_lsh_topk": _lsh_topk_sql(),
         "dp_mm_features": """
             SELECT doc_id,
                    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -88,24 +88,58 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 def jaccard_pairs(df: DataFrame, text_col: str = "text",
                   threshold: float = 0.9,
                   candidates: DataFrame | None = None) -> DataFrame:
-    """Exact token-set Jaccard pairs ≥ threshold via shared-token
-    equi-join (ndocs² never materializes). If ``candidates`` (a, b) is
-    given — e.g. from minhash_lsh_pairs — verify only those."""
+    """Exact token-set Jaccard pairs ≥ threshold via PREFIX FILTERING
+    (the AllPairs/PPJoin family, Bayardo et al. WWW'07 — public
+    algorithm): under a global token order by ascending document
+    frequency, any pair with J ≥ t must share a token among the first
+    ``sz - ceil(t*sz) + 1`` tokens of each side, so ONLY prefix tokens
+    enter the pair-generating equi-join. A 90%-df stopword sorts last
+    and lands in a doc's prefix only when the doc has almost no rarer
+    tokens, so hot tokens no longer fan out df² join rows (the r01
+    skew-killer). Candidate pairs are then verified EXACTLY against the
+    full sorted token arrays (array_intersect), so results are identical
+    to the naive all-shared-token join.
+
+    If ``candidates`` (a, b) is given — e.g. from minhash_lsh_pairs —
+    tokens are semi-joined down to candidate docs BEFORE any join and
+    pairs are restricted to the candidate set."""
+    from pyspark.sql import Window
     tok = _tok(df, text_col)
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    l, r = tok.alias("l"), tok.alias("r")
-    inter = (l.join(r, "term")
-             .where(F.col("l.doc_id") < F.col("r.doc_id"))
-             .groupBy(F.col("l.doc_id").alias("a"),
-                      F.col("r.doc_id").alias("b"))
-             .agg(F.count("*").alias("i")))
     if candidates is not None:
-        inter = inter.join(candidates, ["a", "b"], "left_semi")
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
-    return (inter.join(sa, "a").join(sb, "b")
+        cd = (candidates.select(F.col("a").alias("doc_id"))
+              .union(candidates.select(F.col("b").alias("doc_id")))
+              .distinct())
+        tok = tok.join(cd, "doc_id", "left_semi")
+    dfreq = tok.groupBy("term").agg(F.count("*").alias("tdf"))
+    w_doc = Window.partitionBy("doc_id")
+    ranked = (tok.join(dfreq, "term")
+              .withColumn("rnk", F.row_number().over(
+                  w_doc.orderBy("tdf", "term")))
+              .withColumn("sz", F.count("*").over(w_doc)))
+    # round before ceil: 0.9*20 → 18.000000000000004 must ceil to 18, not
+    # 19 (fp error may only LENGTHEN the prefix, never shorten it)
+    plen = (F.col("sz")
+            - F.ceil(F.round(F.lit(float(threshold)) * F.col("sz"), 6)) + 1)
+    prefix = ranked.where(F.col("rnk") <= plen).select("doc_id", "term")
+    l, r = prefix.alias("l"), prefix.alias("r")
+    cand = (l.join(r, "term")
+            .where(F.col("l.doc_id") < F.col("r.doc_id"))
+            .select(F.col("l.doc_id").alias("a"),
+                    F.col("r.doc_id").alias("b"))
+            .distinct())
+    if candidates is not None:
+        cand = cand.join(candidates, ["a", "b"], "left_semi")
+    arrs = tok.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("term")).alias("toks"),
+        F.count("*").alias("sz"))
+    ta = arrs.select(F.col("doc_id").alias("a"), F.col("toks").alias("ta"),
+                     F.col("sz").alias("sza"))
+    tb = arrs.select(F.col("doc_id").alias("b"), F.col("toks").alias("tb"),
+                     F.col("sz").alias("szb"))
+    i = F.size(F.array_intersect("ta", "tb"))
+    return (cand.join(ta, "a").join(tb, "b")
             .withColumn("jaccard",
-                        F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")))
+                        i / (F.col("sza") + F.col("szb") - i))
             .where(F.col("jaccard") >= threshold)
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
 
@@ -153,21 +187,83 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
                  .getField("c")).alias("simhash")))
 
 
-def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95,
-                        id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ threshold. Exact pairwise via
-    JVM-side F.aggregate/zip_with dot products over a self-join; at
-    scale, feed LSH-bucketed candidates instead (similarity.lsh_buckets).
-    Returns (a, b, cos)."""
-    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    l = emb.select(F.col(id_col).alias("a"), dbl.alias("va"))
-    r = emb.select(F.col(id_col).alias("b"), dbl.alias("vb"))
+def _pair_cos():
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda a, x: a + x * x))
     nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda a, x: a + x * x))
-    return (l.crossJoin(r).where(F.col("a") < F.col("b"))
-            .withColumn("cos", dot / (na * nb))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        method: str | None = None,
+                        n_grid: int = 8,
+                        lsh_bands: int = 16,
+                        lsh_rows: int = 4) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ threshold. Returns (a, b, cos).
+
+    method (default auto):
+      'lsh'   threshold ≥ 0.7 — banded sign-LSH candidates (pairs
+              sharing ≥1 band of lsh_rows hyperplane signs, an equi-join
+              on (band, sig)) + exact cosine verify. The 100-TB path for
+              near-dup thresholds; recall < 1 by LSH nature (≈1 for
+              near-identical vectors; raise lsh_bands to push it up).
+      'grid'  threshold < 0.7 — EXACT all-pairs, but blocked onto an
+              n_grid × n_grid cell grid and executed as an equi-join on
+              the cell id: work is still O(n²) (a low-threshold exact
+              cosine join fundamentally is) yet it shuffle-partitions
+              evenly across executors with NO CartesianProduct node and
+              no single fat task.
+      'brute' the r01 crossJoin — tiny inputs/tests only.
+    """
+    if method is None:
+        method = "lsh" if threshold >= 0.7 else "grid"
+    dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    l = emb.select(F.col(id_col).alias("a"), dbl.alias("va"))
+    r = emb.select(F.col(id_col).alias("b"), dbl.alias("vb"))
+
+    if method == "brute":
+        pairs = l.crossJoin(r)
+    elif method == "grid":
+        cells = F.sequence(F.lit(0), F.lit(int(n_grid) - 1))
+        le = (l.withColumn("ga", F.pmod(F.xxhash64("a"), F.lit(n_grid)))
+               .withColumn("gb", F.explode(cells)))
+        re_ = (r.withColumn("gb", F.pmod(F.xxhash64("b"), F.lit(n_grid)))
+                .withColumn("ga", F.explode(cells)))
+        # every (a,b) meets in exactly one cell: (cell(a), cell(b))
+        pairs = le.join(re_, ["ga", "gb"]).drop("ga", "gb")
+    elif method == "lsh":
+        from datapipe.similarity import hyperplanes
+        dim = int(emb.select(F.size(vec_col)).first()[0])
+        planes = hyperplanes(dim, n_planes=lsh_bands * lsh_rows)
+        sigs = []
+        for bnd in range(lsh_bands):
+            sig = F.lit(0).cast("long")
+            for j in range(lsh_rows):
+                p = planes[bnd * lsh_rows + j]
+                col = F.array(*[F.lit(float(x)) for x in p])
+                dot = F.aggregate(F.zip_with(vec_col, col,
+                                             lambda x, y: x * y),
+                                  F.lit(0.0), lambda a, x: a + x)
+                sig = sig + F.when(dot > 0,
+                                   F.lit(1 << j).cast("long")
+                                   ).otherwise(F.lit(0).cast("long"))
+            sigs.append(sig)
+        b_ids = (emb.select(F.col(id_col).alias("doc"),
+                            F.posexplode(F.array(*sigs))
+                             .alias("band", "sig")))
+        bl = b_ids.select(F.col("doc").alias("a"), "band", "sig")
+        br = b_ids.select(F.col("doc").alias("b"), "band", "sig")
+        cand = (bl.join(br, ["band", "sig"])
+                .where(F.col("a") < F.col("b"))
+                .select("a", "b").distinct())
+        pairs = (cand.join(l, "a").join(r, "b"))
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    return (pairs.where(F.col("a") < F.col("b"))
+            .withColumn("cos", _pair_cos())
             .where(F.col("cos") >= threshold)
             .select("a", "b", F.round("cos", 6).alias("cos")))

@@ -1,13 +1,11 @@
 """Text analysis operators: token counting, quality scoring, language
-ID, fingerprinting. All pure Spark built-ins (JVM-side, codegen'd) with
-exact ANSI-SQL equivalents; the rolling-hash winnowing fingerprint is
-the one numpy/pandas-UDF member (positional semantics don't map to SQL).
+ID, fingerprinting, winnowing. All pure Spark built-ins (JVM-side,
+codegen'd) with exact ANSI-SQL equivalents — including the winnowing
+fingerprint, whose md5-based k-gram hashes are engine-portable.
 """
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F
 
 STOPWORDS = ["a", "the", "and", "or", "of", "to", "in", "is", "it", "on"]
 
@@ -87,53 +85,46 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
                      F.md5(F.encode(norm, "UTF-8")).alias("fingerprint"))
 
 
-WINNOW_SCHEMA = T.StructType([
-    T.StructField("doc_id", T.LongType()),
-    T.StructField("fp_hash", T.LongType()),
-    T.StructField("fp_pos", T.IntegerType()),
-])
-
-
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         kgram: int = 5, window: int = 4) -> DataFrame:
-    """Winnowing (Schleimer et al., SIGMOD'03): rolling polynomial hash
-    over token k-grams, keep the min hash of each sliding window
-    (rightmost on ties) → positional fingerprint set. Vectorized numpy
-    inside mapInPandas — positional semantics, so no SQL oracle (the
-    driver records a rows-only check); pytest covers the invariants."""
-    B, M = np.int64(1_000_003), np.int64((1 << 61) - 1)
+    """Winnowing (Schleimer et al., SIGMOD'03): hash every token k-gram,
+    keep the min hash of each sliding window of ``window`` k-grams
+    (rightmost position on ties) → positional fingerprint set
+    (doc_id, fp_hash, fp_pos).
 
-    def run(batches):
-        for pdf in batches:
-            out_id, out_h, out_p = [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                toks = [t for t in
-                        pd.Series([text]).str.lower()
-                          .str.split("[^a-z0-9]+", regex=True).iloc[0] if t]
-                if len(toks) < kgram:
-                    continue
-                th = np.array([hash_token(t) for t in toks], dtype=np.int64)
-                n = len(th) - kgram + 1
-                kh = np.zeros(n, dtype=np.int64)
-                for j in range(kgram):  # kgram is tiny (5): fixed loop
-                    kh = (kh * B + th[j:j + n]) % M
-                if n < window:
-                    sel = np.array([int(np.argmin(kh))])
-                else:
-                    w = np.lib.stride_tricks.sliding_window_view(kh, window)
-                    sel = np.unique(w.shape[1] - 1 - np.argmin(w[:, ::-1],
-                                                               axis=1)
-                                    + np.arange(w.shape[0]))
-                out_id.extend([doc_id] * len(sel))
-                out_h.extend(kh[sel].tolist())
-                out_p.extend(sel.tolist())
-            yield pd.DataFrame({"doc_id": out_id, "fp_hash": out_h,
-                                "fp_pos": out_p})
-
-    def hash_token(t: str) -> int:
-        h = np.int64(5381)
-        for ch in t.encode("utf-8"):
-            h = (h * np.int64(33) + np.int64(ch)) % M
-        return int(h)
-
-    return df.select("doc_id", text_col).mapInPandas(run, WINNOW_SCHEMA)
+    100% JVM built-ins — zero Python in the hot path (the r01 version
+    ran a per-character Python rolling hash inside mapInPandas):
+    - k-gram hash = first 15 hex chars of md5 of the space-joined tokens
+      (fixed-width hex compares lexicographically == numerically, and
+      md5 is engine-portable, so the whole operator has an exact ANSI-SQL
+      oracle);
+    - per-window rightmost-min via min(struct(h, -p)) over a
+      rows-between(0, window-1) frame;
+    - docs with fewer than ``window`` k-grams form a single window
+      (rightmost-on-ties there too).
+    One shuffle (window partition by doc_id); fan-out bounded by tokens
+    per doc."""
+    from pyspark.sql import Window as W
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    kgrams = F.when(
+        F.size(toks) >= kgram,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - kgram + 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, kgram)))
+    ).otherwise(F.array().cast("array<string>"))
+    kg = (df.select("doc_id", F.posexplode(kgrams).alias("p", "kg"))
+          .withColumn("h", F.substring(
+              F.md5(F.encode(F.col("kg"), "UTF-8")), 1, 15))
+          .withColumn("n", F.count("*").over(W.partitionBy("doc_id"))))
+    frame = (W.partitionBy("doc_id").orderBy("p")
+             .rowsBetween(0, window - 1))
+    sel = F.min(F.struct(F.col("h"), (-F.col("p")).alias("np"))).over(frame)
+    # materialize the window result BEFORE filtering to valid window
+    # starts — filtering first would shrink the trailing frames (the
+    # filter would be pushed below the window operator)
+    kg = kg.withColumn("s", sel)
+    return (kg.where((F.col("p") <= F.col("n") - window)
+                     | ((F.col("n") < window) & (F.col("p") == 0)))
+            .select("doc_id", F.col("s.h").alias("fp_hash"),
+                    (-F.col("s.np")).cast("int").alias("fp_pos"))
+            .distinct())

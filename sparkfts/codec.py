@@ -88,7 +88,9 @@ def varint_decode(buf: bytes | np.ndarray, count: int | None = None,
     """Decode varints from ``buf`` starting at ``offset``.
 
     Returns (values:uint64, end_offset). If ``count`` is None, decodes to
-    the end of the buffer.
+    the end of the buffer. Note this scans the remaining buffer for
+    terminators on every call — multi-section decoders should compute
+    ``varint_ends`` once per blob and use ``varint_decode_at``.
     """
     b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     b = b[offset:]
@@ -108,6 +110,37 @@ def varint_decode(buf: bytes | np.ndarray, count: int | None = None,
         m = lengths > j
         vals[m] |= (b[starts[m] + j] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(7 * j)
     return vals, offset + int(ends[-1]) + 1
+
+
+def varint_ends(buf: bytes | np.ndarray) -> np.ndarray:
+    """All terminator-byte positions of a varint blob, computed ONCE —
+    makes full-blob multi-block decode O(bytes) instead of
+    O(blocks x bytes) (each per-block section decode used to rescan the
+    remaining buffer for terminators)."""
+    b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    return np.flatnonzero(b < 128)
+
+
+def varint_decode_at(b: np.ndarray, ends: np.ndarray, count: int,
+                     offset: int) -> tuple[np.ndarray, int]:
+    """Decode ``count`` varints at ``offset`` using precomputed ``ends``
+    (from varint_ends). O(count + log n_ends)."""
+    i0 = int(np.searchsorted(ends, offset, side="left"))
+    sel = ends[i0:i0 + count]
+    n = sel.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), offset
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = offset
+    starts[1:] = sel[:-1] + 1
+    lengths = sel - starts + 1
+    vals = np.zeros(n, dtype=np.uint64)
+    maxlen = int(lengths.max())
+    for j in range(maxlen):
+        m = lengths > j
+        vals[m] |= ((b[starts[m] + j] & np.uint8(0x7F)).astype(np.uint64)
+                    << np.uint64(7 * j))
+    return vals, int(sel[-1]) + 1
 
 
 def bm25_partial(tf: np.ndarray, dl: np.ndarray, avgdl: float,
@@ -197,17 +230,22 @@ def encode_postings(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
 
 
 def decode_block(blob: bytes | np.ndarray, off: int, n: int,
-                 with_positions: bool = False):
-    """Decode one block → (docids, tfs, dls[, positions])."""
+                 with_positions: bool = False,
+                 ends: np.ndarray | None = None):
+    """Decode one block → (docids, tfs, dls[, positions]). Pass ``ends``
+    (varint_ends of the whole blob) when decoding many blocks of one blob
+    to avoid rescanning the buffer per section."""
     buf = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
-    gaps, off = varint_decode(buf, n, off)
-    tfs, off = varint_decode(buf, n, off)
-    dls, off = varint_decode(buf, n, off)
+    if ends is None:
+        ends = varint_ends(buf)
+    gaps, off = varint_decode_at(buf, ends, n, off)
+    tfs, off = varint_decode_at(buf, ends, n, off)
+    dls, off = varint_decode_at(buf, ends, n, off)
     docids = np.cumsum(gaps.astype(np.int64))
     tfs64 = tfs.astype(np.int64)
     if not with_positions:
         return docids, tfs64, dls.astype(np.int64)
-    pdel, _ = varint_decode(buf, int(tfs64.sum()), off)
+    pdel, _ = varint_decode_at(buf, ends, int(tfs64.sum()), off)
     # segmented cumsum: pos[i] = g[i] - g[segment_start - 1]
     g = np.cumsum(pdel.astype(np.int64))
     if len(g):
@@ -224,7 +262,8 @@ def decode_postings(blob: bytes, block_off: np.ndarray, block_n: np.ndarray,
     """Decode all blocks of a posting row → (docids, tfs, dls
     [, positions])."""
     buf = np.frombuffer(blob, dtype=np.uint8)
-    parts = [decode_block(buf, int(o), int(n), with_positions)
+    ends = varint_ends(buf)
+    parts = [decode_block(buf, int(o), int(n), with_positions, ends=ends)
              for o, n in zip(block_off, block_n)]
     if not parts:
         e = np.empty(0, dtype=np.int64)

@@ -64,11 +64,16 @@ def _decode_selected(rows: pd.DataFrame, keep_mask_per_row: list[np.ndarray],
     d, t, l = [], [], []
     for (r, keep) in zip(rows.sort_values("chunk").itertuples(),
                          keep_mask_per_row):
+        sel = np.flatnonzero(keep)
+        if sel.size == 0:
+            continue
         offs = np.asarray(r.block_off)
         ns = np.asarray(r.block_n)
         buf = np.frombuffer(r.blob, dtype=np.uint8)
-        for bi in np.flatnonzero(keep):
-            dd, tt, ll = codec.decode_block(buf, int(offs[bi]), int(ns[bi]))
+        ends = codec.varint_ends(buf)   # one scan per blob, not per block
+        for bi in sel:
+            dd, tt, ll = codec.decode_block(buf, int(offs[bi]),
+                                            int(ns[bi]), ends=ends)
             d.append(dd); t.append(tt); l.append(ll)
     if not d:
         e = np.empty(0, dtype=np.int64)
@@ -94,6 +99,65 @@ def _aggregate_topk(docids: np.ndarray, contribs: np.ndarray, k: int,
     return pd.DataFrame({"docid": uniq[order], "score": scores[order]})
 
 
+def _score_and_pruned(per_term: dict[str, pd.DataFrame], terms: list[str],
+                      idf: dict[str, float], avgdl: float, k1: float,
+                      b: float, k: int, n_query_terms: int) -> pd.DataFrame:
+    """AND-mode scoring with block-range pruning (exact): decode the
+    rarest term fully; for each further term (ascending df) keep only the
+    blocks whose [block_first, block_last] range intersects the current
+    candidate set, shrinking candidates as we go — a hot+rare AND decodes
+    only the hot term's blocks that overlap the rare term's docids,
+    instead of every posting of every term. Summation runs in ascending
+    term order afterwards, so scores are bit-identical to the exhaustive
+    path."""
+    empty = pd.DataFrame({"docid": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
+    if len(terms) < n_query_terms:
+        return empty  # a query term is absent from this shard → no doc qualifies
+    tdf = {t: int(per_term[t]["df"].sum()) for t in terms}
+    by_rarity = sorted(terms, key=lambda t: (tdf[t], t))
+
+    decoded: dict[str, tuple] = {}
+    rare = by_rarity[0]
+    d0, tf0, dl0 = _decode_term_rows(per_term[rare])
+    decoded[rare] = (d0, tf0, dl0)
+    cand = d0
+    for t in by_rarity[1:]:
+        if cand.size == 0:
+            return empty
+        rows = per_term[t].sort_values("chunk")
+        firsts = np.concatenate([np.asarray(r.block_first)
+                                 for r in rows.itertuples()])
+        lasts = np.concatenate([np.asarray(r.block_last)
+                                for r in rows.itertuples()])
+        # block [f,l] holds a candidate iff some cand in [f,l]
+        lo = np.searchsorted(cand, firsts, side="left")
+        hi = np.searchsorted(cand, lasts, side="right")
+        keep = lo < hi
+        masks, pos = [], 0
+        for r in rows.itertuples():
+            sz = len(r.block_n)
+            masks.append(keep[pos:pos + sz]); pos += sz
+        d, tf, dl = _decode_selected(rows, masks)
+        # restrict this term's postings to candidates, and candidates to
+        # docs that contain this term too
+        p = np.searchsorted(d, cand)
+        ok = (p < d.shape[0])
+        ok[ok] = d[p[ok]] == cand[ok]
+        cand = cand[ok]
+        j = p[ok]
+        decoded[t] = (d[j], tf[j], dl[j])
+    if cand.size == 0:
+        return empty
+    scores = np.zeros(cand.shape[0], dtype=np.float64)
+    for t in sorted(terms):   # fixed ascending-term summation order
+        d, tf, dl = decoded[t]
+        j = np.searchsorted(d, cand)   # cand ⊆ d by construction
+        scores += idf[t] * codec.bm25_partial(tf[j], dl[j], avgdl, k1, b)
+    order = np.lexsort((cand, -scores))[:k]
+    return pd.DataFrame({"docid": cand[order], "score": scores[order]})
+
+
 def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
                 k1: float, b: float, k: int, mode: str,
                 n_query_terms: int, method: str = "wand") -> pd.DataFrame:
@@ -101,9 +165,8 @@ def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
     terms = sorted(pdf["term"].unique())
     per_term = {t: pdf[pdf["term"] == t] for t in terms}
 
-    if method == "exact" or mode == "and":
-        # AND needs every posting of every term for the hit count; block
-        # pruning is an OR-mode optimization.
+    if method == "exact":
+        # exhaustive reference path: decode every posting of every term
         all_d, all_c = [], []
         for t in terms:
             d, tf, dl = _decode_term_rows(per_term[t])
@@ -115,6 +178,10 @@ def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
                                    n_query_terms)
         return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
                                k, mode, n_query_terms)
+
+    if mode == "and":
+        return _score_and_pruned(per_term, terms, idf, avgdl, k1, b, k,
+                                 n_query_terms)
 
     # ---- block-max pruning (exact top-k; see module docstring) ----
     # Per term: flat arrays over all blocks of all chunk rows.
@@ -238,25 +305,37 @@ def _phrase_shard(pdf: pd.DataFrame, seq: list[str], uniq: list[str],
                                                      assume_unique=True)
     if cand is None or cand.size == 0:
         return out_empty
-    # adjacency check per candidate doc
-    matches = []
-    for doc in cand.tolist():
-        cur = None
-        ok = True
-        for t in seq:
-            dd, tt, ll, pp, pb = per_term[t]
-            j = int(np.searchsorted(dd, doc))
-            pos = pp[pb[j]:pb[j + 1]]
-            cur = pos if cur is None else np.intersect1d(cur + 1, pos,
-                                                         assume_unique=True)
-            if cur.size == 0:
-                ok = False
-                break
-        if ok:
-            matches.append(doc)
-    if not matches:
+    # Vectorized adjacency over flat position arrays (no per-doc Python
+    # loop): for phrase offset i, each occurrence of seq[i] at position p
+    # in doc d votes for phrase-start key d*M + (p - i + L). A key
+    # collecting exactly len(seq) votes is a phrase start — each offset i
+    # contributes a given key at most once (positions are unique within a
+    # (term, doc) posting), so np.unique counts decide.
+    L = len(seq)
+    maxpos = max(int(per_term[t][3].max()) if per_term[t][3].size else 0
+                 for t in uniq)
+    M = np.int64(maxpos + L + 2)
+    keys = []
+    for i, t in enumerate(seq):
+        dd, tt, ll, pp, pb = per_term[t]
+        j = np.searchsorted(dd, cand)          # cand ⊆ dd by construction
+        lens = tt[j]
+        starts = pb[j]
+        total = int(lens.sum())
+        if total == 0:
+            return out_empty
+        cum = np.concatenate(([0], np.cumsum(lens)))
+        gather = (np.arange(total, dtype=np.int64)
+                  - np.repeat(cum[:-1], lens) + np.repeat(starts, lens))
+        posi = pp[gather]
+        docs = np.repeat(cand, lens)
+        keys.append(docs * M + (posi - i + L))
+    allk = np.concatenate(keys)
+    uk, counts = np.unique(allk, return_counts=True)
+    hits = uk[counts == L]
+    if hits.size == 0:
         return out_empty
-    marr = np.asarray(matches, dtype=np.int64)
+    marr = np.unique(hits // M)
     scores = np.zeros(marr.shape[0], dtype=np.float64)
     for t in uniq:  # fixed ascending-term summation order
         dd, tt, ll, _, _ = per_term[t]

@@ -162,3 +162,19 @@ def test_docid_assignment_parallelism_independent(spark, corpus):
     exp = corpus[["conv_id", "turn_idx"]].reset_index(drop=True)
     pd.testing.assert_frame_equal(
         a[["conv_id", "turn_idx"]].astype({"turn_idx": "int32"}), exp)
+
+
+@pytest.mark.parametrize("k", [1, 5, 50])
+def test_and_block_pruned_equals_exact(index, oracle, k):
+    """VERDICT r01 wrong #5: AND mode now intersects block ranges against
+    the rarest term's docids before decoding (wand path) — results must
+    stay bit-identical to exhaustive decoding for hot+rare, hot+hot and
+    3-term combinations."""
+    df = oracle.df.sort_values(ascending=False)
+    hot, hot2, rare = df.index[0], df.index[1], df.index[-2]
+    for q in [f"{hot} {rare}", f"{hot} {hot2}", f"{hot} {hot2} {rare}"]:
+        e = index.topk_pandas(q, k=k, mode="and", method="exact")
+        w = index.topk_pandas(q, k=k, mode="and", method="wand")
+        assert e["docid"].tolist() == w["docid"].tolist(), q
+        assert w["score"].to_numpy() == pytest.approx(
+            e["score"].to_numpy(), abs=0), q  # bit-identical summation
