@@ -152,33 +152,42 @@ def assign_docids_grouped(df: DataFrame, conv_col: str, turn_col: str,
     full rows, no sampling pass, no Python). Returns None when the
     precondition fails (caller falls back to the general rank path).
 
-    Safety rails (both fall back to assign_docids):
+    Safety rails:
     - the driver-side collect is bounded by ``max_convs`` via LIMIT
       max_convs+1 — the conv table never materializes unbounded on the
       driver, so a 10^9-conversation corpus degrades gracefully to the
       distributed rank path instead of killing the driver;
-    - per-conv distinctness of turn_idx is checked (min/max/count alone
-      admit e.g. [0,2,2,3], which would mint duplicate docids and break
-      the strictly-increasing-docid codec invariant).
+    - min/max/count alone admit non-permutations like [0,2,2,3], which
+      would mint duplicate docids. An exact countDistinct precheck costs
+      a 2x expand of the sizes aggregation (measured +2s at sf0.1), so
+      distinctness is instead enforced for FREE inside the shard kernel:
+      docids arrive shard-sorted there, and a duplicate raises a loud
+      build error (no silent corruption) naming this precondition.
     """
     spark = df.sparkSession
     agg = (df.groupBy(conv_col)
            .agg(F.count("*").alias("n"),
                 F.min(turn_col).alias("lo"),
-                F.max(turn_col).alias("hi"),
-                F.countDistinct(turn_col).alias("nd")))
-    sizes = agg.limit(max_convs + 1).collect()
+                F.max(turn_col).alias("hi")))
+    # Arrow-path toPandas + vectorized checks/prefix-sum: collect() of
+    # Row objects plus a Python loop costs ~1s of pure serial floor at
+    # 10^4+ convs
+    sizes = agg.limit(max_convs + 1).toPandas()
     if len(sizes) > max_convs:
         return None
-    if any(r["lo"] != 0 or r["hi"] != r["n"] - 1 or r["nd"] != r["n"]
-           for r in sizes):
+    if ((sizes["lo"] != 0) | (sizes["hi"] != sizes["n"] - 1)).any():
         return None
-    sizes.sort(key=lambda r: r[conv_col])
-    offsets, acc = [], 0
-    for r in sizes:
-        offsets.append((r[conv_col], acc))
-        acc += r["n"]
-    odf = spark.createDataFrame(offsets, f"{conv_col} string, _off long")
+    sizes = sizes.sort_values(conv_col, kind="stable",
+                              ignore_index=True)
+    n = sizes["n"].to_numpy(dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(n)[:-1]))
+    acc = int(n.sum())
+    # Arrow-backed createDataFrame: the row-by-row Python→JVM conversion
+    # of a plain-list createDataFrame costs ~0.5-1s per ACTION at 10^4+
+    # convs (the lineage is re-evaluated by every downstream job) — pure
+    # serial floor
+    odf = spark.createDataFrame(
+        pd.DataFrame({conv_col: sizes[conv_col], "_off": offs}))
     out = (df.join(F.broadcast(odf), conv_col)
              .withColumn("docid",
                          F.col("_off") + F.col(turn_col).cast("long"))
@@ -271,6 +280,16 @@ def _make_shard_kernel(cfg: BuildConfig):
                 return
             shard = int(cur)
             docids = np.concatenate(acc_ids)
+            # docid uniqueness guard (cost ≪ the token lexsort below):
+            # duplicate docids would silently merge (term, docid) runs
+            # and break the strictly-increasing-docid codec invariant —
+            # e.g. a grouped fast-path build over per-conv turn_idx that
+            # is dense by min/max/count but NOT a permutation ([0,2,2,3])
+            if np.unique(docids).size != docids.size:
+                raise ValueError(
+                    f"duplicate docids in shard {shard}: docid assignment "
+                    "must be unique (is turn_idx a per-conversation "
+                    "permutation of 0..len-1?)")
             texts = pa.concat_arrays(
                 [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
                  for a in acc_txt])
@@ -354,13 +373,13 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
 
     Job structure (the serial floor between parallel stages is what caps
     N-vs-4N scaling efficiency, so the count matters): (1) conv-sizes agg
-    for docid assignment, (2) docstore write — this action materializes
-    the ONE doc-granularity range shuffle into the cache, (3) postings
-    write — Arrow kernel over the cached shuffle output, no recompute and
-    no second exchange, (4) global term_stats write, (5) per-shard
-    manifest aggregate (collect from the cached narrow projection).
-    Stats + manifest parquet are written driver-side (pyarrow, atomic
-    rename) — tiny tables don't get Spark jobs.
+    for docid assignment, (2) docstore write — a narrow scan+broadcast-
+    join pass, no exchange, (3) postings write — the ONE doc-granularity
+    range shuffle + Arrow kernel, (4) global term_stats write, (5)
+    per-shard manifest aggregate (collected from a cached narrow
+    projection shared with 4). Stats + manifest parquet are written
+    driver-side (pyarrow, atomic rename) — tiny tables don't get Spark
+    jobs.
 
     Crash-safe resume: docstore/postings use dynamic partition overwrite,
     so re-running a shard REPLACES its partition directory instead of
@@ -425,51 +444,74 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
         todo = [s for s in todo if s in _only_shards]
     todo_set = set(todo)
 
-    part = None
-    if todo:
-        # ONE shuffle, at DOC granularity: the exchange moves N rows of
-        # (shard, docid, <input cols>) -- never exploded tokens; all
-        # token work happens inside the Arrow shard kernel.
-        # repartitionByRange (not hash): num_shards -> P partitions lands
-        # exactly num_shards/P contiguous shards per partition, where
-        # hash placement is binomial and the slowest task gets ~1.5-2x
-        # the mean. The shuffled+sorted rows are CACHED and feed both
-        # writes: the docstore (pure projection) and the postings kernel
-        # -- fusing what used to be two full passes over the input into
-        # one shuffle + two cache-local actions.
-        p = cfg.partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions"))
-        store_cols = [c for c in df.columns if c != docid_col]
-        part = (doc.where(F.col("shard").isin(todo))
-                .select("shard", "docid", *store_cols)
-                .repartitionByRange(min(p, max(1, len(todo))), "shard")
-                .sortWithinPartitions("shard", "docid")
-                .persist())
-        # doc store: the reference's _source / fetch path (BaseESReducer
-        # keeps JSON in ES; ours is the input row keyed by docid). Rows
-        # are (shard, docid)-sorted, so each shard file is fully docid-
-        # sorted and parquet row-group min/max stats prune point lookups.
-        (part.write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("shard")
-             .parquet(storage.path(out_dir, "docstore")))
-    mark("docstore_write")
-
     N = n_docs
 
     if todo:
-        enc_in = part.select("shard", "docid",
+        # Two independent write jobs over `doc`, submitted CONCURRENTLY
+        # (Spark schedules jobs from separate driver threads; tasks
+        # interleave on free slots):
+        #   docstore — the reference's _source / fetch path
+        #     (BaseESReducer keeps JSON in ES; ours is the input row
+        #     keyed by docid, sorted so parquet row-group min/max stats
+        #     prune point lookups). Written straight from the INPUT
+        #     partitioning — no exchange. (A shuffle+cache variant that
+        #     fed both writes from one exchange was measured 2x SLOWER
+        #     at sf0.1: full-width rows through the shuffle + columnar
+        #     cache encode cost more than this extra narrow scan, and
+        #     Spark SQL cannot reuse shuffle files across actions.)
+        #   postings — the ONE shuffle, at DOC granularity: the exchange
+        #     moves N rows of (shard, docid, text), never exploded
+        #     tokens; all token work happens inside the Arrow shard
+        #     kernel. repartitionByRange (not hash): num_shards -> P
+        #     partitions lands exactly num_shards/P contiguous shards
+        #     per partition, where hash placement is binomial and the
+        #     slowest task gets ~1.5-2x the mean.
+        # Overlapping them hides each job's fixed serial costs (parquet
+        # commit, directory listing, range-sampling job, broadcast
+        # build) under the other's compute — those fixed costs are what
+        # cap N-vs-4N scaling efficiency at small corpus sizes.
+        # dynamic partition overwrite only when there is existing
+        # committed data to protect — its staging+move commit costs
+        # ~1-2s of fixed time per write that a fresh build shouldn't
+        # pay; static overwrite of a fresh/uncommitted tree is equally
+        # crash-safe (rebuild starts from scratch either way).
+        import threading
+        pmode = "dynamic" if committed else "static"
+        sub = doc.where(F.col("shard").isin(todo))
+        store_cols = [c for c in df.columns if c != docid_col]
+        errs: list[BaseException] = []
+
+        def _write_docstore() -> None:
+            try:
+                (sub.select("shard", "docid", *store_cols)
+                    .sortWithinPartitions("docid")
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", pmode)
+                    .partitionBy("shard")
+                    .parquet(storage.path(out_dir, "docstore")))
+            except BaseException as e:   # surfaced after join()
+                errs.append(e)
+
+        th = threading.Thread(target=_write_docstore, name="docstore")
+        th.start()
+        p = cfg.partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions"))
+        enc_in = (sub.select("shard", "docid",
                              F.col(text_col).alias("text"))
+                  .repartitionByRange(min(p, max(1, len(todo))), "shard")
+                  .sortWithinPartitions("shard"))
         enc_out = enc_in.mapInArrow(_make_shard_kernel(cfg),
                                     schema=POSTING_SCHEMA)
         (enc_out.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
+                .option("partitionOverwriteMode", pmode)
                 .partitionBy("shard")
                 .parquet(storage.path(out_dir, "postings")))
-        part.unpersist()
+        th.join()
+        if errs:
+            raise errs[0]
     if cached_parent is not None:
         cached_parent.unpersist()
-    mark("postings_write")
+    mark("write_data")
 
     # Derived artifacts are always recomputed from the on-disk shards so a
     # resumed build converges to the same state as a clean one (column-
@@ -479,9 +521,16 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
     narrow = (spark.read.parquet(storage.path(out_dir, "postings"))
               .select("shard", "term", "df", "cf", "nbytes", "enc_us")
               .persist())
+    # term-sorted dictionary for row-group pruning on reads; repartition
+    # by an explicit count + local sort instead of a global .sort(), which
+    # would add a RangePartitioner sampling job (pure serial floor).
+    # Vocabulary grows ~log(corpus), so a small fixed file count holds at
+    # scale (Heaps' law: ~10^7 terms at 10^12 tokens → a few files).
+    ts_parts = max(1, cfg.num_shards // 8)
     (narrow.groupBy("term")
            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-           .sort("term")
+           .repartition(ts_parts, "term")
+           .sortWithinPartitions("term")
            .write.mode("overwrite")
            .parquet(storage.path(out_dir, "term_stats")))
     shard_rows = {int(r["shard"]): r for r in

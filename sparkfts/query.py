@@ -46,13 +46,23 @@ def _bm25_idf(N: float, df: float) -> float:
     return math.log(1.0 + (N - df + 0.5) / (df + 0.5))
 
 
+def _order_rows(rows: pd.DataFrame) -> pd.DataFrame:
+    """Order one term's dictionary rows so concatenated decoded docids
+    come out globally ascending: by (shard, chunk) — shards are
+    contiguous ascending docid ranges and chunks are docid-range-ordered
+    within a shard (build.py encoder). Stable sort: single-shard callers
+    pass unique chunk ids, but topk_local scores ALL shards' rows in one
+    call, where chunk ids repeat across shards."""
+    cols = ["shard", "chunk"] if "shard" in rows.columns else ["chunk"]
+    return rows.sort_values(cols, kind="stable")
+
+
 def _decode_term_rows(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode all chunks of one term (rows sorted by chunk) → concatenated
-    (docids, tfs, dls); global docid order holds because chunks are
-    docid-range-ordered by construction (build.py encoder)."""
+    """Decode all chunks of one term → concatenated (docids, tfs, dls)
+    in globally ascending docid order (see _order_rows)."""
     parts = [codec.decode_postings(r.blob, np.asarray(r.block_off),
                                    np.asarray(r.block_n))
-             for r in rows.sort_values("chunk").itertuples()]
+             for r in _order_rows(rows).itertuples()]
     return (np.concatenate([p[0] for p in parts]),
             np.concatenate([p[1] for p in parts]),
             np.concatenate([p[2] for p in parts]))
@@ -62,7 +72,7 @@ def _decode_selected(rows: pd.DataFrame, keep_mask_per_row: list[np.ndarray],
                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode only the selected blocks of one term's chunk rows."""
     d, t, l = [], [], []
-    for (r, keep) in zip(rows.sort_values("chunk").itertuples(),
+    for (r, keep) in zip(_order_rows(rows).itertuples(),
                          keep_mask_per_row):
         sel = np.flatnonzero(keep)
         if sel.size == 0:
@@ -125,7 +135,7 @@ def _score_and_pruned(per_term: dict[str, pd.DataFrame], terms: list[str],
     for t in by_rarity[1:]:
         if cand.size == 0:
             return empty
-        rows = per_term[t].sort_values("chunk")
+        rows = _order_rows(per_term[t])
         firsts = np.concatenate([np.asarray(r.block_first)
                                  for r in rows.itertuples()])
         lasts = np.concatenate([np.asarray(r.block_last)
@@ -187,7 +197,7 @@ def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
     # Per term: flat arrays over all blocks of all chunk rows.
     tinfo = {}
     for t in terms:
-        rows = per_term[t].sort_values("chunk")
+        rows = _order_rows(per_term[t])
         firsts = np.concatenate([np.asarray(r.block_first) for r in rows.itertuples()])
         lasts = np.concatenate([np.asarray(r.block_last) for r in rows.itertuples()])
         # block upper bound computed AT QUERY TIME from (max_tf, min_dl):
@@ -274,7 +284,7 @@ def _decode_term_rows_pos(rows: pd.DataFrame):
     """Decode all chunks of one term WITH positions → (docids, tfs, dls,
     positions, posting→position-slice bounds)."""
     d, t, l, p = [], [], [], []
-    for r in rows.sort_values("chunk").itertuples():
+    for r in _order_rows(rows).itertuples():
         dd, tt, ll, pp = codec.decode_postings(
             r.blob, np.asarray(r.block_off), np.asarray(r.block_n),
             with_positions=True)

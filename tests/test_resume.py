@@ -147,16 +147,20 @@ def test_grouped_fastpath_falls_back_above_conv_bound(spark,
                                   _postings_content(spark, rb))
 
 
-def test_grouped_fastpath_rejects_duplicate_turn_idx(spark):
+def test_duplicate_turn_idx_fails_loudly(spark, tmp_path_factory):
     """ADVICE r01 (medium): per-conv turn_idx like [0,2,2,3] passes the
-    min/max/count density check but is not a permutation — the fast path
-    must refuse it (duplicate docids would break the codec invariant)."""
+    min/max/count density check but is not a permutation — duplicate
+    docids must be caught (an exact countDistinct precheck costs a 2x
+    expand of the sizes agg, so the guard lives in the shard kernel and
+    fails the build loudly instead of silently merging postings)."""
     import pandas as pd_
-    from sparkfts.build import assign_docids_grouped
     pdf = pd_.DataFrame({
         "conv_id": ["c1"] * 4, "turn_idx": [0, 2, 2, 3],
         "role": ["user"] * 4, "text": ["a b", "c d", "e f", "g h"],
         "tool": [""] * 4,
         "ts": pd_.to_datetime(["2026-01-01"] * 4)})
     sdf2 = spark.createDataFrame(pdf)
-    assert assign_docids_grouped(sdf2, "conv_id", "turn_idx") is None
+    root = str(tmp_path_factory.mktemp("dupturn"))
+    with pytest.raises(Exception, match="duplicate docids"):
+        build_index(spark, sdf2, root, order_cols=["conv_id", "turn_idx"],
+                    cfg=BuildConfig(num_shards=2, partitions=2))
