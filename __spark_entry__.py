@@ -29,26 +29,70 @@ K1, B = 1.2, 0.75
 T_HOT, T_MID, T_MID2, T_RARE = "batch", "window", "customer", "vector"
 FETCH_IDS = [0, 7, 42, 123, 499]
 
+def _routing_sql_hash(expr: str) -> str:
+    from sparkfts.routing import sql_hash
+    return sql_hash(expr)
+
+
 _INDEX_CACHE: dict[str, object] = {}
-_FORMAT_VERSION = "v7"  # bump when the on-disk index format changes
+_FORMAT_VERSION = "v8"  # bump when the on-disk index format changes
+
+ORG_SHARDS, ORG_K = 8, 2      # routed-gate geometry
+ORG = "src7"                  # fixed tenant for the org-scoped gate
+
+
+def _cached_index(spark: SparkSession, sf_dir: str, tag: str, builder):
+    from sparkfts import FTSIndex
+    from sparkfts.storage import manifest_exists
+    key = f"{os.path.abspath(sf_dir)}#{tag}"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    root = os.path.join(
+        "/tmp/sparkfts_gate", _FORMAT_VERSION,
+        os.path.abspath(sf_dir).strip("/").replace("/", "_") + "_" + tag)
+    if not manifest_exists(root):
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet"))
+        builder(docs, root)
+    idx = FTSIndex(spark, root)
+    _INDEX_CACHE[key] = idx
+    return idx
 
 
 def _index_for(spark: SparkSession, sf_dir: str):
     """Build (once per sf_dir) the full index over documents."""
-    from sparkfts import BuildConfig, FTSIndex, build_index
-    from sparkfts.storage import manifest_exists
-    key = os.path.abspath(sf_dir)
-    if key in _INDEX_CACHE:
-        return _INDEX_CACHE[key]
-    root = os.path.join("/tmp/sparkfts_gate", _FORMAT_VERSION,
-                        key.strip("/").replace("/", "_"))
-    if not manifest_exists(root):
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        build_index(spark, docs, root, text_col="text", docid_col="doc_id",
-                    cfg=BuildConfig(num_shards=4))
-    idx = FTSIndex(spark, root)
-    _INDEX_CACHE[key] = idx
-    return idx
+    from sparkfts import BuildConfig, build_index
+
+    def b(docs, root):
+        build_index(spark, docs, root, text_col="text",
+                    docid_col="doc_id", cfg=BuildConfig(num_shards=4))
+    return _cached_index(spark, sf_dir, "main", b)
+
+
+def _routed_index_for(spark: SparkSession, sf_dir: str):
+    """Org-routed index: source = tenant, 2 of 8 shards per org."""
+    from sparkfts import BuildConfig, build_index
+
+    def b(docs, root):
+        build_index(spark, docs, root, text_col="text",
+                    docid_col="doc_id",
+                    cfg=BuildConfig(num_shards=ORG_SHARDS,
+                                    routing_col="source",
+                                    shards_per_org=ORG_K))
+    return _cached_index(spark, sf_dir, "routed", b)
+
+
+def _mf_index_for(spark: SparkSession, sf_dir: str):
+    """Multi-field index: text + lang, per-field stats."""
+    from sparkfts import BuildConfig, build_index
+    from sparkfts.analyzer import TokenizerConfig
+
+    def b(docs, root):
+        build_index(spark, docs, root, docid_col="doc_id",
+                    cfg=BuildConfig(num_shards=4,
+                                    fields={"text": TokenizerConfig(),
+                                            "lang": TokenizerConfig()}))
+    return _cached_index(spark, sf_dir, "mf", b)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,6 +247,64 @@ def q_manifest_lineage(spark, sf_dir):
             .sort("shard"))
 
 
+def q_org_scoped_search(spark, sf_dir):
+    """A4/A5 + B8: tenant-routed index; org-scoped BM25 top-10 with
+    query-side shard pruning to the org's 2-of-8 shards (the
+    getPossibleRoutingHashes analog). Global BM25 stats; results mapped
+    back to the user's doc_id and re-ranked (score desc, doc_id asc)."""
+    idx = _routed_index_for(spark, sf_dir)
+    hits = idx.topk(f"{T_HOT} {T_MID} {T_RARE}", k=10, mode="or",
+                    org=ORG).toPandas()
+    ps = idx.possible_shards(ORG)
+    ids = (idx._docstore
+           .where(F.col("shard").isin(ps))
+           .where(F.col("source") == ORG)
+           .select("docid", "doc_id").toPandas())
+    out = hits.merge(ids, on="docid")
+    out = out.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    out["rank"] = out.index + 1
+    out["score_r"] = out["score"].round(4)
+    return spark.createDataFrame(out[["rank", "doc_id", "score_r"]],
+                                 schema="rank long, doc_id long, "
+                                        "score_r double")
+
+
+def q_org_possible_shards(spark, sf_dir):
+    """Routing spread table: every tenant's pruning set (org, shard)."""
+    idx = _routed_index_for(spark, sf_dir)
+    orgs = sorted(r["source"] for r in
+                  _docs(spark, sf_dir).select("source").distinct()
+                  .collect())
+    rows = [(o, s) for o in orgs for s in idx.possible_shards(o)]
+    return spark.createDataFrame(rows, "org string, shard int")
+
+
+def q_mf_text_bm25(spark, sf_dir):
+    """Multi-field index, field-scoped query on 'text' — must reproduce
+    the classic single-field ranking exactly."""
+    idx = _mf_index_for(spark, sf_dir)
+    pdf = idx.topk_pandas(f"{T_HOT} {T_MID} {T_RARE}", k=10, mode="or",
+                          field="text")
+    pdf["rank"] = pdf.index + 1
+    pdf["score_r"] = pdf["score"].round(4)
+    return spark.createDataFrame(pdf[["rank", "docid", "score_r"]],
+                                 schema="rank long, docid long, "
+                                        "score_r double")
+
+
+def q_mf_lang_bm25(spark, sf_dir):
+    """Field-scoped BM25 on the second field ('lang') — exercises
+    per-field df/avgdl isolation."""
+    idx = _mf_index_for(spark, sf_dir)
+    pdf = idx.topk_pandas("en de", k=10, mode="or", field="lang")
+    pdf["rank"] = pdf.index + 1
+    pdf["score_r"] = pdf["score"].round(4)
+    return spark.createDataFrame(pdf[["rank", "docid", "score_r"]],
+                                 schema="rank long, docid long, "
+                                        "score_r double")
+
+
 # --------------------------------------------------------------------
 # datapipe operators (training-data pipeline ops; SURVEY.md + brief)
 # --------------------------------------------------------------------
@@ -329,6 +431,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_docid_assignment": q_docid_assignment,
         "fts_shard_routing": q_shard_routing,
         "fts_manifest_lineage": q_manifest_lineage,
+        "fts_org_scoped_search": q_org_scoped_search,
+        "fts_org_possible_shards": q_org_possible_shards,
+        "fts_multifield_text_bm25": q_mf_text_bm25,
+        "fts_multifield_lang_bm25": q_mf_lang_bm25,
         "dp_exact_dedup": q_dp_exact_dedup,
         "dp_minhash_signatures": q_dp_minhash_signatures,
         "dp_minhash_lsh_pairs": q_dp_minhash_lsh_pairs,
@@ -351,18 +457,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle_sql(): DuckDB ANSI-SQL equivalents over the same tables
 # --------------------------------------------------------------------
 
-_TOKS = f"""
+def _toks_sql(col: str = "text") -> str:
+    return f"""
   toks AS (
     SELECT doc_id,
-           unnest(string_split_regex(lower(text), '{TOKEN_SPLIT}')) AS term
+           unnest(string_split_regex(lower({col}), '{TOKEN_SPLIT}')) AS term
     FROM documents
   ),
   tok AS (SELECT doc_id, term FROM toks
           WHERE term <> '' AND length(term) <= 64)
 """
 
-_BM25_BASE = f"""
-WITH {_TOKS},
+
+def _bm25_base(col: str = "text") -> str:
+    return f"""
+WITH {_toks_sql(col)},
   tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
   dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
   stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
@@ -371,11 +480,15 @@ WITH {_TOKS},
 """
 
 
-def _bm25_sql(terms: list[str], mode: str) -> str:
+_TOKS = _toks_sql()
+_BM25_BASE = _bm25_base()
+
+
+def _bm25_scored(terms: list[str], mode: str, col: str = "text") -> str:
     tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
     having = (f"HAVING count(*) = {len(set(terms))}"
               if mode == "and" else "")
-    return f"""{_BM25_BASE},
+    return f"""{_bm25_base(col)},
   scored AS (
     SELECT tf.doc_id,
            sum(ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
@@ -388,10 +501,29 @@ def _bm25_sql(terms: list[str], mode: str) -> str:
     WHERE tf.term IN ({tl})
     GROUP BY tf.doc_id
     {having}
-  )
+  )"""
+
+
+def _bm25_sql(terms: list[str], mode: str, col: str = "text") -> str:
+    return f"""{_bm25_scored(terms, mode, col)}
 SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
        doc_id AS docid, round(score, 4) AS score_r
 FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT 10"""
+
+
+def _bm25_org_sql(terms: list[str], mode: str, org: str) -> str:
+    """BM25 with GLOBAL stats, restricted to one tenant's docs, re-ranked
+    (score desc, doc_id asc) — the org-scoped routed search oracle."""
+    return f"""{_bm25_scored(terms, mode)},
+  org_scored AS (
+    SELECT s.doc_id, s.score
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    WHERE d.source = '{org}')
+SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+       doc_id, round(score, 4) AS score_r
+FROM org_scored
 ORDER BY score DESC, doc_id ASC
 LIMIT 10"""
 
@@ -601,6 +733,20 @@ def oracle_sql() -> dict[str, str]:
                    'committed' AS status
             FROM tf, geom
             GROUP BY 1 ORDER BY 1""",
+        "fts_org_scoped_search": _bm25_org_sql(
+            [T_HOT, T_MID, T_RARE], "or", ORG),
+        "fts_org_possible_shards": f"""
+            WITH orgs AS (SELECT DISTINCT source AS org FROM documents),
+            m(m) AS (VALUES (0), (1))
+            SELECT org,
+                   ((({_routing_sql_hash('org')})
+                     % {ORG_SHARDS // ORG_K}) * {ORG_K} + m.m)::INT
+                     AS shard
+            FROM orgs, m ORDER BY org, shard""",
+        "fts_multifield_text_bm25": _bm25_sql(
+            [T_HOT, T_MID, T_RARE], "or"),
+        "fts_multifield_lang_bm25": _bm25_sql(["en", "de"], "or",
+                                              col="lang"),
         "dp_exact_dedup": """
             SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
                    count(*) AS group_size

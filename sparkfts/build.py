@@ -95,6 +95,20 @@ class BuildConfig:
     # driver; above this many conversations it falls back to the fully
     # distributed rank path (assign_docids, O(P) driver state)
     grouped_max_convs: int = 2_000_000
+    # tenant/org routing (ElasticsearchRoutingStrategyV1 analog): when
+    # routing_col is set, each org's documents land on exactly
+    # shards_per_org of the num_shards shards and org-scoped queries
+    # prune to those shards (sparkfts.routing). num_shards must be a
+    # multiple of shards_per_org.
+    routing_col: str | None = None
+    shards_per_org: int = 2
+    # multi-field indexing (the reference's per-index template hook with
+    # per-field analyzers, BaseESReducer.java:107-132): map of
+    # column name → TokenizerConfig. Terms are stored field-prefixed
+    # ("col:token"; tokens are [a-z0-9]+ so ':' is unambiguous), each
+    # field keeps its own doc lengths and avgdl, and queries are
+    # field-scoped. None → classic single unprefixed text_col.
+    fields: dict[str, TokenizerConfig] | None = None
 
 
 def assign_docids(df: DataFrame, order_cols: list[str],
@@ -242,12 +256,20 @@ def _make_shard_kernel(cfg: BuildConfig):
     ]
     out_schema = pa.schema(out_fields)
 
+    # (field name in input batch, term prefix, tokenizer) per field;
+    # single-field default: column "text", no prefix
+    if cfg.fields:
+        fields_spec = [(name, f"{name}:", tok)
+                       for name, tok in cfg.fields.items()]
+    else:
+        fields_spec = [("text", "", tokenizer)]
+
     def kernel(batches):
         from .analyzer import tokenize_arrow
         t0 = time.perf_counter()
         cur: int | None = None
         acc_ids: list[np.ndarray] = []
-        acc_txt: list[pa.Array] = []
+        acc_txt: dict[str, list] = {fname: [] for fname, _, _ in fields_spec}
         cols: dict[str, list] = {n: [] for n, _ in out_fields}
 
         def emit_row(shard, term, chunk, enc):
@@ -275,27 +297,8 @@ def _make_shard_kernel(cfg: BuildConfig):
                 cols[n] = []
             return batch
 
-        def process_shard():
-            if not acc_ids:
-                return
-            shard = int(cur)
-            docids = np.concatenate(acc_ids)
-            # docid uniqueness guard (cost ≪ the token lexsort below):
-            # duplicate docids would silently merge (term, docid) runs
-            # and break the strictly-increasing-docid codec invariant —
-            # e.g. a grouped fast-path build over per-conv turn_idx that
-            # is dense by min/max/count but NOT a permutation ([0,2,2,3])
-            if np.unique(docids).size != docids.size:
-                raise ValueError(
-                    f"duplicate docids in shard {shard}: docid assignment "
-                    "must be unique (is turn_idx a per-conversation "
-                    "permutation of 0..len-1?)")
-            texts = pa.concat_arrays(
-                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-                 for a in acc_txt])
-            acc_ids.clear()
-            acc_txt.clear()
-            flat, counts = tokenize_arrow(texts, tokenizer)
+        def invert_field(shard, docids, texts, prefix, ftok):
+            flat, counts = tokenize_arrow(texts, ftok)
             if len(flat) == 0:
                 return
             de = flat.dictionary_encode()
@@ -323,7 +326,7 @@ def _make_shard_kernel(cfg: BuildConfig):
             tstarts = np.concatenate(([0], tchange + 1))
             tends = np.concatenate((tchange + 1, [len(c_u)]))
             for s, e in zip(tstarts, tends):
-                term = vocab[c_u[s]]
+                term = prefix + vocab[c_u[s]]
                 for chunk, cs in enumerate(range(s, e, max_chunk)):
                     ce = min(cs + max_chunk, e)
                     enc = codec.encode_postings(
@@ -331,12 +334,36 @@ def _make_shard_kernel(cfg: BuildConfig):
                         positions=p_s[pb[cs]:pb[ce]], block=block)
                     emit_row(shard, term, chunk, enc)
 
+        def process_shard():
+            if not acc_ids:
+                return
+            shard = int(cur)
+            docids = np.concatenate(acc_ids)
+            # docid uniqueness guard (cost ≪ the token lexsort below):
+            # duplicate docids would silently merge (term, docid) runs
+            # and break the strictly-increasing-docid codec invariant —
+            # e.g. a grouped fast-path build over per-conv turn_idx that
+            # is dense by min/max/count but NOT a permutation ([0,2,2,3])
+            if np.unique(docids).size != docids.size:
+                raise ValueError(
+                    f"duplicate docids in shard {shard}: docid assignment "
+                    "must be unique (is turn_idx a per-conversation "
+                    "permutation of 0..len-1?)")
+            for fname, prefix, ftok in fields_spec:
+                texts = pa.concat_arrays(
+                    [a.combine_chunks()
+                     if isinstance(a, pa.ChunkedArray) else a
+                     for a in acc_txt[fname]])
+                invert_field(shard, docids, texts, prefix, ftok)
+            acc_ids.clear()
+            for fname, _, _ in fields_spec:
+                acc_txt[fname].clear()
+
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             shard = rb.column("shard").to_numpy(zero_copy_only=False)
             docid = rb.column("docid").to_numpy(zero_copy_only=False)
-            text = rb.column("text")
             bounds = np.concatenate(
                 ([0], np.flatnonzero(shard[1:] != shard[:-1]) + 1,
                  [len(shard)]))
@@ -348,7 +375,9 @@ def _make_shard_kernel(cfg: BuildConfig):
                         yield flush_batch()
                 cur = int(shard[s])
                 acc_ids.append(docid[s:e].astype(np.int64))
-                acc_txt.append(text.slice(s, e - s))
+                for fname, _, _ in fields_spec:
+                    acc_txt[fname].append(
+                        rb.column(fname).slice(s, e - s))
         process_shard()
         if cols["shard"]:
             yield flush_batch()
@@ -402,40 +431,88 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
     if resume:
         committed = storage.committed_shards(spark, out_dir)
 
-    if docid_col is not None:
-        assert docid_offset == 0, "docid_offset only applies to rank ids"
-        base = df.withColumn("docid", F.col(docid_col).cast("long"))
-        agg0 = base.agg(F.count("*").alias("n"),
-                        F.max("docid").alias("mx")).collect()[0]
-        n_docs, max_id = int(agg0["n"]), agg0["mx"]
-        cached_parent = None
-    else:
-        assert order_cols, "need docid_col or order_cols"
-        base = None
-        if (len(order_cols) == 2
-                and isinstance(df.schema[order_cols[0]].dataType,
-                               T.StringType)
-                and isinstance(df.schema[order_cols[1]].dataType,
-                               (T.IntegerType, T.LongType, T.ShortType))):
-            base = assign_docids_grouped(df, order_cols[0], order_cols[1],
-                                         max_convs=cfg.grouped_max_convs)
-        if base is None:
-            base = assign_docids(df, order_cols, cfg.partitions)
-        n_docs = base._sparkfts_n_docs          # dense rank: no extra job
-        max_id = n_docs - 1
+    if cfg.routing_col is not None:
+        # Tenant/org routing (ElasticsearchRoutingStrategyV1 analog):
+        # shard comes from the routing hash (org picks a group of
+        # shards_per_org shards, the doc key picks the member), and
+        # docids are minted as shard*docs_per_shard + rank-in-shard so
+        # the docid→shard arithmetic used by the doc-store fetch keeps
+        # working (and org queries prune via routing.possible_shards).
+        from . import routing as _routing
+        assert docid_offset == 0, "routing not supported for delta builds"
+        if docid_col is not None:
+            key_col = F.col(docid_col)
+            rank_cols = [docid_col]
+        else:
+            assert order_cols, "need docid_col or order_cols"
+            key_col = F.concat_ws(
+                "\x1f", *[F.col(c).cast("string") for c in order_cols])
+            rank_cols = list(order_cols)
+        dfr = df.withColumn(
+            "shard", _routing.shard_col(F.col(cfg.routing_col), key_col,
+                                        cfg.num_shards,
+                                        cfg.shards_per_org))
+        counts = {int(r["shard"]): int(r["n"]) for r in
+                  dfr.groupBy("shard").agg(F.count("*").alias("n"))
+                     .collect()}
+        n_docs = sum(counts.values())
+        docs_per_shard = max(counts.values(), default=1)
+        # global rank under (shard, order) → within-shard rank by
+        # subtracting the shard's cumulative offset (num_shards entries
+        # on the driver — O(shards), not O(rows))
+        base = assign_docids(dfr, ["shard"] + rank_cols, cfg.partitions)
         cached_parent = base._sparkfts_cached_parent
-        if docid_offset:
-            # delta/streaming indexes live in an id space above the base
-            base = base.withColumn(
-                "docid", F.col("docid") + F.lit(docid_offset))
-
-    if n_docs == 0:
-        docs_per_shard = 1
+        offs, acc = [], 0
+        for s in sorted(counts):
+            offs.append((s, acc))
+            acc += counts[s]
+        offdf = spark.createDataFrame(
+            pd.DataFrame(offs, columns=["shard", "_soff"]))
+        doc = (base.join(F.broadcast(offdf), "shard")
+               .withColumn("docid",
+                           F.col("shard").cast("long")
+                           * F.lit(int(docs_per_shard))
+                           + F.col("docid") - F.col("_soff"))
+               .drop("_soff"))
     else:
-        docs_per_shard = max(1, -(-(max_id + 1) // cfg.num_shards))
-    doc = base.withColumn(
-        "shard", ((F.col("docid") - F.lit(docid_offset))
-                  / F.lit(docs_per_shard)).cast("int"))
+        if docid_col is not None:
+            assert docid_offset == 0, \
+                "docid_offset only applies to rank ids"
+            base = df.withColumn("docid", F.col(docid_col).cast("long"))
+            agg0 = base.agg(F.count("*").alias("n"),
+                            F.max("docid").alias("mx")).collect()[0]
+            n_docs, max_id = int(agg0["n"]), agg0["mx"]
+            cached_parent = None
+        else:
+            assert order_cols, "need docid_col or order_cols"
+            base = None
+            if (len(order_cols) == 2
+                    and isinstance(df.schema[order_cols[0]].dataType,
+                                   T.StringType)
+                    and isinstance(df.schema[order_cols[1]].dataType,
+                                   (T.IntegerType, T.LongType,
+                                    T.ShortType))):
+                base = assign_docids_grouped(
+                    df, order_cols[0], order_cols[1],
+                    max_convs=cfg.grouped_max_convs)
+            if base is None:
+                base = assign_docids(df, order_cols, cfg.partitions)
+            n_docs = base._sparkfts_n_docs      # dense rank: no extra job
+            max_id = n_docs - 1
+            cached_parent = base._sparkfts_cached_parent
+            if docid_offset:
+                # delta/streaming indexes live in an id space above the
+                # base
+                base = base.withColumn(
+                    "docid", F.col("docid") + F.lit(docid_offset))
+
+        if n_docs == 0:
+            docs_per_shard = 1
+        else:
+            docs_per_shard = max(1, -(-(max_id + 1) // cfg.num_shards))
+        doc = base.withColumn(
+            "shard", ((F.col("docid") - F.lit(docid_offset))
+                      / F.lit(docs_per_shard)).cast("int"))
 
     mark("assign_docids")
 
@@ -478,7 +555,10 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
         import threading
         pmode = "dynamic" if committed else "static"
         sub = doc.where(F.col("shard").isin(todo))
-        store_cols = [c for c in df.columns if c != docid_col]
+        # routed builds mint internal docids, so the user's original id
+        # column stays in the doc store for mapping back
+        store_cols = [c for c in df.columns
+                      if c != docid_col or cfg.routing_col is not None]
         errs: list[BaseException] = []
 
         def _write_docstore() -> None:
@@ -496,8 +576,13 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
         th.start()
         p = cfg.partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions"))
-        enc_in = (sub.select("shard", "docid",
-                             F.col(text_col).alias("text"))
+        if cfg.fields:
+            fsel = [F.coalesce(F.col(c).cast("string"), F.lit(""))
+                    .alias(c) for c in cfg.fields]
+        else:
+            fsel = [F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+                    .alias("text")]
+        enc_in = (sub.select("shard", "docid", *fsel)
                   .repartitionByRange(min(p, max(1, len(todo))), "shard")
                   .sortWithinPartitions("shard"))
         enc_out = enc_in.mapInArrow(_make_shard_kernel(cfg),
@@ -541,6 +626,17 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
                               F.sum("nbytes").alias("bytes"),
                               F.max("enc_us").alias("max_enc_us"))
                          .collect())}
+    import json as _json
+    fields_json = ""
+    if cfg.fields:
+        # per-field avgdl: field = prefix before ':' (tokens are
+        # [a-z0-9]+ so the separator is unambiguous)
+        frows = (narrow
+                 .withColumn("fld", F.split("term", ":").getItem(0))
+                 .groupBy("fld").agg(F.sum("cf").alias("cf")).collect())
+        fields_json = _json.dumps(
+            {r["fld"]: (float(r["cf"]) / N if N else 0.0)
+             for r in frows})
     narrow.unpersist()
     # avgdl = total tokens / N == sum(cf)/N -- no separate doc-length
     # pass anywhere in the build
@@ -548,12 +644,15 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
     avgdl = (float(tot_cf) / N) if N else 0.0
     mark("term_stats")
 
+    routing_json = (_json.dumps({"col": cfg.routing_col,
+                                 "k": cfg.shards_per_org})
+                    if cfg.routing_col else "")
     storage.append_stats_row(out_dir, {
         "n": N, "avgdl": avgdl, "num_shards": cfg.num_shards,
         "docs_per_shard": int(docs_per_shard), "k1": float(cfg.k1),
         "b": float(cfg.b), "block": int(cfg.block),
         "docid_offset": int(docid_offset), "build_id": build_id,
-        "fields": "", "routing": ""})
+        "fields": fields_json, "routing": routing_json})
 
     # Manifest: one committed row per shard built this run, including
     # empty-shard placeholders (IndexingPostProcessor.java:80-108 analog).

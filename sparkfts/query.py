@@ -168,6 +168,47 @@ def _score_and_pruned(per_term: dict[str, pd.DataFrame], terms: list[str],
     return pd.DataFrame({"docid": cand[order], "score": scores[order]})
 
 
+def _score_candidates(per_term: dict[str, pd.DataFrame],
+                      terms: list[str], cand: np.ndarray,
+                      idf: dict[str, float], avgdl: float, k1: float,
+                      b: float, k: int, mode: str,
+                      n_query_terms: int) -> pd.DataFrame:
+    """Score ONLY the given candidate docids (sorted unique) — the
+    org-scoped search path: per term, decode just the blocks whose
+    [block_first, block_last] range intersects the candidate set, then
+    restrict postings to candidates. Summation order (ascending term,
+    concatenated) matches the exhaustive path, so scores are
+    bit-identical to unrestricted scoring filtered to the candidates."""
+    all_d, all_c = [], []
+    for t in sorted(terms):
+        rows = _order_rows(per_term[t])
+        firsts = np.concatenate([np.asarray(r.block_first)
+                                 for r in rows.itertuples()])
+        lasts = np.concatenate([np.asarray(r.block_last)
+                                for r in rows.itertuples()])
+        lo = np.searchsorted(cand, firsts, side="left")
+        hi = np.searchsorted(cand, lasts, side="right")
+        keep = lo < hi
+        masks, pos = [], 0
+        for r in rows.itertuples():
+            sz = len(r.block_n)
+            masks.append(keep[pos:pos + sz]); pos += sz
+        d, tf, dl = _decode_selected(rows, masks)
+        if d.size:
+            p = np.searchsorted(cand, d)
+            sel = (p < cand.shape[0])
+            sel[sel] = cand[p[sel]] == d[sel]
+            d, tf, dl = d[sel], tf[sel], dl[sel]
+        all_d.append(d)
+        all_c.append(idf[t] * codec.bm25_partial(tf, dl, avgdl, k1, b))
+    if not all_d:
+        return _aggregate_topk(np.empty(0, np.int64),
+                               np.empty(0, np.float64), k, mode,
+                               n_query_terms)
+    return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
+                           k, mode, n_query_terms)
+
+
 def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
                 k1: float, b: float, k: int, mode: str,
                 n_query_terms: int, method: str = "wand") -> pd.DataFrame:
@@ -371,6 +412,14 @@ class FTSIndex:
         self.k1 = float(st["k1"])
         self.b = float(st["b"])
         self.docid_offset = int(st.get("docid_offset") or 0)
+        import json as _json
+        rt = st.get("routing") or ""
+        self.routing_col = _json.loads(rt)["col"] if rt else None
+        self.shards_per_org = _json.loads(rt)["k"] if rt else None
+        fj = st.get("fields") or ""
+        # multi-field index: {field name: that field's avgdl}
+        self.fields: dict[str, float] | None = (
+            _json.loads(fj) if fj else None)
         # one file-index per handle: re-creating the read per query would
         # re-list the directory tree every time
         self._postings = spark.read.parquet(storage.path(root, "postings"))
@@ -379,8 +428,22 @@ class FTSIndex:
         self._docstore = spark.read.parquet(storage.path(root, "docstore"))
 
     # -- helpers -----------------------------------------------------
-    def _terms(self, query: str) -> list[str]:
-        return sorted(set(tokenize_text(query, self.tokenizer)))
+    def _field(self, field: str | None) -> tuple[str, float]:
+        """(term prefix, avgdl) for a query — field-scoped on
+        multi-field indexes, classic otherwise."""
+        if self.fields is None:
+            if field is not None:
+                raise ValueError("index was not built with fields")
+            return "", self.avgdl
+        if field is None or field not in self.fields:
+            raise ValueError(
+                f"multi-field index: pick field= from "
+                f"{sorted(self.fields)}")
+        return f"{field}:", float(self.fields[field])
+
+    def _terms(self, query: str, prefix: str = "") -> list[str]:
+        return sorted({prefix + t
+                       for t in tokenize_text(query, self.tokenizer)})
 
     def _idf_map(self, terms: list[str]) -> dict[str, float]:
         if not terms:
@@ -400,26 +463,72 @@ class FTSIndex:
                 .where(F.col("term").isin(terms)))
 
     # -- public API ---------------------------------------------------
+    def possible_shards(self, org: str) -> list[int]:
+        """Query-side shard pruning set for one tenant — the
+        getPossibleRoutingHashes analog
+        (ElasticsearchRoutingStrategyV1.java:137-148)."""
+        from . import routing as _routing
+        if self.routing_col is None:
+            raise ValueError("index was not built with org routing")
+        return _routing.possible_shards(org, self.num_shards,
+                                        self.shards_per_org)
+
     def topk(self, query: str, k: int = 10, mode: str = "or",
-             method: str = "wand") -> DataFrame:
+             method: str = "wand", org: str | None = None,
+             field: str | None = None) -> DataFrame:
         """Distributed top-k: per-shard scoring via applyInPandas, driver
-        merge of num_shards·k candidates. Returns (docid, score)."""
-        terms = self._terms(query)
+        merge of num_shards·k candidates. Returns (docid, score).
+
+        With ``org`` (routed indexes only): the dictionary read is
+        partition-pruned to the org's shards_per_org shards, the org's
+        docids are cogrouped in per shard from the (equally pruned) doc
+        store, and scoring restricts to them — BM25 stats stay GLOBAL,
+        so scores equal the unrestricted ranking filtered to the org."""
+        prefix, avgdl = self._field(field)
+        terms = self._terms(query, prefix)
         idf = self._idf_map(terms)
         empty = self.spark.createDataFrame([], "docid long, score double")
         if not terms:
             return empty
         nq = len(terms)
-        avgdl, k1, b = self.avgdl, self.k1, self.b
+        k1, b = self.k1, self.b
 
-        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            out = score_shard(pdf, idf, avgdl, k1, b, k, mode, nq, method)
-            return out
+        if org is not None:
+            shards = self.possible_shards(org)
+            rows = (self._posting_rows(terms)
+                    .where(F.col("shard").isin(shards)))
+            orgdocs = (self._docstore
+                       .where(F.col("shard").isin(shards))
+                       .where(F.col(self.routing_col) == org)
+                       .select("shard", "docid"))
 
-        rows = self._posting_rows(terms)
-        shard_tops = (rows.groupBy("shard")
-                      .applyInPandas(per_shard, schema="docid long, score double")
-                      .collect())
+            def per_shard_org(lpdf: pd.DataFrame,
+                              rpdf: pd.DataFrame) -> pd.DataFrame:
+                if lpdf.empty or rpdf.empty:
+                    return pd.DataFrame(
+                        {"docid": pd.Series(dtype=np.int64),
+                         "score": pd.Series(dtype=np.float64)})
+                cand = np.sort(rpdf["docid"].to_numpy(np.int64))
+                pt = {t: lpdf[lpdf["term"] == t]
+                      for t in sorted(lpdf["term"].unique())}
+                return _score_candidates(pt, list(pt), cand, idf, avgdl,
+                                         k1, b, k, mode, nq)
+
+            shard_tops = (rows.groupBy("shard")
+                          .cogroup(orgdocs.groupBy("shard"))
+                          .applyInPandas(per_shard_org,
+                                         schema="docid long, score double")
+                          .collect())
+        else:
+            def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+                return score_shard(pdf, idf, avgdl, k1, b, k, mode, nq,
+                                   method)
+
+            rows = self._posting_rows(terms)
+            shard_tops = (rows.groupBy("shard")
+                          .applyInPandas(per_shard,
+                                         schema="docid long, score double")
+                          .collect())
         if not shard_tops:
             return empty
         merged = pd.DataFrame([r.asDict() for r in shard_tops])
@@ -430,9 +539,10 @@ class FTSIndex:
             schema="docid long, score double")
 
     def topk_pandas(self, query: str, k: int = 10, mode: str = "or",
-                    method: str = "wand") -> pd.DataFrame:
+                    method: str = "wand", org: str | None = None,
+                    field: str | None = None) -> pd.DataFrame:
         """Driver-local result as pandas (test/bench convenience)."""
-        return (self.topk(query, k, mode, method)
+        return (self.topk(query, k, mode, method, org=org, field=field)
                 .toPandas().reset_index(drop=True))
 
     def topk_local(self, query: str, k: int = 10, mode: str = "or",
@@ -473,10 +583,12 @@ class FTSIndex:
                           k, mode, len(terms), method)
         return out.reset_index(drop=True)
 
-    def match_docids(self, query: str, mode: str = "and") -> DataFrame:
+    def match_docids(self, query: str, mode: str = "and",
+                     field: str | None = None) -> DataFrame:
         """Boolean match without scoring (B7): docids containing all
         (and) / any (or) query terms, sorted ascending."""
-        terms = self._terms(query)
+        prefix, _ = self._field(field)
+        terms = self._terms(query, prefix)
         if not terms:
             return self.spark.createDataFrame([], "docid long")
         nq = len(terms)

@@ -93,8 +93,8 @@ def shard_col(org_col, key_col, num_shards: int, shards_per_org: int):
 def sql_hash(expr: str) -> str:
     """ANSI-SQL (DuckDB) rendering of H(expr) for correctness oracles."""
     terms = " + ".join(
-        f"ascii(substr(md5(CAST(({expr}) AS VARCHAR)), {i + 1}, 1)) "
-        f"* {_POW[i]}"
+        f"ascii(substr(md5(CAST(({expr}) AS VARCHAR)), {i + 1}, 1))"
+        f"::BIGINT * {_POW[i]}"
         for i in range(NCHARS))
     return f"({terms})"
 
