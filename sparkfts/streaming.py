@@ -175,6 +175,45 @@ class CombinedIndex:
         s0 = self.subs[0]
         self.k1, self.b = s0.k1, s0.b
         self.tokenizer = s0.tokenizer
+        # Consistency check across index generations (the reference's
+        # RealtimeIndexSelectionStrategy concern,
+        # RealtimeIndexSelectionStrategyLagged.java:62-116): every
+        # sub-index owns a DISJOINT docid range [offset, offset+N); a
+        # pruned fetch that applied one generation's shard geometry to
+        # another generation's docid would read the wrong shard, so
+        # overlap is a hard error, not a wrong answer.
+        spans = sorted((s.docid_offset, s.docid_offset + s.N, s.root)
+                       for s in self.subs)
+        for (a0, a1, ra), (b0, b1, rb) in zip(spans, spans[1:]):
+            if b0 < a1:
+                raise ValueError(
+                    f"overlapping docid ranges across sub-indexes: "
+                    f"{ra}[{a0},{a1}) vs {rb}[{b0},{b1})")
+
+    def _sub_for(self, docid: int) -> FTSIndex:
+        for s in self.subs:
+            if s.docid_offset <= docid < s.docid_offset + s.N:
+                return s
+        raise KeyError(f"docid {docid} outside every sub-index range")
+
+    def fetch_docs(self, docids) -> pd.DataFrame:
+        """Geometry-aware pruned doc fetch: each docid routes to the ONE
+        sub-index whose id range owns it, and shard pruning uses THAT
+        generation's docs_per_shard — base and deltas may have entirely
+        different shard geometry."""
+        by_sub: dict[int, list[int]] = {}
+        for d in docids:
+            s = self._sub_for(int(d))
+            by_sub.setdefault(id(s), []).append(int(d))
+        parts = []
+        for s in self.subs:
+            ids = by_sub.get(id(s))
+            if ids:
+                parts.append(s.fetch_docs(ids).toPandas())
+        if not parts:
+            return pd.DataFrame()
+        return (pd.concat(parts, ignore_index=True)
+                .sort_values("docid").reset_index(drop=True))
 
     def _union(self, mk) -> DataFrame:
         dfs = [mk(s).withColumn("sub", F.lit(i))

@@ -192,3 +192,49 @@ def test_ledger_pending_reservation_survives_crash(spark, setup,
     new = [e for e in log2 if e["batch_id"] == 100][0]
     assert new["docid_offset"] >= pend["docid_offset"] + pend["n_docs"]
     assert len(read_delta_log(root)) == n_committed + 1  # pending excluded
+
+
+def test_combined_fetch_across_generations_with_different_geometry(
+        spark, tmp_path_factory):
+    """VERDICT r01 missing #5: a pruned doc fetch across base+delta must
+    apply each GENERATION's own shard geometry. Base has 4 shards, the
+    deltas 2 — fetching docids from every generation returns exactly the
+    right rows, and overlapping id ranges are rejected loudly."""
+    import json
+    from sparkfts.streaming import _log_path
+    root = str(tmp_path_factory.mktemp("geom"))
+    base_pdf = make_transcripts(8, seed=51)
+    build_index(spark, spark.createDataFrame(base_pdf), root,
+                order_cols=["conv_id", "turn_idx"],
+                cfg=BuildConfig(num_shards=4, partitions=2))
+    idxer = make_batch_indexer(root,
+                               cfg=BuildConfig(num_shards=2, partitions=2))
+    d1 = make_transcripts(3, seed=61)
+    idxer(spark.createDataFrame(d1), batch_id=0)
+    ci = CombinedIndex(spark, root)
+    assert ci.subs[0].num_shards == 4 and ci.subs[1].num_shards == 2
+    n0 = ci.subs[0].N
+    want_base = base_pdf.sort_values(["conv_id", "turn_idx"])
+    want_d1 = d1.sort_values(["conv_id", "turn_idx"])
+    got = ci.fetch_docs([0, n0 - 1, n0, n0 + 2])
+    assert got["docid"].tolist() == [0, n0 - 1, n0, n0 + 2]
+    assert got["text"].tolist() == [
+        want_base["text"].iloc[0], want_base["text"].iloc[-1],
+        want_d1["text"].iloc[0], want_d1["text"].iloc[2]]
+    with pytest.raises(KeyError):
+        ci.fetch_docs([10**9])
+    # corrupt the ledger so two generations claim overlapping id ranges
+    with open(_log_path(root)) as f:
+        log = json.load(f)
+    log[0]["docid_offset"] = 0
+    with open(_log_path(root), "w") as f:
+        json.dump(log, f)
+    # rebuild the delta's stats? not needed: CombinedIndex reads offsets
+    # from each sub-index's stats table, so fake the overlap via a second
+    # ledger entry pointing at the SAME delta root
+    log[0]["docid_offset"] = n0
+    log.append(dict(log[0], batch_id=99))
+    with open(_log_path(root), "w") as f:
+        json.dump(log, f)
+    with pytest.raises(ValueError, match="overlapping docid ranges"):
+        CombinedIndex(spark, root)
