@@ -194,6 +194,11 @@ def main() -> None:
         # staying inside the bench wall-time budget.
         scaling = {}
         if os.environ.get("SPARKFTS_SKIP_SCALING") != "1":
+            # 2x: large enough that the fixed serial floor is <6% of the
+            # low-side wall, small enough that a single pinned run stays
+            # ~30s/90s — longer runs span proportionally more hypervisor
+            # steal bursts (3x was measured super-linearly slower at 4
+            # cores purely from steal exposure)
             mult = int(os.environ.get("SPARKFTS_SCALE_CORPUS_MULT", "2"))
             if mult > 1:
                 scale_src = os.path.join(work, "transcripts_scale.parquet")

@@ -321,18 +321,22 @@ def _make_shard_kernel(cfg: BuildConfig):
             tf = np.diff(np.append(idx, len(c_s))).astype(np.int64)
             c_u, d_u, l_u = c_s[idx], d_s[idx], l_s[idx]
             pb = np.concatenate(([0], np.cumsum(tf)))  # posting→pos slice
-            # per-term slices
+            # segment starts = term boundaries + max_chunk splits, then
+            # ONE vectorized batch encode for the whole field (the
+            # per-term encode_postings loop cost ~5 Python varint calls
+            # per block and dominated the kernel)
             tchange = np.flatnonzero(c_u[1:] != c_u[:-1])
             tstarts = np.concatenate(([0], tchange + 1))
-            tends = np.concatenate((tchange + 1, [len(c_u)]))
-            for s, e in zip(tstarts, tends):
-                term = prefix + vocab[c_u[s]]
-                for chunk, cs in enumerate(range(s, e, max_chunk)):
-                    ce = min(cs + max_chunk, e)
-                    enc = codec.encode_postings(
-                        d_u[cs:ce], tf[cs:ce], l_u[cs:ce],
-                        positions=p_s[pb[cs]:pb[ce]], block=block)
-                    emit_row(shard, term, chunk, enc)
+            term_lens = np.diff(np.append(tstarts, len(c_u)))
+            rloc = (np.arange(len(c_u), dtype=np.int64)
+                    - np.repeat(tstarts, term_lens))
+            seg_starts = np.flatnonzero(rloc % max_chunk == 0)
+            chunk_ids = (rloc // max_chunk)[seg_starts]
+            seg_codes = c_u[seg_starts]
+            segs = codec.encode_postings_batch(
+                d_u, tf, l_u, p_s, pb, seg_starts, block=block)
+            for sg, code, ch in zip(segs, seg_codes, chunk_ids):
+                emit_row(shard, prefix + vocab[code], int(ch), sg)
 
         def process_shard():
             if not acc_ids:
@@ -572,8 +576,12 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
             except BaseException as e:   # surfaced after join()
                 errs.append(e)
 
+        import os as _os
+        overlap = _os.environ.get("SPARKFTS_NO_OVERLAP") != "1"
         th = threading.Thread(target=_write_docstore, name="docstore")
         th.start()
+        if not overlap:
+            th.join()   # sequential (diagnostics / constrained memory)
         p = cfg.partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions"))
         if cfg.fields:

@@ -229,6 +229,116 @@ def encode_postings(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     }
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (1 + #thresholds 128^i <= v)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    lengths = np.ones(v.shape[0], dtype=np.int64)
+    for p in _POW128:
+        lengths += (v >= p).astype(np.int64)
+    return lengths
+
+
+def encode_postings_batch(docids: np.ndarray, tfs: np.ndarray,
+                          dls: np.ndarray, positions: np.ndarray,
+                          pbounds: np.ndarray, seg_starts: np.ndarray,
+                          block: int = BLOCK) -> list[dict]:
+    """Encode MANY posting segments (term-chunk rows) in one shot,
+    byte-identical to calling :func:`encode_postings` per segment.
+
+    The per-term encoder costs ~5 Python-level varint calls per 128-
+    posting block; on a realistic shard (~10^3-10^5 terms) that Python
+    dispatch dominates the kernel. Here the whole shard's blob bytes are
+    produced by ONE vectorized varint pass over a single value array
+    assembled in final blob order ([gaps][tfs][dls][positions] per
+    block), and per-segment blobs are plain slices of that buffer.
+
+    Args: posting-major arrays over the whole shard (docids strictly
+    increasing within each segment), flat ``positions`` with
+    ``pbounds`` (len n+1) slicing them per posting, and ``seg_starts``
+    (sorted posting indices, first must be 0) marking segment starts —
+    term boundaries AND max-chunk splits alike.
+
+    Returns one dict per segment with the same keys encode_postings
+    yields, plus ``seg`` (its index).
+    """
+    n = docids.shape[0]
+    if n == 0:
+        return []
+    docids = np.ascontiguousarray(docids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    positions = np.ascontiguousarray(positions, dtype=np.int64)
+    seg_starts = np.ascontiguousarray(seg_starts, dtype=np.int64)
+    nseg = seg_starts.shape[0]
+    seg_ends = np.append(seg_starts[1:], n)
+    # per-posting segment id + local index r within segment
+    seg_of = np.repeat(np.arange(nseg), seg_ends - seg_starts)
+    r = np.arange(n, dtype=np.int64) - seg_starts[seg_of]
+    blk_start = (r % block) == 0
+    bfirst = np.flatnonzero(blk_start)            # first posting per block
+    nblk = bfirst.shape[0]
+    gblk = np.cumsum(blk_start) - 1               # block id per posting
+    n_g = np.diff(np.append(bfirst, n))           # postings per block
+    P_g = np.add.reduceat(tfs, bfirst)            # positions per block
+    # docid gaps: absolute at block starts, else delta to predecessor
+    gaps = np.where(blk_start, docids,
+                    docids - np.roll(docids, 1)).astype(np.uint64)
+    # position deltas: absolute at each posting's first position
+    tot_pos = positions.shape[0]
+    pos_delta = (positions - np.roll(positions, 1)).astype(np.uint64)
+    pstarts = pbounds[:-1][tfs > 0]
+    pos_delta[pstarts] = positions[pstarts].astype(np.uint64)
+    # assemble values in final blob order
+    vb = np.concatenate(([0], np.cumsum(3 * n_g + P_g)))  # value base/blk
+    k = r - r[bfirst][gblk]                        # index within block
+    values = np.empty(int(vb[-1]), dtype=np.uint64)
+    base = vb[gblk]
+    values[base + k] = gaps
+    values[base + n_g[gblk] + k] = tfs.astype(np.uint64)
+    values[base + 2 * n_g[gblk] + k] = dls.astype(np.uint64)
+    if tot_pos:
+        pi = np.repeat(np.arange(n), tfs)          # posting id per position
+        gb = gblk[pi]
+        # flat offset of each position within its block's pos section
+        pos_off = (np.arange(tot_pos, dtype=np.int64)
+                   - np.repeat(pbounds[bfirst], P_g))
+        values[vb[gb] + 3 * n_g[gb] + pos_off] = pos_delta
+    buf = varint_encode(values)
+    vbyte = np.concatenate(([0],
+                            np.cumsum(varint_lengths(values))))
+    blk_byte_start = vbyte[vb[:-1]]
+    # per-block metadata
+    blast = bfirst + n_g - 1
+    block_first = docids[bfirst]
+    block_last = docids[blast]
+    block_max_tf = np.maximum.reduceat(tfs, bfirst)
+    block_min_dl = np.minimum.reduceat(dls, bfirst)
+    # segment → block ranges
+    seg_blk_start = gblk[seg_starts]
+    seg_blk_end = np.append(seg_blk_start[1:], nblk)
+    seg_cf = np.add.reduceat(tfs, seg_starts)
+    out = []
+    mv = memoryview(buf)
+    for si in range(nseg):
+        b0, b1 = int(seg_blk_start[si]), int(seg_blk_end[si])
+        byte0 = int(blk_byte_start[b0])
+        byte1 = (int(blk_byte_start[b1]) if b1 < nblk
+                 else int(vbyte[-1]))
+        out.append({
+            "seg": si,
+            "blob": bytes(mv[byte0:byte1]),
+            "df": int(seg_ends[si] - seg_starts[si]),
+            "cf": int(seg_cf[si]),
+            "block_first": block_first[b0:b1],
+            "block_last": block_last[b0:b1],
+            "block_off": blk_byte_start[b0:b1] - byte0,
+            "block_n": n_g[b0:b1].astype(np.int32),
+            "block_max_tf": block_max_tf[b0:b1],
+            "block_min_dl": block_min_dl[b0:b1],
+        })
+    return out
+
+
 def decode_block(blob: bytes | np.ndarray, off: int, n: int,
                  with_positions: bool = False,
                  ends: np.ndarray | None = None):

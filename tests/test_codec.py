@@ -88,3 +88,52 @@ def test_single_posting_and_empty_block_list():
     assert d.tolist() == [5] and t.tolist() == [3] and l.tolist() == [17]
     d, t, l = codec.decode_postings(b"", np.empty(0), np.empty(0))
     assert d.size == 0
+
+
+def test_batch_encoder_byte_identical_to_per_segment():
+    """encode_postings_batch must produce byte-identical blobs and
+    metadata to per-segment encode_postings across ragged shapes."""
+    import numpy as np
+    from sparkfts import codec
+    rng = np.random.default_rng(11)
+    # build a synthetic shard: 37 segments of ragged sizes incl. 1 and
+    # multi-block (> 128) ones
+    seg_sizes = [1, 2, 128, 129, 300, 5] + list(rng.integers(1, 40, 31))
+    d_all, tf_all, dl_all, pos_all, starts = [], [], [], [], []
+    acc = 0
+    for sz in seg_sizes:
+        starts.append(acc)
+        docids = np.cumsum(rng.integers(1, 50, sz)).astype(np.int64)
+        tfs = rng.integers(1, 6, sz).astype(np.int64)
+        dls = rng.integers(1, 900, sz).astype(np.int64)
+        pos = []
+        for t in tfs:
+            pos.append(np.cumsum(rng.integers(1, 9, t)).astype(np.int64))
+        d_all.append(docids); tf_all.append(tfs); dl_all.append(dls)
+        pos_all.append(np.concatenate(pos))
+        acc += sz
+    d = np.concatenate(d_all); tf = np.concatenate(tf_all)
+    dl = np.concatenate(dl_all); pos = np.concatenate(pos_all)
+    pb = np.concatenate(([0], np.cumsum(tf)))
+    segs = codec.encode_postings_batch(d, tf, dl, pos, pb,
+                                       np.asarray(starts))
+    assert len(segs) == len(seg_sizes)
+    off = 0
+    for (sz, got) in zip(seg_sizes, segs):
+        sl = slice(off, off + sz)
+        psl = slice(int(pb[off]), int(pb[off + sz]))
+        want = codec.encode_postings(d[sl], tf[sl], dl[sl],
+                                     positions=pos[psl])
+        assert got["blob"] == want["blob"]
+        assert got["df"] == want["df"] and got["cf"] == want["cf"]
+        for key in ("block_first", "block_last", "block_off", "block_n",
+                    "block_max_tf", "block_min_dl"):
+            assert np.array_equal(np.asarray(got[key]),
+                                  np.asarray(want[key])), key
+        # and the decoded postings round-trip
+        dd, tt, ll, pp = codec.decode_postings(
+            got["blob"], np.asarray(got["block_off"]),
+            np.asarray(got["block_n"]), with_positions=True)
+        assert np.array_equal(dd, d[sl]) and np.array_equal(tt, tf[sl])
+        assert np.array_equal(pp, pos[psl])
+        off += sz
