@@ -392,6 +392,35 @@ def q_dp_lsh_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cos_r", 4).alias("cos_r4"))
 
 
+def q_dp_dup_groups(spark, sf_dir):
+    """Connected components over verified near-dup pairs → cluster-based
+    dedup groups (iterative min-label propagation; oracle = recursive
+    CTE transitive closure)."""
+    from datapipe.dedup import dup_groups, jaccard_pairs
+    pairs = jaccard_pairs(_docs(spark, sf_dir), threshold=0.9)
+    return dup_groups(pairs).sort("doc_id")
+
+
+def q_dp_dedup_corpus(spark, sf_dir):
+    """End-to-end corpus dedup: rows surviving exact dedup."""
+    from datapipe.dedup import dedup_corpus
+    return (dedup_corpus(_docs(spark, sf_dir))
+            .select("doc_id", "text", "lang").sort("doc_id"))
+
+
+def q_dp_bpe_estimate(spark, sf_dir):
+    from datapipe.textstats import bpe_token_estimate
+    return bpe_token_estimate(_docs(spark, sf_dir)).sort("doc_id")
+
+
+def q_dp_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic member-vector centroids, nprobe cells,
+    exact re-rank — fully SQL-expressible."""
+    from datapipe.similarity import ivf_topk
+    out = ivf_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
+    return out.select("vec_id", F.round("cos_r", 4).alias("cos_r4"))
+
+
 def q_dp_mm_features(spark, sf_dir):
     from datapipe.multimodal import extract_features, synth_media
     feats = extract_features(synth_media(_docs(spark, sf_dir)))
@@ -448,6 +477,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_fingerprint": q_dp_fingerprint,
         "dp_winnow": q_dp_winnow,
         "dp_lsh_topk": q_dp_lsh_topk,
+        "dp_dup_groups": q_dp_dup_groups,
+        "dp_dedup_corpus": q_dp_dedup_corpus,
+        "dp_bpe_estimate": q_dp_bpe_estimate,
+        "dp_ivf_topk": q_dp_ivf_topk,
         "dp_mm_features": q_dp_mm_features,
         "dp_mm_frames": q_dp_mm_frames,
     }
@@ -865,6 +898,74 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id""",
         "dp_winnow": _winnow_sql(),
         "dp_lsh_topk": _lsh_topk_sql(),
+        "dp_dup_groups": f"""
+            WITH RECURSIVE {_DP_TOK},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM dtok GROUP BY 1),
+            inter AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+              FROM dtok l JOIN dtok r
+                ON l.term = r.term AND l.doc_id < r.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.9),
+            edges AS (SELECT a AS x, b AS y FROM pairs
+                      UNION SELECT b, a FROM pairs),
+            comp(x, r) AS (
+              SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+              UNION
+              SELECT e.x, c.r FROM edges e JOIN comp c ON c.x = e.y)
+            SELECT x AS doc_id, min(r) AS group_id
+            FROM comp GROUP BY x ORDER BY doc_id""",
+        "dp_dedup_corpus": """
+            SELECT doc_id, text, lang FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents
+                             GROUP BY md5(text))
+            ORDER BY doc_id""",
+        "dp_bpe_estimate": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]') AS ps
+              FROM documents)
+            SELECT doc_id, len(ps)::BIGINT AS n_pieces,
+                   coalesce(list_sum(list_transform(ps,
+                     x -> CASE WHEN regexp_matches(x, '^[a-zA-Z]')
+                               THEN ceil(length(x) / 4.0)::BIGINT
+                               ELSE 1 END)), 0)::BIGINT AS n_bpe_est
+            FROM p ORDER BY doc_id""",
+        "dp_ivf_topk": f"""
+            WITH E AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM E
+                      WHERE vec_id IN ({', '.join(str(i) for i in range(0, 500, 50))})),
+            q AS (SELECT v FROM E WHERE vec_id = 0),
+            asn AS (
+              SELECT e.vec_id, c.cid,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                c.cid ASC) AS rn
+              FROM E e CROSS JOIN cents c),
+            cells AS (SELECT vec_id, cid AS cell FROM asn WHERE rn = 1),
+            probe AS (
+              SELECT cid FROM (
+                SELECT c.cid,
+                       row_number() OVER (
+                         ORDER BY list_cosine_similarity(
+                             (SELECT v FROM q), c.cv) DESC,
+                           c.cid ASC) AS rn
+                FROM cents c) WHERE rn <= 3)
+            SELECT e.vec_id,
+                   round(round(list_cosine_similarity(
+                       e.v, (SELECT v FROM q)), 6), 4) AS cos_r4
+            FROM E e JOIN cells ON cells.vec_id = e.vec_id
+            WHERE cells.cell IN (SELECT cid FROM probe)
+            ORDER BY list_cosine_similarity(e.v, (SELECT v FROM q)) DESC,
+                     e.vec_id ASC
+            LIMIT 10""",
         "dp_mm_features": """
             SELECT doc_id,
                    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

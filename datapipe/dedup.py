@@ -144,6 +144,52 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def dup_groups(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, group_id)
+    with group_id = min doc_id in the component (the canonical
+    cluster-dedup step after LSH+verify).
+
+    Iterative min-label propagation, the standard shuffle-friendly
+    formulation (large-star/small-star family): each round every node
+    adopts the min label in its neighborhood; converges in
+    O(log(diameter)) rounds — near-dup components are tiny (clusters of
+    copies), so a handful of joins. Each iteration is one shuffle join;
+    the driver only checks a converged flag (no O(V) driver state)."""
+    edges = (pairs.select(F.col("a").cast("long").alias("x"),
+                          F.col("b").cast("long").alias("y"))
+             .union(pairs.select(F.col("b").cast("long").alias("x"),
+                                 F.col("a").cast("long").alias("y")))
+             .distinct())
+    lab = (edges.groupBy("x")
+           .agg(F.least(F.min("y"), F.first("x")).alias("g"))
+           .withColumnRenamed("x", "doc_id")
+           .withColumn("g", F.least("g", "doc_id")))
+    for _ in range(max_iters):
+        # neighbor-min: label(x) <- min(label(x), min over neighbors y of label(y))
+        nb = (edges.join(lab.withColumnRenamed("doc_id", "y"), "y")
+              .groupBy("x").agg(F.min("g").alias("ng")))
+        new = (lab.join(nb.withColumnRenamed("x", "doc_id"), "doc_id",
+                        "left")
+               .select("doc_id",
+                       F.least("g", F.coalesce("ng", "g")).alias("g")))
+        new = new.persist()
+        changed = (new.join(lab.withColumnRenamed("g", "og"), "doc_id")
+                   .where(F.col("g") != F.col("og")).limit(1).count())
+        lab.unpersist()
+        lab = new
+        if changed == 0:
+            break
+    return lab.select("doc_id", F.col("g").alias("group_id"))
+
+
+def dedup_corpus(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus after exact dedup: keep the min-doc_id survivor of every
+    content_hash group (the end-to-end 'deduplicate my training set'
+    operation)."""
+    keep = exact_dedup(df, text_col).select("doc_id")
+    return df.join(keep, "doc_id", "left_semi")
+
+
 _HEX = "0123456789abcdef"
 
 

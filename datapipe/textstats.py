@@ -29,6 +29,27 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
                      F.length(text_col).cast("long").alias("n_chars"))
 
 
+def bpe_token_estimate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic BPE-ish token-count estimate without a tokenizer
+    model (the 'how many LLM tokens is this corpus' pipeline stat):
+    split into GPT-2-style pieces — letter runs, digit runs, single
+    non-alnum marks, whitespace dropped — then charge ceil(len/4)
+    subwords per letter run (the ~4-chars/token rule of thumb) and 1 per
+    digit/punct piece. Pure JVM built-ins with an exact SQL oracle.
+    Returns (doc_id, n_pieces, n_bpe_est)."""
+    pieces = F.expr(
+        f"regexp_extract_all({text_col}, "
+        "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)")
+    est = F.aggregate(
+        pieces, F.lit(0).cast("long"),
+        lambda acc, p: acc + F.when(
+            p.rlike("^[a-zA-Z]"),
+            F.ceil(F.length(p) / 4.0)).otherwise(F.lit(1)).cast("long"))
+    return df.select("doc_id",
+                     F.size(pieces).cast("long").alias("n_pieces"),
+                     est.alias("n_bpe_est"))
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic quality heuristics: token count, mean token length,
     punctuation ratio, stopword ratio, and a composite score in [0,1].

@@ -232,3 +232,38 @@ def test_jaccard_prefix_equals_naive_on_random_docs(spark):
         got = {(r["a"], r["b"]): r["jaccard"]
                for r in jaccard_pairs(df, threshold=t).collect()}
         assert got == want, t
+
+
+def test_dup_groups_transitive_chain(spark):
+    """dup_groups must close transitively: a-b, b-c, d-e → {a,b,c} and
+    {d,e} with min-id labels, even when the chain spans iterations."""
+    from datapipe.dedup import dup_groups
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (20, 30), (31, 30), (100, 101)],
+        "a long, b long")
+    got = {r["doc_id"]: r["group_id"] for r in dup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1,
+                   20: 20, 30: 20, 31: 20, 100: 100, 101: 100}
+
+
+def test_dedup_corpus_keeps_min_survivor(spark, docs):
+    from datapipe.dedup import dedup_corpus
+    out = dedup_corpus(docs).toPandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3, 4, 5]  # 1 is dup of 0
+
+
+def test_bpe_estimate_shape(spark):
+    from datapipe.textstats import bpe_token_estimate
+    df = spark.createDataFrame(
+        [(0, "hello world!"), (1, "a1b2 c3"), (2, ""),
+         (3, "internationalization")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_pieces"], r["n_bpe_est"])
+           for r in bpe_token_estimate(df).collect()}
+    # "hello world!" → [hello, world, !] → 2+2+1
+    assert got[0] == (3, 5)
+    # "a1b2 c3" → [a,1,b,2,c,3] → 1*6
+    assert got[1] == (6, 6)
+    assert got[2] == (0, 0)
+    # 20 letters → ceil(20/4) = 5
+    assert got[3] == (1, 5)
