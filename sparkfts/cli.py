@@ -39,9 +39,18 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--order-cols", default="conv_id,turn_idx")
     b.add_argument("--num-shards", type=int, default=16)
     b.add_argument("--partitions", type=int, default=None)
+    b.add_argument("--routing-col", default=None,
+                   help="tenant column: spread each org over "
+                        "--shards-per-org shards (ES routing analog)")
+    b.add_argument("--shards-per-org", type=int, default=2)
+    b.add_argument("--fields", default=None,
+                   help="comma list of text columns for a multi-field "
+                        "index (per-field stats; query with --field)")
 
     r = sub.add_parser("resume", help="resume a partial build "
-                                      "(IndexingPostProcessor analog)")
+                                      "(IndexingPostProcessor analog; "
+                                      "pass the SAME config flags as the "
+                                      "original build)")
     for a in ("--input", "--out"):
         r.add_argument(a, required=True)
     r.add_argument("--text-col", default="text")
@@ -49,6 +58,9 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--order-cols", default="conv_id,turn_idx")
     r.add_argument("--num-shards", type=int, default=16)
     r.add_argument("--partitions", type=int, default=None)
+    r.add_argument("--routing-col", default=None)
+    r.add_argument("--shards-per-org", type=int, default=2)
+    r.add_argument("--fields", default=None)
 
     q = sub.add_parser("query", help="BM25 top-k search")
     q.add_argument("--index", required=True)
@@ -58,6 +70,19 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--method", choices=["wand", "exact"], default="wand")
     q.add_argument("--fetch", action="store_true",
                    help="join hits back to the doc store")
+    q.add_argument("--org", default=None,
+                   help="tenant-scoped search (routed indexes): prune "
+                        "to the org's shards and rank only its docs")
+    q.add_argument("--field", default=None,
+                   help="field-scoped search (multi-field indexes)")
+
+    c = sub.add_parser("compact",
+                       help="fold base + streaming deltas into a fresh "
+                            "monolithic index (nightly-rebuild analog)")
+    c.add_argument("--base", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--num-shards", type=int, default=16)
+    c.add_argument("--order-cols", default="conv_id,turn_idx")
 
     args = p.parse_args(argv)
 
@@ -71,15 +96,24 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(master=args.master, app=f"sparkfts-{args.cmd}")
     try:
         if args.cmd in ("build", "resume"):
+            from .analyzer import TokenizerConfig
             from .build import BuildConfig, build_index
             df = spark.read.parquet(args.input)
+            fields = None
+            if getattr(args, "fields", None):
+                fields = {c: TokenizerConfig()
+                          for c in args.fields.split(",")}
             summary = build_index(
                 spark, df, args.out, text_col=args.text_col,
                 docid_col=args.docid_col,
                 order_cols=(args.order_cols.split(",")
                             if not args.docid_col else None),
-                cfg=BuildConfig(num_shards=args.num_shards,
-                                partitions=args.partitions),
+                cfg=BuildConfig(
+                    num_shards=args.num_shards,
+                    partitions=args.partitions,
+                    routing_col=getattr(args, "routing_col", None),
+                    shards_per_org=getattr(args, "shards_per_org", 2),
+                    fields=fields),
                 resume=(args.cmd == "resume"))
             print(json.dumps(summary))
         elif args.cmd == "query":
@@ -88,9 +122,17 @@ def main(argv: list[str] | None = None) -> int:
             if args.fetch:
                 out = idx.search(args.q, args.k, args.mode, args.method)
             else:
-                out = idx.topk(args.q, args.k, args.mode, args.method)
+                out = idx.topk(args.q, args.k, args.mode, args.method,
+                               org=args.org, field=args.field)
             for row in out.collect():
                 print(json.dumps(row.asDict(), default=str))
+        elif args.cmd == "compact":
+            from .build import BuildConfig
+            from .streaming import compact
+            summary = compact(spark, args.base, args.out,
+                              order_cols=args.order_cols.split(","),
+                              cfg=BuildConfig(num_shards=args.num_shards))
+            print(json.dumps(summary))
     finally:
         spark.stop()
     return 0
