@@ -235,6 +235,10 @@ def main() -> None:
             dt = time.perf_counter() - t0
             timings[name] = dt
             total_q += dt
+        # batched path: all four reference queries in ONE Spark job
+        t0 = time.perf_counter()
+        idx.topk_many(qset, k=10)
+        timings["q_batch4"] = time.perf_counter() - t0
         # single-node low-latency path (no Spark job): the latency-parity
         # answer to the reference's always-on ES cluster
         idx.topk_local("warmup", k=10)

@@ -545,6 +545,57 @@ class FTSIndex:
         return (self.topk(query, k, mode, method, org=org, field=field)
                 .toPandas().reset_index(drop=True))
 
+    def topk_many(self, queries: dict[str, tuple[str, str]], k: int = 10,
+                  method: str = "wand") -> dict[str, pd.DataFrame]:
+        """Batched top-k: score MANY queries in ONE Spark job — the
+        fixed per-job latency (~1-2s at small scale) is paid once for
+        the whole query set instead of per query. ``queries`` maps
+        query-id → (query text, mode); each result is rank-identical to
+        the corresponding ``topk`` call (same kernels per (query, shard)
+        group). The dictionary read fetches the UNION of all query
+        terms' rows once."""
+        qterms = {qid: self._terms(q) for qid, (q, _) in queries.items()}
+        all_terms = sorted({t for ts in qterms.values() for t in ts})
+        if not all_terms:
+            return {qid: pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                                       "score": pd.Series(dtype="float64")})
+                    for qid in queries}
+        idf = self._idf_map(all_terms)
+        avgdl, k1, b = self.avgdl, self.k1, self.b
+        modes = {qid: m for qid, (_, m) in queries.items()}
+
+        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for qid, terms in qterms.items():
+                if not terms:
+                    continue
+                sub = pdf[pdf["term"].isin(terms)]
+                if sub.empty:
+                    continue
+                out = score_shard(sub, idf, avgdl, k1, b, k, modes[qid],
+                                  len(terms), method)
+                out = out.assign(qid=qid)
+                outs.append(out)
+            if not outs:
+                return pd.DataFrame({"qid": pd.Series(dtype="str"),
+                                     "docid": pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float64")})
+            return pd.concat(outs)[["qid", "docid", "score"]]
+
+        rows = self._posting_rows(all_terms)
+        tops = (rows.groupBy("shard")
+                .applyInPandas(per_shard,
+                               schema="qid string, docid long, score double")
+                .toPandas())
+        out = {}
+        for qid in queries:
+            sub = tops[tops["qid"] == qid]
+            out[qid] = (sub.sort_values(["score", "docid"],
+                                        ascending=[False, True])
+                        .head(k)[["docid", "score"]]
+                        .reset_index(drop=True))
+        return out
+
     def topk_local(self, query: str, k: int = 10, mode: str = "or",
                    method: str = "wand") -> pd.DataFrame:
         """Low-latency single-node query path: pyarrow dataset reads with

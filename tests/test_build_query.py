@@ -178,3 +178,15 @@ def test_and_block_pruned_equals_exact(index, oracle, k):
         assert e["docid"].tolist() == w["docid"].tolist(), q
         assert w["score"].to_numpy() == pytest.approx(
             e["score"].to_numpy(), abs=0), q  # bit-identical summation
+
+
+def test_topk_many_matches_individual_topk(index, oracle):
+    """Batched multi-query execution (one Spark job) must be
+    rank-identical per query to the per-query path."""
+    qs = {f"q{i}": qm for i, qm in enumerate(reference_queries(oracle))}
+    got = index.topk_many(qs, k=10)
+    for qid, (q, mode) in qs.items():
+        want = index.topk_pandas(q, k=10, mode=mode)
+        assert got[qid]["docid"].tolist() == want["docid"].tolist(), (q, mode)
+        assert got[qid]["score"].to_numpy() == pytest.approx(
+            want["score"].to_numpy(), abs=0)

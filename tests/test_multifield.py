@@ -88,3 +88,34 @@ def test_match_docids_field_scoped(spark, built):
            idx.match_docids("assistant", "and", field="meta").collect()]
     want = [i for i, v in enumerate(pdf["meta"]) if "assistant" in v.split()]
     assert got == want
+
+
+def test_routing_composes_with_fields(spark, tmp_path_factory):
+    """Tenant routing and multi-field indexing are orthogonal config
+    axes — a build using BOTH must produce a field-scoped, org-scoped
+    ranking equal to the brute-force oracle filtered to the org."""
+    import numpy as np
+    pdf = make_transcripts(20, seed=33)
+    pdf = pdf.assign(meta=(pdf["role"] + " " + pdf["tool"].fillna("")),
+                     org=[f"o{i % 3}" for i in range(len(pdf))])
+    sdf = spark.createDataFrame(pdf)
+    root = str(tmp_path_factory.mktemp("mfr"))
+    cfg = BuildConfig(num_shards=4, partitions=4, routing_col="org",
+                      shards_per_org=2,
+                      fields={"text": TokenizerConfig(),
+                              "meta": TokenizerConfig()})
+    build_index(spark, sdf, root, order_cols=["conv_id", "turn_idx"],
+                cfg=cfg)
+    idx = FTSIndex(spark, root)
+    ds = (idx._docstore.toPandas()
+          .sort_values("docid").reset_index(drop=True))
+    oracle = BM25Oracle(ds["docid"].to_numpy(np.int64),
+                        ds["text"].reset_index(drop=True))
+    keep = set(ds[ds["org"] == "o1"]["docid"])
+    got = idx.topk_pandas("alpha index query", k=10, mode="or",
+                          org="o1", field="text")
+    want = oracle.topk("alpha index query", k=len(ds), mode="or")
+    want = want[want["docid"].isin(keep)].head(10).reset_index(drop=True)
+    assert got["docid"].tolist() == want["docid"].tolist()
+    assert got["score"].to_numpy() == pytest.approx(
+        want["score"].to_numpy(), abs=1e-9)
