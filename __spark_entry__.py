@@ -421,6 +421,17 @@ def q_dp_ivf_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cos_r", 4).alias("cos_r4"))
 
 
+def q_dp_mm_real_decode(spark, sf_dir):
+    """REAL image decode: deterministic P6/PPM payloads are parsed from
+    actual image BYTES (pure-numpy netpbm codec) and per-channel pixel
+    stats computed from the decoded array; the oracle recomputes the
+    same stats from the pixel-generator arithmetic in SQL — no decoder
+    on the oracle side, so agreement proves the byte parsing."""
+    from datapipe.multimodal import decode_stats, synth_ppm_media
+    return decode_stats(synth_ppm_media(_docs(spark, sf_dir))) \
+        .sort("doc_id")
+
+
 def q_dp_mm_features(spark, sf_dir):
     from datapipe.multimodal import extract_features, synth_media
     feats = extract_features(synth_media(_docs(spark, sf_dir)))
@@ -483,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_ivf_topk": q_dp_ivf_topk,
         "dp_mm_features": q_dp_mm_features,
         "dp_mm_frames": q_dp_mm_frames,
+        "dp_mm_real_decode": q_dp_mm_real_decode,
     }
 
 
@@ -973,6 +985,21 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    md5(text) AS content_hash
             FROM documents ORDER BY doc_id""",
+        "dp_mm_real_decode": """
+            WITH g AS (
+              SELECT doc_id,
+                     16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
+              FROM documents),
+            px AS (
+              SELECT g.doc_id, g.w, g.h, t.i,
+                     (g.doc_id * 7 + t.i * 13) % 256 AS v
+              FROM g, UNNEST(generate_series(0, g.w * g.h * 3 - 1))
+                   AS t(i))
+            SELECT doc_id, w::INT AS width, h::INT AS height,
+                   round(avg(v), 6) AS mean_px_r,
+                   round(avg(v) FILTER (i % 3 = 0), 6) AS mean_red_r,
+                   max(v)::INT AS max_px
+            FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
         "dp_mm_frames": """
             WITH v AS (
               SELECT doc_id, octet_length(encode(text)) AS n_bytes,

@@ -267,3 +267,35 @@ def test_bpe_estimate_shape(spark):
     assert got[2] == (0, 0)
     # 20 letters → ceil(20/4) = 5
     assert got[3] == (1, 5)
+
+
+def test_ppm_codec_roundtrip_and_real_decode(spark):
+    """The pure-numpy P6 codec must round-trip pixel-exact, tolerate
+    header comments/whitespace, and feed the real decode path
+    (decode_image auto-detects P6)."""
+    import numpy as np
+    from datapipe.multimodal import (decode_image, decode_ppm,
+                                     decode_stats, encode_ppm,
+                                     synth_ppm_media)
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (12, 17, 3)).astype(np.uint8)
+    payload = encode_ppm(px)
+    assert np.array_equal(decode_ppm(payload), px)
+    assert np.array_equal(decode_image(payload, 0, 0), px)       # auto
+    assert np.array_equal(decode_image(payload, 0, 0, real=True), px)
+    # header with comments + exotic whitespace (spec-legal)
+    weird = b"P6\n# a comment\n 17\t12 # trailing\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(weird), px)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG....", 4, 4, real=True)
+    # spark path: stats computed from decoded bytes match the generator
+    docs = spark.createDataFrame([(7,), (12,)], "doc_id long")
+    got = {r["doc_id"]: r for r in
+           decode_stats(synth_ppm_media(docs)).collect()}
+    for d in (7, 12):
+        w, h = 16 + d % 8, 12 + d % 5
+        i = np.arange(w * h * 3)
+        v = (d * 7 + i * 13) % 256
+        assert got[d]["width"] == w and got[d]["height"] == h
+        assert got[d]["mean_px_r"] == round(float(v.mean()), 6)
+        assert got[d]["max_px"] == int(v.max())
