@@ -596,6 +596,33 @@ class FTSIndex:
                         .reset_index(drop=True))
         return out
 
+    def _pa_datasets(self):
+        import pyarrow.dataset as ds
+        if not hasattr(self, "_pa_postings"):
+            # file listing once per handle, not per query
+            self._pa_postings = ds.dataset(
+                storage.path(self.root, "postings"),
+                format="parquet", partitioning="hive")
+            self._pa_term_stats = ds.dataset(
+                storage.path(self.root, "term_stats"), format="parquet")
+        return self._pa_postings, self._pa_term_stats
+
+    def _local_term_rows(self, terms: list[str]) -> pd.DataFrame:
+        """Driver-side dictionary lookup via pyarrow dataset filters
+        (same th/term pushdown as the Spark path, no Spark job)."""
+        import pyarrow.dataset as ds
+        post, _ = self._pa_datasets()
+        hs = [codec.term_hash(t) for t in terms]
+        flt = ds.field("th").isin(hs) & ds.field("term").isin(terms)
+        return post.to_table(filter=flt).to_pandas()
+
+    def _local_df_counts(self, terms: list[str]) -> dict[str, float]:
+        import pyarrow.dataset as ds
+        _, ts = self._pa_datasets()
+        trows = ts.to_table(filter=ds.field("term").isin(terms),
+                            columns=["term", "df"]).to_pandas()
+        return dict(zip(trows["term"], trows["df"].astype(float)))
+
     def topk_local(self, query: str, k: int = 10, mode: str = "or",
                    method: str = "wand") -> pd.DataFrame:
         """Low-latency single-node query path: pyarrow dataset reads with
@@ -607,28 +634,15 @@ class FTSIndex:
         the distributed topk() path exists for indexes too large for one
         reader. Returns (docid, score) pandas, rank-identical to topk().
         """
-        import pyarrow.dataset as ds
         terms = self._terms(query)
         empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
         if not terms:
             return empty
-        hs = [codec.term_hash(t) for t in terms]
-        if not hasattr(self, "_pa_postings"):
-            # file listing once per handle, not per query
-            self._pa_postings = ds.dataset(
-                storage.path(self.root, "postings"),
-                format="parquet", partitioning="hive")
-            self._pa_term_stats = ds.dataset(
-                storage.path(self.root, "term_stats"), format="parquet")
-        flt = ds.field("th").isin(hs) & ds.field("term").isin(terms)
-        pdf = self._pa_postings.to_table(filter=flt).to_pandas()
+        pdf = self._local_term_rows(terms)
         if pdf.empty:
             return empty
-        trows = self._pa_term_stats.to_table(
-            filter=ds.field("term").isin(terms),
-            columns=["term", "df"]).to_pandas()
-        dfm = dict(zip(trows["term"], trows["df"].astype(float)))
+        dfm = self._local_df_counts(terms)
         idf = {t: _bm25_idf(float(self.N), dfm.get(t, 0.0)) for t in terms}
         out = score_shard(pdf, idf, self.avgdl, self.k1, self.b,
                           k, mode, len(terms), method)

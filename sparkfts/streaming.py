@@ -196,6 +196,41 @@ class CombinedIndex:
                 return s
         raise KeyError(f"docid {docid} outside every sub-index range")
 
+
+    def topk_local(self, query: str, k: int = 10, mode: str = "or",
+                   method: str = "wand") -> pd.DataFrame:
+        """Low-latency base+delta query with NO Spark job (the realtime
+        leg at ms latency): pyarrow dictionary reads per sub-index,
+        union-global idf/avgdl, per-sub numpy scoring (docid ranges are
+        disjoint so per-sub results merge exactly), driver top-k.
+        Rank-identical to CombinedIndex.topk."""
+        from .analyzer import tokenize_text
+        terms = sorted(set(tokenize_text(query, self.tokenizer)))
+        empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if not terms:
+            return empty
+        df_tot = {t: 0.0 for t in terms}
+        for s in self.subs:
+            for t, d in s._local_df_counts(terms).items():
+                df_tot[t] += d
+        idf = {t: math.log(1.0 + (self.N - d + 0.5) / (d + 0.5))
+               for t, d in df_tot.items()}
+        parts = []
+        for s in self.subs:
+            pdf = s._local_term_rows(terms)
+            if pdf.empty:
+                continue
+            parts.append(score_shard(pdf, idf, self.avgdl, self.k1,
+                                     self.b, k, mode, len(terms),
+                                     method))
+        if not parts:
+            return empty
+        return (pd.concat(parts)
+                .sort_values(["score", "docid"],
+                             ascending=[False, True])
+                .head(k).reset_index(drop=True))
+
     def fetch_docs(self, docids) -> pd.DataFrame:
         """Geometry-aware pruned doc fetch: each docid routes to the ONE
         sub-index whose id range owns it, and shard pruning uses THAT
@@ -261,6 +296,7 @@ class CombinedIndex:
         return (allp.sort_values(["score", "docid"],
                                  ascending=[False, True])
                 .head(k).reset_index(drop=True))
+
 
 
 def compact(spark: SparkSession, base_root: str, out_root: str,

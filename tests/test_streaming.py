@@ -238,3 +238,24 @@ def test_combined_fetch_across_generations_with_different_geometry(
         json.dump(log, f)
     with pytest.raises(ValueError, match="overlapping docid ranges"):
         CombinedIndex(spark, root)
+
+
+@pytest.mark.parametrize("q,mode", [
+    ("alpha query index", "or"),
+    ("shard merge", "and"),
+])
+def test_combined_topk_local_no_spark_job(spark, setup2, q, mode):
+    """The realtime local path (pyarrow reads, zero Spark jobs) must be
+    rank-identical to the distributed CombinedIndex.topk."""
+    root, oracle = setup2
+    ci = CombinedIndex(spark, root)
+    sc = spark.sparkContext
+    sc.setJobGroup("ci-local", "local combined")
+    got = ci.topk_local(q, k=10, mode=mode)
+    jobs = sc.statusTracker().getJobIdsForGroup("ci-local")
+    sc.setJobGroup(None, None)
+    assert len(jobs) == 0, "local path must not launch Spark jobs"
+    want = oracle.topk(q, k=10, mode=mode)
+    assert got["docid"].tolist() == want["docid"].tolist(), (q, mode)
+    assert got["score"].to_numpy() == pytest.approx(
+        want["score"].to_numpy(), abs=1e-9)
