@@ -624,7 +624,8 @@ class FTSIndex:
         return dict(zip(trows["term"], trows["df"].astype(float)))
 
     def topk_local(self, query: str, k: int = 10, mode: str = "or",
-                   method: str = "wand") -> pd.DataFrame:
+                   method: str = "wand",
+                   field: str | None = None) -> pd.DataFrame:
         """Low-latency single-node query path: pyarrow dataset reads with
         the same th/term pushdown (no Spark job at all) + the same numpy
         scoring kernel. Because docs live in exactly one shard, scoring
@@ -634,7 +635,8 @@ class FTSIndex:
         the distributed topk() path exists for indexes too large for one
         reader. Returns (docid, score) pandas, rank-identical to topk().
         """
-        terms = self._terms(query)
+        prefix, avgdl = self._field(field)
+        terms = self._terms(query, prefix)
         empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
         if not terms:
@@ -644,7 +646,7 @@ class FTSIndex:
             return empty
         dfm = self._local_df_counts(terms)
         idf = {t: _bm25_idf(float(self.N), dfm.get(t, 0.0)) for t in terms}
-        out = score_shard(pdf, idf, self.avgdl, self.k1, self.b,
+        out = score_shard(pdf, idf, avgdl, self.k1, self.b,
                           k, mode, len(terms), method)
         return out.reset_index(drop=True)
 

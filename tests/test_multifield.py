@@ -119,3 +119,22 @@ def test_routing_composes_with_fields(spark, tmp_path_factory):
     assert got["docid"].tolist() == want["docid"].tolist()
     assert got["score"].to_numpy() == pytest.approx(
         want["score"].to_numpy(), abs=1e-9)
+
+
+def test_topk_local_field_scoped(spark, built):
+    """The no-Spark-job local path must honor field scoping on
+    multi-field indexes (and refuse fieldless queries, instead of
+    silently returning empty for unprefixed terms)."""
+    import numpy as np
+    root, pdf = built
+    idx = FTSIndex(spark, root)
+    with pytest.raises(ValueError, match="field"):
+        idx.topk_local("alpha", k=5)
+    ids = np.arange(len(pdf), dtype=np.int64)
+    for fld, q in [("text", "alpha index query"), ("meta", "assistant")]:
+        oracle = BM25Oracle(ids, pdf[fld].reset_index(drop=True))
+        got = idx.topk_local(q, k=10, field=fld)
+        want = oracle.topk(q, k=10)
+        assert got["docid"].tolist() == want["docid"].tolist(), fld
+        assert got["score"].to_numpy() == pytest.approx(
+            want["score"].to_numpy(), abs=1e-9)
