@@ -61,26 +61,37 @@ def term_hash(term: str) -> int:
 _POW128 = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode an array of non-negative ints, fully vectorized."""
+def _varint_encode_with_lengths(values: np.ndarray
+                                ) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode an array of non-negative ints, fully vectorized,
+    returning (bytes, per-value byte lengths). Bytes are written at
+    exact output offsets per 7-bit chunk — no (n, maxlen) dense matrix
+    (the old scheme's matrix + boolean-mask extraction thrashed caches
+    past ~10^7 values)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = v.shape[0]
-    if n == 0:
-        return b""
-    # byte length per value: 1 + count of thresholds 128^i <= v
     lengths = np.ones(n, dtype=np.int64)
+    if n == 0:
+        return b"", lengths
     for p in _POW128:
         lengths += (v >= p).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(lengths)))
+    out = np.empty(int(starts[-1]), dtype=np.uint8)
     maxlen = int(lengths.max())
-    out = np.zeros((n, maxlen), dtype=np.uint8)
-    tmp = v.copy()
-    for i in range(maxlen):
-        out[:, i] = (tmp & np.uint64(0x7F)).astype(np.uint8) | np.uint8(0x80)
-        tmp >>= np.uint64(7)
-    # clear continuation bit on each value's final byte
-    out[np.arange(n), lengths - 1] &= np.uint8(0x7F)
-    mask = np.arange(maxlen)[None, :] < lengths[:, None]
-    return out[mask].tobytes()
+    tmp = v
+    for j in range(maxlen):
+        m = lengths > j
+        byte = (tmp[m] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (lengths[m] > j + 1).astype(np.uint8) << 7
+        out[starts[:-1][m] + j] = byte | cont
+        if j + 1 < maxlen:
+            tmp = tmp >> np.uint64(7)
+    return out.tobytes(), lengths
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints, fully vectorized."""
+    return _varint_encode_with_lengths(values)[0]
 
 
 def varint_decode(buf: bytes | np.ndarray, count: int | None = None,
@@ -303,9 +314,8 @@ def encode_postings_batch(docids: np.ndarray, tfs: np.ndarray,
         pos_off = (np.arange(tot_pos, dtype=np.int64)
                    - np.repeat(pbounds[bfirst], P_g))
         values[vb[gb] + 3 * n_g[gb] + pos_off] = pos_delta
-    buf = varint_encode(values)
-    vbyte = np.concatenate(([0],
-                            np.cumsum(varint_lengths(values))))
+    buf, vlens = _varint_encode_with_lengths(values)
+    vbyte = np.concatenate(([0], np.cumsum(vlens)))
     blk_byte_start = vbyte[vb[:-1]]
     # per-block metadata
     blast = bfirst + n_g - 1
