@@ -10,8 +10,12 @@ and checkpoint-resumable builds with per-shard lineage manifests.
 from .analyzer import TokenizerConfig, tokenize_series, tokenize_text
 from .build import BuildConfig, assign_docids, build_index
 from .query import FTSIndex
+from .rotation import IndexVersion, RotationRegistry
+from .streaming import CombinedIndex, compact, make_batch_indexer
 
 __all__ = [
     "TokenizerConfig", "tokenize_series", "tokenize_text",
     "BuildConfig", "assign_docids", "build_index", "FTSIndex",
+    "IndexVersion", "RotationRegistry",
+    "CombinedIndex", "compact", "make_batch_indexer",
 ]
