@@ -714,6 +714,39 @@ class FTSIndex:
             merged.astype({"docid": "int64", "score": "float64"}),
             schema="docid long, score double")
 
+    def fetch_docs_local(self, docids: Iterable[int]) -> pd.DataFrame:
+        """Doc-store point fetch with NO Spark job: pyarrow dataset read
+        with the same shard partition pruning + docid pushdown as
+        fetch_docs (docstore rows are docid-sorted per shard, so parquet
+        row-group stats prune). Completes the ms-latency serving path."""
+        import pyarrow.dataset as ds
+        ids = sorted(int(d) for d in docids)
+        if not ids:
+            return pd.DataFrame()
+        shards = sorted({(d - self.docid_offset) // self.docs_per_shard
+                         for d in ids})
+        if not hasattr(self, "_pa_docstore"):
+            self._pa_docstore = ds.dataset(
+                storage.path(self.root, "docstore"),
+                format="parquet", partitioning="hive")
+        flt = ds.field("shard").isin(shards) & ds.field("docid").isin(ids)
+        return (self._pa_docstore.to_table(filter=flt).to_pandas()
+                .sort_values("docid").reset_index(drop=True))
+
+    def search_local(self, query: str, k: int = 10, mode: str = "or",
+                     method: str = "wand",
+                     field: str | None = None) -> pd.DataFrame:
+        """Full search (top-k + doc fetch) with zero Spark jobs — the
+        latency-parity answer to the reference's always-on ES cluster."""
+        hits = self.topk_local(query, k, mode, method, field=field)
+        if hits.empty:
+            return hits
+        docs = self.fetch_docs_local(hits["docid"].tolist())
+        out = hits.merge(docs.drop(columns=["shard"]), on="docid")
+        return (out.sort_values(["score", "docid"],
+                                ascending=[False, True])
+                .reset_index(drop=True))
+
     def fetch_docs(self, docids: Iterable[int]) -> DataFrame:
         """Doc-store fetch (B9): shard-pruned + docid-pushdown read."""
         ids = sorted(int(d) for d in docids)

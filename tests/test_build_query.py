@@ -190,3 +190,24 @@ def test_topk_many_matches_individual_topk(index, oracle):
         assert got[qid]["docid"].tolist() == want["docid"].tolist(), (q, mode)
         assert got[qid]["score"].to_numpy() == pytest.approx(
             want["score"].to_numpy(), abs=0)
+
+
+def test_local_fetch_and_search_no_spark_job(spark, index, oracle):
+    """fetch_docs_local/search_local must match the distributed path and
+    launch zero Spark jobs."""
+    ids = [0, 3, 17]
+    sc = spark.sparkContext
+    sc.setJobGroup("local-fetch", "local fetch")
+    got = index.fetch_docs_local(ids)
+    q = oracle.df.index[1]
+    sr = index.search_local(q, k=5)
+    jobs = sc.statusTracker().getJobIdsForGroup("local-fetch")
+    sc.setJobGroup(None, None)
+    assert len(jobs) == 0
+    want = (index.fetch_docs(ids).toPandas()
+            .sort_values("docid").reset_index(drop=True))
+    cols = [c for c in want.columns if c != "shard"]
+    assert got[cols].astype(str).equals(want[cols].astype(str))
+    dist = index.search(q, k=5).toPandas()
+    assert sr["docid"].tolist() == dist["docid"].tolist()
+    assert "text" in sr.columns and len(sr) == len(dist)
