@@ -414,8 +414,11 @@ def q_dp_bpe_estimate(spark, sf_dir):
 
 
 def q_dp_ivf_topk(spark, sf_dir):
-    """IVF ANN: deterministic member-vector centroids, nprobe cells,
-    exact re-rank — fully SQL-expressible."""
+    """IVF ANN: deterministic seeded-sample centroids (md5 order — the
+    oracle re-derives the identical set in SQL), nprobe cells, exact
+    re-rank. The trained-k-means path (train_iters>0) is pytest-gated
+    (tests/test_datapipe.py) since data-derived means can't be inlined
+    into a static SQL oracle."""
     from datapipe.similarity import ivf_topk
     out = ivf_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
     return out.select("vec_id", F.round("cos_r", 4).alias("cos_r4"))
@@ -948,11 +951,11 @@ def oracle_sql() -> dict[str, str]:
                                THEN ceil(length(x) / 4.0)::BIGINT
                                ELSE 1 END)), 0)::BIGINT AS n_bpe_est
             FROM p ORDER BY doc_id""",
-        "dp_ivf_topk": f"""
+        "dp_ivf_topk": """
             WITH E AS (SELECT vec_id, embedding::DOUBLE[] AS v
                        FROM embeddings),
             cents AS (SELECT vec_id AS cid, v AS cv FROM E
-                      WHERE vec_id IN ({', '.join(str(i) for i in range(0, 500, 50))})),
+                      ORDER BY md5('42:' || vec_id::VARCHAR) LIMIT 10),
             q AS (SELECT v FROM E WHERE vec_id = 0),
             asn AS (
               SELECT e.vec_id, c.cid,

@@ -144,27 +144,50 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
 
 
-def dup_groups(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+def dup_groups(pairs: DataFrame, max_iters: int = 50,
+               check_every: int = 2) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, group_id)
     with group_id = min doc_id in the component (the canonical
     cluster-dedup step after LSH+verify).
 
-    Iterative min-label propagation, the standard shuffle-friendly
-    formulation (large-star/small-star family): each round every node
-    adopts the min label in its neighborhood; converges in
-    O(log(diameter)) rounds — near-dup components are tiny (clusters of
-    copies), so a handful of joins. Each iteration is one shuffle join;
-    the driver only checks a converged flag (no O(V) driver state)."""
-    edges = (pairs.select(F.col("a").cast("long").alias("x"),
-                          F.col("b").cast("long").alias("y"))
-             .union(pairs.select(F.col("b").cast("long").alias("x"),
-                                 F.col("a").cast("long").alias("y")))
-             .distinct())
+    Min-label propagation with POINTER DOUBLING: each round every node
+    takes the min label in its neighborhood (one shuffle join), then
+    labels are re-mapped through themselves (label(x) <- label(label(x)),
+    a second join), so a chain of diameter d converges in O(log d)
+    rounds — 50 rounds covers any graph that fits on disk.
+
+    Scale hygiene (100 TB):
+    - ``edges`` is persisted and materialized ONCE, so the (typically
+      expensive) upstream pairs pipeline — LSH + Jaccard verify — is
+      never re-evaluated by the iteration lineage.
+    - labels are localCheckpoint'ed every round (lineage stays O(1)
+      deep, no exponential re-plan).
+    - the driver-side convergence probe runs every ``check_every``
+      rounds, not every round (extra no-op rounds are cheaper than
+      per-round driver latency at cluster scale).
+    Warns if ``max_iters`` is exhausted before convergence (the result
+    would under-merge); with doubling that needs diameter > 2^max_iters.
+    """
+    import warnings
+    # both edge directions from ONE read of pairs (a union of two
+    # selects over `pairs` would evaluate its pipeline twice even in a
+    # single job)
+    edges = (pairs.select(F.explode(F.array(
+                F.struct(F.col("a").cast("long").alias("x"),
+                         F.col("b").cast("long").alias("y")),
+                F.struct(F.col("b").cast("long").alias("x"),
+                         F.col("a").cast("long").alias("y")))).alias("e"))
+             .select("e.x", "e.y").distinct()
+             .persist())
+    edges.count()  # evaluate the upstream pairs DAG exactly once
     lab = (edges.groupBy("x")
            .agg(F.least(F.min("y"), F.first("x")).alias("g"))
            .withColumnRenamed("x", "doc_id")
-           .withColumn("g", F.least("g", "doc_id")))
-    for _ in range(max_iters):
+           .withColumn("g", F.least("g", "doc_id"))
+           .localCheckpoint())
+    converged, it = False, 0
+    while it < max_iters and not converged:
+        it += 1
         # neighbor-min: label(x) <- min(label(x), min over neighbors y of label(y))
         nb = (edges.join(lab.withColumnRenamed("doc_id", "y"), "y")
               .groupBy("x").agg(F.min("g").alias("ng")))
@@ -172,13 +195,23 @@ def dup_groups(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
                         "left")
                .select("doc_id",
                        F.least("g", F.coalesce("ng", "g")).alias("g")))
-        new = new.persist()
-        changed = (new.join(lab.withColumnRenamed("g", "og"), "doc_id")
-                   .where(F.col("g") != F.col("og")).limit(1).count())
-        lab.unpersist()
+        # pointer doubling: label(x) <- label(label(x))
+        ptr = new.select(F.col("doc_id").alias("g"), F.col("g").alias("g2"))
+        new = (new.join(ptr, "g", "left")
+               .select("doc_id",
+                       F.least("g", F.coalesce("g2", "g")).alias("g"))
+               .localCheckpoint())
+        if it % check_every == 0 or it == max_iters:
+            changed = (new.join(lab.withColumnRenamed("g", "og"), "doc_id")
+                       .where(F.col("g") != F.col("og")).limit(1).count())
+            converged = changed == 0
         lab = new
-        if changed == 0:
-            break
+    edges.unpersist()
+    if not converged:
+        warnings.warn(
+            f"dup_groups: not converged after {max_iters} iterations — "
+            "group ids may be under-merged; raise max_iters",
+            RuntimeWarning)
     return lab.select("doc_id", F.col("g").alias("group_id"))
 
 
@@ -266,6 +299,14 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95,
     """
     if method is None:
         method = "lsh" if threshold >= 0.7 else "grid"
+        if method == "lsh":
+            import warnings
+            warnings.warn(
+                "embedding_dup_pairs auto-selected method='lsh' "
+                f"(threshold={threshold} >= 0.7): candidate recall < 1 — "
+                "pairs can be missed. Pass method='grid' (exact, blocked "
+                "O(n^2)) or method='lsh' explicitly to silence this.",
+                UserWarning)
     dbl = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     l = emb.select(F.col(id_col).alias("a"), dbl.alias("va"))
     r = emb.select(F.col(id_col).alias("b"), dbl.alias("vb"))

@@ -91,21 +91,93 @@ def lsh_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
             .select("vec_id", F.round("cos", 6).alias("cos_r")))
 
 
+def sample_centroid_ids(emb: DataFrame, n_centroids: int = 10,
+                        seed: int = 42,
+                        id_col: str = "vec_id") -> list[int]:
+    """Deterministic seeded sample of ``n_centroids`` member-vector ids:
+    the n smallest md5('<seed>:'||id) — independent of partitioning and
+    reproducible in any engine (Spark F.md5 ≡ DuckDB md5 on the decimal
+    string), so an SQL oracle can re-derive the exact same set."""
+    rows = (emb.select(F.col(id_col))
+            .orderBy(F.md5(F.encode(F.concat(
+                F.lit(f"{seed}:"), F.col(id_col).cast("string")), "UTF-8")))
+            .limit(int(n_centroids)).collect())
+    return [int(r[0]) for r in rows]
+
+
+def train_centroids(emb: DataFrame, init: list[list[float]],
+                    iters: int = 2,
+                    vec_col: str = "embedding") -> list[list[float]]:
+    """Spherical k-means refinement of ``init`` centroids: each Lloyd
+    round assigns every vector to its max-cosine centroid (broadcast
+    literal arrays, one scan) and recomputes centroids as the normalized
+    elementwise mean via posexplode + groupBy(cell, pos) avg — ONE
+    shuffle of (k·dim) aggregated rows per round, k·dim driver state.
+    Empty cells keep their previous centroid. Deterministic given
+    ``init`` and the data."""
+    cents = [np.asarray(c, dtype=np.float64) for c in init]
+    for _ in range(int(iters)):
+        assign = F.greatest(*[
+            F.struct(_cos_to(list(c), vec_col).alias("c"),
+                     F.lit(-i).alias("negid"))
+            for i, c in enumerate(cents)])
+        # cell must land in its own projection: a generator (posexplode)
+        # in the same select defeats struct-field resolution on greatest()
+        rows = (emb.withColumn("cell", -assign.getField("negid"))
+                .select("cell",
+                        F.posexplode(F.transform(
+                            F.col(vec_col), lambda x: x.cast("double")))
+                         .alias("pos", "val"))
+                .groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+                .collect())
+        acc: dict[int, dict[int, float]] = {}
+        for r in rows:
+            acc.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+        for i, c in enumerate(cents):
+            if i in acc:
+                v = np.array([acc[i][p] for p in range(len(c))])
+                n = float(np.linalg.norm(v))
+                if n > 0:
+                    cents[i] = v / n
+    return [c.tolist() for c in cents]
+
+
 def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
-             centroid_ids: list[int] | None = None, nprobe: int = 3,
+             centroids: list[list[float]] | None = None,
+             centroid_ids: list[int] | None = None,
+             n_centroids: int = 10, seed: int = 42,
+             train_iters: int = 0, nprobe: int = 3,
              id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
-    """IVF-style ANN with deterministic centroids (a fixed set of member
-    vectors, default ids 0,50,100,...,450): assign every vector to its
-    max-cosine centroid (one pass, centroids broadcast as literal
-    arrays), probe the ``nprobe`` centroids nearest the query, exact
-    re-rank inside probed cells."""
-    if centroid_ids is None:
-        centroid_ids = list(range(0, 500, 50))
-    cents = {int(r["vec_id"]): list(r["vec"]) for r in
-             emb.where(F.col(id_col).isin(centroid_ids))
-                .select(F.col(id_col).alias("vec_id"),
-                        F.col(vec_col).alias("vec")).collect()}
+    """IVF ANN: assign every vector to its max-cosine centroid (one
+    pass, centroids broadcast as literal arrays), probe the ``nprobe``
+    centroids nearest the query, exact re-rank inside probed cells.
+
+    Centroid source (first match wins):
+      ``centroids``     explicit vectors (e.g. from train_centroids) —
+                        cells keyed by list index;
+      ``centroid_ids``  explicit member-vector ids;
+      default           deterministic seeded sample of ``n_centroids``
+                        member vectors (sample_centroid_ids — SQL-oracle
+                        reproducible), refined by ``train_iters`` rounds
+                        of spherical k-means when train_iters > 0 (the
+                        quality path; trained means are data-derived so
+                        not inlineable into a static SQL oracle)."""
+    if centroids is not None:
+        cents = {i: [float(x) for x in c] for i, c in enumerate(centroids)}
+    else:
+        if centroid_ids is None:
+            centroid_ids = sample_centroid_ids(emb, n_centroids, seed,
+                                               id_col)
+        cents = {int(r["vec_id"]): list(r["vec"]) for r in
+                 emb.where(F.col(id_col).isin(centroid_ids))
+                    .select(F.col(id_col).alias("vec_id"),
+                            F.col(vec_col).alias("vec")).collect()}
+        if train_iters > 0:
+            trained = train_centroids(
+                emb, [v for _, v in sorted(cents.items())],
+                iters=train_iters, vec_col=vec_col)
+            cents = {i: c for i, c in enumerate(trained)}
     # assignment: greatest cosine wins, ties by centroid id asc
     assign = F.greatest(*[
         F.struct(_cos_to(v, vec_col).alias("c"),

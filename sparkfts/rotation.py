@@ -54,8 +54,16 @@ class RotationRegistry:
         return os.path.join(self.base, f"{alias}.current")
 
     def _next_seq(self) -> int:
-        seqs = [int(fn.split("-")[1]) for fn in os.listdir(self.base)
-                if fn.startswith("version-")]
+        # Tolerate legacy version files whose id has no numeric sequence
+        # prefix (pre-sequence format: version-<12hex>.json) and ignore
+        # anything that is not a committed .json version row.
+        seqs = []
+        for fn in os.listdir(self.base):
+            if not (fn.startswith("version-") and fn.endswith(".json")):
+                continue
+            seg = fn[len("version-"):].split("-")[0]
+            if seg.isdigit():
+                seqs.append(int(seg))
         return (max(seqs) + 1) if seqs else 0
 
     def register(self, v: IndexVersion) -> str:
@@ -77,7 +85,9 @@ class RotationRegistry:
         with open(p) as f:
             v = json.load(f)
         v["state"] = state
-        tmp = p + ".tmp"
+        # '.'-prefixed tmp name so a crash mid-write can never leave a
+        # file that versions()/_next_seq would pick up.
+        tmp = os.path.join(os.path.dirname(p), "." + os.path.basename(p) + ".tmp")
         with open(tmp, "w") as f:
             json.dump(v, f)
         os.replace(tmp, p)
@@ -92,7 +102,10 @@ class RotationRegistry:
             raise ValueError(f"unknown version {vid}")
         with open(self._vpath(vid)) as f:
             v = json.load(f)
-        if v.get("state") != "COMPLETE":
+        # Legacy rows (written before state tracking existed) were only
+        # ever created for finished builds — treat a missing 'state' as
+        # COMPLETE so rollback to an old version keeps working.
+        if v.get("state", "COMPLETE") != "COMPLETE":
             raise ValueError(
                 f"version {vid} state={v.get('state')!r}: only COMPLETE "
                 "versions can serve an alias")
@@ -113,7 +126,7 @@ class RotationRegistry:
     def versions(self, alias: str | None = None) -> list[dict]:
         out = []
         for fn in sorted(os.listdir(self.base)):
-            if fn.startswith("version-"):
+            if fn.startswith("version-") and fn.endswith(".json"):
                 with open(os.path.join(self.base, fn)) as f:
                     v = json.load(f)
                 if alias is None or v["alias"] == alias:

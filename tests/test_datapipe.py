@@ -299,3 +299,102 @@ def test_ppm_codec_roundtrip_and_real_decode(spark):
         assert got[d]["width"] == w and got[d]["height"] == h
         assert got[d]["mean_px_r"] == round(float(v.mean()), 6)
         assert got[d]["max_px"] == int(v.max())
+
+
+def test_dup_groups_pairs_pipeline_evaluated_once(spark):
+    """VERDICT r02 #2: the (expensive) upstream pairs pipeline must be
+    evaluated exactly once — the label-propagation loop reads the
+    persisted edges, never the pairs lineage. Counted via an accumulator
+    bumped per evaluated pairs-partition."""
+    from datapipe.dedup import dup_groups
+    # a 24-node chain forces several propagation rounds
+    raw = spark.createDataFrame([(i, i + 1) for i in range(24)],
+                                "a long, b long").coalesce(2)
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(it):
+        for pdf in it:
+            acc.add(1)
+            yield pdf
+
+    pairs = raw.mapInPandas(bump, "a long, b long")
+    got = {r["doc_id"]: r["group_id"] for r in dup_groups(pairs).collect()}
+    assert set(got.values()) == {0}          # single component, min label
+    assert len(got) == 25
+    # one evaluation per partition of `pairs`, NOT iterations × partitions
+    assert acc.value <= pairs.rdd.getNumPartitions(), acc.value
+
+
+def test_dup_groups_pointer_doubling_converges_fast(spark):
+    """ADVICE r02: label-of-label doubling gives O(log d) convergence —
+    a 64-hop chain must resolve well inside 10 rounds (plain
+    neighbor-min would need ~64)."""
+    from datapipe.dedup import dup_groups
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(64)],
+                                  "a long, b long")
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")       # any non-convergence fails
+        got = dup_groups(pairs, max_iters=10).collect()
+    assert {r["group_id"] for r in got} == {0}
+
+
+def test_dup_groups_warns_when_not_converged(spark):
+    """ADVICE r02: exhausting max_iters without convergence must warn
+    (silently under-merged groups were the failure mode)."""
+    from datapipe.dedup import dup_groups
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(64)],
+                                  "a long, b long")
+    with pytest.warns(RuntimeWarning, match="not converged"):
+        dup_groups(pairs, max_iters=1).collect()
+
+
+def test_embedding_auto_lsh_warns_approximate(spark, emb):
+    """ADVICE r02: auto-selected LSH is approximate — callers must be
+    told; explicit method= stays silent."""
+    import warnings
+    from datapipe.dedup import embedding_dup_pairs
+    vecs, rows = emb
+    edf = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.warns(UserWarning, match="recall"):
+        embedding_dup_pairs(edf, threshold=0.99)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        embedding_dup_pairs(edf, threshold=0.99, method="lsh")
+
+
+def _clustered_corpus(n=700, dim=16, n_clusters=8, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 4.0
+    pts = centers[np.arange(n) % n_clusters] \
+        + rng.standard_normal((n, dim)) * 0.4
+    return [(i, [float(x) for x in pts[i]]) for i in range(n)]
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """VERDICT r02 #3: trained (spherical k-means) centroids on a corpus
+    whose size != 500 must reach recall@10 >= 0.9 vs exact cosine_topk."""
+    from datapipe.similarity import cosine_topk, ivf_topk
+    rows = _clustered_corpus(n=700)
+    edf = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[5][1]
+    exact = [r["vec_id"] for r in cosine_topk(edf, q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              ivf_topk(edf, q, k=10, n_centroids=8, train_iters=2,
+                       nprobe=3).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9, (recall, exact, approx)
+
+
+def test_ivf_default_centroids_sampled_from_data(spark):
+    """VERDICT r02 wrong #3: the default centroid set must come from the
+    data (deterministic seeded md5 sample), not a hardcoded id range —
+    works on any corpus size."""
+    from datapipe.similarity import ivf_topk, sample_centroid_ids
+    rows = _clustered_corpus(n=123)
+    edf = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ids = sample_centroid_ids(edf, n_centroids=10)
+    assert len(ids) == 10 and all(0 <= i < 123 for i in ids)
+    assert ids == sample_centroid_ids(edf, n_centroids=10)  # deterministic
+    out = ivf_topk(edf, rows[0][1], k=5, nprobe=10).collect()
+    assert len(out) == 5 and out[0]["vec_id"] == 0

@@ -85,3 +85,29 @@ def test_swap_refuses_running_version(tmp_path):
     reg.mark_state(vid, "COMPLETE")
     reg.swap("c", vid)
     assert reg.current("c")["root"] == "/r"
+
+
+def test_legacy_registry_files_tolerated(tmp_path):
+    """ADVICE r02: a pre-sequence registry (version-<12hex>.json rows,
+    no 'state' key) must keep working: register() must not crash on the
+    legacy filename, swap() must treat missing state as COMPLETE
+    (rollback to an old version), and in-flight tmp files must be
+    invisible to versions()."""
+    import json
+    import os
+    reg = RotationRegistry(str(tmp_path))
+    legacy_vid = "ab12cd34ef56"
+    with open(os.path.join(reg.base, f"version-{legacy_vid}.json"),
+              "w") as f:
+        json.dump({"vid": legacy_vid, "alias": "c", "root": "/idx/old",
+                   "index_date": "2026-01-01", "registered_at": "t",
+                   "num_shards": 4, "build_id": "b0"}, f)   # no 'state'
+    # a crashed writer's stray tmp must be ignored, not json.load'ed
+    with open(os.path.join(reg.base, "version-zzz.json.tmp"), "w") as f:
+        f.write("{not json")
+    assert [v["vid"] for v in reg.versions("c")] == [legacy_vid]
+    vid2 = reg.register(_v(alias="c", root="/idx/new"))   # must not raise
+    reg.swap("c", vid2)
+    assert reg.current("c")["root"] == "/idx/new"
+    reg.swap("c", legacy_vid)                             # rollback works
+    assert reg.current("c")["root"] == "/idx/old"

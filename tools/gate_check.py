@@ -32,7 +32,7 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import __spark_entry__ as E
     from sparkfts.session import get_spark
     spark = get_spark(master="local[8]", app="gate-check",
@@ -44,6 +44,9 @@ def main(sf_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, os_ = E.queries(), E.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items()
+              if any(pat in k for pat in only)}
     fails = 0
     for name, fn in qs.items():
         try:
@@ -78,15 +81,17 @@ def main(sf_dir: str) -> int:
             print(f"FAIL {name}: values differ\n{str(ex)[:500]}")
             fails += 1
     # smoke entry()
-    try:
-        n = E.entry(spark).count()
-        print(f"OK   entry(): rows={n}")
-    except Exception as ex:  # noqa: BLE001
-        print(f"FAIL entry(): {ex}")
-        fails += 1
+    if not only:
+        try:
+            n = E.entry(spark).count()
+            print(f"OK   entry(): rows={n}")
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL entry(): {ex}")
+            fails += 1
     print(f"{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
     return 1 if fails else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+                  sys.argv[2:] or None))
