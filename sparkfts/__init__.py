@@ -8,14 +8,16 @@ construction, delta+varint compression with block-max metadata, BM25
 and checkpoint-resumable builds with per-shard lineage manifests.
 """
 from .analyzer import TokenizerConfig, tokenize_series, tokenize_text
-from .build import BuildConfig, assign_docids, build_index
+from .build import BuildConfig, assign_docids, build_index, build_many
 from .query import FTSIndex
 from .rotation import IndexVersion, RotationRegistry
-from .streaming import CombinedIndex, compact, make_batch_indexer
+from .streaming import (CombinedIndex, compact, make_batch_indexer,
+                        nightly_rotate)
 
 __all__ = [
     "TokenizerConfig", "tokenize_series", "tokenize_text",
-    "BuildConfig", "assign_docids", "build_index", "FTSIndex",
+    "BuildConfig", "assign_docids", "build_index", "build_many",
+    "FTSIndex",
     "IndexVersion", "RotationRegistry",
-    "CombinedIndex", "compact", "make_batch_indexer",
+    "CombinedIndex", "compact", "make_batch_indexer", "nightly_rotate",
 ]

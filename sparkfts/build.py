@@ -443,7 +443,6 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
         # the docid→shard arithmetic used by the doc-store fetch keeps
         # working (and org queries prune via routing.possible_shards).
         from . import routing as _routing
-        assert docid_offset == 0, "routing not supported for delta builds"
         if docid_col is not None:
             key_col = F.col(docid_col)
             rank_cols = [docid_col]
@@ -472,9 +471,13 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
             acc += counts[s]
         offdf = spark.createDataFrame(
             pd.DataFrame(offs, columns=["shard", "_soff"]))
+        # delta/streaming routed builds live in an id space above the
+        # base: docid = offset + shard*dps + rank-in-shard, so the
+        # docid→shard arithmetic stays (docid - offset) // dps
         doc = (base.join(F.broadcast(offdf), "shard")
                .withColumn("docid",
-                           F.col("shard").cast("long")
+                           F.lit(int(docid_offset))
+                           + F.col("shard").cast("long")
                            * F.lit(int(docs_per_shard))
                            + F.col("docid") - F.col("_soff"))
                .drop("_soff"))
@@ -655,11 +658,24 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
     routing_json = (_json.dumps({"col": cfg.routing_col,
                                  "k": cfg.shards_per_org})
                     if cfg.routing_col else "")
+    # docid_span = extent of this index's id space above docid_offset:
+    # dense n for rank ids, sparse num_shards*dps for routed builds
+    # (per-shard id blocks), max_id+1 for caller-provided ids. Readers
+    # (CombinedIndex) use it for disjointness checks and docid routing.
+    if N == 0:
+        docid_span = 0
+    elif cfg.routing_col is not None:
+        docid_span = int(cfg.num_shards) * int(docs_per_shard)
+    elif docid_col is not None:
+        docid_span = int(max_id) + 1
+    else:
+        docid_span = int(N)
     storage.append_stats_row(out_dir, {
         "n": N, "avgdl": avgdl, "num_shards": cfg.num_shards,
         "docs_per_shard": int(docs_per_shard), "k1": float(cfg.k1),
         "b": float(cfg.b), "block": int(cfg.block),
         "docid_offset": int(docid_offset), "build_id": build_id,
+        "docid_span": int(docid_span),
         "fields": fields_json, "routing": routing_json})
 
     # Manifest: one committed row per shard built this run, including
@@ -682,5 +698,191 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
     mark("manifest")
     return {"n_docs": N, "avgdl": avgdl, "num_shards": cfg.num_shards,
             "docs_per_shard": docs_per_shard, "built_shards": sorted(todo_set),
+            "docid_span": docid_span,
             "build_id": build_id, "phases": phases,
             "wall_sec": time.perf_counter() - t_start}
+
+
+def build_many(spark: SparkSession, df: DataFrame, out_base: str,
+               configs: dict[str, BuildConfig],
+               index_col: str = "index", text_col: str = "text",
+               order_cols: list[str] | None = None) -> dict:
+    """Build MANY indices in ONE job set — the reference builds every
+    index of a nightly job in one MapReduce pass with per-index shard
+    counts (ShardConfig.java:50-56 applied at BaseESReducer.java:101-104;
+    the shuffle key is indexName|routingHash, BaseESMapper.java:13-14).
+    Rows are routed to the index named by ``df[index_col]``; each index
+    root lands at <out_base>/<name> in the standard layout and is
+    rank-identical to a solo build_index over its rows.
+
+    The Spark JOB COUNT IS FIXED regardless of len(configs): per-index
+    shards are packed into one global shard-id space (gshard = per-index
+    base + local shard, bases = prefix sums of num_shards), so ONE docid
+    job, ONE docstore write, ONE postings shuffle + Arrow kernel and ONE
+    dictionary aggregation serve every index; the per-index separation
+    happens via partitionBy(index, shard) staging dirs that the driver
+    MOVES (atomic rename, metadata-only) into the per-index roots.
+    Stats + manifests are driver-side pyarrow writes (no jobs).
+
+    Per-index knobs: num_shards / k1 / b (the ShardConfig analog).
+    Analyzer/codec settings come from the first config and must agree
+    across indices (one kernel instance serves the shared shuffle);
+    fields/routing_col are not supported here — compose with solo
+    build_index for those. Returns {index_name: summary}.
+    """
+    import os as _os
+    import uuid
+    from . import storage
+    assert configs, "configs must name at least one index"
+    names = sorted(configs)
+    cfg0 = configs[names[0]]
+    for nm in names:
+        c = configs[nm]
+        assert c.fields is None and c.routing_col is None, \
+            "build_many: fields/routing not supported (use build_index)"
+        assert (c.tokenizer, c.block, c.max_chunk_postings) \
+            == (cfg0.tokenizer, cfg0.block, cfg0.max_chunk_postings), \
+            "build_many: analyzer/codec settings must agree across indices"
+    order_cols = order_cols or ["conv_id", "turn_idx"]
+    t_start = time.perf_counter()
+
+    present = [r[0] for r in df.select(index_col).distinct().collect()]
+    unknown = sorted(set(present) - set(names))
+    assert not unknown, f"rows reference unconfigured indices: {unknown}"
+
+    # ONE global rank under (index, order): per-index docid = global
+    # rank - index offset (offsets = prefix sums over per-index counts)
+    base = assign_docids(df, [index_col] + order_cols, cfg0.partitions)
+    cached_parent = base._sparkfts_cached_parent
+    cnt = {r[0]: int(r[1]) for r in
+           base.groupBy(index_col).agg(F.count("*").alias("n")).collect()}
+    meta, gmap_rows, ioff, gbase = {}, [], 0, 0
+    for nm in names:
+        n_i = cnt.get(nm, 0)
+        ns_i = configs[nm].num_shards
+        dps_i = max(1, -(-n_i // ns_i))
+        meta[nm] = {"n": n_i, "off": ioff, "dps": dps_i, "gbase": gbase,
+                    "num_shards": ns_i}
+        for s in range(ns_i):
+            gmap_rows.append((gbase + s, nm, s))
+        ioff += n_i
+        gbase += ns_i
+    mdf = spark.createDataFrame(
+        pd.DataFrame([(nm, m["off"], m["dps"], m["gbase"])
+                      for nm, m in meta.items()],
+                     columns=[index_col, "_ioff", "_dps", "_gbase"]))
+    doc = (base.join(F.broadcast(mdf), index_col)
+           .withColumn("docid", F.col("docid") - F.col("_ioff"))
+           .withColumn("shard",
+                       (F.col("docid") / F.col("_dps")).cast("int"))
+           .withColumn("gshard",
+                       (F.col("_gbase") + F.col("shard")).cast("int"))
+           .drop("_ioff", "_dps", "_gbase"))
+
+    staging = _os.path.join(out_base, f"_staging-{uuid.uuid4().hex[:8]}")
+    store_cols = [c for c in df.columns if c != index_col]
+
+    import threading
+    errs: list[BaseException] = []
+
+    def _write_docstore() -> None:
+        try:
+            (doc.select(index_col, "shard", "docid", *store_cols)
+                .sortWithinPartitions("docid")
+                .write.mode("overwrite").partitionBy(index_col, "shard")
+                .parquet(_os.path.join(staging, "docstore")))
+        except BaseException as e:
+            errs.append(e)
+
+    th = threading.Thread(target=_write_docstore, name="docstore-many")
+    th.start()
+    p = cfg0.partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    enc_in = (doc.select(F.col("gshard").alias("shard"), "docid",
+                         F.coalesce(F.col(text_col).cast("string"),
+                                    F.lit("")).alias("text"))
+              .repartitionByRange(min(p, max(1, gbase)), "shard")
+              .sortWithinPartitions("shard"))
+    enc_out = enc_in.mapInArrow(_make_shard_kernel(cfg0),
+                                schema=POSTING_SCHEMA)
+    gmap = spark.createDataFrame(
+        pd.DataFrame(gmap_rows, columns=["gshard", index_col, "_shard"]))
+    (enc_out.withColumnRenamed("shard", "gshard")
+            .join(F.broadcast(gmap), "gshard")
+            .withColumnRenamed("_shard", "shard").drop("gshard")
+            .write.mode("overwrite").partitionBy(index_col, "shard")
+            .parquet(_os.path.join(staging, "postings")))
+    th.join()
+    if errs:
+        raise errs[0]
+    if cached_parent is not None:
+        cached_parent.unpersist()
+
+    # one shared dictionary scan serves every index's term_stats +
+    # manifest aggregates
+    narrow = (spark.read.parquet(_os.path.join(staging, "postings"))
+              .select(index_col, "shard", "term", "df", "cf", "nbytes",
+                      "enc_us")
+              .persist())
+    ts_parts = max(1, max(c.num_shards for c in configs.values()) // 8)
+    (narrow.groupBy(index_col, "term")
+           .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+           .repartition(ts_parts, "term")
+           .sortWithinPartitions(index_col, "term")
+           .write.mode("overwrite").partitionBy(index_col)
+           .parquet(_os.path.join(staging, "term_stats")))
+    srows = (narrow.groupBy(index_col, "shard")
+             .agg(F.countDistinct("term").alias("n_terms"),
+                  F.sum("df").alias("n_postings"),
+                  F.sum("cf").alias("cf"),
+                  F.sum("nbytes").alias("bytes"),
+                  F.max("enc_us").alias("max_enc_us"))
+             .collect())
+    narrow.unpersist()
+    shard_rows: dict[str, dict[int, dict]] = {nm: {} for nm in names}
+    for r in srows:
+        shard_rows[r[index_col]][int(r["shard"])] = r
+
+    summaries = {}
+    wall_us = int((time.perf_counter() - t_start) * 1e6)
+    for nm in names:
+        root = _os.path.join(out_base, nm)
+        _os.makedirs(root, exist_ok=True)
+        for part in ("docstore", "postings", "term_stats"):
+            src = _os.path.join(staging, part, f"{index_col}={nm}")
+            dst = storage.path(root, part)
+            if _os.path.isdir(src):
+                _os.replace(src, dst)      # metadata-only move
+            else:
+                _os.makedirs(dst, exist_ok=True)   # empty index
+        m = meta[nm]
+        build_id = storage.new_build_id(root)
+        tot_cf = sum(int(r["cf"]) for r in shard_rows[nm].values())
+        avgdl = (float(tot_cf) / m["n"]) if m["n"] else 0.0
+        c = configs[nm]
+        storage.append_stats_row(root, {
+            "n": m["n"], "avgdl": avgdl, "num_shards": c.num_shards,
+            "docs_per_shard": int(m["dps"]), "k1": float(c.k1),
+            "b": float(c.b), "block": int(c.block),
+            "docid_offset": 0, "build_id": build_id,
+            "docid_span": int(m["n"]), "fields": "", "routing": ""})
+        man_rows = []
+        for s in range(c.num_shards):
+            r = shard_rows[nm].get(s)
+            man_rows.append({
+                "shard": int(s),
+                "n_terms": int(r["n_terms"]) if r else 0,
+                "n_postings": int(r["n_postings"]) if r else 0,
+                "bytes": int(r["bytes"]) if r else 0,
+                "max_enc_us": int(r["max_enc_us"]) if r else 0,
+                "status": "committed", "build_id": build_id,
+                "build_wall_us": wall_us, "corpus_docs": m["n"]})
+        storage.append_manifest_rows(root, man_rows, build_id)
+        summaries[nm] = {"n_docs": m["n"], "avgdl": avgdl,
+                         "num_shards": c.num_shards,
+                         "docs_per_shard": m["dps"],
+                         "docid_span": m["n"], "build_id": build_id}
+    # clear the now-empty staging skeleton
+    import shutil
+    shutil.rmtree(staging, ignore_errors=True)
+    return summaries

@@ -412,6 +412,9 @@ class FTSIndex:
         self.k1 = float(st["k1"])
         self.b = float(st["b"])
         self.docid_offset = int(st.get("docid_offset") or 0)
+        # id-space extent above the offset (sparse for routed builds);
+        # legacy stats rows lack it → dense fallback
+        self.docid_span = int(st.get("docid_span") or self.N)
         import json as _json
         rt = st.get("routing") or ""
         self.routing_col = _json.loads(rt)["col"] if rt else None
@@ -546,25 +549,35 @@ class FTSIndex:
                 .toPandas().reset_index(drop=True))
 
     def topk_many(self, queries: dict[str, tuple[str, str]], k: int = 10,
-                  method: str = "wand") -> dict[str, pd.DataFrame]:
+                  method: str = "wand", field: str | None = None,
+                  org: str | None = None) -> dict[str, pd.DataFrame]:
         """Batched top-k: score MANY queries in ONE Spark job — the
         fixed per-job latency (~1-2s at small scale) is paid once for
         the whole query set instead of per query. ``queries`` maps
         query-id → (query text, mode); each result is rank-identical to
         the corresponding ``topk`` call (same kernels per (query, shard)
         group). The dictionary read fetches the UNION of all query
-        terms' rows once."""
-        qterms = {qid: self._terms(q) for qid, (q, _) in queries.items()}
+        terms' rows once. ``field``/``org`` apply to the whole batch
+        (same semantics as topk: field-scoped stats on multi-field
+        indexes; tenant-pruned candidate scoring on routed indexes)."""
+        prefix, avgdl = self._field(field)
+        qterms = {qid: self._terms(q, prefix)
+                  for qid, (q, _) in queries.items()}
         all_terms = sorted({t for ts in qterms.values() for t in ts})
         if not all_terms:
             return {qid: pd.DataFrame({"docid": pd.Series(dtype="int64"),
                                        "score": pd.Series(dtype="float64")})
                     for qid in queries}
         idf = self._idf_map(all_terms)
-        avgdl, k1, b = self.avgdl, self.k1, self.b
+        k1, b = self.k1, self.b
         modes = {qid: m for qid, (_, m) in queries.items()}
+        out_schema = "qid string, docid long, score double"
+        out_empty = pd.DataFrame({"qid": pd.Series(dtype="str"),
+                                  "docid": pd.Series(dtype="int64"),
+                                  "score": pd.Series(dtype="float64")})
 
-        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        def _score_queries(pdf: pd.DataFrame,
+                           cand: np.ndarray | None) -> pd.DataFrame:
             outs = []
             for qid, terms in qterms.items():
                 if not terms:
@@ -572,21 +585,46 @@ class FTSIndex:
                 sub = pdf[pdf["term"].isin(terms)]
                 if sub.empty:
                     continue
-                out = score_shard(sub, idf, avgdl, k1, b, k, modes[qid],
-                                  len(terms), method)
-                out = out.assign(qid=qid)
-                outs.append(out)
+                if cand is None:
+                    out = score_shard(sub, idf, avgdl, k1, b, k,
+                                      modes[qid], len(terms), method)
+                else:
+                    pt = {t: sub[sub["term"] == t]
+                          for t in sorted(sub["term"].unique())}
+                    out = _score_candidates(pt, list(pt), cand, idf,
+                                            avgdl, k1, b, k, modes[qid],
+                                            len(terms))
+                outs.append(out.assign(qid=qid))
             if not outs:
-                return pd.DataFrame({"qid": pd.Series(dtype="str"),
-                                     "docid": pd.Series(dtype="int64"),
-                                     "score": pd.Series(dtype="float64")})
+                return out_empty
             return pd.concat(outs)[["qid", "docid", "score"]]
 
-        rows = self._posting_rows(all_terms)
-        tops = (rows.groupBy("shard")
-                .applyInPandas(per_shard,
-                               schema="qid string, docid long, score double")
-                .toPandas())
+        if org is not None:
+            shards = self.possible_shards(org)
+            rows = (self._posting_rows(all_terms)
+                    .where(F.col("shard").isin(shards)))
+            orgdocs = (self._docstore
+                       .where(F.col("shard").isin(shards))
+                       .where(F.col(self.routing_col) == org)
+                       .select("shard", "docid"))
+
+            def per_shard_org(lpdf: pd.DataFrame,
+                              rpdf: pd.DataFrame) -> pd.DataFrame:
+                if lpdf.empty or rpdf.empty:
+                    return out_empty
+                cand = np.sort(rpdf["docid"].to_numpy(np.int64))
+                return _score_queries(lpdf, cand)
+
+            tops = (rows.groupBy("shard")
+                    .cogroup(orgdocs.groupBy("shard"))
+                    .applyInPandas(per_shard_org, schema=out_schema)
+                    .toPandas())
+        else:
+            rows = self._posting_rows(all_terms)
+            tops = (rows.groupBy("shard")
+                    .applyInPandas(lambda pdf: _score_queries(pdf, None),
+                                   schema=out_schema)
+                    .toPandas())
         out = {}
         for qid in queries:
             sub = tops[tops["qid"] == qid]
@@ -623,9 +661,26 @@ class FTSIndex:
                             columns=["term", "df"]).to_pandas()
         return dict(zip(trows["term"], trows["df"].astype(float)))
 
+    def _pa_docstore_ds(self):
+        import pyarrow.dataset as ds
+        if not hasattr(self, "_pa_docstore"):
+            self._pa_docstore = ds.dataset(
+                storage.path(self.root, "docstore"),
+                format="parquet", partitioning="hive")
+        return self._pa_docstore
+
+    def _local_org_docids(self, org: str, shards: list[int]) -> np.ndarray:
+        """Driver-side tenant candidate set: shard-pruned pyarrow read of
+        the doc store filtered to the org (no Spark job)."""
+        import pyarrow.dataset as ds
+        flt = (ds.field("shard").isin(shards)
+               & (ds.field(self.routing_col) == org))
+        t = self._pa_docstore_ds().to_table(filter=flt, columns=["docid"])
+        return np.sort(t.column("docid").to_numpy().astype(np.int64))
+
     def topk_local(self, query: str, k: int = 10, mode: str = "or",
-                   method: str = "wand",
-                   field: str | None = None) -> pd.DataFrame:
+                   method: str = "wand", field: str | None = None,
+                   org: str | None = None) -> pd.DataFrame:
         """Low-latency single-node query path: pyarrow dataset reads with
         the same th/term pushdown (no Spark job at all) + the same numpy
         scoring kernel. Because docs live in exactly one shard, scoring
@@ -634,20 +689,37 @@ class FTSIndex:
         the reference's always-on ES cluster (ms, not Spark-job seconds);
         the distributed topk() path exists for indexes too large for one
         reader. Returns (docid, score) pandas, rank-identical to topk().
-        """
+
+        With ``org`` (routed indexes only): dictionary rows are pruned to
+        the tenant's shards and scoring restricts to the org's docids
+        (read driver-side from the shard-pruned doc store) — the
+        ms-latency analog of topk(org=...), rank-identical to it."""
         prefix, avgdl = self._field(field)
         terms = self._terms(query, prefix)
         empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
+        if org is not None:
+            shards = self.possible_shards(org)   # raises if unrouted
         if not terms:
             return empty
         pdf = self._local_term_rows(terms)
+        if org is not None:
+            pdf = pdf[pdf["shard"].isin(shards)]
         if pdf.empty:
             return empty
         dfm = self._local_df_counts(terms)
         idf = {t: _bm25_idf(float(self.N), dfm.get(t, 0.0)) for t in terms}
-        out = score_shard(pdf, idf, avgdl, self.k1, self.b,
-                          k, mode, len(terms), method)
+        if org is not None:
+            cand = self._local_org_docids(org, shards)
+            if cand.size == 0:
+                return empty
+            pt = {t: pdf[pdf["term"] == t]
+                  for t in sorted(pdf["term"].unique())}
+            out = _score_candidates(pt, list(pt), cand, idf, avgdl,
+                                    self.k1, self.b, k, mode, len(terms))
+        else:
+            out = score_shard(pdf, idf, avgdl, self.k1, self.b,
+                              k, mode, len(terms), method)
         return out.reset_index(drop=True)
 
     def match_docids(self, query: str, mode: str = "and",
@@ -683,20 +755,25 @@ class FTSIndex:
                 .applyInPandas(per_shard, schema="docid long")
                 .sort("docid"))
 
-    def phrase_topk(self, query: str, k: int = 10) -> DataFrame:
+    def phrase_topk(self, query: str, k: int = 10,
+                    field: str | None = None) -> DataFrame:
         """Exact phrase query (positions-based, the Lucene .prx analog):
         docs containing the query tokens consecutively, ranked by BM25
         over the phrase's distinct terms, ties by docid. Adjacency is
         checked per shard by intersecting position sets shifted by one
         ((pos(t_i) + 1) ∩ pos(t_{i+1})), after an AND intersection of the
-        terms' postings narrows the candidates."""
-        seq = tokenize_text(query, self.tokenizer)
+        terms' postings narrows the candidates. On multi-field indexes
+        pass ``field`` — terms are field-prefixed and the field's avgdl
+        scores the hits (positions are per (field, doc), so adjacency is
+        within the chosen field)."""
+        prefix, avgdl = self._field(field)
+        seq = [prefix + t for t in tokenize_text(query, self.tokenizer)]
         empty = self.spark.createDataFrame([], "docid long, score double")
         if not seq:
             return empty
         uniq = sorted(set(seq))
         idf = self._idf_map(uniq)
-        avgdl, k1, b = self.avgdl, self.k1, self.b
+        k1, b = self.k1, self.b
 
         def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             return _phrase_shard(pdf, seq, uniq, idf, avgdl, k1, b, k)
@@ -725,20 +802,16 @@ class FTSIndex:
             return pd.DataFrame()
         shards = sorted({(d - self.docid_offset) // self.docs_per_shard
                          for d in ids})
-        if not hasattr(self, "_pa_docstore"):
-            self._pa_docstore = ds.dataset(
-                storage.path(self.root, "docstore"),
-                format="parquet", partitioning="hive")
         flt = ds.field("shard").isin(shards) & ds.field("docid").isin(ids)
-        return (self._pa_docstore.to_table(filter=flt).to_pandas()
+        return (self._pa_docstore_ds().to_table(filter=flt).to_pandas()
                 .sort_values("docid").reset_index(drop=True))
 
     def search_local(self, query: str, k: int = 10, mode: str = "or",
-                     method: str = "wand",
-                     field: str | None = None) -> pd.DataFrame:
+                     method: str = "wand", field: str | None = None,
+                     org: str | None = None) -> pd.DataFrame:
         """Full search (top-k + doc fetch) with zero Spark jobs — the
         latency-parity answer to the reference's always-on ES cluster."""
-        hits = self.topk_local(query, k, mode, method, field=field)
+        hits = self.topk_local(query, k, mode, method, field=field, org=org)
         if hits.empty:
             return hits
         docs = self.fetch_docs_local(hits["docid"].tolist())
@@ -757,10 +830,11 @@ class FTSIndex:
                 .where(F.col("docid").isin(ids)))
 
     def search(self, query: str, k: int = 10, mode: str = "or",
-               method: str = "wand") -> DataFrame:
+               method: str = "wand", field: str | None = None,
+               org: str | None = None) -> DataFrame:
         """topk + doc-store join: the full 'search' the restored ES
         cluster would serve."""
-        hits = self.topk(query, k, mode, method)
+        hits = self.topk(query, k, mode, method, org=org, field=field)
         docs = self.fetch_docs([r["docid"] for r in hits.collect()])
         return (hits.join(F.broadcast(docs).drop("shard"), "docid")
                     .sort(F.desc("score"), F.asc("docid")))

@@ -50,6 +50,7 @@ def append_stats_row(root: str, row: dict) -> None:
         ("num_shards", pa.int32()), ("docs_per_shard", pa.int64()),
         ("k1", pa.float64()), ("b", pa.float64()), ("block", pa.int32()),
         ("docid_offset", pa.int64()), ("build_id", pa.string()),
+        ("docid_span", pa.int64()),
         ("fields", pa.string()), ("routing", pa.string()),
         ("seq", pa.int64()),
     ]))

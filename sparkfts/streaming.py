@@ -113,10 +113,24 @@ def make_batch_indexer(base_root: str, text_col: str = "text",
             if mine:
                 offset = int(mine[0]["docid_offset"])
             else:
-                base_n = int(storage.read_stats(base_root)["n"])
-                offset = base_n + sum(int(e["n_docs"]) for e in log)
+                st = storage.read_stats(base_root)
+                base_span = int(st.get("docid_span") or st["n"])
+                base_off = int(st.get("docid_offset") or 0)
+                # Reserve the batch's id-space SPAN, not its row count:
+                # routed builds mint sparse per-shard docid blocks whose
+                # extent is num_shards * docs_per_shard ≤ num_shards *
+                # n_batch, so the conservative bound below guarantees
+                # disjointness (dps is only known after the build). The
+                # reservation is immutable — shrinking it at commit could
+                # undercut an interleaved later reservation. Holes in the
+                # 64-bit id space are harmless.
+                per_doc = cfg.num_shards if cfg.routing_col else 1
+                span = int(n_batch) * per_doc
+                offset = base_off + base_span + sum(
+                    int(e.get("span", e["n_docs"])) for e in log)
                 log.append({"stream": stream_name, "batch_id": batch_id,
                             "root": droot, "n_docs": int(n_batch),
+                            "span": span,
                             "docid_offset": offset, "state": "pending"})
                 _write_delta_log(base_root, log)
         # Phase 2 — build outside the lock (long), then commit the entry.
@@ -178,12 +192,13 @@ class CombinedIndex:
         # Consistency check across index generations (the reference's
         # RealtimeIndexSelectionStrategy concern,
         # RealtimeIndexSelectionStrategyLagged.java:62-116): every
-        # sub-index owns a DISJOINT docid range [offset, offset+N); a
-        # pruned fetch that applied one generation's shard geometry to
-        # another generation's docid would read the wrong shard, so
-        # overlap is a hard error, not a wrong answer.
-        spans = sorted((s.docid_offset, s.docid_offset + s.N, s.root)
-                       for s in self.subs)
+        # sub-index owns a DISJOINT docid range [offset, offset+span)
+        # (span > N for routed generations: per-shard id blocks are
+        # sparse); a pruned fetch that applied one generation's shard
+        # geometry to another generation's docid would read the wrong
+        # shard, so overlap is a hard error, not a wrong answer.
+        spans = sorted((s.docid_offset, s.docid_offset + s.docid_span,
+                        s.root) for s in self.subs)
         for (a0, a1, ra), (b0, b1, rb) in zip(spans, spans[1:]):
             if b0 < a1:
                 raise ValueError(
@@ -192,19 +207,38 @@ class CombinedIndex:
 
     def _sub_for(self, docid: int) -> FTSIndex:
         for s in self.subs:
-            if s.docid_offset <= docid < s.docid_offset + s.N:
+            if s.docid_offset <= docid < s.docid_offset + s.docid_span:
                 return s
         raise KeyError(f"docid {docid} outside every sub-index range")
 
+    def _org_subs(self, org: str) -> list[tuple[FTSIndex, list[int]]]:
+        """(sub-index, its possible shards for org) — org-scoped queries
+        require EVERY generation routed (the reference refuses mixed
+        routing strategies across indices,
+        RealtimeIndexSelectionStrategyLagged.java:62-90); shard geometry
+        may differ per generation, so the pruning set is per-sub."""
+        bad = [s.root for s in self.subs if s.routing_col is None]
+        if bad:
+            raise ValueError(
+                f"org-scoped query needs every sub-index routed; "
+                f"unrouted: {bad}")
+        return [(s, s.possible_shards(org)) for s in self.subs]
+
 
     def topk_local(self, query: str, k: int = 10, mode: str = "or",
-                   method: str = "wand") -> pd.DataFrame:
+                   method: str = "wand",
+                   org: str | None = None) -> pd.DataFrame:
         """Low-latency base+delta query with NO Spark job (the realtime
         leg at ms latency): pyarrow dictionary reads per sub-index,
         union-global idf/avgdl, per-sub numpy scoring (docid ranges are
         disjoint so per-sub results merge exactly), driver top-k.
-        Rank-identical to CombinedIndex.topk."""
+        Rank-identical to CombinedIndex.topk. With ``org`` (every
+        generation routed): per-sub shard pruning + tenant candidate
+        restriction, stats still union-global."""
+        import numpy as np
         from .analyzer import tokenize_text
+        from .query import _score_candidates
+        org_subs = self._org_subs(org) if org is not None else None
         terms = sorted(set(tokenize_text(query, self.tokenizer)))
         empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
@@ -217,8 +251,22 @@ class CombinedIndex:
         idf = {t: math.log(1.0 + (self.N - d + 0.5) / (d + 0.5))
                for t, d in df_tot.items()}
         parts = []
-        for s in self.subs:
+        for i, s in enumerate(self.subs):
             pdf = s._local_term_rows(terms)
+            if org_subs is not None:
+                ps = org_subs[i][1]
+                pdf = pdf[pdf["shard"].isin(ps)]
+                if pdf.empty:
+                    continue
+                cand = s._local_org_docids(org, ps)
+                if cand.size == 0:
+                    continue
+                pt = {t: pdf[pdf["term"] == t]
+                      for t in sorted(pdf["term"].unique())}
+                parts.append(_score_candidates(
+                    pt, list(pt), cand, idf, self.avgdl, self.k1,
+                    self.b, k, mode, len(terms)))
+                continue
             if pdf.empty:
                 continue
             parts.append(score_shard(pdf, idf, self.avgdl, self.k1,
@@ -271,8 +319,16 @@ class CombinedIndex:
                 for t, d in df_tot.items()}
 
     def topk(self, query: str, k: int = 10, mode: str = "or",
-             method: str = "wand") -> pd.DataFrame:
+             method: str = "wand", org: str | None = None) -> pd.DataFrame:
+        """ONE Spark job over the unioned dictionaries. With ``org``
+        (every generation routed): each sub's rows are pruned to ITS
+        possible shards and the tenant's docids are cogrouped in per
+        (sub, shard) — stats stay union-global, so results equal the
+        unrestricted union ranking filtered to the org."""
+        import numpy as np
         from .analyzer import tokenize_text
+        from .query import _score_candidates
+        org_subs = self._org_subs(org) if org is not None else None
         terms = sorted(set(tokenize_text(query, self.tokenizer)))
         if not terms:
             return pd.DataFrame({"docid": pd.Series(dtype="int64"),
@@ -281,15 +337,46 @@ class CombinedIndex:
         nq = len(terms)
         k1, b, avgdl = self.k1, self.b, self.avgdl
 
-        def per_group(pdf):
-            # block bounds are (max_tf, min_dl) pairs evaluated at query
-            # time, so WAND stays exact under the union avgdl
-            return score_shard(pdf, idf, avgdl, k1, b, k, mode, nq, method)
+        if org_subs is not None:
+            rows = parts = None
+            for i, (s, ps) in enumerate(org_subs):
+                r = (s._posting_rows(terms)
+                     .where(F.col("shard").isin(ps))
+                     .withColumn("sub", F.lit(i)))
+                d = (s._docstore.where(F.col("shard").isin(ps))
+                     .where(F.col(s.routing_col) == org)
+                     .select("shard", "docid").withColumn("sub", F.lit(i)))
+                rows = r if rows is None else rows.unionByName(r)
+                parts = d if parts is None else parts.unionByName(d)
 
-        allp = (self._union(lambda s: s._posting_rows(terms))
-                .groupBy("sub", "shard")
-                .applyInPandas(per_group, schema="docid long, score double")
-                .toPandas())
+            def per_group_org(lpdf, rpdf):
+                if lpdf.empty or rpdf.empty:
+                    return pd.DataFrame(
+                        {"docid": pd.Series(dtype=np.int64),
+                         "score": pd.Series(dtype=np.float64)})
+                cand = np.sort(rpdf["docid"].to_numpy(np.int64))
+                pt = {t: lpdf[lpdf["term"] == t]
+                      for t in sorted(lpdf["term"].unique())}
+                return _score_candidates(pt, list(pt), cand, idf, avgdl,
+                                         k1, b, k, mode, nq)
+
+            allp = (rows.groupBy("sub", "shard")
+                    .cogroup(parts.groupBy("sub", "shard"))
+                    .applyInPandas(per_group_org,
+                                   schema="docid long, score double")
+                    .toPandas())
+        else:
+            def per_group(pdf):
+                # block bounds are (max_tf, min_dl) pairs evaluated at
+                # query time, so WAND stays exact under the union avgdl
+                return score_shard(pdf, idf, avgdl, k1, b, k, mode, nq,
+                                   method)
+
+            allp = (self._union(lambda s: s._posting_rows(terms))
+                    .groupBy("sub", "shard")
+                    .applyInPandas(per_group,
+                                   schema="docid long, score double")
+                    .toPandas())
         if allp.empty:
             return pd.DataFrame({"docid": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
@@ -318,3 +405,42 @@ def compact(spark: SparkSession, base_root: str, out_root: str,
         allrows = allrows.unionByName(d)
     return build_index(spark, allrows, out_root, text_col=text_col,
                        order_cols=order_cols, cfg=cfg or BuildConfig())
+
+
+def nightly_rotate(spark: SparkSession, registry, alias: str,
+                   base_root: str, out_root: str,
+                   index_date: str, registered_at: str | None = None,
+                   text_col: str = "text",
+                   order_cols: list[str] | None = None,
+                   cfg: BuildConfig | None = None) -> dict:
+    """The full nightly cycle in one call — the reference's rebuild →
+    snapshot → register-in-ZK → alias-swap sequence
+    (BaseESReducer + ElasticsearchIndexRotationManagerZookeeper.java:
+    105-114), end-to-end:
+
+      1. compact ``base_root`` + its committed deltas into ``out_root``
+         (a fresh monolithic index; deltas of the old generation are
+         folded in, so its ledger is retired with it);
+      2. register ``out_root`` as a RUNNING version under ``alias``;
+      3. mark it COMPLETE once the build summary is in hand;
+      4. atomically swap the alias — readers resolving
+         registry.current(alias) switch generations between two queries;
+      5. the new root starts with an EMPTY delta ledger (its /delta is
+         fresh), so streaming resumes against ``out_root``.
+
+    Timestamps are explicit arguments (deterministic, mirrors the
+    reference's forced-UTC discipline); ``registered_at`` defaults to
+    now for operational convenience. Returns {vid, root, summary}.
+    """
+    from .rotation import IndexVersion, utcnow_iso
+    summary = compact(spark, base_root, out_root, text_col=text_col,
+                      order_cols=order_cols, cfg=cfg)
+    vid = registry.register(IndexVersion(
+        alias=alias, root=out_root, index_date=index_date,
+        registered_at=registered_at or utcnow_iso(),
+        num_shards=int(summary["num_shards"]),
+        build_id=summary["build_id"], state="RUNNING"))
+    # the build already returned successfully → advance state and swap
+    registry.mark_state(vid, "COMPLETE")
+    registry.swap(alias, vid)
+    return {"vid": vid, "root": out_root, "summary": summary}

@@ -259,3 +259,143 @@ def test_combined_topk_local_no_spark_job(spark, setup2, q, mode):
     assert got["docid"].tolist() == want["docid"].tolist(), (q, mode)
     assert got["score"].to_numpy() == pytest.approx(
         want["score"].to_numpy(), abs=1e-9)
+
+
+def test_routed_streaming_deltas_org_scoped(spark, tmp_path_factory):
+    """VERDICT r02 #4: org-routed indexes must accept streaming deltas.
+    Base + two routed delta batches queried org-scoped through
+    CombinedIndex must be rank-identical (same docs, same scores —
+    docids are generation-local, so compare by (conv_id, turn_idx)) to
+    a monolithic routed rebuild over all rows; topk_local(org=) must
+    agree with the distributed path exactly."""
+    import pandas as pd
+    from sparkfts import FTSIndex
+    rcfg = BuildConfig(num_shards=4, partitions=4, routing_col="org",
+                       shards_per_org=2)
+
+    def with_org(pdf):
+        # org derived from conv_id → identical assignment in deltas and
+        # in the monolithic rebuild
+        return pdf.assign(org=pdf["conv_id"].map(
+            lambda c: f"o{sum(map(ord, c)) % 3}"))
+
+    base = with_org(make_transcripts(14, seed=51))
+    d1 = with_org(make_transcripts(5, seed=52))
+    d2 = with_org(make_transcripts(4, seed=53))
+    root = str(tmp_path_factory.mktemp("routed_base"))
+    build_index(spark, spark.createDataFrame(base), root,
+                order_cols=["conv_id", "turn_idx"], cfg=rcfg)
+    idxer = make_batch_indexer(root, cfg=rcfg)
+    idxer(spark.createDataFrame(d1), batch_id=0)
+    idxer(spark.createDataFrame(d2), batch_id=1)
+
+    # ledger reserved the SPARSE span (n * num_shards), entries disjoint
+    log = read_delta_log(root)
+    assert [e["span"] for e in log] == [len(d1) * 4, len(d2) * 4]
+    assert log[1]["docid_offset"] >= log[0]["docid_offset"] + log[0]["span"]
+
+    ci = CombinedIndex(spark, root)   # raises on overlapping id ranges
+    mroot = str(tmp_path_factory.mktemp("routed_mono"))
+    build_index(spark,
+                spark.createDataFrame(pd.concat([base, d1, d2],
+                                                ignore_index=True)),
+                mroot, order_cols=["conv_id", "turn_idx"], cfg=rcfg)
+    mono = FTSIndex(spark, mroot)
+
+    def keyed(fetch, hits):
+        if hits.empty:
+            return []
+        docs = fetch(hits["docid"].tolist())
+        m = {int(r["docid"]): (r["conv_id"], int(r["turn_idx"]))
+             for _, r in docs.iterrows()}
+        return sorted(
+            ((-round(s, 9), *m[int(d)])
+             for d, s in zip(hits["docid"], hits["score"])))
+
+    for q, mode in [("alpha query index", "or"), ("shard merge", "and")]:
+        for org in ("o0", "o1", "o2"):
+            got = ci.topk(q, k=10, mode=mode, org=org)
+            want = mono.topk_pandas(q, k=10, mode=mode, org=org)
+            gk = keyed(ci.fetch_docs, got)
+            wk = keyed(lambda ids: mono.fetch_docs(ids).toPandas(), want)
+            assert gk == wk, (q, mode, org)
+            loc = ci.topk_local(q, k=10, mode=mode, org=org)
+            assert loc["docid"].tolist() == got["docid"].tolist()
+            assert loc["score"].to_numpy() == pytest.approx(
+                got["score"].to_numpy(), abs=1e-12)
+
+
+def test_org_scoped_combined_requires_all_routed(spark, setup):
+    """Mixed routing across generations must be refused (the reference's
+    common-strategy check) — the unrouted fixture raises."""
+    root, _ = setup
+    ci = CombinedIndex(spark, root)
+    with pytest.raises(ValueError, match="routed"):
+        ci.topk("alpha", k=5, org="o1")
+    with pytest.raises(ValueError, match="routed"):
+        ci.topk_local("alpha", k=5, org="o1")
+
+
+def test_nightly_rotate_two_full_cycles(spark, tmp_path_factory):
+    """VERDICT r02 #8: compact → register (RUNNING→COMPLETE) → alias swap
+    → fresh delta ledger, driven twice end-to-end, with queries correct
+    against a union oracle throughout (before night 1, between nights,
+    after night 2)."""
+    import pandas as pd
+    from sparkfts import FTSIndex, RotationRegistry
+    from sparkfts.streaming import nightly_rotate
+
+    regdir = str(tmp_path_factory.mktemp("nightreg"))
+    reg = RotationRegistry(regdir)
+    alias = "conversations"
+    q = "alpha query index"
+
+    def oracle_for(frames):
+        texts = []
+        for f in frames:
+            texts += list(f.sort_values(["conv_id", "turn_idx"])["text"])
+        return BM25Oracle(np.arange(len(texts), dtype=np.int64),
+                          pd.Series(texts))
+
+    def check(root, frames):
+        ci = CombinedIndex(spark, root)
+        want = oracle_for(frames).topk(q, k=10, mode="or")
+        got = ci.topk(q, k=10, mode="or")
+        assert got["score"].to_numpy() == pytest.approx(
+            want["score"].to_numpy(), abs=1e-9)
+
+    # day 0: base + one delta
+    base = make_transcripts(12, seed=61)
+    d1 = make_transcripts(4, seed=62)
+    r0 = str(tmp_path_factory.mktemp("gen0"))
+    build_index(spark, spark.createDataFrame(base), r0,
+                order_cols=["conv_id", "turn_idx"], cfg=CFG)
+    make_batch_indexer(r0, cfg=CFG)(spark.createDataFrame(d1), batch_id=0)
+    check(r0, [base, d1])
+
+    # night 1
+    r1 = str(tmp_path_factory.mktemp("gen1"))
+    out = nightly_rotate(spark, reg, alias, r0, r1,
+                         index_date="2026-01-10", cfg=CFG)
+    assert reg.current(alias)["root"] == r1
+    assert reg.versions(alias)[-1]["state"] == "COMPLETE"
+    assert read_delta_log(r1) == []          # fresh ledger
+    # the compacted generation answers like the folded union; a docstore
+    # roundtrip shows the delta rows made it in
+    assert FTSIndex(spark, r1).N == len(base) + len(d1)
+    check(r1, [base, d1])
+
+    # day 1: stream a delta against the NEW generation
+    d2 = make_transcripts(5, seed=63)
+    make_batch_indexer(r1, cfg=CFG)(spark.createDataFrame(d2), batch_id=0)
+    check(r1, [base, d1, d2])
+
+    # night 2
+    r2 = str(tmp_path_factory.mktemp("gen2"))
+    nightly_rotate(spark, reg, alias, r1, r2,
+                   index_date="2026-01-11", cfg=CFG)
+    assert reg.current(alias)["root"] == r2
+    assert FTSIndex(spark, r2).N == len(base) + len(d1) + len(d2)
+    check(r2, [base, d1, d2])
+    # history: both generations retained, swappable (rollback path)
+    assert len(reg.versions(alias)) == 2
