@@ -35,7 +35,7 @@ def _routing_sql_hash(expr: str) -> str:
 
 
 _INDEX_CACHE: dict[str, object] = {}
-_FORMAT_VERSION = "v8"  # bump when the on-disk index format changes
+_FORMAT_VERSION = "v9"  # bump when the on-disk index format changes
 
 ORG_SHARDS, ORG_K = 8, 2      # routed-gate geometry
 ORG = "src7"                  # fixed tenant for the org-scoped gate
@@ -93,6 +93,64 @@ def _mf_index_for(spark: SparkSession, sf_dir: str):
                                     fields={"text": TokenizerConfig(),
                                             "lang": TokenizerConfig()}))
     return _cached_index(spark, sf_dir, "mf", b)
+
+
+def _gate_root(sf_dir: str, tag: str) -> str:
+    return os.path.join(
+        "/tmp/sparkfts_gate", _FORMAT_VERSION,
+        os.path.abspath(sf_dir).strip("/").replace("/", "_") + "_" + tag)
+
+
+MANY_SHARDS = {"even": 3, "odd": 5}   # per-index shard counts (ShardConfig)
+
+
+def _many_index_for(spark: SparkSession, sf_dir: str):
+    """TWO indices built by ONE build_many call (per-index shard counts);
+    returns the 'even' index handle."""
+    from sparkfts import BuildConfig, FTSIndex, build_many
+    from sparkfts.storage import manifest_exists
+    key = f"{os.path.abspath(sf_dir)}#many"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    base = _gate_root(sf_dir, "many")
+    if not all(manifest_exists(os.path.join(base, nm))
+               for nm in MANY_SHARDS):
+        docs = _docs(spark, sf_dir).withColumn(
+            "idx", F.when(F.col("doc_id") % 2 == 0,
+                          F.lit("even")).otherwise(F.lit("odd")))
+        build_many(spark, docs, base,
+                   {nm: BuildConfig(num_shards=ns, partitions=4)
+                    for nm, ns in MANY_SHARDS.items()},
+                   index_col="idx", order_cols=["doc_id"])
+    idx = FTSIndex(spark, os.path.join(base, "even"))
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _routed_delta_ci(spark: SparkSession, sf_dir: str):
+    """Org-routed base (doc_id < 250) + one routed streaming delta
+    (doc_id >= 250) — the round-3 routed-streaming composition."""
+    from sparkfts import BuildConfig, build_index
+    from sparkfts.storage import manifest_exists
+    from sparkfts.streaming import (CombinedIndex, make_batch_indexer,
+                                    read_delta_log)
+    key = f"{os.path.abspath(sf_dir)}#routeddelta"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    root = _gate_root(sf_dir, "routeddelta")
+    rcfg = BuildConfig(num_shards=ORG_SHARDS, routing_col="source",
+                       shards_per_org=ORG_K, partitions=4)
+    docs = _docs(spark, sf_dir)
+    if not manifest_exists(root):
+        build_index(spark, docs.where("doc_id < 250"), root,
+                    text_col="text", order_cols=["doc_id"], cfg=rcfg)
+    if not read_delta_log(root):
+        make_batch_indexer(root, text_col="text", order_cols=["doc_id"],
+                           cfg=rcfg)(docs.where("doc_id >= 250"),
+                                     batch_id=0)
+    ci = CombinedIndex(spark, root)
+    _INDEX_CACHE[key] = ci
+    return ci
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -457,6 +515,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return hits.select("docid", "score", "text")
 
 
+def q_build_many_bm25(spark, sf_dir):
+    """Multi-index build (ShardConfig.java:50-56 analog, r3): ONE
+    build_many call produces an 'even' (3-shard) and an 'odd' (5-shard)
+    index off one input pass; BM25 top-10 on the even index must equal
+    BM25 computed over the even half of the corpus alone (its own N/df/
+    avgdl). docids are dense ranks of doc_id within the even half."""
+    idx = _many_index_for(spark, sf_dir)
+    return _ranked(idx, spark, f"{T_HOT} {T_MID}", "or")
+
+
+def q_routed_delta_org_search(spark, sf_dir):
+    """Routed streaming (r3): org-routed base + a routed delta
+    generation; org-scoped CombinedIndex search with union-global stats
+    equals BM25 over the FULL corpus restricted to the tenant. Results
+    are mapped back to the user's doc_id and re-ranked (score desc,
+    doc_id asc), as in the monolithic org gate."""
+    ci = _routed_delta_ci(spark, sf_dir)
+    hits = ci.topk(f"{T_MID2} {T_HOT}", k=10, mode="or", org=ORG)
+    docs = ci.fetch_docs(hits["docid"].tolist())
+    out = hits.merge(docs[["docid", "doc_id"]], on="docid")
+    out = out.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    out["rank"] = out.index + 1
+    out["score_r"] = out["score"].round(4)
+    return spark.createDataFrame(out[["rank", "doc_id", "score_r"]],
+                                 schema="rank long, doc_id long, "
+                                        "score_r double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_tokenize_doclen": q_tokenize_doclen,
@@ -475,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_shard_routing": q_shard_routing,
         "fts_manifest_lineage": q_manifest_lineage,
         "fts_org_scoped_search": q_org_scoped_search,
+        "fts_build_many_bm25": q_build_many_bm25,
+        "fts_routed_delta_org_search": q_routed_delta_org_search,
         "fts_org_possible_shards": q_org_possible_shards,
         "fts_multifield_text_bm25": q_mf_text_bm25,
         "fts_multifield_lang_bm25": q_mf_lang_bm25,
@@ -558,6 +647,26 @@ SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
        doc_id AS docid, round(score, 4) AS score_r
 FROM scored
 ORDER BY score DESC, doc_id ASC
+LIMIT 10"""
+
+
+def _bm25_many_sql(terms: list[str], mode: str, where: str) -> str:
+    """BM25 over a SUBSET of documents (its own N/df/avgdl) with docids
+    = dense rank of doc_id within the subset — the build_many oracle
+    (each index of a multi-index build is statistically self-contained,
+    exactly like a solo build over its rows)."""
+    scored = _bm25_scored(terms, mode).replace("documents", "docs_sub")
+    scored = scored.replace(
+        "WITH ",
+        f"WITH docs_sub AS (SELECT * FROM documents WHERE {where}),\n ", 1)
+    return f"""{scored},
+  ids AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY doc_id) - 1 AS docid
+          FROM docs_sub)
+SELECT row_number() OVER (ORDER BY s.score DESC, i.docid ASC) AS rank,
+       i.docid, round(s.score, 4) AS score_r
+FROM scored s JOIN ids i ON i.doc_id = s.doc_id
+ORDER BY s.score DESC, i.docid ASC
 LIMIT 10"""
 
 
@@ -783,6 +892,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1""",
         "fts_org_scoped_search": _bm25_org_sql(
             [T_HOT, T_MID, T_RARE], "or", ORG),
+        "fts_build_many_bm25": _bm25_many_sql(
+            [T_HOT, T_MID], "or", "doc_id % 2 = 0"),
+        "fts_routed_delta_org_search": _bm25_org_sql(
+            [T_MID2, T_HOT], "or", ORG),
         "fts_org_possible_shards": f"""
             WITH orgs AS (SELECT DISTINCT source AS org FROM documents),
             m(m) AS (VALUES (0), (1))

@@ -59,6 +59,26 @@ def make_spark(cores: int, parts: int = 8):
             .getOrCreate())
 
 
+def _steal_snapshot() -> dict | None:
+    """Aggregate cpu ticks from /proc/stat — the hypervisor-steal
+    telemetry the scaling/headline numbers are judged against."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return {"total": sum(vals),
+                "steal": vals[7] if len(vals) > 7 else 0}
+    except Exception:   # noqa: BLE001 — non-Linux fallback
+        return None
+
+
+def _steal_pct(a: dict | None, b: dict | None) -> float | None:
+    if not a or not b or b["total"] <= a["total"]:
+        return None
+    return round(100.0 * (b["steal"] - a["steal"])
+                 / (b["total"] - a["total"]), 2)
+
+
 def build_once(cores: int, src: str, root: str, num_shards: int,
                warmup_src: str | None = None, work: str = "/tmp",
                parts: int = 8) -> dict:
@@ -88,6 +108,43 @@ def build_once(cores: int, src: str, root: str, num_shards: int,
         raise
 
 
+def build_best_of(cores: int, src: str, work: str, num_shards: int,
+                  warmup_src: str, parts: int = 8,
+                  repeats: int | None = None) -> dict:
+    """Headline build = BEST-OF-N (VERDICT r02 #1): one warm JVM, N
+    measured end-to-end builds to fresh roots, min() as the estimator —
+    the same treatment the scaling pair gets, because single samples on
+    this box carry up to +50% hypervisor steal (BASELINE.md). Per-run
+    walls and /proc/stat steal%% are all reported."""
+    from sparkfts import BuildConfig, build_index
+    if repeats is None:
+        repeats = int(os.environ.get("SPARKFTS_BUILD_REPEATS", "3"))
+    spark = make_spark(cores, parts)
+    spark.sparkContext.setLogLevel("ERROR")
+    wroot = os.path.join(work, "warmup_tuned")
+    build_index(spark, spark.read.parquet(warmup_src), wroot,
+                order_cols=["conv_id", "turn_idx"],
+                cfg=BuildConfig(num_shards=4, partitions=4))
+    df = spark.read.parquet(src)
+    runs = []
+    for i in range(max(1, repeats)):
+        root = os.path.join(work, f"idx_full_{i}")
+        s0 = _steal_snapshot()
+        t0 = time.perf_counter()
+        s = build_index(spark, df, root,
+                        order_cols=["conv_id", "turn_idx"],
+                        cfg=BuildConfig(num_shards=num_shards,
+                                        partitions=parts))
+        wall = time.perf_counter() - t0
+        runs.append({"wall_sec": round(wall, 3), "root": root,
+                     "steal_pct": _steal_pct(s0, _steal_snapshot()),
+                     "phases": s["phases"], "n_docs": s["n_docs"]})
+    best = min(runs, key=lambda r: r["wall_sec"])
+    return {"spark": spark, "best": best, "runs": runs,
+            "n_docs": best["n_docs"],
+            "turns_per_sec": best["n_docs"] / best["wall_sec"]}
+
+
 def run_pinned_scaling(src: str, warm: str, work: str,
                        repeats: int | None = None) -> dict:
     """N vs 4N evidence: N=1 vs 4N=4 pinned cores. 1→4 (rather than
@@ -96,7 +153,7 @@ def run_pinned_scaling(src: str, warm: str, work: str,
     so the ratio measures the ENGINE, not the host's memory-bandwidth
     ceiling; best-of-N repeats filter steal spikes."""
     if repeats is None:
-        repeats = int(os.environ.get("SPARKFTS_SCALING_REPEATS", "2"))
+        repeats = int(os.environ.get("SPARKFTS_SCALING_REPEATS", "3"))
     import shutil as _sh
     import subprocess
     here = os.path.dirname(os.path.abspath(__file__))
@@ -105,42 +162,43 @@ def run_pinned_scaling(src: str, warm: str, work: str,
     n_lo = int(os.environ.get("SPARKFTS_SCALE_CORES_LOW", "1"))
     n_hi = 4 * n_lo
     best: dict[int, dict] = {}
-    n_samples = {n_lo: 0, n_hi: 0}
+    samples: dict[int, list] = {n_lo: [], n_hi: []}
+    steals: dict[int, list] = {n_lo: [], n_hi: []}
 
     def run_one(cores: int) -> None:
-        i = sum(n_samples.values())
+        i = len(samples[n_lo]) + len(samples[n_hi])
         root = os.path.join(work, f"idx_scale_{cores}_{i}")
         cmd = [sys.executable, runner, str(cores), src, root, warm]
         if have_taskset:
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        s0 = _steal_snapshot()
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=1800)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
-        n_samples[cores] += 1
+        samples[cores].append(round(r["wall_sec"], 3))
+        steals[cores].append(_steal_pct(s0, _steal_snapshot()))
         if cores not in best or r["wall_sec"] < best[cores]["wall_sec"]:
             best[cores] = r
 
+    # SYMMETRIC PRE-COMMITTED protocol (VERDICT r02 wrong #4: the old
+    # adaptive rule kept drawing only while the ratio read low, which
+    # with a min() estimator is biased toward passing). Here the sample
+    # plan — `repeats` per side, interleaved hi/lo so steal bursts hit
+    # both sides evenly — is fixed BEFORE any measurement; min() per
+    # side. The only early stop is the wall-clock budget, whose test
+    # (estimated next-run time vs time left) never reads the measured
+    # ratio; if it fires, the planned-vs-actual counts expose it.
     t_scale0 = time.perf_counter()
-    budget = float(os.environ.get("SPARKFTS_SCALE_BUDGET", "480"))
-    # base allocation: 1 high + `repeats` low samples — the adaptive
-    # loop below adds high-side samples (cheap) only when the ratio
-    # still reads low, which is where extra draws pay off
-    for cores in [n_hi] + [n_lo] * repeats:
-        run_one(cores)
-    # Adaptive extra samples: hypervisor steal on this box inflates a
-    # ~40s run by up to +25% in bursts lasting minutes (BASELINE.md), and
-    # best-of-N only converges to the steal-free wall as N grows. Keep
-    # sampling — cheap high-side first — while the measured ratio is
-    # below target and the time budget holds; each sample is a full
-    # honest run, min() is the estimator and sample counts are reported.
-    for cores in [n_hi, n_hi, n_lo, n_hi, n_lo, n_hi]:
-        eff = (best[n_lo]["wall_sec"] / best[n_hi]["wall_sec"]) / 4.0
-        # start an extra only if it plausibly FITS the remaining budget
-        # (estimate = best wall at that level x1.5 + ~20s JVM/warmup)
-        est = best[cores]["wall_sec"] * 1.5 + 20
-        if eff >= 0.82 or (time.perf_counter() - t_scale0 + est) > budget:
-            break
+    budget = float(os.environ.get("SPARKFTS_SCALE_BUDGET", "560"))
+    est0 = {n_hi: 60.0, n_lo: 130.0}     # prior; refined after a sample
+    plan = [c for _ in range(repeats) for c in (n_hi, n_lo)]
+    for cores in plan:
+        est = (min(samples[cores]) * 1.2 + 25 if samples[cores]
+               else est0[cores])
+        if samples[cores] and \
+                (time.perf_counter() - t_scale0 + est) > budget:
+            continue    # budget stop — ratio-independent by construction
         run_one(cores)
     lo, hi = best[n_lo], best[n_hi]
     speedup = lo["wall_sec"] / hi["wall_sec"]
@@ -154,8 +212,13 @@ def run_pinned_scaling(src: str, warm: str, work: str,
                     / hi["phases"]["write_data"])
     return {
         "cores_low": n_lo, "cores_high": n_hi,
-        "pinned": have_taskset, "repeats": repeats,
-        "samples_low": n_samples[n_lo], "samples_high": n_samples[n_hi],
+        "pinned": have_taskset,
+        "protocol": "pre-committed symmetric interleaved, min() per side",
+        "planned_per_side": repeats,
+        "samples_low": len(samples[n_lo]),
+        "samples_high": len(samples[n_hi]),
+        "walls_low": samples[n_lo], "walls_high": samples[n_hi],
+        "steal_pct_low": steals[n_lo], "steal_pct_high": steals[n_hi],
         "wall_low": lo["wall_sec"], "wall_high": hi["wall_sec"],
         "turns_per_sec_low": round(lo["n_docs"] / lo["wall_sec"], 1),
         "turns_per_sec_high": round(hi["n_docs"] / hi["wall_sec"], 1),
@@ -217,14 +280,15 @@ def main() -> None:
             timings["build_1cpu_best"] = scaling.pop("wall_low")
             timings["build_4cpu_best"] = scaling.pop("wall_high")
 
-        # 3. build at the tuned config
+        # 3. headline build at the tuned config — best-of-N with steal
+        # telemetry (same estimator discipline as the scaling pair)
         num_shards = 32
         tuned_cores = min(cpus, 16)
-        rootN = os.path.join(work, "idx_full")
-        bN = build_once(tuned_cores, src, rootN, num_shards,
-                        warmup_src=warm, work=work, parts=8)
+        bN = build_best_of(tuned_cores, src, work, num_shards,
+                           warmup_src=warm, parts=8)
         spark = bN.pop("spark")
-        timings["build"] = bN["wall_sec"]
+        rootN = bN["best"]["root"]
+        timings["build"] = bN["best"]["wall_sec"]
 
         # 3. query set over the built index (block-max WAND)
         from sparkfts import FTSIndex
@@ -264,6 +328,9 @@ def main() -> None:
             "sf": sf,
             "n_turns": n_turns,
             "build_turns_per_sec": round(bN["turns_per_sec"], 1),
+            "build_runs": [{"wall_sec": r["wall_sec"],
+                            "steal_pct": r["steal_pct"]}
+                           for r in bN["runs"]],
             "scaling": scaling,
         }))
     finally:
