@@ -515,6 +515,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return hits.select("docid", "score", "text")
 
 
+def q_dp_contamination(spark, sf_dir):
+    """Benchmark decontamination (r3; the 13-token-gram overlap rule
+    from the public GPT-3/PaLM contamination methodology): corpus docs
+    sharing any 13-gram with the held-out slice (doc_id % 17 = 0),
+    with distinct-shared-gram counts."""
+    from datapipe.curate import contamination
+    docs = _docs(spark, sf_dir)
+    return contamination(docs.where("doc_id % 17 <> 0"),
+                         docs.where("doc_id % 17 = 0")).sort("doc_id")
+
+
+def q_dp_redact_pii(spark, sf_dir):
+    """PII redaction (r3): emails / IPv4 / long digit runs replaced by
+    typed placeholders, per-category counts; planted PII is synthesized
+    identically in the SQL oracle so the machinery is really exercised."""
+    from datapipe.curate import redact_pii
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com from 10.0."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".7 card 4111111111111111")).alias("text"))
+    return redact_pii(aug).sort("doc_id")
+
+
+def q_dp_hash_sample(spark, sf_dir):
+    """Deterministic hash sampling (r3): md5-cutoff keep rule —
+    reproducible on any executor layout / engine."""
+    from datapipe.curate import hash_sample
+    return hash_sample(_docs(spark, sf_dir), 0.25).select("doc_id") \
+        .sort("doc_id")
+
+
+def q_dp_strat_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling (r3): downweight 'en' to 0.5,
+    'zh' to 0.125, drop everything else."""
+    from datapipe.curate import stratified_hash_sample
+    return (stratified_hash_sample(_docs(spark, sf_dir),
+                                   {"en": 0.5, "zh": 0.125}, "lang")
+            .select("doc_id", "lang").sort("doc_id"))
+
+
 def q_build_many_bm25(spark, sf_dir):
     """Multi-index build (ShardConfig.java:50-56 analog, r3): ONE
     build_many call produces an 'even' (3-shard) and an 'odd' (5-shard)
@@ -584,6 +627,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_dedup_corpus": q_dp_dedup_corpus,
         "dp_bpe_estimate": q_dp_bpe_estimate,
         "dp_ivf_topk": q_dp_ivf_topk,
+        "dp_contamination": q_dp_contamination,
+        "dp_redact_pii": q_dp_redact_pii,
+        "dp_hash_sample": q_dp_hash_sample,
+        "dp_strat_sample": q_dp_strat_sample,
         "dp_mm_features": q_dp_mm_features,
         "dp_mm_frames": q_dp_mm_frames,
         "dp_mm_real_decode": q_dp_mm_real_decode,
@@ -798,7 +845,30 @@ def _lsh_topk_sql(dim: int = 64, n_planes: int = 16,
         LIMIT {k}"""
 
 
+def _redact_sql() -> str:
+    """Mirror datapipe.curate.redact_pii: same planted PII, same
+    patterns in the same order (RE2 ≡ Java regex for these — no
+    backrefs/lookaround), counts taken on each intermediate text."""
+    from datapipe.curate import PII_PATTERNS
+    aug = ("text || ' contact user' || doc_id || '@example.com from "
+           "10.0.' || (doc_id % 256) || '.7 card 4111111111111111'")
+    sql = f"WITH s0 AS (SELECT doc_id, {aug} AS t0 FROM documents)"
+    cols = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        sql += f""",
+  s{i + 1} AS (SELECT *,
+        len(regexp_extract_all(t{i}, '{pat}'))::BIGINT AS n_{name},
+        regexp_replace(t{i}, '{pat}', '{repl}', 'g') AS t{i + 1}
+      FROM s{i})"""
+        cols.append(f"n_{name}")
+    n = len(PII_PATTERNS)
+    return sql + f"""
+SELECT doc_id, t{n} AS text_redacted, {', '.join(cols)}
+FROM s{n} ORDER BY doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from datapipe.curate import _frac_hex
     terms4 = ", ".join(f"'{t}'" for t in sorted([T_HOT, T_MID, T_MID2, T_RARE]))
     lang_counts = ",\n".join(
         "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
@@ -1094,6 +1164,35 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(e.v, (SELECT v FROM q)) DESC,
                      e.vec_id ASC
             LIMIT 10""",
+        "dp_contamination": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 t -> t <> '') AS tl
+              FROM documents),
+            kg AS (
+              SELECT doc_id, md5(array_to_string(tl[i:i+12], ' ')) AS g
+              FROM base, UNNEST(generate_series(1, len(tl) - 12)) AS t(i)
+              WHERE len(tl) >= 13),
+            kgd AS (SELECT DISTINCT doc_id, g FROM kg),
+            bench AS (SELECT DISTINCT g FROM kgd WHERE doc_id % 17 = 0)
+            SELECT doc_id, count(*)::BIGINT AS n_hits
+            FROM kgd
+            WHERE doc_id % 17 <> 0 AND g IN (SELECT g FROM bench)
+            GROUP BY doc_id ORDER BY doc_id""",
+        "dp_redact_pii": _redact_sql(),
+        "dp_hash_sample": f"""
+            SELECT doc_id FROM documents
+            WHERE substr(md5('42:' || doc_id::VARCHAR), 1, 15)
+                  < '{_frac_hex(0.25)}'
+            ORDER BY doc_id""",
+        "dp_strat_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5('42:' || doc_id::VARCHAR), 1, 15) <
+                  CASE lang WHEN 'en' THEN '{_frac_hex(0.5)}'
+                            WHEN 'zh' THEN '{_frac_hex(0.125)}' END
+            ORDER BY doc_id""",
         "dp_mm_features": """
             SELECT doc_id,
                    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

@@ -84,6 +84,43 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--num-shards", type=int, default=16)
     c.add_argument("--order-cols", default="conv_id,turn_idx")
 
+    m = sub.add_parser("build-many",
+                       help="build MANY indices off one input pass with "
+                            "per-index shard counts (ShardConfig analog); "
+                            "rows route by --index-col")
+    m.add_argument("--input", required=True)
+    m.add_argument("--out-base", required=True)
+    m.add_argument("--index-col", default="index")
+    m.add_argument("--text-col", default="text")
+    m.add_argument("--order-cols", default="conv_id,turn_idx")
+    m.add_argument("--shards", required=True,
+                   help="per-index shard counts, e.g. 'logs=8,docs=32'")
+    m.add_argument("--partitions", type=int, default=None)
+
+    d = sub.add_parser("ingest-delta",
+                       help="append one micro-batch delta index to a "
+                            "base (the streaming foreachBatch step, "
+                            "runnable by hand)")
+    d.add_argument("--base", required=True)
+    d.add_argument("--input", required=True)
+    d.add_argument("--batch-id", type=int, required=True)
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--order-cols", default="conv_id,turn_idx")
+    d.add_argument("--num-shards", type=int, default=2)
+    d.add_argument("--routing-col", default=None)
+    d.add_argument("--shards-per-org", type=int, default=2)
+
+    n = sub.add_parser("nightly-rotate",
+                       help="compact + register (RUNNING->COMPLETE) + "
+                            "atomic alias swap + fresh delta ledger")
+    n.add_argument("--base", required=True)
+    n.add_argument("--out", required=True)
+    n.add_argument("--registry", required=True)
+    n.add_argument("--alias", required=True)
+    n.add_argument("--index-date", required=True)
+    n.add_argument("--num-shards", type=int, default=16)
+    n.add_argument("--order-cols", default="conv_id,turn_idx")
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -133,6 +170,42 @@ def main(argv: list[str] | None = None) -> int:
                               order_cols=args.order_cols.split(","),
                               cfg=BuildConfig(num_shards=args.num_shards))
             print(json.dumps(summary))
+        elif args.cmd == "build-many":
+            from .build import BuildConfig, build_many
+            configs = {}
+            for part in args.shards.split(","):
+                name, ns = part.split("=")
+                configs[name] = BuildConfig(num_shards=int(ns),
+                                            partitions=args.partitions)
+            summaries = build_many(
+                spark, spark.read.parquet(args.input), args.out_base,
+                configs, index_col=args.index_col,
+                text_col=args.text_col,
+                order_cols=args.order_cols.split(","))
+            print(json.dumps(summaries))
+        elif args.cmd == "ingest-delta":
+            from .build import BuildConfig
+            from .streaming import make_batch_indexer
+            cfg = BuildConfig(num_shards=args.num_shards,
+                              routing_col=args.routing_col,
+                              shards_per_org=args.shards_per_org)
+            make_batch_indexer(args.base, text_col=args.text_col,
+                               order_cols=args.order_cols.split(","),
+                               cfg=cfg)(spark.read.parquet(args.input),
+                                        batch_id=args.batch_id)
+            from .streaming import read_delta_log
+            print(json.dumps(read_delta_log(args.base)[-1]))
+        elif args.cmd == "nightly-rotate":
+            from .build import BuildConfig
+            from .rotation import RotationRegistry
+            from .streaming import nightly_rotate
+            out = nightly_rotate(
+                spark, RotationRegistry(args.registry), args.alias,
+                args.base, args.out, index_date=args.index_date,
+                order_cols=args.order_cols.split(","),
+                cfg=BuildConfig(num_shards=args.num_shards))
+            print(json.dumps({"vid": out["vid"], "root": out["root"],
+                              **out["summary"]}))
     finally:
         spark.stop()
     return 0

@@ -209,6 +209,40 @@ def _score_candidates(per_term: dict[str, pd.DataFrame],
                            k, mode, n_query_terms)
 
 
+_QSET_EMPTY = pd.DataFrame({"qid": pd.Series(dtype="str"),
+                            "docid": pd.Series(dtype="int64"),
+                            "score": pd.Series(dtype="float64")})
+
+
+def score_query_set(pdf: pd.DataFrame, cand, qterms: dict[str, list[str]],
+                    modes: dict[str, str], idf: dict[str, float],
+                    avgdl: float, k1: float, b: float, k: int,
+                    method: str) -> pd.DataFrame:
+    """Score a whole query SET against one shard's dictionary rows in
+    one pass (shared by FTSIndex.topk_many and CombinedIndex.topk_many).
+    ``cand`` (sorted unique docids) restricts scoring to a tenant's
+    docs; None = unrestricted."""
+    outs = []
+    for qid, terms in qterms.items():
+        if not terms:
+            continue
+        sub = pdf[pdf["term"].isin(terms)]
+        if sub.empty:
+            continue
+        if cand is None:
+            out = score_shard(sub, idf, avgdl, k1, b, k,
+                              modes[qid], len(terms), method)
+        else:
+            pt = {t: sub[sub["term"] == t]
+                  for t in sorted(sub["term"].unique())}
+            out = _score_candidates(pt, list(pt), cand, idf, avgdl,
+                                    k1, b, k, modes[qid], len(terms))
+        outs.append(out.assign(qid=qid))
+    if not outs:
+        return _QSET_EMPTY
+    return pd.concat(outs)[["qid", "docid", "score"]]
+
+
 def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
                 k1: float, b: float, k: int, mode: str,
                 n_query_terms: int, method: str = "wand") -> pd.DataFrame:
@@ -572,32 +606,11 @@ class FTSIndex:
         k1, b = self.k1, self.b
         modes = {qid: m for qid, (_, m) in queries.items()}
         out_schema = "qid string, docid long, score double"
-        out_empty = pd.DataFrame({"qid": pd.Series(dtype="str"),
-                                  "docid": pd.Series(dtype="int64"),
-                                  "score": pd.Series(dtype="float64")})
 
         def _score_queries(pdf: pd.DataFrame,
                            cand: np.ndarray | None) -> pd.DataFrame:
-            outs = []
-            for qid, terms in qterms.items():
-                if not terms:
-                    continue
-                sub = pdf[pdf["term"].isin(terms)]
-                if sub.empty:
-                    continue
-                if cand is None:
-                    out = score_shard(sub, idf, avgdl, k1, b, k,
-                                      modes[qid], len(terms), method)
-                else:
-                    pt = {t: sub[sub["term"] == t]
-                          for t in sorted(sub["term"].unique())}
-                    out = _score_candidates(pt, list(pt), cand, idf,
-                                            avgdl, k1, b, k, modes[qid],
-                                            len(terms))
-                outs.append(out.assign(qid=qid))
-            if not outs:
-                return out_empty
-            return pd.concat(outs)[["qid", "docid", "score"]]
+            return score_query_set(pdf, cand, qterms, modes, idf, avgdl,
+                                   k1, b, k, method)
 
         if org is not None:
             shards = self.possible_shards(org)
@@ -611,7 +624,7 @@ class FTSIndex:
             def per_shard_org(lpdf: pd.DataFrame,
                               rpdf: pd.DataFrame) -> pd.DataFrame:
                 if lpdf.empty or rpdf.empty:
-                    return out_empty
+                    return _QSET_EMPTY
                 cand = np.sort(rpdf["docid"].to_numpy(np.int64))
                 return _score_queries(lpdf, cand)
 

@@ -211,6 +211,28 @@ class CombinedIndex:
                 return s
         raise KeyError(f"docid {docid} outside every sub-index range")
 
+    def _field(self, field: str | None) -> tuple[str, float]:
+        """(term prefix, UNION avgdl) for a query — multi-field support
+        across generations. Per-field union avgdl = Σ N_i·avgdl_i(fld)
+        / N (== total field tokens / N, exactly what a monolithic
+        rebuild computes). Mixed classic/multi-field generations are
+        refused (same common-strategy rule as org routing)."""
+        if all(s.fields is None for s in self.subs):
+            if field is not None:
+                raise ValueError("index was not built with fields")
+            return "", self.avgdl
+        if any(s.fields is None for s in self.subs):
+            raise ValueError(
+                "mixed multi-field and classic generations cannot be "
+                "queried together")
+        names = sorted(set().union(*[set(s.fields) for s in self.subs]))
+        if field is None or field not in names:
+            raise ValueError(
+                f"multi-field index: pick field= from {names}")
+        avg = (sum(s.N * float(s.fields.get(field, 0.0))
+                   for s in self.subs) / self.N if self.N else 0.0)
+        return f"{field}:", avg
+
     def _org_subs(self, org: str) -> list[tuple[FTSIndex, list[int]]]:
         """(sub-index, its possible shards for org) — org-scoped queries
         require EVERY generation routed (the reference refuses mixed
@@ -226,8 +248,8 @@ class CombinedIndex:
 
 
     def topk_local(self, query: str, k: int = 10, mode: str = "or",
-                   method: str = "wand",
-                   org: str | None = None) -> pd.DataFrame:
+                   method: str = "wand", org: str | None = None,
+                   field: str | None = None) -> pd.DataFrame:
         """Low-latency base+delta query with NO Spark job (the realtime
         leg at ms latency): pyarrow dictionary reads per sub-index,
         union-global idf/avgdl, per-sub numpy scoring (docid ranges are
@@ -239,7 +261,9 @@ class CombinedIndex:
         from .analyzer import tokenize_text
         from .query import _score_candidates
         org_subs = self._org_subs(org) if org is not None else None
-        terms = sorted(set(tokenize_text(query, self.tokenizer)))
+        prefix, avgdl = self._field(field)
+        terms = sorted({prefix + t
+                        for t in tokenize_text(query, self.tokenizer)})
         empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
         if not terms:
@@ -264,12 +288,12 @@ class CombinedIndex:
                 pt = {t: pdf[pdf["term"] == t]
                       for t in sorted(pdf["term"].unique())}
                 parts.append(_score_candidates(
-                    pt, list(pt), cand, idf, self.avgdl, self.k1,
+                    pt, list(pt), cand, idf, avgdl, self.k1,
                     self.b, k, mode, len(terms)))
                 continue
             if pdf.empty:
                 continue
-            parts.append(score_shard(pdf, idf, self.avgdl, self.k1,
+            parts.append(score_shard(pdf, idf, avgdl, self.k1,
                                      self.b, k, mode, len(terms),
                                      method))
         if not parts:
@@ -319,23 +343,28 @@ class CombinedIndex:
                 for t, d in df_tot.items()}
 
     def topk(self, query: str, k: int = 10, mode: str = "or",
-             method: str = "wand", org: str | None = None) -> pd.DataFrame:
+             method: str = "wand", org: str | None = None,
+             field: str | None = None) -> pd.DataFrame:
         """ONE Spark job over the unioned dictionaries. With ``org``
         (every generation routed): each sub's rows are pruned to ITS
         possible shards and the tenant's docids are cogrouped in per
         (sub, shard) — stats stay union-global, so results equal the
-        unrestricted union ranking filtered to the org."""
+        unrestricted union ranking filtered to the org. With ``field``
+        (every generation multi-field): field-prefixed terms + the
+        union's per-field avgdl."""
         import numpy as np
         from .analyzer import tokenize_text
         from .query import _score_candidates
         org_subs = self._org_subs(org) if org is not None else None
-        terms = sorted(set(tokenize_text(query, self.tokenizer)))
+        prefix, avgdl = self._field(field)
+        terms = sorted({prefix + t
+                        for t in tokenize_text(query, self.tokenizer)})
         if not terms:
             return pd.DataFrame({"docid": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
         idf = self._idf(terms)
         nq = len(terms)
-        k1, b, avgdl = self.k1, self.b, self.avgdl
+        k1, b = self.k1, self.b
 
         if org_subs is not None:
             rows = parts = None
@@ -383,6 +412,73 @@ class CombinedIndex:
         return (allp.sort_values(["score", "docid"],
                                  ascending=[False, True])
                 .head(k).reset_index(drop=True))
+
+    def topk_many(self, queries: dict[str, tuple[str, str]], k: int = 10,
+                  method: str = "wand", field: str | None = None,
+                  org: str | None = None) -> dict[str, pd.DataFrame]:
+        """Batched base+delta top-k: the WHOLE query set in ONE Spark
+        job over the unioned dictionaries (the streaming analog of
+        FTSIndex.topk_many), each result rank-identical to the
+        corresponding CombinedIndex.topk call."""
+        import numpy as np
+        from .analyzer import tokenize_text
+        from .query import _QSET_EMPTY, score_query_set
+        org_subs = self._org_subs(org) if org is not None else None
+        prefix, avgdl = self._field(field)
+        qterms = {qid: sorted({prefix + t for t in
+                               tokenize_text(q, self.tokenizer)})
+                  for qid, (q, _) in queries.items()}
+        all_terms = sorted({t for ts in qterms.values() for t in ts})
+        if not all_terms:
+            return {qid: pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                                       "score": pd.Series(dtype="float64")})
+                    for qid in queries}
+        idf = self._idf(all_terms)
+        modes = {qid: m for qid, (_, m) in queries.items()}
+        k1, b = self.k1, self.b
+        out_schema = "qid string, docid long, score double"
+
+        if org_subs is not None:
+            rows = parts = None
+            for i, (s, ps) in enumerate(org_subs):
+                r = (s._posting_rows(all_terms)
+                     .where(F.col("shard").isin(ps))
+                     .withColumn("sub", F.lit(i)))
+                d = (s._docstore.where(F.col("shard").isin(ps))
+                     .where(F.col(s.routing_col) == org)
+                     .select("shard", "docid").withColumn("sub", F.lit(i)))
+                rows = r if rows is None else rows.unionByName(r)
+                parts = d if parts is None else parts.unionByName(d)
+
+            def per_group_org(lpdf, rpdf):
+                if lpdf.empty or rpdf.empty:
+                    return _QSET_EMPTY
+                cand = np.sort(rpdf["docid"].to_numpy(np.int64))
+                return score_query_set(lpdf, cand, qterms, modes, idf,
+                                       avgdl, k1, b, k, method)
+
+            tops = (rows.groupBy("sub", "shard")
+                    .cogroup(parts.groupBy("sub", "shard"))
+                    .applyInPandas(per_group_org, schema=out_schema)
+                    .toPandas())
+        else:
+            def per_group(pdf):
+                return score_query_set(pdf, None, qterms, modes, idf,
+                                       avgdl, k1, b, k, method)
+
+            tops = (self._union(lambda s: s._posting_rows(all_terms))
+                    .groupBy("sub", "shard")
+                    .applyInPandas(lambda pdf: per_group(pdf),
+                                   schema=out_schema)
+                    .toPandas())
+        out = {}
+        for qid in queries:
+            sub = tops[tops["qid"] == qid]
+            out[qid] = (sub.sort_values(["score", "docid"],
+                                        ascending=[False, True])
+                        .head(k)[["docid", "score"]]
+                        .reset_index(drop=True))
+        return out
 
 
 

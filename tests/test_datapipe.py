@@ -398,3 +398,61 @@ def test_ivf_default_centroids_sampled_from_data(spark):
     assert ids == sample_centroid_ids(edf, n_centroids=10)  # deterministic
     out = ivf_topk(edf, rows[0][1], k=5, nprobe=10).collect()
     assert len(out) == 5 and out[0]["vec_id"] == 0
+
+
+def test_contamination_and_decontaminate(spark):
+    """13-gram overlap (the public GPT-3/PaLM rule): only docs sharing a
+    full 13-token window with the benchmark are flagged; decontaminate
+    drops exactly those."""
+    from datapipe.curate import contamination, decontaminate
+    shared = " ".join(f"w{i}" for i in range(13))
+    rows = [
+        (0, shared + " tail tokens here"),          # contains the 13-gram
+        (1, "completely different text with no overlap at all " * 2),
+        (2, " ".join(f"w{i}" for i in range(12)) + " BREAK w12"),  # 12 only
+    ]
+    bench = [(100, "prefix " + shared)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_hits"]
+           for r in contamination(corpus, bdf).collect()}
+    assert 0 in got and 1 not in got and 2 not in got
+    kept = sorted(r["doc_id"]
+                  for r in decontaminate(corpus, bdf).collect())
+    assert kept == [1, 2]
+
+
+def test_redact_pii_known_answers(spark):
+    from datapipe.curate import redact_pii
+    rows = [
+        (0, "mail a.b+c@ex-ample.org and 10.1.2.3 plus card 4111111111111111"),
+        (1, "no pii here, just 123 and a dot. end"),
+        (2, "two mails x@y.io z@w.co one long 12345678"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[0]["text_redacted"] == \
+        "mail <EMAIL> and <IP> plus card <NUMBER>"
+    assert (out[0]["n_email"], out[0]["n_ipv4"], out[0]["n_longnum"]) \
+        == (1, 1, 1)
+    assert out[1]["text_redacted"] == rows[1][1]
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_longnum"]) \
+        == (0, 0, 0)
+    assert out[2]["text_redacted"] == \
+        "two mails <EMAIL> <EMAIL> one long <NUMBER>"
+    assert out[2]["n_email"] == 2
+
+
+def test_hash_sample_deterministic_and_stratified(spark):
+    from datapipe.curate import hash_sample, stratified_hash_sample
+    rows = [(i, "t", ["en", "de"][i % 2]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a = sorted(r["doc_id"] for r in hash_sample(df, 0.25).collect())
+    b = sorted(r["doc_id"] for r in hash_sample(df, 0.25).collect())
+    assert a == b                                   # deterministic
+    assert 0.20 < len(a) / 2000 < 0.30              # ~fraction
+    sub = sorted(r["doc_id"] for r in hash_sample(df, 0.1).collect())
+    assert set(sub) <= set(a)                       # nested cutoffs
+    st = stratified_hash_sample(df, {"en": 0.5}, "lang").collect()
+    assert all(r["lang"] == "en" for r in st)       # de dropped
+    assert 0.4 < len(st) / 1000 < 0.6

@@ -399,3 +399,101 @@ def test_nightly_rotate_two_full_cycles(spark, tmp_path_factory):
     check(r2, [base, d1, d2])
     # history: both generations retained, swappable (rollback path)
     assert len(reg.versions(alias)) == 2
+
+
+def test_multifield_streaming_deltas_field_scoped(spark, tmp_path_factory):
+    """Streaming × multi-field composition (r3): base + deltas built
+    with per-field analyzers; CombinedIndex.topk(field=) with union
+    per-field avgdl must match a monolithic multi-field rebuild
+    (compare by (conv_id, turn_idx) since docids are generation-local);
+    topk_local(field=) must agree exactly with the distributed path."""
+    import pandas as pd
+    from sparkfts import FTSIndex
+    from sparkfts.analyzer import TokenizerConfig
+    mfcfg = BuildConfig(num_shards=2, partitions=2,
+                        fields={"text": TokenizerConfig(),
+                                "meta": TokenizerConfig()})
+
+    def with_meta(pdf):
+        return pdf.assign(meta=(pdf["role"] + " " + pdf["tool"].fillna("")))
+
+    base = with_meta(make_transcripts(12, seed=71))
+    d1 = with_meta(make_transcripts(5, seed=72))
+    root = str(tmp_path_factory.mktemp("mf_stream"))
+    build_index(spark, spark.createDataFrame(base), root,
+                order_cols=["conv_id", "turn_idx"], cfg=mfcfg)
+    make_batch_indexer(root, cfg=mfcfg)(spark.createDataFrame(d1),
+                                        batch_id=0)
+    ci = CombinedIndex(spark, root)
+    mroot = str(tmp_path_factory.mktemp("mf_mono"))
+    build_index(spark,
+                spark.createDataFrame(pd.concat([base, d1],
+                                                ignore_index=True)),
+                mroot, order_cols=["conv_id", "turn_idx"], cfg=mfcfg)
+    mono = FTSIndex(spark, mroot)
+
+    def keyed(fetch, hits):
+        docs = fetch(hits["docid"].tolist())
+        m = {int(r["docid"]): (r["conv_id"], int(r["turn_idx"]))
+             for _, r in docs.iterrows()}
+        return sorted(((-round(s, 9), *m[int(d)])
+                       for d, s in zip(hits["docid"], hits["score"])))
+
+    for q, fld, mode in [("alpha query index", "text", "or"),
+                         ("assistant", "meta", "or"),
+                         ("shard merge", "text", "and")]:
+        got = ci.topk(q, k=10, mode=mode, field=fld)
+        want = mono.topk_pandas(q, k=10, mode=mode, field=fld)
+        assert keyed(ci.fetch_docs, got) \
+            == keyed(lambda i: mono.fetch_docs(i).toPandas(), want), (q, fld)
+        loc = ci.topk_local(q, k=10, mode=mode, field=fld)
+        assert loc["docid"].tolist() == got["docid"].tolist()
+        assert loc["score"].to_numpy() == pytest.approx(
+            got["score"].to_numpy(), abs=1e-12)
+    with pytest.raises(ValueError, match="field"):
+        ci.topk("alpha", k=5)          # fieldless on multi-field union
+
+
+def test_mixed_field_generations_refused(spark, setup, tmp_path_factory):
+    """A classic base + a multi-field delta cannot be queried as one
+    corpus (per-field stats are undefined for the classic rows)."""
+    from sparkfts.analyzer import TokenizerConfig
+    root, _ = setup
+    # synthesize a CombinedIndex whose subs mix classic and mf
+    ci = CombinedIndex(spark, root)
+    mfroot = str(tmp_path_factory.mktemp("mf_sub"))
+    pdf = make_transcripts(4, seed=81).assign(meta="user x")
+    build_index(spark, spark.createDataFrame(pdf), mfroot,
+                order_cols=["conv_id", "turn_idx"],
+                cfg=BuildConfig(num_shards=2, partitions=2,
+                                fields={"text": TokenizerConfig(),
+                                        "meta": TokenizerConfig()}))
+    from sparkfts import FTSIndex
+    mf = FTSIndex(spark, mfroot)
+    mf.docid_offset += 10_000_000      # keep ranges disjoint for the test
+    ci.subs.append(mf)
+    with pytest.raises(ValueError, match="mixed"):
+        ci.topk("alpha", k=5, field="text")
+
+
+def test_combined_topk_many_matches_topk_one_job(spark, setup2):
+    """Batched base+delta queries: CombinedIndex.topk_many must be
+    rank-identical to per-query CombinedIndex.topk and run the whole
+    set in a constant number of jobs (not per-query, not per-delta)."""
+    root, _ = setup2
+    ci = CombinedIndex(spark, root)
+    queries = {"a": ("alpha query index", "or"),
+               "b": ("shard merge", "and"),
+               "c": ("checkpoint resume committed", "and")}
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("ci-many", "combined batched")
+    got = ci.topk_many(queries, k=10)
+    jobs = tracker.getJobIdsForGroup("ci-many")
+    sc.setJobGroup(None, None)
+    assert len(jobs) <= 5, len(jobs)
+    for qid, (q, mode) in queries.items():
+        want = ci.topk(q, k=10, mode=mode)
+        assert got[qid]["docid"].tolist() == want["docid"].tolist(), qid
+        assert got[qid]["score"].to_numpy() == pytest.approx(
+            want["score"].to_numpy(), abs=1e-12)
