@@ -100,6 +100,24 @@ def main(sf_dir: str) -> None:
         fmt(__import__("datapipe.dedup", fromlist=["exact_dedup"])
             .exact_dedup(docs))))
 
+    from datapipe.curate import contamination, hash_sample
+    sections.append((
+        "Benchmark decontamination (13-gram overlap)",
+        "Expect: an equi-join on the gram hash `g` with the (small, "
+        "deduped) benchmark gram set on the build side — at real scale "
+        "Spark broadcasts it (benchmarks are tiny next to a training "
+        "corpus); never a cartesian/nested-loop shape.",
+        fmt(contamination(docs.where("doc_id % 17 <> 0"),
+                          docs.where("doc_id % 17 = 0")))))
+
+    sections.append((
+        "Deterministic hash sampling",
+        "Expect: a pure map-side Filter (md5 hex-cutoff) directly over "
+        "the scan — no Exchange, no Sample operator with RNG state, so "
+        "the kept set is identical on any executor layout and composes "
+        "with partition pruning.",
+        fmt(hash_sample(docs, 0.25))))
+
     out = ["# EXPLAIN — physical-plan evidence",
            "",
            f"Generated by `python tools/explain_dump.py {sf_dir}` "
