@@ -845,6 +845,14 @@ def build_many(spark: SparkSession, df: DataFrame, out_base: str,
 
     summaries = {}
     wall_us = int((time.perf_counter() - t_start) * 1e6)
+    empty_schemas = {
+        "docstore": doc.select("shard", "docid", *store_cols).schema,
+        "postings": enc_out.schema,
+        "term_stats": T.StructType([
+            T.StructField("term", T.StringType()),
+            T.StructField("df", T.LongType()),
+            T.StructField("cf", T.LongType())]),
+    }
     for nm in names:
         root = _os.path.join(out_base, nm)
         _os.makedirs(root, exist_ok=True)
@@ -854,7 +862,17 @@ def build_many(spark: SparkSession, df: DataFrame, out_base: str,
             if _os.path.isdir(src):
                 _os.replace(src, dst)      # metadata-only move
             else:
-                _os.makedirs(dst, exist_ok=True)   # empty index
+                # configured index with no rows: write a schema-bearing
+                # empty parquet so the root stays readable — the
+                # reference's post-processor likewise materializes
+                # EMPTY indices for every configured name
+                # (IndexingPostProcessor.java:86-94)
+                sch = empty_schemas[part]
+                if part == "docstore":
+                    sch = T.StructType(
+                        [f for f in sch.fields if f.name != index_col])
+                spark.createDataFrame([], sch).write.mode(
+                    "overwrite").parquet(dst)
         m = meta[nm]
         build_id = storage.new_build_id(root)
         tot_cf = sum(int(r["cf"]) for r in shard_rows[nm].values())

@@ -413,6 +413,39 @@ class CombinedIndex:
                                  ascending=[False, True])
                 .head(k).reset_index(drop=True))
 
+    def phrase_topk(self, query: str, k: int = 10,
+                    field: str | None = None) -> pd.DataFrame:
+        """Exact phrase query over base + deltas in ONE Spark job:
+        positions are per (generation, doc) so adjacency never crosses
+        sub-indexes; BM25 over the phrase's distinct terms uses
+        union-global stats — rank-identical to a monolithic rebuild's
+        phrase_topk (modulo generation-local docids)."""
+        from .analyzer import tokenize_text
+        from .query import _phrase_shard
+        prefix, avgdl = self._field(field)
+        seq = [prefix + t for t in tokenize_text(query, self.tokenizer)]
+        empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if not seq:
+            return empty
+        uniq = sorted(set(seq))
+        idf = self._idf(uniq)
+        k1, b = self.k1, self.b
+
+        def per_group(pdf):
+            return _phrase_shard(pdf, seq, uniq, idf, avgdl, k1, b, k)
+
+        allp = (self._union(lambda s: s._posting_rows(uniq))
+                .groupBy("sub", "shard")
+                .applyInPandas(per_group,
+                               schema="docid long, score double")
+                .toPandas())
+        if allp.empty:
+            return empty
+        return (allp.sort_values(["score", "docid"],
+                                 ascending=[False, True])
+                .head(k).reset_index(drop=True))
+
     def topk_many(self, queries: dict[str, tuple[str, str]], k: int = 10,
                   method: str = "wand", field: str | None = None,
                   org: str | None = None) -> dict[str, pd.DataFrame]:

@@ -104,3 +104,32 @@ def test_build_many_rejects_unconfigured_index(spark, tmp_path_factory):
         build_many(spark, spark.createDataFrame(pdf), out,
                    {"idx_0": BuildConfig(num_shards=2, partitions=2)},
                    index_col="index")
+
+
+def test_build_many_empty_index_is_readable(spark, tmp_path_factory):
+    """A configured index with zero rows must still materialize a
+    readable root (the reference's post-processor creates EMPTY indices
+    for every configured name, IndexingPostProcessor.java:86-94):
+    placeholder manifest rows for all shards, n=0 stats, empty query
+    results — not a crash."""
+    pdf = make_transcripts(8, seed=23).assign(index="only")
+    out = str(tmp_path_factory.mktemp("many_empty"))
+    sums = build_many(
+        spark, spark.createDataFrame(pdf), out,
+        {"only": BuildConfig(num_shards=2, partitions=2),
+         "ghost": BuildConfig(num_shards=3, partitions=2)},
+        index_col="index")
+    assert sums["ghost"]["n_docs"] == 0
+    ghost = FTSIndex(spark, f"{out}/ghost")
+    assert ghost.N == 0
+    assert ghost.topk_pandas("alpha", k=5).empty
+    assert ghost.topk_local("alpha", k=5).empty
+    import pyarrow.dataset as ds
+    man = ds.dataset(f"{out}/ghost/manifest",
+                     format="parquet").to_table().to_pylist()
+    assert {r["shard"] for r in man} == {0, 1, 2}
+    assert all(r["n_postings"] == 0 for r in man)
+    # the non-empty sibling is unaffected
+    only = FTSIndex(spark, f"{out}/only")
+    assert only.N == len(pdf)
+    assert not only.topk_pandas("alpha", k=5).empty

@@ -497,3 +497,39 @@ def test_combined_topk_many_matches_topk_one_job(spark, setup2):
         assert got[qid]["docid"].tolist() == want["docid"].tolist(), qid
         assert got[qid]["score"].to_numpy() == pytest.approx(
             want["score"].to_numpy(), abs=1e-12)
+
+
+def test_combined_phrase_topk_matches_monolithic(spark, setup2,
+                                                 tmp_path_factory):
+    """Phrase search over base + deltas (r3): rank-identical to a
+    monolithic rebuild's phrase_topk, compared by (conv_id, turn_idx)
+    since docids are generation-local."""
+    import pandas as pd
+    from sparkfts import FTSIndex
+    root, _ = setup2
+    ci = CombinedIndex(spark, root)
+    # monolithic rebuild over the union of all generations' rows
+    frames = [s._docstore.select("conv_id", "turn_idx", "role", "text",
+                                 "tool", "ts").toPandas()
+              for s in ci.subs]
+    mroot = str(tmp_path_factory.mktemp("phrase_mono"))
+    build_index(spark,
+                spark.createDataFrame(pd.concat(frames,
+                                                ignore_index=True)),
+                mroot, order_cols=["conv_id", "turn_idx"], cfg=CFG)
+    mono = FTSIndex(spark, mroot)
+
+    def keyed(fetch, hits):
+        if hits.empty:
+            return []
+        docs = fetch(hits["docid"].tolist())
+        m = {int(r["docid"]): (r["conv_id"], int(r["turn_idx"]))
+             for _, r in docs.iterrows()}
+        return sorted(((-round(s, 9), *m[int(d)])
+                       for d, s in zip(hits["docid"], hits["score"])))
+
+    for phrase in ["nightly index", "alpha", "zzz absent phrase"]:
+        got = ci.phrase_topk(phrase, k=10)
+        want = mono.phrase_topk(phrase, k=10).toPandas()
+        assert keyed(ci.fetch_docs, got) \
+            == keyed(lambda i: mono.fetch_docs(i).toPandas(), want), phrase
