@@ -140,6 +140,11 @@ def build_best_of(cores: int, src: str, work: str, num_shards: int,
                      "steal_pct": _steal_pct(s0, _steal_snapshot()),
                      "phases": s["phases"], "n_docs": s["n_docs"]})
     best = min(runs, key=lambda r: r["wall_sec"])
+    # drop the non-best roots before the query phase: 3x index footprint
+    # in the work dir would perturb page cache / tmpfs headroom
+    for r in runs:
+        if r["root"] != best["root"]:
+            shutil.rmtree(r["root"], ignore_errors=True)
     return {"spark": spark, "best": best, "runs": runs,
             "n_docs": best["n_docs"],
             "turns_per_sec": best["n_docs"] / best["wall_sec"]}
@@ -191,14 +196,15 @@ def run_pinned_scaling(src: str, warm: str, work: str,
     # ratio; if it fires, the planned-vs-actual counts expose it.
     t_scale0 = time.perf_counter()
     budget = float(os.environ.get("SPARKFTS_SCALE_BUDGET", "560"))
-    est0 = {n_hi: 60.0, n_lo: 130.0}     # prior; refined after a sample
     plan = [c for _ in range(repeats) for c in (n_hi, n_lo)]
     for cores in plan:
-        est = (min(samples[cores]) * 1.2 + 25 if samples[cores]
-               else est0[cores])
-        if samples[cores] and \
-                (time.perf_counter() - t_scale0 + est) > budget:
-            continue    # budget stop — ratio-independent by construction
+        # the first sample of each side always runs (best[] needs one);
+        # after that, skip when the estimated run time no longer fits —
+        # a test that never reads the measured ratio
+        if samples[cores]:
+            est = min(samples[cores]) * 1.2 + 25
+            if (time.perf_counter() - t_scale0 + est) > budget:
+                continue
         run_one(cores)
     lo, hi = best[n_lo], best[n_hi]
     speedup = lo["wall_sec"] / hi["wall_sec"]

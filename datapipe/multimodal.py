@@ -230,8 +230,12 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
             allpx = np.concatenate([d.ravel() for d in decoded]
                                    ).astype(np.int64)
             n = len(decoded)
+            # bin = px * feat_dim // 256 (== px >> 5 at the default
+            # feat_dim=8) keeps keys inside each row's stride for ANY
+            # feat_dim; a raw >>5 would overflow into the next row's
+            # histogram when feat_dim < 8
             keys = (np.repeat(np.arange(n, dtype=np.int64), lens)
-                    * feat_dim + (allpx >> 5))
+                    * feat_dim + allpx * feat_dim // 256)
             hist = np.bincount(keys, minlength=n * feat_dim
                                ).reshape(n, feat_dim).astype(np.float64)
             hist /= hist.sum(axis=1, keepdims=True)

@@ -105,6 +105,16 @@ def sample_centroid_ids(emb: DataFrame, n_centroids: int = 10,
     return [int(r[0]) for r in rows]
 
 
+def _assign_expr(cents: dict[int, list[float]], vec_col: str):
+    """Max-cosine cell assignment as a struct column (c, negid); ties
+    break toward the lower centroid id. Handles the single-centroid
+    case (F.greatest requires >= 2 columns)."""
+    structs = [F.struct(_cos_to(v, vec_col).alias("c"),
+                        F.lit(-cid).alias("negid"))
+               for cid, v in sorted(cents.items())]
+    return structs[0] if len(structs) == 1 else F.greatest(*structs)
+
+
 def train_centroids(emb: DataFrame, init: list[list[float]],
                     iters: int = 2,
                     vec_col: str = "embedding") -> list[list[float]]:
@@ -117,10 +127,8 @@ def train_centroids(emb: DataFrame, init: list[list[float]],
     ``init`` and the data."""
     cents = [np.asarray(c, dtype=np.float64) for c in init]
     for _ in range(int(iters)):
-        assign = F.greatest(*[
-            F.struct(_cos_to(list(c), vec_col).alias("c"),
-                     F.lit(-i).alias("negid"))
-            for i, c in enumerate(cents)])
+        assign = _assign_expr(
+            {i: list(c) for i, c in enumerate(cents)}, vec_col)
         # cell must land in its own projection: a generator (posexplode)
         # in the same select defeats struct-field resolution on greatest()
         rows = (emb.withColumn("cell", -assign.getField("negid"))
@@ -178,11 +186,10 @@ def ivf_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
                 emb, [v for _, v in sorted(cents.items())],
                 iters=train_iters, vec_col=vec_col)
             cents = {i: c for i, c in enumerate(trained)}
+    if not cents:
+        raise ValueError("ivf_topk: no centroids (empty corpus?)")
     # assignment: greatest cosine wins, ties by centroid id asc
-    assign = F.greatest(*[
-        F.struct(_cos_to(v, vec_col).alias("c"),
-                 F.lit(-cid).alias("negid"))
-        for cid, v in sorted(cents.items())])
+    assign = _assign_expr(cents, vec_col)
     q = np.asarray(query_vec, dtype=np.float64)
 
     def cos_np(v):

@@ -780,127 +780,133 @@ def build_many(spark: SparkSession, df: DataFrame, out_base: str,
            .drop("_ioff", "_dps", "_gbase"))
 
     staging = _os.path.join(out_base, f"_staging-{uuid.uuid4().hex[:8]}")
-    store_cols = [c for c in df.columns if c != index_col]
-
-    import threading
-    errs: list[BaseException] = []
-
-    def _write_docstore() -> None:
-        try:
-            (doc.select(index_col, "shard", "docid", *store_cols)
-                .sortWithinPartitions("docid")
-                .write.mode("overwrite").partitionBy(index_col, "shard")
-                .parquet(_os.path.join(staging, "docstore")))
-        except BaseException as e:
-            errs.append(e)
-
-    th = threading.Thread(target=_write_docstore, name="docstore-many")
-    th.start()
-    p = cfg0.partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions"))
-    enc_in = (doc.select(F.col("gshard").alias("shard"), "docid",
-                         F.coalesce(F.col(text_col).cast("string"),
-                                    F.lit("")).alias("text"))
-              .repartitionByRange(min(p, max(1, gbase)), "shard")
-              .sortWithinPartitions("shard"))
-    enc_out = enc_in.mapInArrow(_make_shard_kernel(cfg0),
-                                schema=POSTING_SCHEMA)
-    gmap = spark.createDataFrame(
-        pd.DataFrame(gmap_rows, columns=["gshard", index_col, "_shard"]))
-    (enc_out.withColumnRenamed("shard", "gshard")
-            .join(F.broadcast(gmap), "gshard")
-            .withColumnRenamed("_shard", "shard").drop("gshard")
-            .write.mode("overwrite").partitionBy(index_col, "shard")
-            .parquet(_os.path.join(staging, "postings")))
-    th.join()
-    if errs:
-        raise errs[0]
-    if cached_parent is not None:
-        cached_parent.unpersist()
-
-    # one shared dictionary scan serves every index's term_stats +
-    # manifest aggregates
-    narrow = (spark.read.parquet(_os.path.join(staging, "postings"))
-              .select(index_col, "shard", "term", "df", "cf", "nbytes",
-                      "enc_us")
-              .persist())
-    ts_parts = max(1, max(c.num_shards for c in configs.values()) // 8)
-    (narrow.groupBy(index_col, "term")
-           .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-           .repartition(ts_parts, "term")
-           .sortWithinPartitions(index_col, "term")
-           .write.mode("overwrite").partitionBy(index_col)
-           .parquet(_os.path.join(staging, "term_stats")))
-    srows = (narrow.groupBy(index_col, "shard")
-             .agg(F.countDistinct("term").alias("n_terms"),
-                  F.sum("df").alias("n_postings"),
-                  F.sum("cf").alias("cf"),
-                  F.sum("nbytes").alias("bytes"),
-                  F.max("enc_us").alias("max_enc_us"))
-             .collect())
-    narrow.unpersist()
-    shard_rows: dict[str, dict[int, dict]] = {nm: {} for nm in names}
-    for r in srows:
-        shard_rows[r[index_col]][int(r["shard"])] = r
-
-    summaries = {}
-    wall_us = int((time.perf_counter() - t_start) * 1e6)
-    empty_schemas = {
-        "docstore": doc.select("shard", "docid", *store_cols).schema,
-        "postings": enc_out.schema,
-        "term_stats": T.StructType([
-            T.StructField("term", T.StringType()),
-            T.StructField("df", T.LongType()),
-            T.StructField("cf", T.LongType())]),
-    }
-    for nm in names:
-        root = _os.path.join(out_base, nm)
-        _os.makedirs(root, exist_ok=True)
-        for part in ("docstore", "postings", "term_stats"):
-            src = _os.path.join(staging, part, f"{index_col}={nm}")
-            dst = storage.path(root, part)
-            if _os.path.isdir(src):
-                _os.replace(src, dst)      # metadata-only move
-            else:
-                # configured index with no rows: write a schema-bearing
-                # empty parquet so the root stays readable — the
-                # reference's post-processor likewise materializes
-                # EMPTY indices for every configured name
-                # (IndexingPostProcessor.java:86-94)
-                sch = empty_schemas[part]
-                if part == "docstore":
-                    sch = T.StructType(
-                        [f for f in sch.fields if f.name != index_col])
-                spark.createDataFrame([], sch).write.mode(
-                    "overwrite").parquet(dst)
-        m = meta[nm]
-        build_id = storage.new_build_id(root)
-        tot_cf = sum(int(r["cf"]) for r in shard_rows[nm].values())
-        avgdl = (float(tot_cf) / m["n"]) if m["n"] else 0.0
-        c = configs[nm]
-        storage.append_stats_row(root, {
-            "n": m["n"], "avgdl": avgdl, "num_shards": c.num_shards,
-            "docs_per_shard": int(m["dps"]), "k1": float(c.k1),
-            "b": float(c.b), "block": int(c.block),
-            "docid_offset": 0, "build_id": build_id,
-            "docid_span": int(m["n"]), "fields": "", "routing": ""})
-        man_rows = []
-        for s in range(c.num_shards):
-            r = shard_rows[nm].get(s)
-            man_rows.append({
-                "shard": int(s),
-                "n_terms": int(r["n_terms"]) if r else 0,
-                "n_postings": int(r["n_postings"]) if r else 0,
-                "bytes": int(r["bytes"]) if r else 0,
-                "max_enc_us": int(r["max_enc_us"]) if r else 0,
-                "status": "committed", "build_id": build_id,
-                "build_wall_us": wall_us, "corpus_docs": m["n"]})
-        storage.append_manifest_rows(root, man_rows, build_id)
-        summaries[nm] = {"n_docs": m["n"], "avgdl": avgdl,
-                         "num_shards": c.num_shards,
-                         "docs_per_shard": m["dps"],
-                         "docid_span": m["n"], "build_id": build_id}
-    # clear the now-empty staging skeleton
     import shutil
-    shutil.rmtree(staging, ignore_errors=True)
-    return summaries
+    # staging must never outlive the call: success moves its
+    # contents away; any failure (or a retry after one) must not
+    # leak multi-GB partial writes under out_base
+    try:
+        store_cols = [c for c in df.columns if c != index_col]
+
+        import threading
+        errs: list[BaseException] = []
+
+        def _write_docstore() -> None:
+            try:
+                (doc.select(index_col, "shard", "docid", *store_cols)
+                    .sortWithinPartitions("docid")
+                    .write.mode("overwrite").partitionBy(index_col, "shard")
+                    .parquet(_os.path.join(staging, "docstore")))
+            except BaseException as e:
+                errs.append(e)
+
+        th = threading.Thread(target=_write_docstore, name="docstore-many")
+        th.start()
+        p = cfg0.partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions"))
+        enc_in = (doc.select(F.col("gshard").alias("shard"), "docid",
+                             F.coalesce(F.col(text_col).cast("string"),
+                                        F.lit("")).alias("text"))
+                  .repartitionByRange(min(p, max(1, gbase)), "shard")
+                  .sortWithinPartitions("shard"))
+        enc_out = enc_in.mapInArrow(_make_shard_kernel(cfg0),
+                                    schema=POSTING_SCHEMA)
+        gmap = spark.createDataFrame(
+            pd.DataFrame(gmap_rows, columns=["gshard", index_col, "_shard"]))
+        (enc_out.withColumnRenamed("shard", "gshard")
+                .join(F.broadcast(gmap), "gshard")
+                .withColumnRenamed("_shard", "shard").drop("gshard")
+                .write.mode("overwrite").partitionBy(index_col, "shard")
+                .parquet(_os.path.join(staging, "postings")))
+        th.join()
+        if errs:
+            raise errs[0]
+        if cached_parent is not None:
+            cached_parent.unpersist()
+
+        # one shared dictionary scan serves every index's term_stats +
+        # manifest aggregates
+        narrow = (spark.read.parquet(_os.path.join(staging, "postings"))
+                  .select(index_col, "shard", "term", "df", "cf", "nbytes",
+                          "enc_us")
+                  .persist())
+        ts_parts = max(1, max(c.num_shards for c in configs.values()) // 8)
+        (narrow.groupBy(index_col, "term")
+               .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+               .repartition(ts_parts, "term")
+               .sortWithinPartitions(index_col, "term")
+               .write.mode("overwrite").partitionBy(index_col)
+               .parquet(_os.path.join(staging, "term_stats")))
+        srows = (narrow.groupBy(index_col, "shard")
+                 .agg(F.countDistinct("term").alias("n_terms"),
+                      F.sum("df").alias("n_postings"),
+                      F.sum("cf").alias("cf"),
+                      F.sum("nbytes").alias("bytes"),
+                      F.max("enc_us").alias("max_enc_us"))
+                 .collect())
+        narrow.unpersist()
+        shard_rows: dict[str, dict[int, dict]] = {nm: {} for nm in names}
+        for r in srows:
+            shard_rows[r[index_col]][int(r["shard"])] = r
+
+        summaries = {}
+        wall_us = int((time.perf_counter() - t_start) * 1e6)
+        empty_schemas = {
+            "docstore": doc.select("shard", "docid", *store_cols).schema,
+            "postings": enc_out.schema,
+            "term_stats": T.StructType([
+                T.StructField("term", T.StringType()),
+                T.StructField("df", T.LongType()),
+                T.StructField("cf", T.LongType())]),
+        }
+        for nm in names:
+            root = _os.path.join(out_base, nm)
+            _os.makedirs(root, exist_ok=True)
+            for part in ("docstore", "postings", "term_stats"):
+                src = _os.path.join(staging, part, f"{index_col}={nm}")
+                dst = storage.path(root, part)
+                if _os.path.isdir(src):
+                    if _os.path.isdir(dst):
+                        shutil.rmtree(dst)     # rebuild = overwrite
+                    _os.replace(src, dst)      # metadata-only move
+                else:
+                    # configured index with no rows: write a schema-bearing
+                    # empty parquet so the root stays readable — the
+                    # reference's post-processor likewise materializes
+                    # EMPTY indices for every configured name
+                    # (IndexingPostProcessor.java:86-94)
+                    sch = empty_schemas[part]
+                    if part == "docstore":
+                        sch = T.StructType(
+                            [f for f in sch.fields if f.name != index_col])
+                    spark.createDataFrame([], sch).write.mode(
+                        "overwrite").parquet(dst)
+            m = meta[nm]
+            build_id = storage.new_build_id(root)
+            tot_cf = sum(int(r["cf"]) for r in shard_rows[nm].values())
+            avgdl = (float(tot_cf) / m["n"]) if m["n"] else 0.0
+            c = configs[nm]
+            storage.append_stats_row(root, {
+                "n": m["n"], "avgdl": avgdl, "num_shards": c.num_shards,
+                "docs_per_shard": int(m["dps"]), "k1": float(c.k1),
+                "b": float(c.b), "block": int(c.block),
+                "docid_offset": 0, "build_id": build_id,
+                "docid_span": int(m["n"]), "fields": "", "routing": ""})
+            man_rows = []
+            for s in range(c.num_shards):
+                r = shard_rows[nm].get(s)
+                man_rows.append({
+                    "shard": int(s),
+                    "n_terms": int(r["n_terms"]) if r else 0,
+                    "n_postings": int(r["n_postings"]) if r else 0,
+                    "bytes": int(r["bytes"]) if r else 0,
+                    "max_enc_us": int(r["max_enc_us"]) if r else 0,
+                    "status": "committed", "build_id": build_id,
+                    "build_wall_us": wall_us, "corpus_docs": m["n"]})
+            storage.append_manifest_rows(root, man_rows, build_id)
+            summaries[nm] = {"n_docs": m["n"], "avgdl": avgdl,
+                             "num_shards": c.num_shards,
+                             "docs_per_shard": m["dps"],
+                             "docid_span": m["n"], "build_id": build_id}
+        return summaries
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

@@ -194,7 +194,11 @@ def main(argv: list[str] | None = None) -> int:
                                cfg=cfg)(spark.read.parquet(args.input),
                                         batch_id=args.batch_id)
             from .streaming import read_delta_log
-            print(json.dumps(read_delta_log(args.base)[-1]))
+            mine = [e for e in read_delta_log(args.base)
+                    if e["batch_id"] == args.batch_id
+                    and e.get("stream", "manual") == "manual"]
+            print(json.dumps(mine[-1] if mine
+                             else {"error": "batch not committed"}))
         elif args.cmd == "nightly-rotate":
             from .build import BuildConfig
             from .rotation import RotationRegistry

@@ -499,6 +499,19 @@ class FTSIndex:
                 .where(F.col("th").isin(hs))
                 .where(F.col("term").isin(terms)))
 
+    def _org_rows_docs(self, terms: list[str],
+                       org: str) -> tuple[DataFrame, DataFrame]:
+        """(shard-pruned posting rows, tenant docids) for an org-scoped
+        query — the shared assembly for topk and topk_many."""
+        shards = self.possible_shards(org)
+        rows = (self._posting_rows(terms)
+                .where(F.col("shard").isin(shards)))
+        orgdocs = (self._docstore
+                   .where(F.col("shard").isin(shards))
+                   .where(F.col(self.routing_col) == org)
+                   .select("shard", "docid"))
+        return rows, orgdocs
+
     # -- public API ---------------------------------------------------
     def possible_shards(self, org: str) -> list[int]:
         """Query-side shard pruning set for one tenant — the
@@ -531,13 +544,7 @@ class FTSIndex:
         k1, b = self.k1, self.b
 
         if org is not None:
-            shards = self.possible_shards(org)
-            rows = (self._posting_rows(terms)
-                    .where(F.col("shard").isin(shards)))
-            orgdocs = (self._docstore
-                       .where(F.col("shard").isin(shards))
-                       .where(F.col(self.routing_col) == org)
-                       .select("shard", "docid"))
+            rows, orgdocs = self._org_rows_docs(terms, org)
 
             def per_shard_org(lpdf: pd.DataFrame,
                               rpdf: pd.DataFrame) -> pd.DataFrame:
@@ -613,13 +620,7 @@ class FTSIndex:
                                    k1, b, k, method)
 
         if org is not None:
-            shards = self.possible_shards(org)
-            rows = (self._posting_rows(all_terms)
-                    .where(F.col("shard").isin(shards)))
-            orgdocs = (self._docstore
-                       .where(F.col("shard").isin(shards))
-                       .where(F.col(self.routing_col) == org)
-                       .select("shard", "docid"))
+            rows, orgdocs = self._org_rows_docs(all_terms, org)
 
             def per_shard_org(lpdf: pd.DataFrame,
                               rpdf: pd.DataFrame) -> pd.DataFrame:

@@ -233,6 +233,22 @@ class CombinedIndex:
                    for s in self.subs) / self.N if self.N else 0.0)
         return f"{field}:", avg
 
+    def _org_union(self, org_subs, terms: list[str], org: str):
+        """Unioned (posting rows, tenant docids), each tagged with its
+        sub-index ordinal and pruned to that generation's possible
+        shards — the shared assembly for every org-scoped query path."""
+        rows = parts = None
+        for i, (s, ps) in enumerate(org_subs):
+            r = (s._posting_rows(terms)
+                 .where(F.col("shard").isin(ps))
+                 .withColumn("sub", F.lit(i)))
+            d = (s._docstore.where(F.col("shard").isin(ps))
+                 .where(F.col(s.routing_col) == org)
+                 .select("shard", "docid").withColumn("sub", F.lit(i)))
+            rows = r if rows is None else rows.unionByName(r)
+            parts = d if parts is None else parts.unionByName(d)
+        return rows, parts
+
     def _org_subs(self, org: str) -> list[tuple[FTSIndex, list[int]]]:
         """(sub-index, its possible shards for org) — org-scoped queries
         require EVERY generation routed (the reference refuses mixed
@@ -367,16 +383,7 @@ class CombinedIndex:
         k1, b = self.k1, self.b
 
         if org_subs is not None:
-            rows = parts = None
-            for i, (s, ps) in enumerate(org_subs):
-                r = (s._posting_rows(terms)
-                     .where(F.col("shard").isin(ps))
-                     .withColumn("sub", F.lit(i)))
-                d = (s._docstore.where(F.col("shard").isin(ps))
-                     .where(F.col(s.routing_col) == org)
-                     .select("shard", "docid").withColumn("sub", F.lit(i)))
-                rows = r if rows is None else rows.unionByName(r)
-                parts = d if parts is None else parts.unionByName(d)
+            rows, parts = self._org_union(org_subs, terms, org)
 
             def per_group_org(lpdf, rpdf):
                 if lpdf.empty or rpdf.empty:
@@ -472,16 +479,7 @@ class CombinedIndex:
         out_schema = "qid string, docid long, score double"
 
         if org_subs is not None:
-            rows = parts = None
-            for i, (s, ps) in enumerate(org_subs):
-                r = (s._posting_rows(all_terms)
-                     .where(F.col("shard").isin(ps))
-                     .withColumn("sub", F.lit(i)))
-                d = (s._docstore.where(F.col("shard").isin(ps))
-                     .where(F.col(s.routing_col) == org)
-                     .select("shard", "docid").withColumn("sub", F.lit(i)))
-                rows = r if rows is None else rows.unionByName(r)
-                parts = d if parts is None else parts.unionByName(d)
+            rows, parts = self._org_union(org_subs, all_terms, org)
 
             def per_group_org(lpdf, rpdf):
                 if lpdf.empty or rpdf.empty:

@@ -133,3 +133,38 @@ def test_build_many_empty_index_is_readable(spark, tmp_path_factory):
     only = FTSIndex(spark, f"{out}/only")
     assert only.N == len(pdf)
     assert not only.topk_pandas("alpha", k=5).empty
+
+
+def test_build_many_rerun_overwrites_and_cleans_staging(
+        spark, tmp_path_factory):
+    """Code-review r3 #1: a rebuild (or crash retry) into the same
+    out_base must OVERWRITE the roots, not raise ENOTEMPTY, and no
+    _staging-* dir may survive either run."""
+    import os
+    pdf = _with_index(make_transcripts(10, seed=41))
+    out = str(tmp_path_factory.mktemp("many_rerun"))
+    cfgs = {"idx_0": BuildConfig(num_shards=2, partitions=2),
+            "idx_1": BuildConfig(num_shards=2, partitions=2)}
+    build_many(spark, spark.createDataFrame(pdf), out, cfgs,
+               index_col="index")
+    first = FTSIndex(spark, f"{out}/idx_0").topk_pandas("alpha", k=5)
+    build_many(spark, spark.createDataFrame(pdf), out, cfgs,
+               index_col="index")                       # must not raise
+    again = FTSIndex(spark, f"{out}/idx_0").topk_pandas("alpha", k=5)
+    assert again["docid"].tolist() == first["docid"].tolist()
+    assert not [d for d in os.listdir(out) if d.startswith("_staging")]
+
+
+def test_build_many_failure_cleans_staging(spark, tmp_path_factory):
+    """Any failure must not leak partial staging writes under out_base."""
+    import os
+    pdf = _with_index(make_transcripts(4, seed=42), n_indices=3)
+    out = str(tmp_path_factory.mktemp("many_fail"))
+    with pytest.raises(Exception):
+        build_many(spark, spark.createDataFrame(pdf), out,
+                   {"idx_0": BuildConfig(num_shards=2, partitions=2),
+                    "idx_1": BuildConfig(num_shards=2, partitions=2),
+                    # idx_2 present in data but unconfigured → assert
+                    }, index_col="index")
+    assert not os.path.isdir(out) or \
+        not [d for d in os.listdir(out) if d.startswith("_staging")]

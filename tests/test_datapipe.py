@@ -456,3 +456,30 @@ def test_hash_sample_deterministic_and_stratified(spark):
     st = stratified_hash_sample(df, {"en": 0.5}, "lang").collect()
     assert all(r["lang"] == "en" for r in st)       # de dropped
     assert 0.4 < len(st) / 1000 < 0.6
+
+
+def test_extract_features_small_feat_dim(spark):
+    """Code-review r3 #2: feat_dim < 8 must bin pixels into feat_dim
+    buckets (px*feat_dim//256), not crash on pixels >= 32*feat_dim."""
+    from datapipe.multimodal import extract_features, synth_media
+    docs = spark.createDataFrame(
+        [(0, "\xff\xfe bright bytes here")], "doc_id long, text string")
+    out = extract_features(synth_media(docs), feat_dim=4).collect()
+    assert len(out) == 1 and len(out[0]["feat"]) == 4
+    assert abs(sum(out[0]["feat"]) - 1.0) < 1e-6
+
+
+def test_ivf_single_centroid_ok(spark):
+    """Code-review r3 #3: one centroid = one cell = exact scan, not an
+    AssertionError from F.greatest."""
+    from datapipe.similarity import cosine_topk, ivf_topk
+    rows = _clustered_corpus(n=40)
+    edf = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = ivf_topk(edf, rows[3][1], k=5, centroids=[rows[0][1]],
+                   nprobe=1).collect()
+    want = cosine_topk(edf, rows[3][1], k=5).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    # trained path with n_centroids=1 also works
+    got2 = ivf_topk(edf, rows[3][1], k=5, n_centroids=1, train_iters=1,
+                    nprobe=1).collect()
+    assert [r["vec_id"] for r in got2] == [r["vec_id"] for r in want]
