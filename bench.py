@@ -118,7 +118,7 @@ def build_best_of(cores: int, src: str, work: str, num_shards: int,
     walls and /proc/stat steal%% are all reported."""
     from sparkfts import BuildConfig, build_index
     if repeats is None:
-        repeats = int(os.environ.get("SPARKFTS_BUILD_REPEATS", "3"))
+        repeats = int(os.environ.get("SPARKFTS_BUILD_REPEATS", "4"))
     spark = make_spark(cores, parts)
     spark.sparkContext.setLogLevel("ERROR")
     wroot = os.path.join(work, "warmup_tuned")
@@ -337,6 +337,7 @@ def main() -> None:
             "build_runs": [{"wall_sec": r["wall_sec"],
                             "steal_pct": r["steal_pct"]}
                            for r in bN["runs"]],
+            "loadavg": list(os.getloadavg()),
             "scaling": scaling,
         }))
     finally:

@@ -319,11 +319,7 @@ class CombinedIndex:
                              ascending=[False, True])
                 .head(k).reset_index(drop=True))
 
-    def fetch_docs(self, docids) -> pd.DataFrame:
-        """Geometry-aware pruned doc fetch: each docid routes to the ONE
-        sub-index whose id range owns it, and shard pruning uses THAT
-        generation's docs_per_shard — base and deltas may have entirely
-        different shard geometry."""
+    def _fetch_parts(self, docids, local: bool) -> list[pd.DataFrame]:
         by_sub: dict[int, list[int]] = {}
         for d in docids:
             s = self._sub_for(int(d))
@@ -332,11 +328,45 @@ class CombinedIndex:
         for s in self.subs:
             ids = by_sub.get(id(s))
             if ids:
-                parts.append(s.fetch_docs(ids).toPandas())
+                parts.append(s.fetch_docs_local(ids) if local
+                             else s.fetch_docs(ids).toPandas())
+        return parts
+
+    def fetch_docs(self, docids) -> pd.DataFrame:
+        """Geometry-aware pruned doc fetch: each docid routes to the ONE
+        sub-index whose id range owns it, and shard pruning uses THAT
+        generation's docs_per_shard — base and deltas may have entirely
+        different shard geometry."""
+        parts = self._fetch_parts(docids, local=False)
         if not parts:
             return pd.DataFrame()
         return (pd.concat(parts, ignore_index=True)
                 .sort_values("docid").reset_index(drop=True))
+
+    def fetch_docs_local(self, docids) -> pd.DataFrame:
+        """fetch_docs with ZERO Spark jobs (per-generation pyarrow
+        point reads) — the realtime serving leg's doc fetch."""
+        parts = self._fetch_parts(docids, local=True)
+        if not parts:
+            return pd.DataFrame()
+        return (pd.concat(parts, ignore_index=True)
+                .sort_values("docid").reset_index(drop=True))
+
+    def search_local(self, query: str, k: int = 10, mode: str = "or",
+                     method: str = "wand", org: str | None = None,
+                     field: str | None = None) -> pd.DataFrame:
+        """Full base+delta search (top-k + doc content) with zero Spark
+        jobs — the complete ms-latency answer to the reference's
+        always-on realtime cluster."""
+        hits = self.topk_local(query, k, mode, method, org=org,
+                               field=field)
+        if hits.empty:
+            return hits
+        docs = self.fetch_docs_local(hits["docid"].tolist())
+        out = hits.merge(docs.drop(columns=["shard"]), on="docid")
+        return (out.sort_values(["score", "docid"],
+                                ascending=[False, True])
+                .reset_index(drop=True))
 
     def _union(self, mk) -> DataFrame:
         dfs = [mk(s).withColumn("sub", F.lit(i))

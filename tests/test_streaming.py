@@ -533,3 +533,79 @@ def test_combined_phrase_topk_matches_monolithic(spark, setup2,
         want = mono.phrase_topk(phrase, k=10).toPandas()
         assert keyed(ci.fetch_docs, got) \
             == keyed(lambda i: mono.fetch_docs(i).toPandas(), want), phrase
+
+
+def test_combined_search_local_zero_jobs(spark, setup2):
+    """The complete realtime serving path over base+deltas — top-k AND
+    doc fetch — must launch zero Spark jobs and agree with the
+    distributed surfaces."""
+    root, oracle = setup2
+    ci = CombinedIndex(spark, root)
+    sc = spark.sparkContext
+    sc.setJobGroup("ci-search-local", "local combined search")
+    out = ci.search_local("alpha query index", k=5, mode="or")
+    jobs = sc.statusTracker().getJobIdsForGroup("ci-search-local")
+    sc.setJobGroup(None, None)
+    assert len(jobs) == 0, "local search must not launch Spark jobs"
+    assert "text" in out.columns and len(out) == 5
+    want = oracle.topk("alpha query index", k=5, mode="or")
+    assert out["docid"].tolist() == want["docid"].tolist()
+    # fetched text matches the owning generation's docstore
+    direct = ci.fetch_docs(out["docid"].tolist())
+    assert list(out.sort_values("docid")["text"]) == list(direct["text"])
+
+
+def test_triple_composition_routed_multifield_streaming(
+        spark, tmp_path_factory):
+    """All three config axes at once (r3 closure of the composition
+    matrix): org-routed + multi-field base with a routed+mf streaming
+    delta; org- AND field-scoped CombinedIndex query must equal the
+    monolithic routed+mf rebuild, on both the distributed and the
+    zero-job local path."""
+    import pandas as pd
+    from sparkfts import FTSIndex
+    from sparkfts.analyzer import TokenizerConfig
+    cfg = BuildConfig(num_shards=4, partitions=4, routing_col="org",
+                      shards_per_org=2,
+                      fields={"text": TokenizerConfig(),
+                              "meta": TokenizerConfig()})
+
+    def prep(pdf):
+        return pdf.assign(
+            meta=(pdf["role"] + " " + pdf["tool"].fillna("")),
+            org=pdf["conv_id"].map(lambda c: f"o{sum(map(ord, c)) % 2}"))
+
+    base, d1 = prep(make_transcripts(12, seed=91)), \
+        prep(make_transcripts(5, seed=92))
+    root = str(tmp_path_factory.mktemp("triple"))
+    build_index(spark, spark.createDataFrame(base), root,
+                order_cols=["conv_id", "turn_idx"], cfg=cfg)
+    make_batch_indexer(root, cfg=cfg)(spark.createDataFrame(d1),
+                                      batch_id=0)
+    ci = CombinedIndex(spark, root)
+    mroot = str(tmp_path_factory.mktemp("triple_mono"))
+    build_index(spark,
+                spark.createDataFrame(pd.concat([base, d1],
+                                                ignore_index=True)),
+                mroot, order_cols=["conv_id", "turn_idx"], cfg=cfg)
+    mono = FTSIndex(spark, mroot)
+
+    def keyed(fetch, hits):
+        if hits.empty:
+            return []
+        docs = fetch(hits["docid"].tolist())
+        m = {int(r["docid"]): (r["conv_id"], int(r["turn_idx"]))
+             for _, r in docs.iterrows()}
+        return sorted(((-round(s, 9), *m[int(d)])
+                       for d, s in zip(hits["docid"], hits["score"])))
+
+    for org in ("o0", "o1"):
+        for q, fld in [("alpha query index", "text"),
+                       ("assistant", "meta")]:
+            got = ci.topk(q, k=10, mode="or", org=org, field=fld)
+            want = mono.topk_pandas(q, k=10, mode="or", org=org,
+                                    field=fld)
+            assert keyed(ci.fetch_docs, got) == keyed(
+                lambda i: mono.fetch_docs(i).toPandas(), want), (org, fld)
+            loc = ci.topk_local(q, k=10, mode="or", org=org, field=fld)
+            assert loc["docid"].tolist() == got["docid"].tolist()
