@@ -372,8 +372,11 @@ def _decode_term_rows_pos(rows: pd.DataFrame):
 
 def _phrase_shard(pdf: pd.DataFrame, seq: list[str], uniq: list[str],
                   idf: dict[str, float], avgdl: float, k1: float, b: float,
-                  k: int) -> pd.DataFrame:
-    """One shard's phrase matching + BM25 ranking (see phrase_topk)."""
+                  k: int,
+                  org_cand: np.ndarray | None = None) -> pd.DataFrame:
+    """One shard's phrase matching + BM25 ranking (see phrase_topk).
+    ``org_cand`` (sorted docids) restricts matching to a tenant's docs
+    before any position work."""
     out_empty = pd.DataFrame({"docid": pd.Series(dtype=np.int64),
                               "score": pd.Series(dtype=np.float64)})
     per_term = {}
@@ -388,6 +391,8 @@ def _phrase_shard(pdf: pd.DataFrame, seq: list[str], uniq: list[str],
         d = per_term[t][0]
         cand = d if cand is None else np.intersect1d(cand, d,
                                                      assume_unique=True)
+    if org_cand is not None and cand is not None:
+        cand = np.intersect1d(cand, org_cand, assume_unique=True)
     if cand is None or cand.size == 0:
         return out_empty
     # Vectorized adjacency over flat position arrays (no per-doc Python
@@ -737,14 +742,48 @@ class FTSIndex:
         return out.reset_index(drop=True)
 
     def match_docids(self, query: str, mode: str = "and",
-                     field: str | None = None) -> DataFrame:
+                     field: str | None = None,
+                     org: str | None = None) -> DataFrame:
         """Boolean match without scoring (B7): docids containing all
-        (and) / any (or) query terms, sorted ascending."""
+        (and) / any (or) query terms, sorted ascending. With ``org``
+        (routed indexes): shard-pruned read + restriction to the
+        tenant's docids."""
         prefix, _ = self._field(field)
         terms = self._terms(query, prefix)
         if not terms:
             return self.spark.createDataFrame([], "docid long")
         nq = len(terms)
+
+        if org is not None:
+            rows, orgdocs = self._org_rows_docs(terms, org)
+
+            def per_shard_org(lpdf: pd.DataFrame,
+                              rpdf: pd.DataFrame) -> pd.DataFrame:
+                if lpdf.empty or rpdf.empty:
+                    return pd.DataFrame({"docid": pd.Series(dtype=np.int64)})
+                cand = np.sort(rpdf["docid"].to_numpy(np.int64))
+                res: np.ndarray | None = None
+                union: list[np.ndarray] = []
+                for t in sorted(lpdf["term"].unique()):
+                    d, _, _ = _decode_term_rows(lpdf[lpdf["term"] == t])
+                    d = d[np.isin(d, cand, assume_unique=True)]
+                    if mode == "and":
+                        res = d if res is None else np.intersect1d(
+                            res, d, assume_unique=True)
+                    else:
+                        union.append(d)
+                if mode == "and":
+                    if lpdf["term"].nunique() < nq or res is None:
+                        res = np.empty(0, dtype=np.int64)
+                else:
+                    res = (np.unique(np.concatenate(union))
+                           if union else np.empty(0, dtype=np.int64))
+                return pd.DataFrame({"docid": res})
+
+            return (rows.groupBy("shard")
+                    .cogroup(orgdocs.groupBy("shard"))
+                    .applyInPandas(per_shard_org, schema="docid long")
+                    .sort("docid"))
 
         def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             res: np.ndarray | None = None
@@ -770,7 +809,8 @@ class FTSIndex:
                 .sort("docid"))
 
     def phrase_topk(self, query: str, k: int = 10,
-                    field: str | None = None) -> DataFrame:
+                    field: str | None = None,
+                    org: str | None = None) -> DataFrame:
         """Exact phrase query (positions-based, the Lucene .prx analog):
         docs containing the query tokens consecutively, ranked by BM25
         over the phrase's distinct terms, ties by docid. Adjacency is
@@ -779,7 +819,10 @@ class FTSIndex:
         terms' postings narrows the candidates. On multi-field indexes
         pass ``field`` — terms are field-prefixed and the field's avgdl
         scores the hits (positions are per (field, doc), so adjacency is
-        within the chosen field)."""
+        within the chosen field). With ``org`` (routed indexes) the read
+        prunes to the tenant's shards and matching restricts to its docs
+        — rank-identical to the unrestricted phrase ranking filtered to
+        the org (stats stay global)."""
         prefix, avgdl = self._field(field)
         seq = [prefix + t for t in tokenize_text(query, self.tokenizer)]
         empty = self.spark.createDataFrame([], "docid long, score double")
@@ -789,13 +832,33 @@ class FTSIndex:
         idf = self._idf_map(uniq)
         k1, b = self.k1, self.b
 
-        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _phrase_shard(pdf, seq, uniq, idf, avgdl, k1, b, k)
+        if org is not None:
+            rows, orgdocs = self._org_rows_docs(uniq, org)
 
-        rows = self._posting_rows(uniq)
-        tops = (rows.groupBy("shard")
-                .applyInPandas(per_shard, schema="docid long, score double")
-                .collect())
+            def per_shard_org(lpdf: pd.DataFrame,
+                              rpdf: pd.DataFrame) -> pd.DataFrame:
+                if lpdf.empty or rpdf.empty:
+                    return pd.DataFrame(
+                        {"docid": pd.Series(dtype=np.int64),
+                         "score": pd.Series(dtype=np.float64)})
+                cand = np.sort(rpdf["docid"].to_numpy(np.int64))
+                return _phrase_shard(lpdf, seq, uniq, idf, avgdl, k1, b,
+                                     k, org_cand=cand)
+
+            tops = (rows.groupBy("shard")
+                    .cogroup(orgdocs.groupBy("shard"))
+                    .applyInPandas(per_shard_org,
+                                   schema="docid long, score double")
+                    .collect())
+        else:
+            def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+                return _phrase_shard(pdf, seq, uniq, idf, avgdl, k1, b, k)
+
+            rows = self._posting_rows(uniq)
+            tops = (rows.groupBy("shard")
+                    .applyInPandas(per_shard,
+                                   schema="docid long, score double")
+                    .collect())
         if not tops:
             return empty
         merged = (pd.DataFrame([r.asDict() for r in tops])

@@ -6,7 +6,6 @@ Fixtures build three small indexes over the SAME corpus/order (so
 docids align): classic (text only), mf (text+meta fields), routed
 (org tenant routing).
 """
-import numpy as np
 import pytest
 
 from sparkfts import BuildConfig, FTSIndex, build_index
@@ -143,3 +142,42 @@ def test_search_surfaces_pass_through(idx_routed, idx_mf):
     got = _pd(idx_mf.search("alpha index query", k=5, field="text"))
     wantf = idx_mf.topk_pandas("alpha index query", k=5, field="text")
     assert got["docid"].tolist() == wantf["docid"].tolist()
+
+
+def test_phrase_topk_org_scoped(idx_routed, corpus):
+    """phrase_topk(org=) must equal the unrestricted phrase ranking
+    filtered to the tenant's docs (global stats), like topk(org=)."""
+    pdf = (corpus.sort_values(["conv_id", "turn_idx"])
+           .reset_index(drop=True))
+    for org in ("o0", "o1", "o2"):
+        keep = {int(r["docid"]) for r in
+                idx_routed._docstore.where(f"org = '{org}'")
+                .select("docid").collect()}
+        full = _pd(idx_routed.phrase_topk("nightly index", k=10_000))
+        want = full[full["docid"].isin(keep)].head(10).reset_index(
+            drop=True)
+        got = _pd(idx_routed.phrase_topk("nightly index", k=10, org=org))
+        _same(got, want)
+    # unknown tenant → empty
+    assert _pd(idx_routed.phrase_topk("nightly index", k=5,
+                                      org="nope")).empty
+
+
+def test_phrase_topk_org_requires_routed_index(idx_classic):
+    with pytest.raises(ValueError, match="routing"):
+        idx_classic.phrase_topk("nightly index", k=5, org="o0")
+
+
+def test_match_docids_org_scoped(idx_routed):
+    for org in ("o0", "o2"):
+        keep = {int(r["docid"]) for r in
+                idx_routed._docstore.where(f"org = '{org}'")
+                .select("docid").collect()}
+        for mode in ("and", "or"):
+            full = [r["docid"] for r in
+                    idx_routed.match_docids("alpha index",
+                                            mode).collect()]
+            got = [r["docid"] for r in
+                   idx_routed.match_docids("alpha index", mode,
+                                           org=org).collect()]
+            assert got == [d for d in full if d in keep], (org, mode)
