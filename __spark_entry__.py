@@ -558,6 +558,59 @@ def q_dp_strat_sample(spark, sf_dir):
             .select("doc_id", "lang").sort("doc_id"))
 
 
+def _stream_union_ci(spark, sf_dir):
+    """Unrouted base (doc_id < 300, 4 shards) + one streaming delta
+    (doc_id >= 300, 2 shards — deliberately different geometry)."""
+    from sparkfts import BuildConfig, build_index
+    from sparkfts.streaming import (CombinedIndex, make_batch_indexer,
+                                    read_delta_log)
+    from sparkfts.storage import manifest_exists
+    key = f"{os.path.abspath(sf_dir)}#stream"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    root = _gate_root(sf_dir, "stream")
+    docs = _docs(spark, sf_dir)
+    if not manifest_exists(root):
+        build_index(spark, docs.where("doc_id < 300"), root,
+                    text_col="text", order_cols=["doc_id"],
+                    cfg=BuildConfig(num_shards=4, partitions=4))
+    if not read_delta_log(root):
+        make_batch_indexer(root, text_col="text", order_cols=["doc_id"],
+                           cfg=BuildConfig(num_shards=2, partitions=2))(
+            docs.where("doc_id >= 300"), batch_id=0)
+    ci = CombinedIndex(spark, root)
+    _INDEX_CACHE[key] = ci
+    return ci
+
+
+def q_streaming_union_bm25(spark, sf_dir):
+    """Streaming incremental index (r3 gate for the formerly pytest-only
+    realtime leg): base + delta generation with DIFFERENT shard
+    geometry, union-global BM25 == BM25 over the whole corpus. Hits map
+    back to the user's doc_id (docids are generation-local) and re-rank
+    (score desc, doc_id asc)."""
+    ci = _stream_union_ci(spark, sf_dir)
+    hits = ci.topk(f"{T_HOT} {T_MID} {T_RARE}", k=10, mode="or")
+    docs = ci.fetch_docs(hits["docid"].tolist())
+    out = hits.merge(docs[["docid", "doc_id"]], on="docid")
+    out = out.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    out["rank"] = out.index + 1
+    out["score_r"] = out["score"].round(4)
+    return spark.createDataFrame(
+        out[["rank", "doc_id", "score_r"]],
+        schema="rank long, doc_id long, score_r double")
+
+
+def q_dp_decontaminate(spark, sf_dir):
+    """The corpus-filter form of decontamination: surviving doc ids."""
+    from datapipe.curate import decontaminate
+    docs = _docs(spark, sf_dir)
+    return (decontaminate(docs.where("doc_id % 17 <> 0"),
+                          docs.where("doc_id % 17 = 0"))
+            .select("doc_id").sort("doc_id"))
+
+
 def q_build_many_bm25(spark, sf_dir):
     """Multi-index build (ShardConfig.java:50-56 analog, r3): ONE
     build_many call produces an 'even' (3-shard) and an 'odd' (5-shard)
@@ -607,6 +660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_org_scoped_search": q_org_scoped_search,
         "fts_build_many_bm25": q_build_many_bm25,
         "fts_routed_delta_org_search": q_routed_delta_org_search,
+        "fts_streaming_union_bm25": q_streaming_union_bm25,
+        "dp_decontaminate": q_dp_decontaminate,
         "fts_org_possible_shards": q_org_possible_shards,
         "fts_multifield_text_bm25": q_mf_text_bm25,
         "fts_multifield_lang_bm25": q_mf_lang_bm25,
@@ -964,6 +1019,33 @@ def oracle_sql() -> dict[str, str]:
             [T_HOT, T_MID, T_RARE], "or", ORG),
         "fts_build_many_bm25": _bm25_many_sql(
             [T_HOT, T_MID], "or", "doc_id % 2 = 0"),
+        "fts_streaming_union_bm25": f"""
+            {_bm25_scored([T_HOT, T_MID, T_RARE], "or")}
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                     AS rank,
+                   doc_id, round(score, 4) AS score_r
+            FROM scored
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10""",
+        "dp_decontaminate": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 t -> t <> '') AS tl
+              FROM documents),
+            kg AS (
+              SELECT doc_id, md5(array_to_string(tl[i:i+12], ' ')) AS g
+              FROM base, UNNEST(generate_series(1, len(tl) - 12)) AS t(i)
+              WHERE len(tl) >= 13),
+            bench AS (SELECT DISTINCT g FROM kg WHERE doc_id % 17 = 0),
+            bad AS (SELECT DISTINCT doc_id FROM kg
+                    WHERE doc_id % 17 <> 0
+                      AND g IN (SELECT g FROM bench))
+            SELECT doc_id FROM documents
+            WHERE doc_id % 17 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM bad)
+            ORDER BY doc_id""",
         "fts_routed_delta_org_search": _bm25_org_sql(
             [T_MID2, T_HOT], "or", ORG),
         "fts_org_possible_shards": f"""
