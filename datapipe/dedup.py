@@ -67,16 +67,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """LSH candidate pairs: docs sharing ≥1 band of ``band_r``
     consecutive signature components. Returns distinct (a, b), a < b."""
     sig = minhash_signatures(df, text_col, num_hashes)
+    # ONE evaluation of the signature aggregation: every band row comes
+    # from a single explode over a struct array (a union of per-band
+    # selects re-evaluated the tokenize+groupBy subtree once PER BAND —
+    # at corpus scale that is num_bands full scans)
     bands = []
     for b in range(num_hashes // band_r):
         cols = [f"mh_{b * band_r + j}" for j in range(band_r)]
-        bands.append(sig.select(
-            "doc_id", F.lit(b).alias("band_id"),
+        bands.append(F.struct(
+            F.lit(b).alias("band_id"),
             F.md5(F.encode(F.concat_ws("|", *cols), "UTF-8"))
              .alias("band_hash")))
-    allb = bands[0]
-    for x in bands[1:]:
-        allb = allb.unionAll(x)
+    allb = (sig.select("doc_id", F.explode(F.array(*bands)).alias("e"))
+            .select("doc_id", F.col("e.band_id").alias("band_id"),
+                    F.col("e.band_hash").alias("band_hash")))
     l, r = allb.alias("l"), allb.alias("r")
     return (l.join(r, ["band_id", "band_hash"])
             .where(F.col("l.doc_id") < F.col("r.doc_id"))
@@ -232,38 +236,36 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Vote for bit j = +tf if bit j of md5(token) is 1 else -tf; simhash
     bit = 1 iff the vote sum > 0. Bit j lives in hex nibble j//4 at
-    position 3 - j%4. Pure built-ins: explode × broadcast 64-row bit
-    table → one groupBy.
-    """
-    spark = df.sparkSession
+    position 3 - j%4.
+
+    Scale shape (r3 rewrite): ONE groupBy(doc_id) carrying 64 SUM
+    aggregate expressions — each decodes its bit from the token's md5
+    hex inline (substring + instr + floor, all codegen'd) — instead of
+    the old crossJoin with a 64-row bit table, which pushed 64× the
+    token rows through the shuffle and needed two more aggregations to
+    reassemble nibbles. Map-side combine reduces each partition to one
+    row of 64 longs per doc; bit-identical output (dp_simhash gate)."""
     tf = (df.select("doc_id",
                     F.explode(F.split(F.lower(F.col(text_col)),
                                       "[^a-z0-9]+")).alias("term"))
           .where("term <> '' AND length(term) <= 64")
           .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
           .withColumn("h", F.md5(F.encode(F.col("term"), "UTF-8"))))
-    bits = spark.range(64).select(F.col("id").cast("int").alias("bit"))
-    nib = F.substring(F.col("h"), (F.col("bit") / 4 + 1).cast("int"), 1)
-    nibval = F.instr(F.lit(_HEX), nib) - 1
-    bitval = F.floor(nibval / F.pow(F.lit(2.0),
-                                    3 - (F.col("bit") % 4))).cast("int") % 2
-    votes = (tf.crossJoin(F.broadcast(bits))
-             .withColumn("vote", F.when(bitval == 1, F.col("tf"))
-                                  .otherwise(-F.col("tf")))
-             .groupBy("doc_id", "bit")
-             .agg(F.sum("vote").alias("v"))
-             .withColumn("sbit", (F.col("v") > 0).cast("int")))
-    # assemble: nibble n = sum over its 4 bits of sbit << (3 - bit%4)
-    nibs = (votes.withColumn("nibble", (F.col("bit") / 4).cast("int"))
-            .withColumn("w", F.col("sbit")
-                        * F.pow(F.lit(2.0), 3 - (F.col("bit") % 4)).cast("int"))
-            .groupBy("doc_id", "nibble").agg(F.sum("w").alias("nv")))
-    return (nibs.groupBy("doc_id")
-            .agg(F.concat_ws("", F.array_sort(F.collect_list(
-                F.struct("nibble", F.substring(F.lit(_HEX),
-                                               (F.col("nv") + 1).cast("int"),
-                                               1).alias("c"))))
-                 .getField("c")).alias("simhash")))
+    votes = []
+    for j in range(64):
+        nibval = F.instr(F.lit(_HEX),
+                         F.substring(F.col("h"), j // 4 + 1, 1)) - 1
+        bit = F.floor(nibval / (1 << (3 - j % 4))).cast("int") % 2
+        votes.append(F.sum(F.when(bit == 1, F.col("tf"))
+                            .otherwise(-F.col("tf"))).alias(f"v{j}"))
+    agg = tf.groupBy("doc_id").agg(*votes)
+    nib_chars = []
+    for n in range(16):
+        val = sum(((F.col(f"v{4 * n + jj}") > 0).cast("int")
+                   * (1 << (3 - jj))) for jj in range(4))
+        nib_chars.append(F.substring(F.lit(_HEX), val + 1, 1))
+    return agg.select("doc_id",
+                      F.concat(*nib_chars).alias("simhash"))
 
 
 def _pair_cos():

@@ -483,3 +483,15 @@ def test_ivf_single_centroid_ok(spark):
     got2 = ivf_topk(edf, rows[3][1], k=5, n_centroids=1, train_iters=1,
                     nprobe=1).collect()
     assert [r["vec_id"] for r in got2] == [r["vec_id"] for r in want]
+
+
+def test_simhash_plan_no_fanout_join(spark, docs):
+    """r3 scale rewrite: simhash must be pure aggregations — no 64x bit
+    fan-out join, at most the (doc,term) tf exchange plus the final
+    per-doc exchange."""
+    from datapipe.dedup import simhash
+    plan = simhash(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 3
