@@ -9,3 +9,23 @@ hash/stratified sampling), and multimodal binary plumbing. Everything
 is DataFrame-first; hash primitives are md5-hex so an ANSI-SQL oracle
 can reproduce them bit-for-bit.
 """
+from .curate import (contamination, decontaminate, hash_sample,
+                     redact_pii, stratified_hash_sample)
+from .dedup import (dedup_corpus, dup_groups, embedding_dup_pairs,
+                    exact_dedup, jaccard_pairs, minhash_lsh_pairs,
+                    minhash_signatures, simhash)
+from .similarity import (cosine_topk, ivf_topk, lsh_topk,
+                         sample_centroid_ids, train_centroids)
+from .textstats import (bpe_token_estimate, fingerprint, lang_id,
+                        quality_score, token_count, winnow_fingerprints)
+
+__all__ = [
+    "contamination", "decontaminate", "hash_sample", "redact_pii",
+    "stratified_hash_sample",
+    "dedup_corpus", "dup_groups", "embedding_dup_pairs", "exact_dedup",
+    "jaccard_pairs", "minhash_lsh_pairs", "minhash_signatures", "simhash",
+    "cosine_topk", "ivf_topk", "lsh_topk", "sample_centroid_ids",
+    "train_centroids",
+    "bpe_token_estimate", "fingerprint", "lang_id", "quality_score",
+    "token_count", "winnow_fingerprints",
+]

@@ -53,8 +53,14 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     """Per-doc MinHash signature over the token set: component i =
     min over tokens of substr(md5(i||':'||token), 1, 15) (15 hex chars
     = 60 bits, fits a signed 64-bit int in any engine).
-    Returns (doc_id, mh_0 .. mh_{n-1}) — one shuffle total."""
-    tok = _tok(df, text_col)
+    Returns (doc_id, mh_0 .. mh_{n-1}) — ONE shuffle total: min over a
+    token MULTISET equals min over the set, so the raw exploded tokens
+    feed the groupBy directly (no distinct() pre-shuffle; map-side
+    combine reduces each partition to one row of mins per doc)."""
+    tok = (df.select("doc_id",
+                     F.explode(F.split(F.lower(F.col(text_col)),
+                                       "[^a-z0-9]+")).alias("term"))
+           .where("term <> '' AND length(term) <= 64"))
     aggs = [F.min(F.substring(F.md5(F.encode(
                 F.concat(F.lit(f"{i}:"), F.col("term")), "UTF-8")), 1, 15)
             ).alias(f"mh_{i}") for i in range(num_hashes)]

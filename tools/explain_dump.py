@@ -100,6 +100,21 @@ def main(sf_dir: str) -> None:
         fmt(__import__("datapipe.dedup", fromlist=["exact_dedup"])
             .exact_dedup(docs))))
 
+    from datapipe.dedup import minhash_lsh_pairs, simhash
+    sections.append((
+        "SimHash (64-bit, tf-weighted)",
+        "Expect: pure aggregations — the 64 bit-votes are SUM "
+        "expressions inside ONE groupBy(doc_id) (map-side combined), "
+        "no 64-row fan-out join anywhere.",
+        fmt(simhash(docs))))
+
+    sections.append((
+        "MinHash-LSH candidate pairs",
+        "Expect: the signature aggregation is evaluated once (band rows "
+        "explode from a struct array, not a union of per-band selects), "
+        "and the pair generator is an equi-join on (band_id, band_hash).",
+        fmt(minhash_lsh_pairs(docs))))
+
     from datapipe.curate import contamination, hash_sample
     sections.append((
         "Benchmark decontamination (13-gram overlap)",
