@@ -35,7 +35,7 @@ def _routing_sql_hash(expr: str) -> str:
 
 
 _INDEX_CACHE: dict[str, object] = {}
-_FORMAT_VERSION = "v9"  # bump when the on-disk index format changes
+_FORMAT_VERSION = "v10"  # bump when the on-disk index format changes
 
 ORG_SHARDS, ORG_K = 8, 2      # routed-gate geometry
 ORG = "src7"                  # fixed tenant for the org-scoped gate

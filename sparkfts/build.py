@@ -460,10 +460,14 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
                      .collect()}
         n_docs = sum(counts.values())
         docs_per_shard = max(counts.values(), default=1)
-        # global rank under (shard, order) → within-shard rank by
+        # global rank under (shard, ORG, order) → within-shard rank by
         # subtracting the shard's cumulative offset (num_shards entries
-        # on the driver — O(shards), not O(rows))
-        base = assign_docids(dfr, ["shard"] + rank_cols, cfg.partitions)
+        # on the driver — O(shards), not O(rows)). Ranking by the org
+        # INSIDE the shard makes every tenant a CONTIGUOUS docid range
+        # per shard, so org-scoped queries carry a 2-int interval
+        # instead of the tenant's docid set (the org_ranges table).
+        base = assign_docids(dfr, ["shard", cfg.routing_col] + rank_cols,
+                             cfg.partitions)
         cached_parent = base._sparkfts_cached_parent
         offs, acc = [], 0
         for s in sorted(counts):
@@ -605,6 +609,20 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
         th.join()
         if errs:
             raise errs[0]
+    if cfg.routing_col is not None:
+        # Tenant docid intervals, derived from the ON-DISK docstore so a
+        # resumed build converges (narrow column-pruned scan): one row
+        # per (shard, org) — the O(1)-memory candidate representation
+        # org-scoped queries use instead of materializing the tenant's
+        # docid set. Sorted by org for row-group pruning on point reads.
+        (spark.read.parquet(storage.path(out_dir, "docstore"))
+         .select("shard", F.col(cfg.routing_col).alias("org"), "docid")
+         .groupBy("shard", "org")
+         .agg(F.min("docid").alias("lo"), F.max("docid").alias("hi"))
+         .repartition(max(1, cfg.num_shards // 8))
+         .sortWithinPartitions("org")
+         .write.mode("overwrite")
+         .parquet(storage.path(out_dir, "org_ranges")))
     if cached_parent is not None:
         cached_parent.unpersist()
     mark("write_data")

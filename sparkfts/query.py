@@ -32,6 +32,7 @@ brute-force oracle; ties broken by docid ascending.
 from __future__ import annotations
 
 import math
+import os
 from typing import Iterable
 
 import numpy as np
@@ -241,6 +242,44 @@ def score_query_set(pdf: pd.DataFrame, cand, qterms: dict[str, list[str]],
     if not outs:
         return _QSET_EMPTY
     return pd.concat(outs)[["qid", "docid", "score"]]
+
+
+def _score_candidates_range(per_term: dict[str, pd.DataFrame],
+                            terms: list[str], lo: int, hi: int,
+                            idf: dict[str, float], avgdl: float,
+                            k1: float, b: float, k: int, mode: str,
+                            n_query_terms: int) -> pd.DataFrame:
+    """Score ONLY docids in [lo, hi] — the contiguous-tenant fast path:
+    routed builds rank docs by org within each shard, so a tenant's
+    candidate set is an interval and the task carries TWO ints instead
+    of the tenant's docid array. Block pruning on [block_first,
+    block_last] ∩ [lo, hi]; summation order matches _score_candidates
+    (ascending term, concatenated), so scores are bit-identical to the
+    set-based path over the same candidates."""
+    all_d, all_c = [], []
+    for t in sorted(terms):
+        rows = _order_rows(per_term[t])
+        firsts = np.concatenate([np.asarray(r.block_first)
+                                 for r in rows.itertuples()])
+        lasts = np.concatenate([np.asarray(r.block_last)
+                                for r in rows.itertuples()])
+        keep = (lasts >= lo) & (firsts <= hi)
+        masks, pos = [], 0
+        for r in rows.itertuples():
+            sz = len(r.block_n)
+            masks.append(keep[pos:pos + sz]); pos += sz
+        d, tf, dl = _decode_selected(rows, masks)
+        if d.size:
+            sel = (d >= lo) & (d <= hi)
+            d, tf, dl = d[sel], tf[sel], dl[sel]
+        all_d.append(d)
+        all_c.append(idf[t] * codec.bm25_partial(tf, dl, avgdl, k1, b))
+    if not all_d:
+        return _aggregate_topk(np.empty(0, np.int64),
+                               np.empty(0, np.float64), k, mode,
+                               n_query_terms)
+    return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
+                           k, mode, n_query_terms)
 
 
 def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
@@ -504,6 +543,24 @@ class FTSIndex:
                 .where(F.col("th").isin(hs))
                 .where(F.col("term").isin(terms)))
 
+    def _org_ranges(self, org: str) -> dict[int, tuple[int, int]] | None:
+        """Tenant docid interval per shard from the org_ranges table
+        (driver-side pyarrow point read, org-sorted row groups). None on
+        legacy indexes that predate contiguous-tenant docid minting —
+        callers fall back to the docid-set cogroup path."""
+        import pyarrow.dataset as ds
+        p = storage.path(self.root, "org_ranges")
+        if not os.path.isdir(p):
+            return None
+        if not hasattr(self, "_pa_org_ranges"):
+            self._pa_org_ranges = ds.dataset(p, format="parquet")
+        t = self._pa_org_ranges.to_table(
+            filter=ds.field("org") == org)
+        return {int(s): (int(lo), int(hi))
+                for s, lo, hi in zip(t.column("shard").to_pylist(),
+                                     t.column("lo").to_pylist(),
+                                     t.column("hi").to_pylist())}
+
     def _org_rows_docs(self, terms: list[str],
                        org: str) -> tuple[DataFrame, DataFrame]:
         """(shard-pruned posting rows, tenant docids) for an org-scoped
@@ -549,25 +606,47 @@ class FTSIndex:
         k1, b = self.k1, self.b
 
         if org is not None:
-            rows, orgdocs = self._org_rows_docs(terms, org)
+            ranges = self._org_ranges(org)
+            if ranges is not None:
+                if not ranges:
+                    return empty          # unknown tenant
+                rows = (self._posting_rows(terms)
+                        .where(F.col("shard").isin(sorted(ranges))))
 
-            def per_shard_org(lpdf: pd.DataFrame,
-                              rpdf: pd.DataFrame) -> pd.DataFrame:
-                if lpdf.empty or rpdf.empty:
-                    return pd.DataFrame(
-                        {"docid": pd.Series(dtype=np.int64),
-                         "score": pd.Series(dtype=np.float64)})
-                cand = np.sort(rpdf["docid"].to_numpy(np.int64))
-                pt = {t: lpdf[lpdf["term"] == t]
-                      for t in sorted(lpdf["term"].unique())}
-                return _score_candidates(pt, list(pt), cand, idf, avgdl,
-                                         k1, b, k, mode, nq)
+                def per_shard_rng(pdf: pd.DataFrame) -> pd.DataFrame:
+                    lo, hi = ranges[int(pdf["shard"].iloc[0])]
+                    pt = {t: pdf[pdf["term"] == t]
+                          for t in sorted(pdf["term"].unique())}
+                    return _score_candidates_range(
+                        pt, list(pt), lo, hi, idf, avgdl, k1, b, k,
+                        mode, nq)
 
-            shard_tops = (rows.groupBy("shard")
-                          .cogroup(orgdocs.groupBy("shard"))
-                          .applyInPandas(per_shard_org,
-                                         schema="docid long, score double")
-                          .collect())
+                shard_tops = (rows.groupBy("shard")
+                              .applyInPandas(
+                                  per_shard_rng,
+                                  schema="docid long, score double")
+                              .collect())
+            else:
+                rows, orgdocs = self._org_rows_docs(terms, org)
+
+                def per_shard_org(lpdf: pd.DataFrame,
+                                  rpdf: pd.DataFrame) -> pd.DataFrame:
+                    if lpdf.empty or rpdf.empty:
+                        return pd.DataFrame(
+                            {"docid": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+                    cand = np.sort(rpdf["docid"].to_numpy(np.int64))
+                    pt = {t: lpdf[lpdf["term"] == t]
+                          for t in sorted(lpdf["term"].unique())}
+                    return _score_candidates(pt, list(pt), cand, idf,
+                                             avgdl, k1, b, k, mode, nq)
+
+                shard_tops = (rows.groupBy("shard")
+                              .cogroup(orgdocs.groupBy("shard"))
+                              .applyInPandas(
+                                  per_shard_org,
+                                  schema="docid long, score double")
+                              .collect())
         else:
             def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
                 return score_shard(pdf, idf, avgdl, k1, b, k, mode, nq,
@@ -729,6 +808,27 @@ class FTSIndex:
         dfm = self._local_df_counts(terms)
         idf = {t: _bm25_idf(float(self.N), dfm.get(t, 0.0)) for t in terms}
         if org is not None:
+            ranges = self._org_ranges(org)
+            if ranges is not None:
+                # contiguous-tenant fast path: interval per shard, no
+                # docstore read at all
+                parts = []
+                for s in sorted(ranges):
+                    sub = pdf[pdf["shard"] == s]
+                    if sub.empty:
+                        continue
+                    lo, hi = ranges[s]
+                    pt = {t: sub[sub["term"] == t]
+                          for t in sorted(sub["term"].unique())}
+                    parts.append(_score_candidates_range(
+                        pt, list(pt), lo, hi, idf, avgdl, self.k1,
+                        self.b, k, mode, len(terms)))
+                if not parts:
+                    return empty
+                return (pd.concat(parts)
+                        .sort_values(["score", "docid"],
+                                     ascending=[False, True])
+                        .head(k).reset_index(drop=True))
             cand = self._local_org_docids(org, shards)
             if cand.size == 0:
                 return empty

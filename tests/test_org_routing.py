@@ -128,3 +128,47 @@ def test_routed_build_and_org_scoped_search(spark, tmp_path_factory):
     rows = idx._posting_rows(["alpha"]).where(F.col("shard").isin(ps))
     plan = rows._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_org_ranges_contiguous_and_equal_to_set_path(
+        spark, tmp_path_factory):
+    """r3 scale fix: routed builds mint org-contiguous docids per shard
+    and persist (shard, org) → [lo, hi] intervals, so org-scoped scoring
+    carries two ints instead of the tenant's docid set. Contiguity must
+    hold exactly (interval size == tenant's docs in shard), and the
+    range fast path must be rank-identical to the legacy cogroup path."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from sparkfts import BuildConfig, FTSIndex, build_index
+    from sparkfts.fixtures import make_transcripts
+    pdf = make_transcripts(30, seed=13).assign(
+        org=lambda d: d["conv_id"].map(lambda c: f"o{sum(map(ord, c)) % 4}"))
+    root = str(tmp_path_factory.mktemp("orgrange"))
+    build_index(spark, spark.createDataFrame(pdf), root,
+                order_cols=["conv_id", "turn_idx"],
+                cfg=BuildConfig(num_shards=8, partitions=4,
+                                routing_col="org", shards_per_org=2))
+    idx = FTSIndex(spark, root)
+    # contiguity: interval size == member count, intervals disjoint
+    store = idx._docstore.select("shard", "org", "docid").toPandas()
+    for (s, o), grp in store.groupby(["shard", "org"]):
+        ranges = idx._org_ranges(o)
+        lo, hi = ranges[int(s)]
+        assert hi - lo + 1 == len(grp), (s, o)
+        assert set(grp["docid"]) == set(range(lo, hi + 1)), (s, o)
+    for org in sorted(store["org"].unique()):
+        got = idx.topk_pandas("alpha index query", k=10, org=org)
+        # force the legacy docid-set cogroup path and compare
+        saved = idx._org_ranges
+        idx._org_ranges = lambda o: None
+        try:
+            legacy = idx.topk_pandas("alpha index query", k=10, org=org)
+        finally:
+            idx._org_ranges = saved
+        assert got["docid"].tolist() == legacy["docid"].tolist(), org
+        assert got["score"].to_numpy() == pytest.approx(
+            legacy["score"].to_numpy(), abs=0), org   # bit-identical
+        loc = idx.topk_local("alpha index query", k=10, org=org)
+        assert loc["docid"].tolist() == got["docid"].tolist()
+    assert idx._org_ranges("no-such-org") == {}
+    assert idx.topk_pandas("alpha", k=5, org="no-such-org").empty
