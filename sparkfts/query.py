@@ -218,11 +218,13 @@ _QSET_EMPTY = pd.DataFrame({"qid": pd.Series(dtype="str"),
 def score_query_set(pdf: pd.DataFrame, cand, qterms: dict[str, list[str]],
                     modes: dict[str, str], idf: dict[str, float],
                     avgdl: float, k1: float, b: float, k: int,
-                    method: str) -> pd.DataFrame:
+                    method: str, rng: tuple[int, int] | None = None
+                    ) -> pd.DataFrame:
     """Score a whole query SET against one shard's dictionary rows in
     one pass (shared by FTSIndex.topk_many and CombinedIndex.topk_many).
-    ``cand`` (sorted unique docids) restricts scoring to a tenant's
-    docs; None = unrestricted."""
+    ``cand`` (sorted unique docids) or ``rng`` ([lo, hi] interval — the
+    contiguous-tenant fast path) restricts scoring to a tenant's docs;
+    neither = unrestricted."""
     outs = []
     for qid, terms in qterms.items():
         if not terms:
@@ -230,7 +232,13 @@ def score_query_set(pdf: pd.DataFrame, cand, qterms: dict[str, list[str]],
         sub = pdf[pdf["term"].isin(terms)]
         if sub.empty:
             continue
-        if cand is None:
+        if rng is not None:
+            pt = {t: sub[sub["term"] == t]
+                  for t in sorted(sub["term"].unique())}
+            out = _score_candidates_range(pt, list(pt), rng[0], rng[1],
+                                          idf, avgdl, k1, b, k,
+                                          modes[qid], len(terms))
+        elif cand is None:
             out = score_shard(sub, idf, avgdl, k1, b, k,
                               modes[qid], len(terms), method)
         else:
@@ -411,11 +419,12 @@ def _decode_term_rows_pos(rows: pd.DataFrame):
 
 def _phrase_shard(pdf: pd.DataFrame, seq: list[str], uniq: list[str],
                   idf: dict[str, float], avgdl: float, k1: float, b: float,
-                  k: int,
-                  org_cand: np.ndarray | None = None) -> pd.DataFrame:
+                  k: int, org_cand: np.ndarray | None = None,
+                  org_range: tuple[int, int] | None = None) -> pd.DataFrame:
     """One shard's phrase matching + BM25 ranking (see phrase_topk).
-    ``org_cand`` (sorted docids) restricts matching to a tenant's docs
-    before any position work."""
+    ``org_cand`` (sorted docids) or ``org_range`` ([lo, hi] interval —
+    the contiguous-tenant fast path) restricts matching to a tenant's
+    docs before any position work."""
     out_empty = pd.DataFrame({"docid": pd.Series(dtype=np.int64),
                               "score": pd.Series(dtype=np.float64)})
     per_term = {}
@@ -432,6 +441,8 @@ def _phrase_shard(pdf: pd.DataFrame, seq: list[str], uniq: list[str],
                                                      assume_unique=True)
     if org_cand is not None and cand is not None:
         cand = np.intersect1d(cand, org_cand, assume_unique=True)
+    if org_range is not None and cand is not None:
+        cand = cand[(cand >= org_range[0]) & (cand <= org_range[1])]
     if cand is None or cand.size == 0:
         return out_empty
     # Vectorized adjacency over flat position arrays (no per-doc Python
@@ -704,19 +715,37 @@ class FTSIndex:
                                    k1, b, k, method)
 
         if org is not None:
-            rows, orgdocs = self._org_rows_docs(all_terms, org)
+            ranges = self._org_ranges(org)
+            if ranges is not None:
+                tops = _QSET_EMPTY
+                if ranges:
+                    rows = (self._posting_rows(all_terms)
+                            .where(F.col("shard").isin(sorted(ranges))))
 
-            def per_shard_org(lpdf: pd.DataFrame,
-                              rpdf: pd.DataFrame) -> pd.DataFrame:
-                if lpdf.empty or rpdf.empty:
-                    return _QSET_EMPTY
-                cand = np.sort(rpdf["docid"].to_numpy(np.int64))
-                return _score_queries(lpdf, cand)
+                    def per_shard_rng(pdf: pd.DataFrame) -> pd.DataFrame:
+                        rng = ranges[int(pdf["shard"].iloc[0])]
+                        return score_query_set(pdf, None, qterms, modes,
+                                               idf, avgdl, k1, b, k,
+                                               method, rng=rng)
 
-            tops = (rows.groupBy("shard")
-                    .cogroup(orgdocs.groupBy("shard"))
-                    .applyInPandas(per_shard_org, schema=out_schema)
-                    .toPandas())
+                    tops = (rows.groupBy("shard")
+                            .applyInPandas(per_shard_rng,
+                                           schema=out_schema)
+                            .toPandas())
+            else:
+                rows, orgdocs = self._org_rows_docs(all_terms, org)
+
+                def per_shard_org(lpdf: pd.DataFrame,
+                                  rpdf: pd.DataFrame) -> pd.DataFrame:
+                    if lpdf.empty or rpdf.empty:
+                        return _QSET_EMPTY
+                    cand = np.sort(rpdf["docid"].to_numpy(np.int64))
+                    return _score_queries(lpdf, cand)
+
+                tops = (rows.groupBy("shard")
+                        .cogroup(orgdocs.groupBy("shard"))
+                        .applyInPandas(per_shard_org, schema=out_schema)
+                        .toPandas())
         else:
             rows = self._posting_rows(all_terms)
             tops = (rows.groupBy("shard")
@@ -855,18 +884,14 @@ class FTSIndex:
         nq = len(terms)
 
         if org is not None:
-            rows, orgdocs = self._org_rows_docs(terms, org)
+            ranges = self._org_ranges(org)
 
-            def per_shard_org(lpdf: pd.DataFrame,
-                              rpdf: pd.DataFrame) -> pd.DataFrame:
-                if lpdf.empty or rpdf.empty:
-                    return pd.DataFrame({"docid": pd.Series(dtype=np.int64)})
-                cand = np.sort(rpdf["docid"].to_numpy(np.int64))
+            def _match(lpdf: pd.DataFrame, restrict) -> pd.DataFrame:
                 res: np.ndarray | None = None
                 union: list[np.ndarray] = []
                 for t in sorted(lpdf["term"].unique()):
                     d, _, _ = _decode_term_rows(lpdf[lpdf["term"] == t])
-                    d = d[np.isin(d, cand, assume_unique=True)]
+                    d = restrict(d)
                     if mode == "and":
                         res = d if res is None else np.intersect1d(
                             res, d, assume_unique=True)
@@ -879,6 +904,32 @@ class FTSIndex:
                     res = (np.unique(np.concatenate(union))
                            if union else np.empty(0, dtype=np.int64))
                 return pd.DataFrame({"docid": res})
+
+            if ranges is not None:
+                if not ranges:
+                    return self.spark.createDataFrame([], "docid long")
+                rows = (self._posting_rows(terms)
+                        .where(F.col("shard").isin(sorted(ranges))))
+
+                def per_shard_rng(pdf: pd.DataFrame) -> pd.DataFrame:
+                    lo, hi = ranges[int(pdf["shard"].iloc[0])]
+                    return _match(pdf,
+                                  lambda d: d[(d >= lo) & (d <= hi)])
+
+                return (rows.groupBy("shard")
+                        .applyInPandas(per_shard_rng, schema="docid long")
+                        .sort("docid"))
+
+            rows, orgdocs = self._org_rows_docs(terms, org)
+
+            def per_shard_org(lpdf: pd.DataFrame,
+                              rpdf: pd.DataFrame) -> pd.DataFrame:
+                if lpdf.empty or rpdf.empty:
+                    return pd.DataFrame({"docid": pd.Series(dtype=np.int64)})
+                cand = np.sort(rpdf["docid"].to_numpy(np.int64))
+                return _match(
+                    lpdf, lambda d: d[np.isin(d, cand,
+                                              assume_unique=True)])
 
             return (rows.groupBy("shard")
                     .cogroup(orgdocs.groupBy("shard"))
@@ -933,23 +984,40 @@ class FTSIndex:
         k1, b = self.k1, self.b
 
         if org is not None:
-            rows, orgdocs = self._org_rows_docs(uniq, org)
+            ranges = self._org_ranges(org)
+            if ranges is not None:
+                if not ranges:
+                    return empty
+                rows = (self._posting_rows(uniq)
+                        .where(F.col("shard").isin(sorted(ranges))))
 
-            def per_shard_org(lpdf: pd.DataFrame,
-                              rpdf: pd.DataFrame) -> pd.DataFrame:
-                if lpdf.empty or rpdf.empty:
-                    return pd.DataFrame(
-                        {"docid": pd.Series(dtype=np.int64),
-                         "score": pd.Series(dtype=np.float64)})
-                cand = np.sort(rpdf["docid"].to_numpy(np.int64))
-                return _phrase_shard(lpdf, seq, uniq, idf, avgdl, k1, b,
-                                     k, org_cand=cand)
+                def per_shard_rng(pdf: pd.DataFrame) -> pd.DataFrame:
+                    rng = ranges[int(pdf["shard"].iloc[0])]
+                    return _phrase_shard(pdf, seq, uniq, idf, avgdl,
+                                         k1, b, k, org_range=rng)
 
-            tops = (rows.groupBy("shard")
-                    .cogroup(orgdocs.groupBy("shard"))
-                    .applyInPandas(per_shard_org,
-                                   schema="docid long, score double")
-                    .collect())
+                tops = (rows.groupBy("shard")
+                        .applyInPandas(per_shard_rng,
+                                       schema="docid long, score double")
+                        .collect())
+            else:
+                rows, orgdocs = self._org_rows_docs(uniq, org)
+
+                def per_shard_org(lpdf: pd.DataFrame,
+                                  rpdf: pd.DataFrame) -> pd.DataFrame:
+                    if lpdf.empty or rpdf.empty:
+                        return pd.DataFrame(
+                            {"docid": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+                    cand = np.sort(rpdf["docid"].to_numpy(np.int64))
+                    return _phrase_shard(lpdf, seq, uniq, idf, avgdl,
+                                         k1, b, k, org_cand=cand)
+
+                tops = (rows.groupBy("shard")
+                        .cogroup(orgdocs.groupBy("shard"))
+                        .applyInPandas(per_shard_org,
+                                       schema="docid long, score double")
+                        .collect())
         else:
             def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
                 return _phrase_shard(pdf, seq, uniq, idf, avgdl, k1, b, k)

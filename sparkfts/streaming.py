@@ -233,6 +233,33 @@ class CombinedIndex:
                    for s in self.subs) / self.N if self.N else 0.0)
         return f"{field}:", avg
 
+    def _org_range_map(self, org_subs, org: str):
+        """{(sub ordinal, shard): [lo, hi]} when EVERY generation has an
+        org_ranges table (contiguous-tenant docids); None → caller falls
+        back to the docid-set cogroup path."""
+        rngmap: dict[tuple[int, int], tuple[int, int]] = {}
+        for i, (s, _ps) in enumerate(org_subs):
+            ranges = s._org_ranges(org)
+            if ranges is None:
+                return None
+            for sh, rng in ranges.items():
+                rngmap[(i, sh)] = rng
+        return rngmap
+
+    def _org_rows_pruned(self, org_subs, terms: list[str], rngmap):
+        """Unioned posting rows, each sub pruned to the shards its
+        tenant interval map names."""
+        rows = None
+        for i, (s, _ps) in enumerate(org_subs):
+            shards = sorted(sh for (j, sh) in rngmap if j == i)
+            if not shards:
+                continue
+            r = (s._posting_rows(terms)
+                 .where(F.col("shard").isin(shards))
+                 .withColumn("sub", F.lit(i)))
+            rows = r if rows is None else rows.unionByName(r)
+        return rows
+
     def _org_union(self, org_subs, terms: list[str], org: str):
         """Unioned (posting rows, tenant docids), each tagged with its
         sub-index ordinal and pruned to that generation's possible
@@ -275,7 +302,7 @@ class CombinedIndex:
         restriction, stats still union-global."""
         import numpy as np
         from .analyzer import tokenize_text
-        from .query import _score_candidates
+        from .query import _score_candidates, _score_candidates_range
         org_subs = self._org_subs(org) if org is not None else None
         prefix, avgdl = self._field(field)
         terms = sorted({prefix + t
@@ -295,6 +322,20 @@ class CombinedIndex:
             pdf = s._local_term_rows(terms)
             if org_subs is not None:
                 ps = org_subs[i][1]
+                ranges = s._org_ranges(org)
+                if ranges is not None:
+                    # contiguous-tenant fast path, per generation
+                    for sh in sorted(ranges):
+                        sub = pdf[pdf["shard"] == sh]
+                        if sub.empty:
+                            continue
+                        lo, hi = ranges[sh]
+                        pt = {t: sub[sub["term"] == t]
+                              for t in sorted(sub["term"].unique())}
+                        parts.append(_score_candidates_range(
+                            pt, list(pt), lo, hi, idf, avgdl, self.k1,
+                            self.b, k, mode, len(terms)))
+                    continue
                 pdf = pdf[pdf["shard"].isin(ps)]
                 if pdf.empty:
                     continue
@@ -413,24 +454,47 @@ class CombinedIndex:
         k1, b = self.k1, self.b
 
         if org_subs is not None:
-            rows, parts = self._org_union(org_subs, terms, org)
+            empty_pd = pd.DataFrame(
+                {"docid": pd.Series(dtype=np.int64),
+                 "score": pd.Series(dtype=np.float64)})
+            rngmap = self._org_range_map(org_subs, org)
+            if rngmap is not None:
+                rows = self._org_rows_pruned(org_subs, terms, rngmap)
+                if rows is None:
+                    return empty_pd      # unknown tenant everywhere
 
-            def per_group_org(lpdf, rpdf):
-                if lpdf.empty or rpdf.empty:
-                    return pd.DataFrame(
-                        {"docid": pd.Series(dtype=np.int64),
-                         "score": pd.Series(dtype=np.float64)})
-                cand = np.sort(rpdf["docid"].to_numpy(np.int64))
-                pt = {t: lpdf[lpdf["term"] == t]
-                      for t in sorted(lpdf["term"].unique())}
-                return _score_candidates(pt, list(pt), cand, idf, avgdl,
-                                         k1, b, k, mode, nq)
+                def per_group_rng(pdf):
+                    key = (int(pdf["sub"].iloc[0]),
+                           int(pdf["shard"].iloc[0]))
+                    lo, hi = rngmap[key]
+                    pt = {t: pdf[pdf["term"] == t]
+                          for t in sorted(pdf["term"].unique())}
+                    from .query import _score_candidates_range
+                    return _score_candidates_range(
+                        pt, list(pt), lo, hi, idf, avgdl, k1, b, k,
+                        mode, nq)
 
-            allp = (rows.groupBy("sub", "shard")
-                    .cogroup(parts.groupBy("sub", "shard"))
-                    .applyInPandas(per_group_org,
-                                   schema="docid long, score double")
-                    .toPandas())
+                allp = (rows.groupBy("sub", "shard")
+                        .applyInPandas(per_group_rng,
+                                       schema="docid long, score double")
+                        .toPandas())
+            else:
+                rows, parts = self._org_union(org_subs, terms, org)
+
+                def per_group_org(lpdf, rpdf):
+                    if lpdf.empty or rpdf.empty:
+                        return empty_pd
+                    cand = np.sort(rpdf["docid"].to_numpy(np.int64))
+                    pt = {t: lpdf[lpdf["term"] == t]
+                          for t in sorted(lpdf["term"].unique())}
+                    return _score_candidates(pt, list(pt), cand, idf,
+                                             avgdl, k1, b, k, mode, nq)
+
+                allp = (rows.groupBy("sub", "shard")
+                        .cogroup(parts.groupBy("sub", "shard"))
+                        .applyInPandas(per_group_org,
+                                       schema="docid long, score double")
+                        .toPandas())
         else:
             def per_group(pdf):
                 # block bounds are (max_tf, min_dl) pairs evaluated at
@@ -509,19 +573,36 @@ class CombinedIndex:
         out_schema = "qid string, docid long, score double"
 
         if org_subs is not None:
-            rows, parts = self._org_union(org_subs, all_terms, org)
+            rngmap = self._org_range_map(org_subs, org)
+            if rngmap is not None:
+                rows = self._org_rows_pruned(org_subs, all_terms, rngmap)
+                tops = _QSET_EMPTY
+                if rows is not None:
+                    def per_group_rng(pdf):
+                        key = (int(pdf["sub"].iloc[0]),
+                               int(pdf["shard"].iloc[0]))
+                        return score_query_set(pdf, None, qterms, modes,
+                                               idf, avgdl, k1, b, k,
+                                               method, rng=rngmap[key])
 
-            def per_group_org(lpdf, rpdf):
-                if lpdf.empty or rpdf.empty:
-                    return _QSET_EMPTY
-                cand = np.sort(rpdf["docid"].to_numpy(np.int64))
-                return score_query_set(lpdf, cand, qterms, modes, idf,
-                                       avgdl, k1, b, k, method)
+                    tops = (rows.groupBy("sub", "shard")
+                            .applyInPandas(per_group_rng,
+                                           schema=out_schema)
+                            .toPandas())
+            else:
+                rows, parts = self._org_union(org_subs, all_terms, org)
 
-            tops = (rows.groupBy("sub", "shard")
-                    .cogroup(parts.groupBy("sub", "shard"))
-                    .applyInPandas(per_group_org, schema=out_schema)
-                    .toPandas())
+                def per_group_org(lpdf, rpdf):
+                    if lpdf.empty or rpdf.empty:
+                        return _QSET_EMPTY
+                    cand = np.sort(rpdf["docid"].to_numpy(np.int64))
+                    return score_query_set(lpdf, cand, qterms, modes,
+                                           idf, avgdl, k1, b, k, method)
+
+                tops = (rows.groupBy("sub", "shard")
+                        .cogroup(parts.groupBy("sub", "shard"))
+                        .applyInPandas(per_group_org, schema=out_schema)
+                        .toPandas())
         else:
             def per_group(pdf):
                 return score_query_set(pdf, None, qterms, modes, idf,
