@@ -609,3 +609,45 @@ def test_triple_composition_routed_multifield_streaming(
                 lambda i: mono.fetch_docs(i).toPandas(), want), (org, fld)
             loc = ci.topk_local(q, k=10, mode="or", org=org, field=fld)
             assert loc["docid"].tolist() == got["docid"].tolist()
+
+
+def test_nightly_rotate_routed_generation(spark, tmp_path_factory):
+    """Rotation × routing: compacting a routed base + routed delta into
+    a fresh routed generation keeps org-scoped queries correct across
+    the swap."""
+    import pandas as pd
+    from sparkfts import FTSIndex, RotationRegistry
+    from sparkfts.streaming import nightly_rotate
+    rcfg = BuildConfig(num_shards=4, partitions=4, routing_col="org",
+                       shards_per_org=2)
+
+    def prep(pdf):
+        return pdf.assign(org=pdf["conv_id"].map(
+            lambda c: f"o{sum(map(ord, c)) % 2}"))
+
+    base, d1 = prep(make_transcripts(10, seed=95)), \
+        prep(make_transcripts(4, seed=96))
+    r0 = str(tmp_path_factory.mktemp("rot_routed0"))
+    build_index(spark, spark.createDataFrame(base), r0,
+                order_cols=["conv_id", "turn_idx"], cfg=rcfg)
+    make_batch_indexer(r0, cfg=rcfg)(spark.createDataFrame(d1),
+                                     batch_id=0)
+    before = CombinedIndex(spark, r0).topk("alpha query index", k=10,
+                                           org="o1")
+    reg = RotationRegistry(str(tmp_path_factory.mktemp("rot_reg")))
+    r1 = str(tmp_path_factory.mktemp("rot_routed1"))
+    nightly_rotate(spark, reg, "conv", r0, r1, index_date="2026-01-10",
+                   cfg=rcfg)
+    idx = FTSIndex(spark, reg.current("conv")["root"])
+    after = idx.topk_pandas("alpha query index", k=10, org="o1")
+
+    def keyed(fetch, hits):
+        docs = fetch(hits["docid"].tolist())
+        m = {int(r["docid"]): (r["conv_id"], int(r["turn_idx"]))
+             for _, r in docs.iterrows()}
+        return sorted(((-round(s, 9), *m[int(d)])
+                       for d, s in zip(hits["docid"], hits["score"])))
+
+    ci0 = CombinedIndex(spark, r0)
+    assert keyed(ci0.fetch_docs, before) \
+        == keyed(lambda i: idx.fetch_docs(i).toPandas(), after)
