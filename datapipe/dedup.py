@@ -7,13 +7,14 @@ keeps every operator reproducible by an ANSI-SQL oracle.
 
 Scale notes (100 TB):
 - exact_dedup: one shuffle on a 32-hex key; map-side partial min.
-- minhash: explode(distinct tokens) → NUM_HASHES min-aggs in ONE
-  groupBy(doc_id) pass (no per-hash shuffle); LSH banding turns the
-  O(n²) pair search into an equi-join on (band_id, band_hash) — the
-  classic shuffle-friendly formulation. Hot buckets are bounded by
-  band width r (collision probability ~ sim^r).
-- simhash: explode × 64-bit table (broadcast) → groupBy(doc_id, bit);
-  constant 64× fan-out, no pairwise work.
+- minhash: raw exploded tokens → NUM_HASHES min-aggs in ONE
+  groupBy(doc_id) pass (min over a multiset == min over the set, so no
+  distinct() pre-shuffle); LSH banding turns the O(n²) pair search into
+  an equi-join on (band_id, band_hash) — band rows explode from a
+  struct array so the signature aggregation is evaluated once. Hot
+  buckets are bounded by band width r (collision probability ~ sim^r).
+- simhash: 64 inline bit-vote SUM aggregates in ONE groupBy(doc_id)
+  (map-side combined) — no fan-out join, no pairwise work.
 - jaccard_pairs: exact pairwise via a shared-token equi-join, NOT a
   cross join — only docs sharing ≥1 token meet, and at scale you run it
   on LSH candidates only (pairs_from_lsh=True path).

@@ -615,14 +615,39 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
         # per (shard, org) — the O(1)-memory candidate representation
         # org-scoped queries use instead of materializing the tenant's
         # docid set. Sorted by org for row-group pruning on point reads.
-        (spark.read.parquet(storage.path(out_dir, "docstore"))
-         .select("shard", F.col(cfg.routing_col).alias("org"), "docid")
-         .groupBy("shard", "org")
-         .agg(F.min("docid").alias("lo"), F.max("docid").alias("hi"))
-         .repartition(max(1, cfg.num_shards // 8))
-         .sortWithinPartitions("org")
-         .write.mode("overwrite")
-         .parquet(storage.path(out_dir, "org_ranges")))
+        grouped = (spark.read.parquet(storage.path(out_dir, "docstore"))
+                   .select("shard",
+                           F.col(cfg.routing_col).alias("org"), "docid")
+                   .groupBy("shard", "org")
+                   .agg(F.min("docid").alias("lo"),
+                        F.max("docid").alias("hi"),
+                        F.count("*").alias("cnt"))
+                   .persist())
+        # CONTIGUITY GUARD: intervals are only valid when every tenant's
+        # docids are gap-free per shard (cnt == hi-lo+1). A resume over
+        # a routed root built BEFORE contiguous minting would otherwise
+        # persist intervals spanning OTHER tenants' docids — a silent
+        # cross-tenant leak on every org-scoped query. On violation the
+        # table is not written (and any stale one is removed): queries
+        # fall back to the exact docid-set cogroup path.
+        bad = grouped.where(
+            F.col("cnt") != F.col("hi") - F.col("lo") + 1).count()
+        if bad == 0:
+            (grouped.drop("cnt")
+             .repartition(max(1, cfg.num_shards // 8))
+             .sortWithinPartitions("org")
+             .write.mode("overwrite")
+             .parquet(storage.path(out_dir, "org_ranges")))
+        else:
+            import shutil as _shutil
+            import warnings as _warnings
+            _shutil.rmtree(storage.path(out_dir, "org_ranges"),
+                           ignore_errors=True)
+            _warnings.warn(
+                f"org_ranges skipped: {bad} (shard, org) groups are "
+                "non-contiguous (legacy routed layout?) — org queries "
+                "will use the docid-set path", RuntimeWarning)
+        grouped.unpersist()
     if cached_parent is not None:
         cached_parent.unpersist()
     mark("write_data")

@@ -233,11 +233,8 @@ def score_query_set(pdf: pd.DataFrame, cand, qterms: dict[str, list[str]],
         if sub.empty:
             continue
         if rng is not None:
-            pt = {t: sub[sub["term"] == t]
-                  for t in sorted(sub["term"].unique())}
-            out = _score_candidates_range(pt, list(pt), rng[0], rng[1],
-                                          idf, avgdl, k1, b, k,
-                                          modes[qid], len(terms))
+            out = score_range_pt(sub, rng[0], rng[1], idf, avgdl, k1, b,
+                                 k, modes[qid], len(terms))
         elif cand is None:
             out = score_shard(sub, idf, avgdl, k1, b, k,
                               modes[qid], len(terms), method)
@@ -288,6 +285,18 @@ def _score_candidates_range(per_term: dict[str, pd.DataFrame],
                                n_query_terms)
     return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
                            k, mode, n_query_terms)
+
+
+def score_range_pt(pdf: pd.DataFrame, lo: int, hi: int,
+                   idf: dict[str, float], avgdl: float, k1: float,
+                   b: float, k: int, mode: str,
+                   n_query_terms: int) -> pd.DataFrame:
+    """Range-restricted scoring of one shard's dictionary rows — the
+    single entry point every contiguous-tenant fast path goes through
+    (FTSIndex/CombinedIndex topk, topk_many, topk_local)."""
+    pt = {t: pdf[pdf["term"] == t] for t in sorted(pdf["term"].unique())}
+    return _score_candidates_range(pt, list(pt), lo, hi, idf, avgdl,
+                                   k1, b, k, mode, n_query_terms)
 
 
 def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
@@ -558,19 +567,30 @@ class FTSIndex:
         """Tenant docid interval per shard from the org_ranges table
         (driver-side pyarrow point read, org-sorted row groups). None on
         legacy indexes that predate contiguous-tenant docid minting —
-        callers fall back to the docid-set cogroup path."""
+        callers fall back to the docid-set cogroup path. Results are
+        memoized per org (the table is immutable for an index root), so
+        the ms-latency serving path pays the parquet read once per
+        tenant, not per query."""
         import pyarrow.dataset as ds
+        cache = getattr(self, "_org_ranges_cache", None)
+        if cache is None:
+            cache = self._org_ranges_cache = {}
+        if org in cache:
+            return cache[org]
         p = storage.path(self.root, "org_ranges")
         if not os.path.isdir(p):
+            cache[org] = None
             return None
         if not hasattr(self, "_pa_org_ranges"):
             self._pa_org_ranges = ds.dataset(p, format="parquet")
         t = self._pa_org_ranges.to_table(
             filter=ds.field("org") == org)
-        return {int(s): (int(lo), int(hi))
-                for s, lo, hi in zip(t.column("shard").to_pylist(),
-                                     t.column("lo").to_pylist(),
-                                     t.column("hi").to_pylist())}
+        out = {int(s): (int(lo), int(hi))
+               for s, lo, hi in zip(t.column("shard").to_pylist(),
+                                    t.column("lo").to_pylist(),
+                                    t.column("hi").to_pylist())}
+        cache[org] = out
+        return out
 
     def _org_rows_docs(self, terms: list[str],
                        org: str) -> tuple[DataFrame, DataFrame]:
@@ -626,11 +646,8 @@ class FTSIndex:
 
                 def per_shard_rng(pdf: pd.DataFrame) -> pd.DataFrame:
                     lo, hi = ranges[int(pdf["shard"].iloc[0])]
-                    pt = {t: pdf[pdf["term"] == t]
-                          for t in sorted(pdf["term"].unique())}
-                    return _score_candidates_range(
-                        pt, list(pt), lo, hi, idf, avgdl, k1, b, k,
-                        mode, nq)
+                    return score_range_pt(pdf, lo, hi, idf, avgdl, k1,
+                                          b, k, mode, nq)
 
                 shard_tops = (rows.groupBy("shard")
                               .applyInPandas(
@@ -847,11 +864,9 @@ class FTSIndex:
                     if sub.empty:
                         continue
                     lo, hi = ranges[s]
-                    pt = {t: sub[sub["term"] == t]
-                          for t in sorted(sub["term"].unique())}
-                    parts.append(_score_candidates_range(
-                        pt, list(pt), lo, hi, idf, avgdl, self.k1,
-                        self.b, k, mode, len(terms)))
+                    parts.append(score_range_pt(
+                        sub, lo, hi, idf, avgdl, self.k1, self.b, k,
+                        mode, len(terms)))
                 if not parts:
                     return empty
                 return (pd.concat(parts)

@@ -302,7 +302,7 @@ class CombinedIndex:
         restriction, stats still union-global."""
         import numpy as np
         from .analyzer import tokenize_text
-        from .query import _score_candidates, _score_candidates_range
+        from .query import _score_candidates, score_range_pt
         org_subs = self._org_subs(org) if org is not None else None
         prefix, avgdl = self._field(field)
         terms = sorted({prefix + t
@@ -330,11 +330,9 @@ class CombinedIndex:
                         if sub.empty:
                             continue
                         lo, hi = ranges[sh]
-                        pt = {t: sub[sub["term"] == t]
-                              for t in sorted(sub["term"].unique())}
-                        parts.append(_score_candidates_range(
-                            pt, list(pt), lo, hi, idf, avgdl, self.k1,
-                            self.b, k, mode, len(terms)))
+                        parts.append(score_range_pt(
+                            sub, lo, hi, idf, avgdl, self.k1, self.b,
+                            k, mode, len(terms)))
                     continue
                 pdf = pdf[pdf["shard"].isin(ps)]
                 if pdf.empty:
@@ -467,12 +465,9 @@ class CombinedIndex:
                     key = (int(pdf["sub"].iloc[0]),
                            int(pdf["shard"].iloc[0]))
                     lo, hi = rngmap[key]
-                    pt = {t: pdf[pdf["term"] == t]
-                          for t in sorted(pdf["term"].unique())}
-                    from .query import _score_candidates_range
-                    return _score_candidates_range(
-                        pt, list(pt), lo, hi, idf, avgdl, k1, b, k,
-                        mode, nq)
+                    from .query import score_range_pt
+                    return score_range_pt(pdf, lo, hi, idf, avgdl, k1,
+                                          b, k, mode, nq)
 
                 allp = (rows.groupBy("sub", "shard")
                         .applyInPandas(per_group_rng,

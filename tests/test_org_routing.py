@@ -172,3 +172,39 @@ def test_org_ranges_contiguous_and_equal_to_set_path(
         assert loc["docid"].tolist() == got["docid"].tolist()
     assert idx._org_ranges("no-such-org") == {}
     assert idx.topk_pandas("alpha", k=5, org="no-such-org").empty
+
+
+def test_org_ranges_guard_refuses_non_contiguous_layout(
+        spark, tmp_path_factory):
+    """Code-review r3b #1: resuming over a routed root whose docstore
+    has tenants INTERLEAVED within shards (pre-contiguity layout) must
+    NOT write org_ranges — intervals would span other tenants' docids,
+    a cross-tenant leak. The build warns, removes any stale table, and
+    queries fall back to the exact docid-set path."""
+    import os
+    import shutil
+    import warnings
+    from sparkfts import BuildConfig, FTSIndex, build_index
+    from sparkfts.fixtures import make_transcripts
+    pdf = make_transcripts(12, seed=19).assign(
+        org=lambda d: d["conv_id"].map(lambda c: f"o{sum(map(ord, c)) % 2}"))
+    sdf = spark.createDataFrame(pdf)
+    root = str(tmp_path_factory.mktemp("legacy_layout"))
+    cfg = BuildConfig(num_shards=4, partitions=4, routing_col="org",
+                      shards_per_org=2)
+    build_index(spark, sdf, root, order_cols=["conv_id", "turn_idx"],
+                cfg=cfg)
+    # simulate the pre-contiguity layout: permute org labels across rows
+    # so (shard, org) docids interleave
+    store = FTSIndex(spark, root)._docstore.toPandas()
+    store["org"] = store["org"].sample(frac=1, random_state=3).to_numpy()
+    (spark.createDataFrame(store)
+     .write.mode("overwrite").partitionBy("shard")
+     .parquet(os.path.join(root, "docstore")))
+    shutil.rmtree(os.path.join(root, "org_ranges"))
+    with pytest.warns(RuntimeWarning, match="non-contiguous"):
+        build_index(spark, sdf, root, order_cols=["conv_id", "turn_idx"],
+                    cfg=cfg, resume=True)
+    idx = FTSIndex(spark, root)
+    assert idx._org_ranges("o0") is None        # table refused
+    idx.topk_pandas("alpha", k=5, org="o0")     # cogroup path, no crash
