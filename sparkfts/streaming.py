@@ -510,14 +510,18 @@ class CombinedIndex:
                 .head(k).reset_index(drop=True))
 
     def phrase_topk(self, query: str, k: int = 10,
-                    field: str | None = None) -> pd.DataFrame:
+                    field: str | None = None,
+                    org: str | None = None) -> pd.DataFrame:
         """Exact phrase query over base + deltas in ONE Spark job:
         positions are per (generation, doc) so adjacency never crosses
         sub-indexes; BM25 over the phrase's distinct terms uses
         union-global stats — rank-identical to a monolithic rebuild's
-        phrase_topk (modulo generation-local docids)."""
+        phrase_topk (modulo generation-local docids). ``org`` (every
+        generation routed) restricts matching to the tenant's docs."""
+        import numpy as np
         from .analyzer import tokenize_text
         from .query import _phrase_shard
+        org_subs = self._org_subs(org) if org is not None else None
         prefix, avgdl = self._field(field)
         seq = [prefix + t for t in tokenize_text(query, self.tokenizer)]
         empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
@@ -527,20 +531,91 @@ class CombinedIndex:
         uniq = sorted(set(seq))
         idf = self._idf(uniq)
         k1, b = self.k1, self.b
+        schema = "docid long, score double"
 
-        def per_group(pdf):
-            return _phrase_shard(pdf, seq, uniq, idf, avgdl, k1, b, k)
+        if org_subs is not None:
+            rngmap = self._org_range_map(org_subs, org)
+            if rngmap is not None:
+                rows = self._org_rows_pruned(org_subs, uniq, rngmap)
+                if rows is None:
+                    return empty
 
-        allp = (self._union(lambda s: s._posting_rows(uniq))
-                .groupBy("sub", "shard")
-                .applyInPandas(per_group,
-                               schema="docid long, score double")
-                .toPandas())
+                def per_group_rng(pdf):
+                    key = (int(pdf["sub"].iloc[0]),
+                           int(pdf["shard"].iloc[0]))
+                    return _phrase_shard(pdf, seq, uniq, idf, avgdl,
+                                         k1, b, k, org_range=rngmap[key])
+
+                allp = (rows.groupBy("sub", "shard")
+                        .applyInPandas(per_group_rng, schema=schema)
+                        .toPandas())
+            else:
+                rows, parts = self._org_union(org_subs, uniq, org)
+
+                def per_group_org(lpdf, rpdf):
+                    if lpdf.empty or rpdf.empty:
+                        return pd.DataFrame(
+                            {"docid": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+                    cand = np.sort(rpdf["docid"].to_numpy(np.int64))
+                    return _phrase_shard(lpdf, seq, uniq, idf, avgdl,
+                                         k1, b, k, org_cand=cand)
+
+                allp = (rows.groupBy("sub", "shard")
+                        .cogroup(parts.groupBy("sub", "shard"))
+                        .applyInPandas(per_group_org, schema=schema)
+                        .toPandas())
+        else:
+            def per_group(pdf):
+                return _phrase_shard(pdf, seq, uniq, idf, avgdl, k1, b, k)
+
+            allp = (self._union(lambda s: s._posting_rows(uniq))
+                    .groupBy("sub", "shard")
+                    .applyInPandas(per_group, schema=schema)
+                    .toPandas())
         if allp.empty:
             return empty
         return (allp.sort_values(["score", "docid"],
                                  ascending=[False, True])
                 .head(k).reset_index(drop=True))
+
+    def match_docids(self, query: str, mode: str = "and") -> pd.DataFrame:
+        """Boolean match over base + deltas (B7): docids containing all
+        (and) / any (or) query terms, ascending. Docid spaces are
+        disjoint across generations, so per-(sub, shard) results union
+        exactly."""
+        import numpy as np
+        from .analyzer import tokenize_text
+        from .query import _decode_term_rows
+        terms = sorted(set(tokenize_text(query, self.tokenizer)))
+        if not terms:
+            return pd.DataFrame({"docid": pd.Series(dtype="int64")})
+        nq = len(terms)
+
+        def per_group(pdf):
+            res: np.ndarray | None = None
+            union: list[np.ndarray] = []
+            for t in sorted(pdf["term"].unique()):
+                d, _, _ = _decode_term_rows(pdf[pdf["term"] == t])
+                if mode == "and":
+                    res = d if res is None else np.intersect1d(
+                        res, d, assume_unique=True)
+                else:
+                    union.append(d)
+            if mode == "and":
+                if pdf["term"].nunique() < nq or res is None:
+                    res = np.empty(0, dtype=np.int64)
+            else:
+                res = (np.unique(np.concatenate(union))
+                       if union else np.empty(0, dtype=np.int64))
+            return pd.DataFrame({"docid": res})
+
+        out = (self._union(lambda s: s._posting_rows(terms))
+               .groupBy("sub", "shard")
+               .applyInPandas(per_group, schema="docid long")
+               .toPandas())
+        return (out.sort_values("docid").reset_index(drop=True)
+                if not out.empty else out)
 
     def topk_many(self, queries: dict[str, tuple[str, str]], k: int = 10,
                   method: str = "wand", field: str | None = None,

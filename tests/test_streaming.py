@@ -651,3 +651,52 @@ def test_nightly_rotate_routed_generation(spark, tmp_path_factory):
     ci0 = CombinedIndex(spark, r0)
     assert keyed(ci0.fetch_docs, before) \
         == keyed(lambda i: idx.fetch_docs(i).toPandas(), after)
+
+
+def test_combined_phrase_org_and_match_docids(spark, tmp_path_factory):
+    """Streaming phrase × org and boolean match over base+deltas must
+    equal the monolithic routed rebuild (keys compared since docids are
+    generation-local)."""
+    import pandas as pd
+    from sparkfts import FTSIndex
+    rcfg = BuildConfig(num_shards=4, partitions=4, routing_col="org",
+                       shards_per_org=2)
+
+    def prep(pdf):
+        return pdf.assign(org=pdf["conv_id"].map(
+            lambda c: f"o{sum(map(ord, c)) % 2}"))
+
+    base, d1 = prep(make_transcripts(10, seed=55)), \
+        prep(make_transcripts(4, seed=56))
+    root = str(tmp_path_factory.mktemp("ph_org_stream"))
+    build_index(spark, spark.createDataFrame(base), root,
+                order_cols=["conv_id", "turn_idx"], cfg=rcfg)
+    make_batch_indexer(root, cfg=rcfg)(spark.createDataFrame(d1),
+                                       batch_id=0)
+    ci = CombinedIndex(spark, root)
+    mroot = str(tmp_path_factory.mktemp("ph_org_mono"))
+    build_index(spark,
+                spark.createDataFrame(pd.concat([base, d1],
+                                                ignore_index=True)),
+                mroot, order_cols=["conv_id", "turn_idx"], cfg=rcfg)
+    mono = FTSIndex(spark, mroot)
+
+    def keys(fetch, docids):
+        if not docids:
+            return []
+        docs = fetch(docids)
+        return sorted((r["conv_id"], int(r["turn_idx"]))
+                      for _, r in docs.iterrows())
+
+    for org in ("o0", "o1"):
+        got = ci.phrase_topk("nightly index", k=50, org=org)
+        want = mono.phrase_topk("nightly index", k=50, org=org).toPandas()
+        assert keys(ci.fetch_docs, got["docid"].tolist()) == keys(
+            lambda i: mono.fetch_docs(i).toPandas(),
+            want["docid"].tolist()), org
+    for mode in ("and", "or"):
+        got = ci.match_docids("alpha index", mode)
+        want = mono.match_docids("alpha index", mode).toPandas()
+        assert keys(ci.fetch_docs, got["docid"].tolist()) == keys(
+            lambda i: mono.fetch_docs(i).toPandas(),
+            want["docid"].tolist()), mode
