@@ -511,8 +511,10 @@ class FTSIndex:
         self.b = float(st["b"])
         self.docid_offset = int(st.get("docid_offset") or 0)
         # id-space extent above the offset (sparse for routed builds);
-        # legacy stats rows lack it → dense fallback
-        self.docid_span = int(st.get("docid_span") or self.N)
+        # legacy stats rows lack it → derived from routing geometry /
+        # docstore footers, NOT n (understating it corrupts delta
+        # attachment — see storage.effective_docid_span)
+        self.docid_span = storage.effective_docid_span(root, st)
         import json as _json
         rt = st.get("routing") or ""
         self.routing_col = _json.loads(rt)["col"] if rt else None

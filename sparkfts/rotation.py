@@ -18,6 +18,7 @@ driver/Driver.java:22-23).
 from __future__ import annotations
 
 import json
+import re
 import os
 import uuid
 from dataclasses import asdict, dataclass
@@ -53,17 +54,16 @@ class RotationRegistry:
     def _apath(self, alias: str) -> str:
         return os.path.join(self.base, f"{alias}.current")
 
+    _ID_RE = re.compile(r"^version-(\d{8})-[0-9a-f]{12}\.json$")
+
     def _next_seq(self) -> int:
-        # Tolerate legacy version files whose id has no numeric sequence
-        # prefix (pre-sequence format: version-<12hex>.json) and ignore
-        # anything that is not a committed .json version row.
-        seqs = []
-        for fn in os.listdir(self.base):
-            if not (fn.startswith("version-") and fn.endswith(".json")):
-                continue
-            seg = fn[len("version-"):].split("-")[0]
-            if seg.isdigit():
-                seqs.append(int(seg))
+        # Only filenames matching the CURRENT id shape (8-digit
+        # zero-padded seq, dash, 12-hex uuid) count toward the sequence.
+        # A legacy pre-sequence file like version-123456789012.json (a
+        # 12-hex id that happens to be all digits) must NOT be parsed as
+        # seq=123456789012 — that would jump the sequence forever.
+        seqs = [int(m.group(1)) for fn in os.listdir(self.base)
+                if (m := self._ID_RE.match(fn))]
         return (max(seqs) + 1) if seqs else 0
 
     def register(self, v: IndexVersion) -> str:

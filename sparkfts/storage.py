@@ -76,6 +76,51 @@ def read_stats(root: str, missing_ok: bool = False) -> dict | None:
     return max(rows, key=lambda r: r.get("seq") or 0)
 
 
+def _footer_max_docid(root: str) -> int | None:
+    """Max docid across the docstore from parquet ROW-GROUP statistics
+    only — footer reads, no data pages. Driver-side, one-time."""
+    import pyarrow.dataset as ds
+    p = path(root, "docstore")
+    if not os.path.isdir(p):
+        return None
+    mx = None
+    for frag in ds.dataset(p, format="parquet",
+                           partitioning="hive").get_fragments():
+        md = frag.metadata
+        for gi in range(md.num_row_groups):
+            rg = md.row_group(gi)
+            for ci in range(rg.num_columns):
+                col = rg.column(ci)
+                if col.path_in_schema == "docid" and col.statistics:
+                    v = col.statistics.max
+                    mx = v if mx is None else max(mx, v)
+    return int(mx) if mx is not None else None
+
+
+def effective_docid_span(root: str, st: dict) -> int:
+    """Id-space extent above ``docid_offset``. Current stats rows carry
+    ``docid_span``; LEGACY rows (pre-span) must NOT fall back to n — a
+    routed or caller-docid index has sparse ids up to
+    num_shards*docs_per_shard-1 (or max docid), and understating the
+    span would let a later streaming-delta reservation overlap the
+    base's real docids while the CombinedIndex disjointness check,
+    using the same understated span, silently passes. Derivation:
+    routing geometry (present in every legacy row) bounds routed
+    builds; a parquet-footer max-docid scan covers caller-docid
+    builds exactly."""
+    span = st.get("docid_span")
+    if span is not None:
+        return int(span)
+    off = int(st.get("docid_offset") or 0)
+    cand = [int(st["n"])]
+    if st.get("routing"):
+        cand.append(int(st["num_shards"]) * int(st["docs_per_shard"]))
+    mx = _footer_max_docid(root)
+    if mx is not None:
+        cand.append(int(mx) - off + 1)
+    return max(cand)
+
+
 def append_manifest_rows(root: str, rows: list[dict], build_id: str) -> None:
     import pyarrow as pa
     tbl = pa.Table.from_pylist(rows, schema=pa.schema([

@@ -114,7 +114,7 @@ def make_batch_indexer(base_root: str, text_col: str = "text",
                 offset = int(mine[0]["docid_offset"])
             else:
                 st = storage.read_stats(base_root)
-                base_span = int(st.get("docid_span") or st["n"])
+                base_span = storage.effective_docid_span(base_root, st)
                 base_off = int(st.get("docid_offset") or 0)
                 # Reserve the batch's id-space SPAN, not its row count:
                 # routed builds mint sparse per-shard docid blocks whose
@@ -579,24 +579,34 @@ class CombinedIndex:
                                  ascending=[False, True])
                 .head(k).reset_index(drop=True))
 
-    def match_docids(self, query: str, mode: str = "and") -> pd.DataFrame:
+    def match_docids(self, query: str, mode: str = "and",
+                     field: str | None = None,
+                     org: str | None = None) -> pd.DataFrame:
         """Boolean match over base + deltas (B7): docids containing all
         (and) / any (or) query terms, ascending. Docid spaces are
         disjoint across generations, so per-(sub, shard) results union
-        exactly."""
+        exactly. ``field`` scopes to one field of a multi-field build;
+        ``org`` (every generation routed) prunes each sub to the
+        tenant's shards and restricts matching to its docids — same
+        _org_range_map/_org_union assembly as topk/phrase_topk."""
         import numpy as np
         from .analyzer import tokenize_text
         from .query import _decode_term_rows
-        terms = sorted(set(tokenize_text(query, self.tokenizer)))
+        org_subs = self._org_subs(org) if org is not None else None
+        prefix, _ = self._field(field)
+        terms = sorted({prefix + t
+                        for t in tokenize_text(query, self.tokenizer)})
+        empty = pd.DataFrame({"docid": pd.Series(dtype="int64")})
         if not terms:
-            return pd.DataFrame({"docid": pd.Series(dtype="int64")})
+            return empty
         nq = len(terms)
 
-        def per_group(pdf):
+        def _match(pdf, restrict=lambda d: d):
             res: np.ndarray | None = None
             union: list[np.ndarray] = []
             for t in sorted(pdf["term"].unique()):
                 d, _, _ = _decode_term_rows(pdf[pdf["term"] == t])
+                d = restrict(d)
                 if mode == "and":
                     res = d if res is None else np.intersect1d(
                         res, d, assume_unique=True)
@@ -610,12 +620,60 @@ class CombinedIndex:
                        if union else np.empty(0, dtype=np.int64))
             return pd.DataFrame({"docid": res})
 
-        out = (self._union(lambda s: s._posting_rows(terms))
-               .groupBy("sub", "shard")
-               .applyInPandas(per_group, schema="docid long")
-               .toPandas())
+        if org_subs is not None:
+            rngmap = self._org_range_map(org_subs, org)
+            if rngmap is not None:
+                rows = self._org_rows_pruned(org_subs, terms, rngmap)
+                if rows is None:
+                    return empty
+
+                def per_group_rng(pdf):
+                    lo, hi = rngmap[(int(pdf["sub"].iloc[0]),
+                                     int(pdf["shard"].iloc[0]))]
+                    return _match(pdf, lambda d: d[(d >= lo) & (d <= hi)])
+
+                out = (rows.groupBy("sub", "shard")
+                       .applyInPandas(per_group_rng, schema="docid long")
+                       .toPandas())
+            else:
+                rows, parts = self._org_union(org_subs, terms, org)
+
+                def per_group_org(lpdf, rpdf):
+                    if lpdf.empty or rpdf.empty:
+                        return pd.DataFrame(
+                            {"docid": pd.Series(dtype=np.int64)})
+                    cand = np.sort(rpdf["docid"].to_numpy(np.int64))
+                    return _match(lpdf, lambda d: d[np.isin(
+                        d, cand, assume_unique=True)])
+
+                out = (rows.groupBy("sub", "shard")
+                       .cogroup(parts.groupBy("sub", "shard"))
+                       .applyInPandas(per_group_org, schema="docid long")
+                       .toPandas())
+        else:
+            out = (self._union(lambda s: s._posting_rows(terms))
+                   .groupBy("sub", "shard")
+                   .applyInPandas(lambda pdf: _match(pdf),
+                                  schema="docid long")
+                   .toPandas())
         return (out.sort_values("docid").reset_index(drop=True)
                 if not out.empty else out)
+
+    def search(self, query: str, k: int = 10, mode: str = "or",
+               method: str = "wand", org: str | None = None,
+               field: str | None = None) -> pd.DataFrame:
+        """Distributed full search over base + deltas (top-k + doc
+        content): the Spark-job twin of search_local, mirroring
+        FTSIndex.search — topk over the unioned dictionaries, then a
+        geometry-aware pruned fetch from each owning generation."""
+        hits = self.topk(query, k, mode, method, org=org, field=field)
+        if hits.empty:
+            return hits
+        docs = self.fetch_docs(hits["docid"].tolist())
+        out = hits.merge(docs.drop(columns=["shard"]), on="docid")
+        return (out.sort_values(["score", "docid"],
+                                ascending=[False, True])
+                .reset_index(drop=True))
 
     def topk_many(self, queries: dict[str, tuple[str, str]], k: int = 10,
                   method: str = "wand", field: str | None = None,
