@@ -482,6 +482,42 @@ def q_dp_ivf_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cos_r", 4).alias("cos_r4"))
 
 
+def _ann_index_for(spark, sf_dir, kind):
+    """Materialized ANN index over embeddings (build once per sf_dir):
+    the serving-scale path — cell/bucket persisted as a partition
+    column at build time, queries partition-prune (VERDICT r3 next #1)."""
+    from datapipe.similarity import AnnIndex, build_ann
+    key = f"{os.path.abspath(sf_dir)}#ann_{kind}"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    root = _gate_root(sf_dir, f"ann_{kind}")
+    if not os.path.exists(os.path.join(root, "meta.json")):
+        build_ann(spark, _emb(spark, sf_dir), root, kind=kind,
+                  n_centroids=10, n_planes=16, bucket_partitions=64)
+    idx = AnnIndex(spark, root)
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+def q_dp_ann_ivf_topk(spark, sf_dir):
+    """Same query semantics as dp_ivf_topk (identical seeded centroids,
+    nprobe=3, exact re-rank) served from the MATERIALIZED index: the
+    probed cells come back as a partition-pruned read, not a full
+    corpus re-assignment scan — so the same SQL oracle must agree."""
+    idx = _ann_index_for(spark, sf_dir, "ivf")
+    out = idx.topk(_query_vec(spark, sf_dir), k=10, nprobe=3)
+    return out.select("vec_id", F.round("cos_r", 4).alias("cos_r4"))
+
+
+def q_dp_ann_lsh_topk(spark, sf_dir):
+    """dp_lsh_topk semantics (same deterministic hyperplanes, hamming
+    <= 2 probe) from the materialized LSH index (pbucket partition
+    pruning + row-group-sorted bucket filter)."""
+    idx = _ann_index_for(spark, sf_dir, "lsh")
+    out = idx.topk(_query_vec(spark, sf_dir), k=10, max_hamming=2)
+    return out.select("vec_id", F.round("cos_r", 4).alias("cos_r4"))
+
+
 def q_dp_mm_real_decode(spark, sf_dir):
     """REAL image decode: deterministic P6/PPM payloads are parsed from
     actual image BYTES (pure-numpy netpbm codec) and per-channel pixel
@@ -682,6 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_dedup_corpus": q_dp_dedup_corpus,
         "dp_bpe_estimate": q_dp_bpe_estimate,
         "dp_ivf_topk": q_dp_ivf_topk,
+        "dp_ann_ivf_topk": q_dp_ann_ivf_topk,
+        "dp_ann_lsh_topk": q_dp_ann_lsh_topk,
         "dp_contamination": q_dp_contamination,
         "dp_redact_pii": q_dp_redact_pii,
         "dp_hash_sample": q_dp_hash_sample,
@@ -898,6 +936,38 @@ def _lsh_topk_sql(dim: int = 64, n_planes: int = 16,
         ORDER BY list_cosine_similarity(e.v, (SELECT v FROM qv)) DESC,
                  e.vec_id
         LIMIT {k}"""
+
+
+_IVF_TOPK_SQL = """
+    WITH E AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM E
+              ORDER BY md5('42:' || vec_id::VARCHAR) LIMIT 10),
+    q AS (SELECT v FROM E WHERE vec_id = 0),
+    asn AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                        c.cid ASC) AS rn
+      FROM E e CROSS JOIN cents c),
+    cells AS (SELECT vec_id, cid AS cell FROM asn WHERE rn = 1),
+    probe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (
+                 ORDER BY list_cosine_similarity(
+                     (SELECT v FROM q), c.cv) DESC,
+                   c.cid ASC) AS rn
+        FROM cents c) WHERE rn <= 3)
+    SELECT e.vec_id,
+           round(round(list_cosine_similarity(
+               e.v, (SELECT v FROM q)), 6), 4) AS cos_r4
+    FROM E e JOIN cells ON cells.vec_id = e.vec_id
+    WHERE cells.cell IN (SELECT cid FROM probe)
+    ORDER BY list_cosine_similarity(e.v, (SELECT v FROM q)) DESC,
+             e.vec_id ASC
+    LIMIT 10"""
 
 
 def _redact_sql() -> str:
@@ -1216,36 +1286,12 @@ def oracle_sql() -> dict[str, str]:
                                THEN ceil(length(x) / 4.0)::BIGINT
                                ELSE 1 END)), 0)::BIGINT AS n_bpe_est
             FROM p ORDER BY doc_id""",
-        "dp_ivf_topk": """
-            WITH E AS (SELECT vec_id, embedding::DOUBLE[] AS v
-                       FROM embeddings),
-            cents AS (SELECT vec_id AS cid, v AS cv FROM E
-                      ORDER BY md5('42:' || vec_id::VARCHAR) LIMIT 10),
-            q AS (SELECT v FROM E WHERE vec_id = 0),
-            asn AS (
-              SELECT e.vec_id, c.cid,
-                     row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
-                                c.cid ASC) AS rn
-              FROM E e CROSS JOIN cents c),
-            cells AS (SELECT vec_id, cid AS cell FROM asn WHERE rn = 1),
-            probe AS (
-              SELECT cid FROM (
-                SELECT c.cid,
-                       row_number() OVER (
-                         ORDER BY list_cosine_similarity(
-                             (SELECT v FROM q), c.cv) DESC,
-                           c.cid ASC) AS rn
-                FROM cents c) WHERE rn <= 3)
-            SELECT e.vec_id,
-                   round(round(list_cosine_similarity(
-                       e.v, (SELECT v FROM q)), 6), 4) AS cos_r4
-            FROM E e JOIN cells ON cells.vec_id = e.vec_id
-            WHERE cells.cell IN (SELECT cid FROM probe)
-            ORDER BY list_cosine_similarity(e.v, (SELECT v FROM q)) DESC,
-                     e.vec_id ASC
-            LIMIT 10""",
+        "dp_ivf_topk": _IVF_TOPK_SQL,
+        # the materialized-index gates answer the SAME query from the
+        # build_ann parquet (partition-pruned) — semantics unchanged,
+        # so the oracles are identical to the scan-path gates'
+        "dp_ann_ivf_topk": _IVF_TOPK_SQL,
+        "dp_ann_lsh_topk": _lsh_topk_sql(),
         "dp_contamination": """
             WITH base AS (
               SELECT doc_id,

@@ -331,25 +331,19 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95,
         # every (a,b) meets in exactly one cell: (cell(a), cell(b))
         pairs = le.join(re_, ["ga", "gb"]).drop("ga", "gb")
     elif method == "lsh":
-        from datapipe.similarity import hyperplanes
+        from datapipe.similarity import ann_signatures, hyperplanes
         dim = int(emb.select(F.size(vec_col)).first()[0])
         planes = hyperplanes(dim, n_planes=lsh_bands * lsh_rows)
-        sigs = []
-        for bnd in range(lsh_bands):
-            sig = F.lit(0).cast("long")
-            for j in range(lsh_rows):
-                p = planes[bnd * lsh_rows + j]
-                col = F.array(*[F.lit(float(x)) for x in p])
-                dot = F.aggregate(F.zip_with(vec_col, col,
-                                             lambda x, y: x * y),
-                                  F.lit(0.0), lambda a, x: a + x)
-                sig = sig + F.when(dot > 0,
-                                   F.lit(1 << j).cast("long")
-                                   ).otherwise(F.lit(0).cast("long"))
-            sigs.append(sig)
-        b_ids = (emb.select(F.col(id_col).alias("doc"),
-                            F.posexplode(F.array(*sigs))
-                             .alias("band", "sig")))
+        # banded sign signatures in ONE Arrow-batched numpy matmul
+        # (planes broadcast once in the closure) — the former per-plane
+        # literal-array loop was lsh_bands*lsh_rows*dim Catalyst
+        # literals per plan, a codegen blowup at real embedding dims
+        sig_df = ann_signatures(
+            emb.select(F.col(id_col).alias("doc"),
+                       F.col(vec_col).alias("embedding")),
+            dim, planes=planes, band_rows=lsh_rows)
+        b_ids = sig_df.select(
+            "doc", F.posexplode("band_sigs").alias("band", "sig"))
         bl = b_ids.select(F.col("doc").alias("a"), "band", "sig")
         br = b_ids.select(F.col("doc").alias("b"), "band", "sig")
         cand = (bl.join(br, ["band", "sig"])
