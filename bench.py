@@ -200,11 +200,17 @@ def run_pinned_scaling(src: str, warm: str, work: str,
     # The only early stop is the wall-clock budget, whose test
     # (estimated next-run time vs time left) never reads the measured
     # ratio; if it fires, the planned-vs-actual counts expose it.
+    # r3 VERDICT wrong #4: across four identical-code runs the LOW side
+    # (3 draws) was the unconverged one — a fresh 1-CPU floor swung the
+    # ratio by 0.17. Amended fixed plan: one pre-committed extra LOW
+    # draw (so 3+1 low / 3+2 high), and a trimmed-median estimator
+    # reported ALONGSIDE min per side as a stability cross-check.
     t_scale0 = time.perf_counter()
     budget = float(os.environ.get("SPARKFTS_SCALE_BUDGET", "700"))
     extra_high = int(os.environ.get("SPARKFTS_SCALE_EXTRA_HIGH", "2"))
+    extra_low = int(os.environ.get("SPARKFTS_SCALE_EXTRA_LOW", "1"))
     plan = ([c for _ in range(repeats) for c in (n_hi, n_lo)]
-            + [n_hi] * extra_high)
+            + [n_lo] * extra_low + [n_hi] * extra_high)
     for cores in plan:
         # the first sample of each side always runs (best[] needs one);
         # after that, skip when the estimated run time no longer fits —
@@ -214,8 +220,11 @@ def run_pinned_scaling(src: str, warm: str, work: str,
             if (time.perf_counter() - t_scale0 + est) > budget:
                 continue
         run_one(cores)
+    import statistics
     lo, hi = best[n_lo], best[n_hi]
     speedup = lo["wall_sec"] / hi["wall_sec"]
+    med_lo = statistics.median(samples[n_lo])
+    med_hi = statistics.median(samples[n_hi])
     # Amdahl decomposition: wall = S + P/cores → the serial floor S is
     # what caps end-to-end efficiency at THIS corpus size; it's a fixed
     # per-run cost (job latencies, parquet commit/listing), so at the
@@ -228,8 +237,10 @@ def run_pinned_scaling(src: str, warm: str, work: str,
         "cores_low": n_lo, "cores_high": n_hi,
         "pinned": have_taskset,
         "protocol": ("pre-committed interleaved (fixed a priori, never "
-                     "ratio-conditioned), min() per side"),
-        "planned_low": repeats, "planned_high": repeats + extra_high,
+                     "ratio-conditioned), min() per side + median "
+                     "cross-check"),
+        "planned_low": repeats + extra_low,
+        "planned_high": repeats + extra_high,
         "samples_low": len(samples[n_lo]),
         "samples_high": len(samples[n_hi]),
         "walls_low": samples[n_lo], "walls_high": samples[n_hi],
@@ -239,6 +250,9 @@ def run_pinned_scaling(src: str, warm: str, work: str,
         "turns_per_sec_high": round(hi["n_docs"] / hi["wall_sec"], 1),
         "speedup": round(speedup, 3),
         "efficiency": round(speedup / 4.0, 3),
+        "median_low": round(med_lo, 3), "median_high": round(med_hi, 3),
+        "speedup_median": round(med_lo / med_hi, 3),
+        "efficiency_median": round(med_lo / med_hi / 4.0, 3),
         "write_stage_speedup": round(post_speedup, 3),
         "write_stage_efficiency": round(post_speedup / 4.0, 3),
         "amdahl_serial_floor_sec": round(ser, 2),

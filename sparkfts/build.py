@@ -218,7 +218,8 @@ def _make_tokenize_udf(cfg: TokenizerConfig):
     return tok
 
 
-def _make_shard_kernel(cfg: BuildConfig):
+def _make_shard_kernel(cfg: BuildConfig,
+                       spec_by_shard: dict[int, list] | None = None):
     """Per-shard inverted-index kernel for mapInArrow over doc rows
     (shard, docid, text) sorted by shard within each partition — the
     from-scratch analog of the reference's reducer-boots-embedded-ES step
@@ -257,19 +258,28 @@ def _make_shard_kernel(cfg: BuildConfig):
     out_schema = pa.schema(out_fields)
 
     # (field name in input batch, term prefix, tokenizer) per field;
-    # single-field default: column "text", no prefix
+    # single-field default: column "text", no prefix. With
+    # ``spec_by_shard`` (build_many over heterogeneous configs) the
+    # spec is resolved PER SHARD as the sorted stream crosses shard
+    # boundaries — one kernel instance serves plain, multi-field and
+    # routed indices in the same shuffle.
     if cfg.fields:
-        fields_spec = [(name, f"{name}:", tok)
-                       for name, tok in cfg.fields.items()]
+        default_spec = [(name, f"{name}:", tok)
+                        for name, tok in cfg.fields.items()]
     else:
-        fields_spec = [("text", "", tokenizer)]
+        default_spec = [("text", "", tokenizer)]
+
+    def _spec_for(sh: int) -> list:
+        return spec_by_shard[sh] if spec_by_shard is not None \
+            else default_spec
 
     def kernel(batches):
         from .analyzer import tokenize_arrow
         t0 = time.perf_counter()
         cur: int | None = None
+        cur_spec: list = default_spec
         acc_ids: list[np.ndarray] = []
-        acc_txt: dict[str, list] = {fname: [] for fname, _, _ in fields_spec}
+        acc_txt: dict[str, list] = {}
         cols: dict[str, list] = {n: [] for n, _ in out_fields}
 
         def emit_row(shard, term, chunk, enc):
@@ -353,15 +363,14 @@ def _make_shard_kernel(cfg: BuildConfig):
                     f"duplicate docids in shard {shard}: docid assignment "
                     "must be unique (is turn_idx a per-conversation "
                     "permutation of 0..len-1?)")
-            for fname, prefix, ftok in fields_spec:
+            for fname, prefix, ftok in cur_spec:
                 texts = pa.concat_arrays(
                     [a.combine_chunks()
                      if isinstance(a, pa.ChunkedArray) else a
                      for a in acc_txt[fname]])
                 invert_field(shard, docids, texts, prefix, ftok)
             acc_ids.clear()
-            for fname, _, _ in fields_spec:
-                acc_txt[fname].clear()
+            acc_txt.clear()
 
         for rb in batches:
             if rb.num_rows == 0:
@@ -377,16 +386,62 @@ def _make_shard_kernel(cfg: BuildConfig):
                     process_shard()
                     if cols["shard"]:
                         yield flush_batch()
-                cur = int(shard[s])
+                if cur != int(shard[s]):
+                    cur = int(shard[s])
+                    cur_spec = _spec_for(cur)
                 acc_ids.append(docid[s:e].astype(np.int64))
-                for fname, _, _ in fields_spec:
-                    acc_txt[fname].append(
+                for fname, _, _ in cur_spec:
+                    acc_txt.setdefault(fname, []).append(
                         rb.column(fname).slice(s, e - s))
         process_shard()
         if cols["shard"]:
             yield flush_batch()
 
     return kernel
+
+
+def _write_org_ranges(spark: SparkSession, out_dir: str,
+                      routing_col: str, num_shards: int) -> None:
+    """Tenant docid intervals, derived from the ON-DISK docstore so a
+    resumed build converges (narrow column-pruned scan): one row per
+    (shard, org) — the O(1)-memory candidate representation org-scoped
+    queries use instead of materializing the tenant's docid set.
+    Sorted by org for row-group pruning on point reads.
+
+    CONTIGUITY GUARD: intervals are only valid when every tenant's
+    docids are gap-free per shard (cnt == hi-lo+1). A resume over a
+    routed root built BEFORE contiguous minting would otherwise persist
+    intervals spanning OTHER tenants' docids — a silent cross-tenant
+    leak on every org-scoped query. On violation the table is not
+    written (and any stale one is removed): queries fall back to the
+    exact docid-set cogroup path."""
+    from . import storage
+    grouped = (spark.read.parquet(storage.path(out_dir, "docstore"))
+               .select("shard",
+                       F.col(routing_col).alias("org"), "docid")
+               .groupBy("shard", "org")
+               .agg(F.min("docid").alias("lo"),
+                    F.max("docid").alias("hi"),
+                    F.count("*").alias("cnt"))
+               .persist())
+    bad = grouped.where(
+        F.col("cnt") != F.col("hi") - F.col("lo") + 1).count()
+    if bad == 0:
+        (grouped.drop("cnt")
+         .repartition(max(1, num_shards // 8))
+         .sortWithinPartitions("org")
+         .write.mode("overwrite")
+         .parquet(storage.path(out_dir, "org_ranges")))
+    else:
+        import shutil as _shutil
+        import warnings as _warnings
+        _shutil.rmtree(storage.path(out_dir, "org_ranges"),
+                       ignore_errors=True)
+        _warnings.warn(
+            f"org_ranges skipped: {bad} (shard, org) groups are "
+            "non-contiguous (legacy routed layout?) — org queries "
+            "will use the docid-set path", RuntimeWarning)
+    grouped.unpersist()
 
 
 def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
@@ -610,44 +665,8 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
         if errs:
             raise errs[0]
     if cfg.routing_col is not None:
-        # Tenant docid intervals, derived from the ON-DISK docstore so a
-        # resumed build converges (narrow column-pruned scan): one row
-        # per (shard, org) — the O(1)-memory candidate representation
-        # org-scoped queries use instead of materializing the tenant's
-        # docid set. Sorted by org for row-group pruning on point reads.
-        grouped = (spark.read.parquet(storage.path(out_dir, "docstore"))
-                   .select("shard",
-                           F.col(cfg.routing_col).alias("org"), "docid")
-                   .groupBy("shard", "org")
-                   .agg(F.min("docid").alias("lo"),
-                        F.max("docid").alias("hi"),
-                        F.count("*").alias("cnt"))
-                   .persist())
-        # CONTIGUITY GUARD: intervals are only valid when every tenant's
-        # docids are gap-free per shard (cnt == hi-lo+1). A resume over
-        # a routed root built BEFORE contiguous minting would otherwise
-        # persist intervals spanning OTHER tenants' docids — a silent
-        # cross-tenant leak on every org-scoped query. On violation the
-        # table is not written (and any stale one is removed): queries
-        # fall back to the exact docid-set cogroup path.
-        bad = grouped.where(
-            F.col("cnt") != F.col("hi") - F.col("lo") + 1).count()
-        if bad == 0:
-            (grouped.drop("cnt")
-             .repartition(max(1, cfg.num_shards // 8))
-             .sortWithinPartitions("org")
-             .write.mode("overwrite")
-             .parquet(storage.path(out_dir, "org_ranges")))
-        else:
-            import shutil as _shutil
-            import warnings as _warnings
-            _shutil.rmtree(storage.path(out_dir, "org_ranges"),
-                           ignore_errors=True)
-            _warnings.warn(
-                f"org_ranges skipped: {bad} (shard, org) groups are "
-                "non-contiguous (legacy routed layout?) — org queries "
-                "will use the docid-set path", RuntimeWarning)
-        grouped.unpersist()
+        _write_org_ranges(spark, out_dir, cfg.routing_col,
+                          cfg.num_shards)
     if cached_parent is not None:
         cached_parent.unpersist()
     mark("write_data")
@@ -749,7 +768,9 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
 def build_many(spark: SparkSession, df: DataFrame, out_base: str,
                configs: dict[str, BuildConfig],
                index_col: str = "index", text_col: str = "text",
-               order_cols: list[str] | None = None) -> dict:
+               order_cols: list[str] | None = None,
+               resume: bool = False,
+               _only_gshards: list[int] | None = None) -> dict:
     """Build MANY indices in ONE job set — the reference builds every
     index of a nightly job in one MapReduce pass with per-index shard
     counts (ShardConfig.java:50-56 applied at BaseESReducer.java:101-104;
@@ -767,60 +788,187 @@ def build_many(spark: SparkSession, df: DataFrame, out_base: str,
     MOVES (atomic rename, metadata-only) into the per-index roots.
     Stats + manifests are driver-side pyarrow writes (no jobs).
 
-    Per-index knobs: num_shards / k1 / b (the ShardConfig analog).
-    Analyzer/codec settings come from the first config and must agree
-    across indices (one kernel instance serves the shared shuffle);
-    fields/routing_col are not supported here — compose with solo
-    build_index for those. Returns {index_name: summary}.
+    Per-index knobs: num_shards / k1 / b / tokenizer / fields /
+    routing_col+shards_per_org (the full ShardConfig analog). A ROUTED
+    index gets its shard from the tenant hash and org-contiguous docids
+    (identical to solo build_index; org_ranges included); a MULTI-FIELD
+    index gets field-prefixed terms and per-field avgdl. One shared
+    Arrow kernel serves the whole shuffle — the per-shard field spec is
+    resolved by gshard, and the shuffled batches carry the UNION of the
+    configs' text columns, with columns not used by a row's index
+    nulled to '' so they add no shuffle bytes. Codec geometry
+    (block, max_chunk_postings) must agree across indices.
+
+    ``resume=True`` completes a killed nightly at (index, shard)
+    granularity like solo build_index: docid assignment is recomputed
+    over the full input (deterministic — same ids), only shards
+    WITHOUT a committed manifest row are rebuilt and merged into the
+    existing roots, and each touched index's derived artifacts
+    (term_stats / stats / org_ranges) are recomputed from its ON-DISK
+    shards so the result converges to the clean-build state
+    (IndexingPostProcessor.java:33-48's manifest repair).
+    ``_only_gshards`` is the kill-simulation test hook (the build_many
+    analog of build_index's _only_shards). Returns {index_name:
+    summary}.
     """
     import os as _os
     import uuid
+    from . import routing as _routing
     from . import storage
     assert configs, "configs must name at least one index"
     names = sorted(configs)
     cfg0 = configs[names[0]]
     for nm in names:
         c = configs[nm]
-        assert c.fields is None and c.routing_col is None, \
-            "build_many: fields/routing not supported (use build_index)"
-        assert (c.tokenizer, c.block, c.max_chunk_postings) \
-            == (cfg0.tokenizer, cfg0.block, cfg0.max_chunk_postings), \
-            "build_many: analyzer/codec settings must agree across indices"
+        assert (c.block, c.max_chunk_postings) \
+            == (cfg0.block, cfg0.max_chunk_postings), \
+            "build_many: codec geometry must agree across indices"
+        if c.routing_col is not None:
+            _routing.n_groups(c.num_shards, c.shards_per_org)  # validates
     order_cols = order_cols or ["conv_id", "turn_idx"]
     t_start = time.perf_counter()
 
-    present = [r[0] for r in df.select(index_col).distinct().collect()]
-    unknown = sorted(set(present) - set(names))
+    # per-row routing shard/org for routed indices (0/'' elsewhere) so
+    # ONE global rank under (index, shard, org, order) mints every
+    # index's docids: dense rank-ids for plain indices, org-contiguous
+    # per-shard blocks for routed ones — identical to the solo builds
+    rshard = F.lit(0)
+    rorg = F.lit("")
+    key_col = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in order_cols])
+    for nm in names:
+        c = configs[nm]
+        if c.routing_col is None:
+            continue
+        rshard = F.when(
+            F.col(index_col) == nm,
+            _routing.shard_col(F.col(c.routing_col), key_col,
+                               c.num_shards, c.shards_per_org)
+        ).otherwise(rshard)
+        rorg = F.when(F.col(index_col) == nm,
+                      F.col(c.routing_col).cast("string")
+                      ).otherwise(rorg)
+    df2 = (df.withColumn("_rshard", rshard.cast("int"))
+             .withColumn("_rorg", rorg))
+
+    base = assign_docids(df2, [index_col, "_rshard", "_rorg"]
+                         + order_cols, cfg0.partitions)
+    cached_parent = base._sparkfts_cached_parent
+    # ONE aggregate serves the unknown-index check, per-index totals
+    # AND the routed per-shard counts/offsets
+    crows = (base.groupBy(index_col, "_rshard")
+             .agg(F.count("*").alias("n")).collect())
+    shard_cnt: dict[str, dict[int, int]] = {}
+    for r in crows:
+        shard_cnt.setdefault(r[index_col], {})[int(r["_rshard"])] = \
+            int(r["n"])
+    unknown = sorted(set(shard_cnt) - set(names))
     assert not unknown, f"rows reference unconfigured indices: {unknown}"
 
-    # ONE global rank under (index, order): per-index docid = global
-    # rank - index offset (offsets = prefix sums over per-index counts)
-    base = assign_docids(df, [index_col] + order_cols, cfg0.partitions)
-    cached_parent = base._sparkfts_cached_parent
-    cnt = {r[0]: int(r[1]) for r in
-           base.groupBy(index_col).agg(F.count("*").alias("n")).collect()}
-    meta, gmap_rows, ioff, gbase = {}, [], 0, 0
+    meta, gmap_rows, soff_rows, ioff, gbase = {}, [], [], 0, 0
     for nm in names:
-        n_i = cnt.get(nm, 0)
-        ns_i = configs[nm].num_shards
-        dps_i = max(1, -(-n_i // ns_i))
+        c = configs[nm]
+        sc = shard_cnt.get(nm, {})
+        n_i = sum(sc.values())
+        ns_i = c.num_shards
+        if c.routing_col is not None:
+            dps_i = max(sc.values(), default=1)
+            acc = 0
+            for s in sorted(sc):
+                soff_rows.append((nm, s, acc))
+                acc += sc[s]
+        else:
+            dps_i = max(1, -(-n_i // ns_i))
         meta[nm] = {"n": n_i, "off": ioff, "dps": dps_i, "gbase": gbase,
-                    "num_shards": ns_i}
+                    "num_shards": ns_i,
+                    "routed": c.routing_col is not None}
         for s in range(ns_i):
             gmap_rows.append((gbase + s, nm, s))
         ioff += n_i
         gbase += ns_i
     mdf = spark.createDataFrame(
-        pd.DataFrame([(nm, m["off"], m["dps"], m["gbase"])
+        pd.DataFrame([(nm, m["off"], m["dps"], m["gbase"],
+                       1 if m["routed"] else 0)
                       for nm, m in meta.items()],
-                     columns=[index_col, "_ioff", "_dps", "_gbase"]))
+                     columns=[index_col, "_ioff", "_dps", "_gbase",
+                              "_routed"]))
     doc = (base.join(F.broadcast(mdf), index_col)
-           .withColumn("docid", F.col("docid") - F.col("_ioff"))
+           .withColumn("_rk", F.col("docid") - F.col("_ioff")))
+    if soff_rows:
+        soffdf = spark.createDataFrame(
+            pd.DataFrame(soff_rows,
+                         columns=[index_col, "_rshard", "_soff"]))
+        doc = doc.join(F.broadcast(soffdf), [index_col, "_rshard"],
+                       "left")
+    else:
+        doc = doc.withColumn("_soff", F.lit(0).cast("long"))
+    doc = (doc
+           .withColumn("docid",
+                       F.when(F.col("_routed") == 1,
+                              F.col("_rshard").cast("long")
+                              * F.col("_dps")
+                              + F.col("_rk")
+                              - F.coalesce(F.col("_soff"),
+                                           F.lit(0).cast("long")))
+                       .otherwise(F.col("_rk")))
            .withColumn("shard",
-                       (F.col("docid") / F.col("_dps")).cast("int"))
+                       F.when(F.col("_routed") == 1, F.col("_rshard"))
+                       .otherwise((F.col("_rk") / F.col("_dps"))
+                                  .cast("int")))
            .withColumn("gshard",
                        (F.col("_gbase") + F.col("shard")).cast("int"))
-           .drop("_ioff", "_dps", "_gbase"))
+           .drop("_ioff", "_dps", "_gbase", "_routed", "_rk", "_soff",
+                 "_rshard", "_rorg"))
+
+    # (index, shard) resume ledger — identical semantics to solo
+    # build_index: a shard is done iff a manifest row commits it
+    all_g = set(range(gbase))
+    committed_g: set[int] = set()
+    if resume:
+        for nm in names:
+            root = _os.path.join(out_base, nm)
+            for s in storage.committed_shards(spark, root):
+                committed_g.add(meta[nm]["gbase"] + int(s))
+    todo_g = sorted(all_g - committed_g)
+    if _only_gshards is not None:
+        only = set(_only_gshards)
+        todo_g = [g for g in todo_g if g in only]
+    partial = resume or (_only_gshards is not None)
+    todo_set = set(todo_g)
+    g2nm = {g: nm for g, nm, _ in gmap_rows}
+    built_local: dict[str, list[int]] = {nm: [] for nm in names}
+    for g, nm, s in gmap_rows:
+        if g in todo_set:
+            built_local[nm].append(s)
+    touched = [nm for nm in names if built_local[nm]] if partial \
+        else list(names)
+    if todo_set != all_g:
+        doc = doc.where(F.col("gshard").isin(todo_g))
+
+    # union of the configs' text columns; a column is '' for rows whose
+    # index doesn't tokenize it (no shuffle bytes), and the kernel's
+    # per-gshard spec reads only its own index's columns
+    ucols: dict[str, list[tuple[str, str]]] = {}
+    spec_by_shard: dict[int, list] = {}
+    for nm in names:
+        c = configs[nm]
+        if c.fields:
+            spec = [(fn, f"{fn}:", tok) for fn, tok in c.fields.items()]
+            for fn in c.fields:
+                ucols.setdefault(fn, []).append((nm, fn))
+        else:
+            spec = [("text", "", c.tokenizer)]
+            ucols.setdefault("text", []).append((nm, text_col))
+        for s in range(c.num_shards):
+            spec_by_shard[meta[nm]["gbase"] + s] = spec
+    fsel = []
+    for ucol in sorted(ucols):
+        expr = F.lit("")
+        for nm, src in ucols[ucol]:
+            expr = F.when(F.col(index_col) == nm,
+                          F.coalesce(F.col(src).cast("string"),
+                                     F.lit(""))).otherwise(expr)
+        fsel.append(expr.alias(ucol))
 
     staging = _os.path.join(out_base, f"_staging-{uuid.uuid4().hex[:8]}")
     import shutil
@@ -842,100 +990,201 @@ def build_many(spark: SparkSession, df: DataFrame, out_base: str,
             except BaseException as e:
                 errs.append(e)
 
-        th = threading.Thread(target=_write_docstore, name="docstore-many")
-        th.start()
-        p = cfg0.partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions"))
-        enc_in = (doc.select(F.col("gshard").alias("shard"), "docid",
-                             F.coalesce(F.col(text_col).cast("string"),
-                                        F.lit("")).alias("text"))
-                  .repartitionByRange(min(p, max(1, gbase)), "shard")
-                  .sortWithinPartitions("shard"))
-        enc_out = enc_in.mapInArrow(_make_shard_kernel(cfg0),
-                                    schema=POSTING_SCHEMA)
-        gmap = spark.createDataFrame(
-            pd.DataFrame(gmap_rows, columns=["gshard", index_col, "_shard"]))
-        (enc_out.withColumnRenamed("shard", "gshard")
-                .join(F.broadcast(gmap), "gshard")
-                .withColumnRenamed("_shard", "shard").drop("gshard")
-                .write.mode("overwrite").partitionBy(index_col, "shard")
-                .parquet(_os.path.join(staging, "postings")))
-        th.join()
-        if errs:
-            raise errs[0]
+        enc_out = None
+        if todo_g:
+            th = threading.Thread(target=_write_docstore,
+                                  name="docstore-many")
+            th.start()
+            p = cfg0.partitions or int(
+                spark.conf.get("spark.sql.shuffle.partitions"))
+            enc_in = (doc.select(F.col("gshard").alias("shard"),
+                                 "docid", *fsel)
+                      .repartitionByRange(min(p, max(1, len(todo_g))),
+                                          "shard")
+                      .sortWithinPartitions("shard"))
+            enc_out = enc_in.mapInArrow(
+                _make_shard_kernel(cfg0, spec_by_shard=spec_by_shard),
+                schema=POSTING_SCHEMA)
+            gmap = spark.createDataFrame(
+                pd.DataFrame(gmap_rows,
+                             columns=["gshard", index_col, "_shard"]))
+            (enc_out.withColumnRenamed("shard", "gshard")
+                    .join(F.broadcast(gmap), "gshard")
+                    .withColumnRenamed("_shard", "shard").drop("gshard")
+                    .write.mode("overwrite").partitionBy(index_col, "shard")
+                    .parquet(_os.path.join(staging, "postings")))
+            th.join()
+            if errs:
+                raise errs[0]
         if cached_parent is not None:
             cached_parent.unpersist()
 
-        # one shared dictionary scan serves every index's term_stats +
-        # manifest aggregates
-        narrow = (spark.read.parquet(_os.path.join(staging, "postings"))
-                  .select(index_col, "shard", "term", "df", "cf", "nbytes",
-                          "enc_us")
-                  .persist())
-        ts_parts = max(1, max(c.num_shards for c in configs.values()) // 8)
-        (narrow.groupBy(index_col, "term")
-               .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-               .repartition(ts_parts, "term")
-               .sortWithinPartitions(index_col, "term")
-               .write.mode("overwrite").partitionBy(index_col)
-               .parquet(_os.path.join(staging, "term_stats")))
-        srows = (narrow.groupBy(index_col, "shard")
-                 .agg(F.countDistinct("term").alias("n_terms"),
-                      F.sum("df").alias("n_postings"),
-                      F.sum("cf").alias("cf"),
-                      F.sum("nbytes").alias("bytes"),
-                      F.max("enc_us").alias("max_enc_us"))
-                 .collect())
-        narrow.unpersist()
+        narrow = None
         shard_rows: dict[str, dict[int, dict]] = {nm: {} for nm in names}
-        for r in srows:
-            shard_rows[r[index_col]][int(r["shard"])] = r
+        if not partial and todo_g:
+            # one shared dictionary scan serves every index's
+            # term_stats + manifest aggregates
+            narrow = (spark.read
+                      .parquet(_os.path.join(staging, "postings"))
+                      .select(index_col, "shard", "term", "df", "cf",
+                              "nbytes", "enc_us")
+                      .persist())
+            ts_parts = max(
+                1, max(c.num_shards for c in configs.values()) // 8)
+            (narrow.groupBy(index_col, "term")
+                   .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+                   .repartition(ts_parts, "term")
+                   .sortWithinPartitions(index_col, "term")
+                   .write.mode("overwrite").partitionBy(index_col)
+                   .parquet(_os.path.join(staging, "term_stats")))
+            srows = (narrow.groupBy(index_col, "shard")
+                     .agg(F.countDistinct("term").alias("n_terms"),
+                          F.sum("df").alias("n_postings"),
+                          F.sum("cf").alias("cf"),
+                          F.sum("nbytes").alias("bytes"),
+                          F.max("enc_us").alias("max_enc_us"))
+                     .collect())
+            for r in srows:
+                shard_rows[r[index_col]][int(r["shard"])] = r
+            frows = (narrow
+                     .where(F.col("term").contains(":"))
+                     .withColumn("fld", F.split("term", ":").getItem(0))
+                     .groupBy(index_col, "fld")
+                     .agg(F.sum("cf").alias("cf")).collect()) \
+                if any(configs[nm].fields for nm in names) else []
+            field_cf: dict[str, dict[str, int]] = {}
+            for r in frows:
+                field_cf.setdefault(r[index_col], {})[r["fld"]] = \
+                    int(r["cf"])
+            narrow.unpersist()
 
         summaries = {}
         wall_us = int((time.perf_counter() - t_start) * 1e6)
         empty_schemas = {
-            "docstore": doc.select("shard", "docid", *store_cols).schema,
-            "postings": enc_out.schema,
+            "docstore": T.StructType(
+                [T.StructField("shard", T.IntegerType()),
+                 T.StructField("docid", T.LongType())]
+                + [f for f in df.schema.fields
+                   if f.name in store_cols]),
+            "postings": POSTING_SCHEMA,
             "term_stats": T.StructType([
                 T.StructField("term", T.StringType()),
                 T.StructField("df", T.LongType()),
                 T.StructField("cf", T.LongType())]),
         }
-        for nm in names:
+
+        def _move_shards(part: str, nm: str) -> bool:
+            """Merge staged shard dirs into the root at SHARD
+            granularity (resume never clobbers committed shards);
+            returns True if anything moved."""
+            src = _os.path.join(staging, part, f"{index_col}={nm}")
+            dst = storage.path(_os.path.join(out_base, nm), part)
+            if not _os.path.isdir(src):
+                return False
+            if not partial and _os.path.isdir(dst):
+                shutil.rmtree(dst)     # fresh rebuild = overwrite
+            _os.makedirs(dst, exist_ok=True)
+            for sd in _os.listdir(src):
+                if not sd.startswith("shard="):
+                    continue
+                d = _os.path.join(dst, sd)
+                if _os.path.isdir(d):
+                    shutil.rmtree(d)   # uncommitted partial shard
+                _os.replace(_os.path.join(src, sd), d)
+            return True
+
+        for nm in (touched if partial else names):
             root = _os.path.join(out_base, nm)
             _os.makedirs(root, exist_ok=True)
-            for part in ("docstore", "postings", "term_stats"):
-                src = _os.path.join(staging, part, f"{index_col}={nm}")
-                dst = storage.path(root, part)
+            m = meta[nm]
+            c = configs[nm]
+            moved = False
+            for part in ("docstore", "postings"):
+                moved = _move_shards(part, nm) or moved
+            if not partial:
+                src = _os.path.join(staging, "term_stats",
+                                    f"{index_col}={nm}")
+                dst = storage.path(root, "term_stats")
                 if _os.path.isdir(src):
                     if _os.path.isdir(dst):
-                        shutil.rmtree(dst)     # rebuild = overwrite
-                    _os.replace(src, dst)      # metadata-only move
-                else:
-                    # configured index with no rows: write a schema-bearing
-                    # empty parquet so the root stays readable — the
-                    # reference's post-processor likewise materializes
-                    # EMPTY indices for every configured name
-                    # (IndexingPostProcessor.java:86-94)
-                    sch = empty_schemas[part]
-                    if part == "docstore":
-                        sch = T.StructType(
-                            [f for f in sch.fields if f.name != index_col])
-                    spark.createDataFrame([], sch).write.mode(
-                        "overwrite").parquet(dst)
-            m = meta[nm]
+                        shutil.rmtree(dst)
+                    _os.replace(src, dst)
+                if not moved:
+                    # configured index with no rows: write schema-
+                    # bearing empty parquet so the root stays readable
+                    # (IndexingPostProcessor.java:86-94 materializes
+                    # EMPTY indices for every configured name)
+                    for part in ("docstore", "postings", "term_stats"):
+                        sch = empty_schemas[part]
+                        spark.createDataFrame([], sch).write.mode(
+                            "overwrite").parquet(
+                                storage.path(root, part))
+            if c.routing_col is not None:
+                _write_org_ranges(spark, root, c.routing_col,
+                                  c.num_shards)
+
+            if partial:
+                # derived artifacts from the ON-DISK shards so the
+                # resumed root converges to the clean-build state
+                # (same contract as solo build_index's resume)
+                rn = (spark.read
+                      .parquet(storage.path(root, "postings"))
+                      .select("shard", "term", "df", "cf", "nbytes",
+                              "enc_us").persist())
+                ts_parts = max(1, c.num_shards // 8)
+                (rn.groupBy("term")
+                   .agg(F.sum("df").alias("df"),
+                        F.sum("cf").alias("cf"))
+                   .repartition(ts_parts, "term")
+                   .sortWithinPartitions("term")
+                   .write.mode("overwrite")
+                   .parquet(storage.path(root, "term_stats")))
+                for r in (rn.groupBy("shard")
+                          .agg(F.countDistinct("term").alias("n_terms"),
+                               F.sum("df").alias("n_postings"),
+                               F.sum("cf").alias("cf"),
+                               F.sum("nbytes").alias("bytes"),
+                               F.max("enc_us").alias("max_enc_us"))
+                          .collect()):
+                    shard_rows[nm][int(r["shard"])] = r
+                fcf = {}
+                if c.fields:
+                    fcf = {r["fld"]: int(r["cf"]) for r in
+                           (rn.withColumn(
+                               "fld", F.split("term", ":").getItem(0))
+                            .groupBy("fld")
+                            .agg(F.sum("cf").alias("cf")).collect())}
+                rn.unpersist()
+            else:
+                fcf = field_cf.get(nm, {}) if c.fields else {}
+
+            import json as _json
             build_id = storage.new_build_id(root)
             tot_cf = sum(int(r["cf"]) for r in shard_rows[nm].values())
             avgdl = (float(tot_cf) / m["n"]) if m["n"] else 0.0
-            c = configs[nm]
+            fields_json = (_json.dumps(
+                {fl: (float(cf) / m["n"] if m["n"] else 0.0)
+                 for fl, cf in fcf.items()}) if c.fields else "")
+            routing_json = (_json.dumps({"col": c.routing_col,
+                                         "k": c.shards_per_org})
+                            if c.routing_col else "")
+            if m["n"] == 0:
+                span = 0
+            elif c.routing_col is not None:
+                span = int(c.num_shards) * int(m["dps"])
+            else:
+                span = int(m["n"])
             storage.append_stats_row(root, {
                 "n": m["n"], "avgdl": avgdl, "num_shards": c.num_shards,
                 "docs_per_shard": int(m["dps"]), "k1": float(c.k1),
                 "b": float(c.b), "block": int(c.block),
                 "docid_offset": 0, "build_id": build_id,
-                "docid_span": int(m["n"]), "fields": "", "routing": ""})
+                "docid_span": int(span),
+                "fields": fields_json, "routing": routing_json})
+            man_shards = built_local[nm] if partial \
+                else range(c.num_shards)
             man_rows = []
-            for s in range(c.num_shards):
+            for s in man_shards:
                 r = shard_rows[nm].get(s)
                 man_rows.append({
                     "shard": int(s),
@@ -945,11 +1194,14 @@ def build_many(spark: SparkSession, df: DataFrame, out_base: str,
                     "max_enc_us": int(r["max_enc_us"]) if r else 0,
                     "status": "committed", "build_id": build_id,
                     "build_wall_us": wall_us, "corpus_docs": m["n"]})
-            storage.append_manifest_rows(root, man_rows, build_id)
+            if man_rows:
+                storage.append_manifest_rows(root, man_rows, build_id)
             summaries[nm] = {"n_docs": m["n"], "avgdl": avgdl,
                              "num_shards": c.num_shards,
                              "docs_per_shard": m["dps"],
-                             "docid_span": m["n"], "build_id": build_id}
+                             "docid_span": int(span),
+                             "built_shards": sorted(man_shards),
+                             "build_id": build_id}
         return summaries
     finally:
         shutil.rmtree(staging, ignore_errors=True)

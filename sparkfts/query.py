@@ -169,6 +169,29 @@ def _score_and_pruned(per_term: dict[str, pd.DataFrame], terms: list[str],
     return pd.DataFrame({"docid": cand[order], "score": scores[order]})
 
 
+def score_decoded(pt: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+                  idf: dict[str, float], avgdl: float, k1: float,
+                  b: float, k: int, mode: str,
+                  n_query_terms: int) -> pd.DataFrame:
+    """Exhaustive BM25 top-k over pre-decoded per-term postings (the
+    serving-cache path): the same ascending-term concatenation feeding
+    _aggregate_topk that the frame-based paths use, so results are
+    bit-identical."""
+    all_d, all_c = [], []
+    for t in sorted(pt):
+        d, tf, dl = pt[t]
+        if d.size == 0:
+            continue
+        all_d.append(d)
+        all_c.append(idf[t] * codec.bm25_partial(tf, dl, avgdl, k1, b))
+    if not all_d:
+        return _aggregate_topk(np.empty(0, np.int64),
+                               np.empty(0, np.float64), k, mode,
+                               n_query_terms)
+    return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
+                           k, mode, n_query_terms)
+
+
 def _score_candidates(per_term: dict[str, pd.DataFrame],
                       terms: list[str], cand: np.ndarray,
                       idf: dict[str, float], avgdl: float, k1: float,
@@ -791,21 +814,83 @@ class FTSIndex:
                 storage.path(self.root, "term_stats"), format="parquet")
         return self._pa_postings, self._pa_term_stats
 
+    # serving-path cache size (decoded-dictionary rows per handle); the
+    # index is an immutable snapshot, so entries never invalidate —
+    # rotation swaps in a NEW handle
+    TERM_CACHE_CAP = 256
+
     def _local_term_rows(self, terms: list[str]) -> pd.DataFrame:
         """Driver-side dictionary lookup via pyarrow dataset filters
-        (same th/term pushdown as the Spark path, no Spark job)."""
+        (same th/term pushdown as the Spark path, no Spark job), behind
+        a per-handle LRU of term → dictionary rows: repeated serving
+        queries skip the parquet read entirely (the reference's
+        always-on ES keeps its segments hot; this is the snapshot-reader
+        analog). Negative entries (absent terms) are cached too."""
         import pyarrow.dataset as ds
-        post, _ = self._pa_datasets()
-        hs = [codec.term_hash(t) for t in terms]
-        flt = ds.field("th").isin(hs) & ds.field("term").isin(terms)
-        return post.to_table(filter=flt).to_pandas()
+        if not hasattr(self, "_term_cache"):
+            from collections import OrderedDict
+            self._term_cache: "OrderedDict[str, pd.DataFrame]" = \
+                OrderedDict()
+        cache = self._term_cache
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            post, _ = self._pa_datasets()
+            hs = [codec.term_hash(t) for t in missing]
+            flt = ds.field("th").isin(hs) & ds.field("term").isin(missing)
+            got = post.to_table(filter=flt).to_pandas()
+            for t in missing:
+                # per-term frame keeps its chunk/file order (scoring
+                # paths re-order by (shard, chunk) where needed)
+                cache[t] = got[got["term"] == t]
+            while len(cache) > self.TERM_CACHE_CAP:
+                cache.popitem(last=False)
+        parts = []
+        for t in terms:
+            if t in cache:
+                cache.move_to_end(t)
+                parts.append(cache[t])
+        return pd.concat(parts, ignore_index=True)
+
+    def _decoded_terms(self, terms: list[str]) \
+            -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """term → decoded (docids, tfs, dls) in globally ascending docid
+        order, behind a per-handle LRU: the second hit on a term skips
+        BOTH the dictionary parquet read and the varint decode. Absent
+        terms cache empty arrays."""
+        if not hasattr(self, "_dec_cache"):
+            from collections import OrderedDict
+            self._dec_cache = OrderedDict()
+        cache = self._dec_cache
+        missing = [t for t in terms if t not in cache]
+        if missing:
+            pdf = self._local_term_rows(missing)
+            e = np.empty(0, dtype=np.int64)
+            for t in missing:
+                sub = pdf[pdf["term"] == t]
+                cache[t] = (_decode_term_rows(sub) if len(sub)
+                            else (e, e, e))
+            while len(cache) > self.TERM_CACHE_CAP:
+                cache.popitem(last=False)
+        out = {}
+        for t in terms:
+            cache.move_to_end(t)
+            out[t] = cache[t]
+        return out
 
     def _local_df_counts(self, terms: list[str]) -> dict[str, float]:
         import pyarrow.dataset as ds
-        _, ts = self._pa_datasets()
-        trows = ts.to_table(filter=ds.field("term").isin(terms),
-                            columns=["term", "df"]).to_pandas()
-        return dict(zip(trows["term"], trows["df"].astype(float)))
+        if not hasattr(self, "_df_cache"):
+            self._df_cache: dict[str, float] = {}
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            _, ts = self._pa_datasets()
+            trows = ts.to_table(filter=ds.field("term").isin(missing),
+                                columns=["term", "df"]).to_pandas()
+            got = dict(zip(trows["term"], trows["df"].astype(float)))
+            for t in missing:
+                self._df_cache[t] = got.get(t, 0.0)
+        return {t: self._df_cache[t] for t in terms
+                if self._df_cache[t] > 0.0}
 
     def _pa_docstore_ds(self):
         import pyarrow.dataset as ds
@@ -848,6 +933,18 @@ class FTSIndex:
             shards = self.possible_shards(org)   # raises if unrouted
         if not terms:
             return empty
+        if org is None:
+            # decoded-postings LRU fast path (the serving hot path):
+            # per-term (docids, tfs, dls) arrays are decoded once per
+            # handle; scoring is the same ascending-term concatenation
+            # feeding _aggregate_topk that every exhaustive path uses,
+            # so results are bit-identical to the cold path
+            pt = self._decoded_terms(terms)
+            dfm = self._local_df_counts(terms)
+            idf = {t: _bm25_idf(float(self.N), dfm.get(t, 0.0))
+                   for t in terms}
+            return score_decoded(pt, idf, avgdl, self.k1, self.b, k,
+                                 mode, len(terms))
         pdf = self._local_term_rows(terms)
         if org is not None:
             pdf = pdf[pdf["shard"].isin(shards)]
@@ -882,9 +979,6 @@ class FTSIndex:
                   for t in sorted(pdf["term"].unique())}
             out = _score_candidates(pt, list(pt), cand, idf, avgdl,
                                     self.k1, self.b, k, mode, len(terms))
-        else:
-            out = score_shard(pdf, idf, avgdl, self.k1, self.b,
-                              k, mode, len(terms), method)
         return out.reset_index(drop=True)
 
     def match_docids(self, query: str, mode: str = "and",

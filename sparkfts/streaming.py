@@ -25,6 +25,7 @@ import math
 import os
 import time
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -319,38 +320,40 @@ class CombinedIndex:
                for t, d in df_tot.items()}
         parts = []
         for i, s in enumerate(self.subs):
-            pdf = s._local_term_rows(terms)
-            if org_subs is not None:
-                ps = org_subs[i][1]
-                ranges = s._org_ranges(org)
-                if ranges is not None:
-                    # contiguous-tenant fast path, per generation
-                    for sh in sorted(ranges):
-                        sub = pdf[pdf["shard"] == sh]
-                        if sub.empty:
-                            continue
-                        lo, hi = ranges[sh]
-                        parts.append(score_range_pt(
-                            sub, lo, hi, idf, avgdl, self.k1, self.b,
-                            k, mode, len(terms)))
-                    continue
-                pdf = pdf[pdf["shard"].isin(ps)]
-                if pdf.empty:
-                    continue
-                cand = s._local_org_docids(org, ps)
-                if cand.size == 0:
-                    continue
-                pt = {t: pdf[pdf["term"] == t]
-                      for t in sorted(pdf["term"].unique())}
-                parts.append(_score_candidates(
-                    pt, list(pt), cand, idf, avgdl, self.k1,
-                    self.b, k, mode, len(terms)))
+            if org_subs is None:
+                # decoded-postings LRU path per generation (same cache
+                # FTSIndex.topk_local uses); union-global idf/avgdl,
+                # per-sub results merge exactly (disjoint docid ranges)
+                from .query import score_decoded
+                pt = s._decoded_terms(terms)
+                parts.append(score_decoded(pt, idf, avgdl, self.k1,
+                                           self.b, k, mode, len(terms)))
                 continue
+            pdf = s._local_term_rows(terms)
+            ps = org_subs[i][1]
+            ranges = s._org_ranges(org)
+            if ranges is not None:
+                # contiguous-tenant fast path, per generation
+                for sh in sorted(ranges):
+                    sub = pdf[pdf["shard"] == sh]
+                    if sub.empty:
+                        continue
+                    lo, hi = ranges[sh]
+                    parts.append(score_range_pt(
+                        sub, lo, hi, idf, avgdl, self.k1, self.b,
+                        k, mode, len(terms)))
+                continue
+            pdf = pdf[pdf["shard"].isin(ps)]
             if pdf.empty:
                 continue
-            parts.append(score_shard(pdf, idf, avgdl, self.k1,
-                                     self.b, k, mode, len(terms),
-                                     method))
+            cand = s._local_org_docids(org, ps)
+            if cand.size == 0:
+                continue
+            pt = {t: pdf[pdf["term"] == t]
+                  for t in sorted(pdf["term"].unique())}
+            parts.append(_score_candidates(
+                pt, list(pt), cand, idf, avgdl, self.k1,
+                self.b, k, mode, len(terms)))
         if not parts:
             return empty
         return (pd.concat(parts)
@@ -771,6 +774,285 @@ def compact(spark: SparkSession, base_root: str, out_root: str,
         allrows = allrows.unionByName(d)
     return build_index(spark, allrows, out_root, text_col=text_col,
                        order_cols=order_cols, cfg=cfg or BuildConfig())
+
+
+def _merge_posting_kernel(dps_new: int, block: int, max_chunk: int):
+    """mapInArrow kernel for compact_merge: rows sorted by
+    (nshard, th, term, gen, gshard, chunk) arrive term-group-contiguous;
+    each group's posting runs are decoded (WITH positions), docids
+    shifted by the generation's constant, clipped to the target shard's
+    docid range, concatenated (generation order == ascending new-docid
+    order) and re-encoded. No tokenization anywhere — cost ∝ postings
+    bytes, not corpus text."""
+    import pyarrow as pa
+
+    from . import codec
+    from .build import POSTING_SCHEMA
+
+    out_fields = [(f.name, f.dataType) for f in POSTING_SCHEMA.fields]
+    pa_types = {"shard": pa.int32(), "term": pa.string(),
+                "th": pa.int64(), "chunk": pa.int32(),
+                "df": pa.int64(), "cf": pa.int64(),
+                "blob": pa.binary(),
+                "block_first": pa.list_(pa.int64()),
+                "block_last": pa.list_(pa.int64()),
+                "block_off": pa.list_(pa.int64()),
+                "block_n": pa.list_(pa.int32()),
+                "block_max_tf": pa.list_(pa.int64()),
+                "block_min_dl": pa.list_(pa.int64()),
+                "nbytes": pa.int64(), "enc_us": pa.int64()}
+    out_schema = pa.schema([(n, pa_types[n]) for n, _ in out_fields])
+
+    def kernel(batches):
+        import time as _time
+        t0 = _time.perf_counter()
+        cols: dict[str, list] = {n: [] for n, _ in out_fields}
+        cur: tuple[int, str] | None = None
+        acc: list[tuple] = []   # (shift, blob, boff, bn)
+
+        def flush_term():
+            if cur is None or not acc:
+                return
+            nshard, term = cur
+            lo = nshard * dps_new
+            hi = lo + dps_new
+            ds, ts, ls, ps = [], [], [], []
+            for shift, blob, boff, bn in acc:
+                d, tf, dl, pos = codec.decode_postings(
+                    blob, np.asarray(boff), np.asarray(bn),
+                    with_positions=True)
+                d = d + shift
+                m = (d >= lo) & (d < hi)
+                if not m.all():
+                    pos = pos[np.repeat(m, tf)]
+                    d, tf, dl = d[m], tf[m], dl[m]
+                if d.size:
+                    ds.append(d); ts.append(tf); ls.append(dl)
+                    ps.append(pos)
+            acc.clear()
+            if not ds:
+                return
+            d = np.concatenate(ds); tf = np.concatenate(ts)
+            dl = np.concatenate(ls); pos = np.concatenate(ps)
+            if d.size > 1 and not (d[1:] > d[:-1]).all():
+                raise ValueError(
+                    f"compact_merge: non-increasing docids for term "
+                    f"{term!r} in shard {nshard} — generations overlap?")
+            pb = np.concatenate(([0], np.cumsum(tf)))
+            for ci, s in enumerate(range(0, d.size, max_chunk)):
+                e = min(s + max_chunk, d.size)
+                enc = codec.encode_postings(
+                    d[s:e], tf[s:e], dl[s:e],
+                    positions=pos[pb[s]:pb[e]], block=block)
+                cols["shard"].append(nshard)
+                cols["term"].append(term)
+                cols["th"].append(codec.term_hash(term))
+                cols["chunk"].append(ci)
+                cols["df"].append(enc["df"])
+                cols["cf"].append(enc["cf"])
+                cols["blob"].append(enc["blob"])
+                for kf in ("block_first", "block_last", "block_off",
+                           "block_n", "block_max_tf", "block_min_dl"):
+                    cols[kf].append(enc[kf])
+                cols["nbytes"].append(len(enc["blob"]))
+                cols["enc_us"].append(
+                    int((_time.perf_counter() - t0) * 1e6))
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            c_ns = rb.column("nshard")
+            c_term = rb.column("term")
+            c_shift = rb.column("gshift")
+            c_blob = rb.column("blob")
+            c_boff = rb.column("block_off")
+            c_bn = rb.column("block_n")
+            for i in range(n):
+                key = (c_ns[i].as_py(), c_term[i].as_py())
+                if key != cur:
+                    flush_term()
+                    cur = key
+                acc.append((int(c_shift[i].as_py()),
+                            c_blob[i].as_py(),
+                            c_boff[i].as_py(), c_bn[i].as_py()))
+            if len(cols["shard"]) >= 512:
+                yield pa.RecordBatch.from_pydict(
+                    {k: pa.array(v, type=pa_types[k])
+                     for k, v in cols.items()}, schema=out_schema)
+                for k in cols:
+                    cols[k] = []
+        flush_term()
+        if cols["shard"]:
+            yield pa.RecordBatch.from_pydict(
+                {k: pa.array(v, type=pa_types[k])
+                 for k, v in cols.items()}, schema=out_schema)
+
+    return kernel, out_schema
+
+
+def compact_merge(spark: SparkSession, base_root: str, out_root: str,
+                  cfg: BuildConfig | None = None) -> dict:
+    """Merge-based nightly fold (no re-tokenization): new docids are
+    minted ARITHMETICALLY — generation g's dense range [off_g,
+    off_g + n_g) shifts to [cum_prev, cum_prev + n_g), order-preserving
+    — and each (term, shard) posting list of the merged index is built
+    by decode → shift → clip → concat → re-encode of the existing
+    runs (positions and embedded doc lengths ride along). Cost scales
+    with postings BYTES instead of corpus text, cutting the nightly by
+    the base/delta ratio; the reference rebuilds fully each night
+    (README.md:3-13), so this is beyond-parity.
+
+    Result is document-identical to compact(): same docs, same tf/dl/
+    df/cf ⇒ same BM25 scores; docid TIE order is generation-insertion
+    order rather than order_cols re-rank (docids are index-local either
+    way). Routed generations are refused (org-contiguous minting needs
+    a real re-rank — use compact()); caller-docid (sparse) bases too.
+    """
+    from .build import POSTING_SCHEMA  # noqa: F401 (schema parity)
+    cfg = cfg or BuildConfig()
+    roots = [base_root] + [e["root"] for e in read_delta_log(base_root)]
+    gens = []
+    cum = 0
+    fields_any = None
+    for g, r in enumerate(roots):
+        st = storage.read_stats(r)
+        if st.get("routing"):
+            raise ValueError(
+                "compact_merge: routed generations need the re-ranking "
+                "compact() (org-contiguous docid minting)")
+        n = int(st["n"])
+        off = int(st.get("docid_offset") or 0)
+        span = storage.effective_docid_span(r, st)
+        if span != n:
+            raise ValueError(
+                f"compact_merge: generation {r} has a sparse id space "
+                f"(span {span} != n {n}) — use compact()")
+        if g == 0:
+            fields_any = st.get("fields") or ""
+        elif (st.get("fields") or "") != fields_any and n > 0:
+            raise ValueError("compact_merge: generations disagree on "
+                             "fields config")
+        gens.append({"root": r, "n": n, "off": off,
+                     "shift": cum - off})
+        cum += n
+    N = cum
+    ns_new = cfg.num_shards
+    dps_new = max(1, -(-N // ns_new)) if N else 1
+    t0 = time.perf_counter()
+
+    # docstore: narrow union pass, shard from the arithmetic docid
+    dparts = []
+    for gen in gens:
+        if gen["n"] == 0:
+            continue
+        d = (spark.read.parquet(storage.path(gen["root"], "docstore"))
+             .drop("shard")
+             .withColumn("docid",
+                         F.col("docid") + F.lit(int(gen["shift"]))))
+        dparts.append(d)
+    if not dparts:
+        raise ValueError("compact_merge: no rows in any generation")
+    dall = dparts[0]
+    for d in dparts[1:]:
+        dall = dall.unionByName(d)
+    (dall.withColumn("shard", (F.col("docid") / F.lit(int(dps_new)))
+                     .cast("int"))
+         .repartition(max(1, min(ns_new, cfg.partitions or ns_new)),
+                      "shard")
+         .sortWithinPartitions("docid")
+         .write.mode("overwrite").partitionBy("shard")
+         .parquet(storage.path(out_root, "docstore")))
+
+    # postings: explode each dictionary row to the new shards its docid
+    # range covers (rare >1: only rows crossing a new shard boundary),
+    # ONE range shuffle on the new shard, merge kernel
+    pparts = []
+    for gen in gens:
+        if gen["n"] == 0:
+            continue
+        p = (spark.read.parquet(storage.path(gen["root"], "postings"))
+             .withColumnRenamed("shard", "gshard")
+             .withColumn("gen", F.lit(int(gens.index(gen))))
+             .withColumn("gshift", F.lit(int(gen["shift"]))))
+        pparts.append(p)
+    pall = pparts[0]
+    for p in pparts[1:]:
+        pall = pall.unionByName(p)
+    s_lo = ((F.element_at("block_first", 1) + F.col("gshift"))
+            / F.lit(int(dps_new))).cast("int")
+    s_hi = ((F.element_at("block_last", -1) + F.col("gshift"))
+            / F.lit(int(dps_new))).cast("int")
+    pall = (pall.withColumn("nshard",
+                            F.explode(F.sequence(s_lo, s_hi))))
+    parts_n = cfg.partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    kernel, _ = _merge_posting_kernel(dps_new, cfg.block,
+                                      cfg.max_chunk_postings)
+    enc_in = (pall.repartitionByRange(min(parts_n, max(1, ns_new)),
+                                      "nshard")
+              .sortWithinPartitions("nshard", "th", "term", "gen",
+                                    "gshard", "chunk"))
+    from .build import POSTING_SCHEMA as _PS
+    (enc_in.mapInArrow(kernel, schema=_PS)
+           .write.mode("overwrite").partitionBy("shard")
+           .parquet(storage.path(out_root, "postings")))
+
+    # derived artifacts from the merged on-disk postings (same contract
+    # as build_index): dictionary merge + per-shard manifest aggregates
+    narrow = (spark.read.parquet(storage.path(out_root, "postings"))
+              .select("shard", "term", "df", "cf", "nbytes", "enc_us")
+              .persist())
+    ts_parts = max(1, ns_new // 8)
+    (narrow.groupBy("term")
+           .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+           .repartition(ts_parts, "term")
+           .sortWithinPartitions("term")
+           .write.mode("overwrite")
+           .parquet(storage.path(out_root, "term_stats")))
+    shard_rows = {int(r["shard"]): r for r in
+                  (narrow.groupBy("shard")
+                   .agg(F.countDistinct("term").alias("n_terms"),
+                        F.sum("df").alias("n_postings"),
+                        F.sum("cf").alias("cf"),
+                        F.sum("nbytes").alias("bytes"),
+                        F.max("enc_us").alias("max_enc_us"))
+                   .collect())}
+    fields_json = ""
+    if fields_any:
+        frows = (narrow.withColumn("fld",
+                                   F.split("term", ":").getItem(0))
+                 .groupBy("fld").agg(F.sum("cf").alias("cf")).collect())
+        fields_json = json.dumps(
+            {r["fld"]: (float(r["cf"]) / N if N else 0.0)
+             for r in frows})
+    narrow.unpersist()
+    tot_cf = sum(int(r["cf"]) for r in shard_rows.values())
+    avgdl = (float(tot_cf) / N) if N else 0.0
+    build_id = storage.new_build_id(out_root)
+    storage.append_stats_row(out_root, {
+        "n": N, "avgdl": avgdl, "num_shards": ns_new,
+        "docs_per_shard": int(dps_new), "k1": float(cfg.k1),
+        "b": float(cfg.b), "block": int(cfg.block),
+        "docid_offset": 0, "build_id": build_id,
+        "docid_span": int(N), "fields": fields_json, "routing": ""})
+    wall_us = int((time.perf_counter() - t0) * 1e6)
+    man_rows = []
+    for s in range(ns_new):
+        r = shard_rows.get(s)
+        man_rows.append({
+            "shard": int(s),
+            "n_terms": int(r["n_terms"]) if r else 0,
+            "n_postings": int(r["n_postings"]) if r else 0,
+            "bytes": int(r["bytes"]) if r else 0,
+            "max_enc_us": int(r["max_enc_us"]) if r else 0,
+            "status": "committed", "build_id": build_id,
+            "build_wall_us": wall_us, "corpus_docs": N})
+    storage.append_manifest_rows(out_root, man_rows, build_id)
+    return {"n_docs": N, "avgdl": avgdl, "num_shards": ns_new,
+            "docs_per_shard": dps_new, "docid_span": N,
+            "build_id": build_id,
+            "wall_sec": time.perf_counter() - t0}
 
 
 def nightly_rotate(spark: SparkSession, registry, alias: str,

@@ -168,3 +168,180 @@ def test_build_many_failure_cleans_staging(spark, tmp_path_factory):
                     }, index_col="index")
     assert not os.path.isdir(out) or \
         not [d for d in os.listdir(out) if d.startswith("_staging")]
+
+
+# ------------------------------------------------------------------ #
+# Round 4: routing + fields in build_many, and (index, shard) resume #
+# ------------------------------------------------------------------ #
+
+def _heterogeneous_input(n=36, seed=61):
+    from sparkfts.fixtures import make_transcripts
+    pdf = _with_index(make_transcripts(n, seed=seed), n_indices=3)
+    pdf = pdf.rename(columns={"index": "ix"})
+    pdf["ix"] = pdf["ix"].map({"idx_0": "plain", "idx_1": "routed",
+                               "idx_2": "mf"})
+    pdf["org"] = pdf["conv_id"].map(lambda c: f"o{sum(map(ord, c)) % 3}")
+    pdf["lang"] = pdf["conv_id"].map(
+        lambda c: ["en", "de", "fr"][sum(map(ord, c)) % 3])
+    return pdf
+
+
+def _hetero_configs():
+    from sparkfts.analyzer import TokenizerConfig
+    return {
+        "plain": BuildConfig(num_shards=3, partitions=4),
+        "routed": BuildConfig(num_shards=4, partitions=4,
+                              routing_col="org", shards_per_org=2),
+        "mf": BuildConfig(num_shards=2, partitions=4,
+                          fields={"text": TokenizerConfig(),
+                                  "lang": TokenizerConfig()}),
+    }
+
+
+@pytest.fixture(scope="module")
+def hetero_built(spark, tmp_path_factory):
+    pdf = _heterogeneous_input()
+    out = str(tmp_path_factory.mktemp("many_hetero"))
+    sums = build_many(spark, spark.createDataFrame(pdf), out,
+                      _hetero_configs(), index_col="ix")
+    return pdf, out, sums
+
+
+def test_build_many_routed_and_multifield(spark, hetero_built,
+                                          tmp_path_factory):
+    """VERDICT r3 next #3: one build_many call covering a plain, a
+    tenant-routed and a multi-field index — each rank-identical to its
+    solo build_index, including the org-scoped and field-scoped query
+    surfaces."""
+    pdf, out, sums = hetero_built
+    configs = _hetero_configs()
+    for nm, cfg in configs.items():
+        rows = pdf[pdf["ix"] == nm].drop(columns=["ix"])
+        solo_root = str(tmp_path_factory.mktemp(f"hsolo_{nm}"))
+        ssum = build_index(spark, spark.createDataFrame(rows), solo_root,
+                           order_cols=["conv_id", "turn_idx"], cfg=cfg)
+        assert sums[nm]["n_docs"] == ssum["n_docs"], nm
+        assert sums[nm]["docs_per_shard"] == ssum["docs_per_shard"], nm
+        assert sums[nm]["docid_span"] == ssum["docid_span"], nm
+        many = FTSIndex(spark, f"{out}/{nm}")
+        solo = FTSIndex(spark, solo_root)
+        assert (many.N, many.avgdl, many.num_shards, many.routing_col,
+                many.fields) == (solo.N, solo.avgdl, solo.num_shards,
+                                 solo.routing_col, solo.fields), nm
+        md = (many._docstore.select("docid", "conv_id", "turn_idx")
+              .toPandas().sort_values("docid").reset_index(drop=True))
+        sd = (solo._docstore.select("docid", "conv_id", "turn_idx")
+              .toPandas().sort_values("docid").reset_index(drop=True))
+        assert md.equals(sd), nm
+
+        def queries(idx):
+            if cfg.fields:
+                return [idx.topk_pandas("alpha query index", k=10,
+                                        field="text"),
+                        idx.topk_pandas("en de", k=10, mode="or",
+                                        field="lang")]
+            if cfg.routing_col:
+                return [idx.topk_pandas("alpha query index", k=10),
+                        idx.topk_pandas("alpha query index", k=10,
+                                        org="o1"),
+                        idx.topk_pandas("shard merge", k=10, mode="and",
+                                        org="o2")]
+            return [idx.topk_pandas(q, k=10, mode=m) for q, m in QUERIES]
+
+        for got, want in zip(queries(many), queries(solo)):
+            assert got["docid"].tolist() == want["docid"].tolist(), nm
+            assert got["score"].to_numpy() == pytest.approx(
+                want["score"].to_numpy(), abs=1e-12), nm
+    # routed index has org_ranges (contiguous-tenant fast path active)
+    import os
+    assert os.path.isdir(f"{out}/routed/org_ranges")
+
+
+def test_build_many_hetero_job_count_invariant(spark, tmp_path_factory):
+    """Adding a multi-field index to a nightly must not add Spark jobs
+    (routing adds a fixed 2-job org_ranges derivation per ROUTED index,
+    so the invariance is checked at equal routed counts)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    from sparkfts.analyzer import TokenizerConfig
+
+    def run(n_plain, tag):
+        pdf = _heterogeneous_input(n=24, seed=62)
+        pdf.loc[pdf["ix"] == "routed", "ix"] = "plain"   # no routed
+        configs = {"plain": BuildConfig(num_shards=3, partitions=4),
+                   "mf": BuildConfig(num_shards=2, partitions=4,
+                                     fields={"text": TokenizerConfig()})}
+        for i in range(n_plain):
+            configs[f"extra{i}"] = BuildConfig(num_shards=2,
+                                               partitions=4)
+        if n_plain:   # every configured index gets rows (an EMPTY index
+            # costs fixed placeholder writes by design, so the
+            # invariance claim is per-data-bearing index)
+            plain_rows = pdf.index[pdf["ix"] == "plain"]
+            for j, ridx in enumerate(plain_rows):
+                if j % (n_plain + 1):
+                    pdf.loc[ridx, "ix"] = f"extra{j % (n_plain + 1) - 1}"
+        out = str(tmp_path_factory.mktemp(f"hjobs_{tag}"))
+        sc.setJobGroup(tag, tag)
+        build_many(spark, spark.createDataFrame(pdf), out, configs,
+                   index_col="ix")
+        jobs = tracker.getJobIdsForGroup(tag)
+        sc.setJobGroup(None, None)
+        return len(jobs)
+
+    assert run(0, "bmh-0") == run(3, "bmh-3")
+
+
+def test_build_many_kill_resume_converges(spark, tmp_path_factory):
+    """VERDICT r3 next #4: a killed nightly resumes at (index, shard)
+    granularity and converges to the clean-build state — same docids,
+    same stats, same query results, manifest covering every shard."""
+    pdf = _heterogeneous_input(n=30, seed=63)
+    configs = _hetero_configs()
+    sdf = spark.createDataFrame(pdf)
+
+    clean_out = str(tmp_path_factory.mktemp("many_clean"))
+    build_many(spark, sdf, clean_out, configs, index_col="ix")
+
+    out = str(tmp_path_factory.mktemp("many_killed"))
+    # "killed" run: only a subset of global shards got built+committed
+    # (plain shards 0-1 of 3, routed shards 0-2 of 4, mf shard 0 of 2;
+    # gshard layout is alphabetical: mf=[0,2), plain=[2,5), routed=[5,9))
+    build_many(spark, sdf, out, configs, index_col="ix",
+               _only_gshards=[0, 2, 3, 5, 6, 7])
+    # partial state is visible but incomplete
+    import pyarrow.dataset as ds
+    man = ds.dataset(f"{out}/plain/manifest",
+                     format="parquet").to_table().to_pylist()
+    assert {r["shard"] for r in man} == {0, 1}
+
+    sums = build_many(spark, sdf, out, configs, index_col="ix",
+                      resume=True)
+    for nm, cfg in configs.items():
+        res = FTSIndex(spark, f"{out}/{nm}")
+        ref = FTSIndex(spark, f"{clean_out}/{nm}")
+        assert (res.N, res.avgdl, res.docs_per_shard, res.docid_span) \
+            == (ref.N, ref.avgdl, ref.docs_per_shard, ref.docid_span), nm
+        rd = (res._docstore.select("docid", "conv_id", "turn_idx")
+              .toPandas().sort_values("docid").reset_index(drop=True))
+        cd = (ref._docstore.select("docid", "conv_id", "turn_idx")
+              .toPandas().sort_values("docid").reset_index(drop=True))
+        assert rd.equals(cd), nm
+        man = ds.dataset(f"{out}/{nm}/manifest",
+                         format="parquet").to_table().to_pylist()
+        assert {r["shard"] for r in man} == set(range(cfg.num_shards))
+        kw = {"field": "text"} if cfg.fields else {}
+        got = res.topk_pandas("alpha query index", k=10, **kw)
+        want = ref.topk_pandas("alpha query index", k=10, **kw)
+        assert got["docid"].tolist() == want["docid"].tolist(), nm
+        assert got["score"].to_numpy() == pytest.approx(
+            want["score"].to_numpy(), abs=1e-12), nm
+        if cfg.routing_col:
+            go = res.topk_pandas("alpha query", k=10, org="o0")
+            wo = ref.topk_pandas("alpha query", k=10, org="o0")
+            assert go["docid"].tolist() == wo["docid"].tolist()
+    # resume with nothing to do is a no-op that leaves roots valid
+    sums2 = build_many(spark, sdf, out, configs, index_col="ix",
+                       resume=True)
+    assert all(s["built_shards"] == [] for s in sums2.values())
+    assert FTSIndex(spark, f"{out}/plain").N == sums["plain"]["n_docs"]

@@ -700,3 +700,76 @@ def test_combined_phrase_org_and_match_docids(spark, tmp_path_factory):
         assert keys(ci.fetch_docs, got["docid"].tolist()) == keys(
             lambda i: mono.fetch_docs(i).toPandas(),
             want["docid"].tolist()), mode
+
+
+def test_compact_merge_document_identical_to_rebuild(spark, setup2,
+                                                     tmp_path_factory):
+    """VERDICT r3 next #7: merge-based compaction (decode-shift-merge-
+    encode of the existing posting runs, NO re-tokenization) must be
+    document-identical to the rebuild compact: same docs at same scores
+    for topk / phrase / boolean match, same doc fetch content. Docids
+    are index-local (generation-insertion order vs order_cols re-rank),
+    so results are compared by (conv_id, turn_idx) keys."""
+    import pandas as pd
+    from sparkfts import FTSIndex
+    from sparkfts.streaming import compact, compact_merge
+    root, _ = setup2
+    rout = str(tmp_path_factory.mktemp("compact_rebuild"))
+    mout = str(tmp_path_factory.mktemp("compact_merged"))
+    rs = compact(spark, root, rout, cfg=CFG)
+    ms = compact_merge(spark, root, mout, cfg=CFG)
+    assert ms["n_docs"] == rs["n_docs"]
+    assert ms["avgdl"] == pytest.approx(rs["avgdl"], abs=1e-12)
+    ridx, midx = FTSIndex(spark, rout), FTSIndex(spark, mout)
+
+    def keyed(idx, hits):
+        if hits.empty:
+            return []
+        docs = idx.fetch_docs_local(hits["docid"].tolist())
+        m = {int(r["docid"]): (r["conv_id"], int(r["turn_idx"]))
+             for _, r in docs.iterrows()}
+        return sorted((round(float(s), 9), *m[int(d)])
+                      for d, s in zip(hits["docid"], hits["score"]))
+
+    for q, mode in [("alpha query index", "or"), ("shard merge", "and"),
+                    ("nightly rebuild snapshot", "or")]:
+        got = midx.topk_local(q, k=12, mode=mode)
+        want = ridx.topk_local(q, k=12, mode=mode)
+        assert keyed(midx, got) == keyed(ridx, want), (q, mode)
+        # distributed path agrees with itself too
+        gd = midx.topk_pandas(q, k=12, mode=mode)
+        assert gd["docid"].tolist() == got["docid"].tolist()
+    # phrase (positions survived the merge re-encode)
+    gp = midx.phrase_topk("nightly index", k=20).toPandas()
+    wp = ridx.phrase_topk("nightly index", k=20).toPandas()
+    assert keyed(midx, gp) == keyed(ridx, wp)
+    # boolean match parity by keys
+    gm = midx.match_docids("alpha index", "and").toPandas()
+    wm = ridx.match_docids("alpha index", "and").toPandas()
+
+    def keys(idx, docids):
+        docs = idx.fetch_docs_local(list(docids)) if len(docids) else []
+        return sorted((r["conv_id"], int(r["turn_idx"]))
+                      for _, r in docs.iterrows()) if len(docids) else []
+
+    assert keys(midx, gm["docid"]) == keys(ridx, wm["docid"])
+    # doc store contents identical up to docid relabeling
+    md = (midx._docstore.select("conv_id", "turn_idx", "text").toPandas()
+          .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    rd = (ridx._docstore.select("conv_id", "turn_idx", "text").toPandas()
+          .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert md.equals(rd)
+
+
+def test_compact_merge_refuses_routed_and_sparse(spark, tmp_path_factory):
+    from sparkfts.streaming import compact_merge
+    rcfg = BuildConfig(num_shards=4, partitions=4, routing_col="org",
+                       shards_per_org=2)
+    pdf = make_transcripts(6, seed=71).assign(
+        org=lambda d: d["conv_id"].map(lambda c: f"o{sum(map(ord, c)) % 2}"))
+    root = str(tmp_path_factory.mktemp("cm_routed"))
+    build_index(spark, spark.createDataFrame(pdf), root,
+                order_cols=["conv_id", "turn_idx"], cfg=rcfg)
+    with pytest.raises(ValueError, match="routed"):
+        compact_merge(spark, root,
+                      str(tmp_path_factory.mktemp("cm_routed_out")))

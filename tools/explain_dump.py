@@ -115,6 +115,25 @@ def main(sf_dir: str) -> None:
         "and the pair generator is an equi-join on (band_id, band_hash).",
         fmt(minhash_lsh_pairs(docs))))
 
+    ann = E._ann_index_for(spark, sf_dir, "ivf")
+    qv = E._query_vec(spark, sf_dir)
+    sections.append((
+        "Materialized ANN probe (IVF, partition-pruned)",
+        "Expect: PartitionFilters restricting `cell` to the nprobe "
+        "probed centroids — the corpus scan is gone; only the probed "
+        "cell directories are read, then the exact cosine re-rank runs "
+        "inside them (TakeOrderedAndProject).",
+        fmt(ann.topk(qv, k=10, nprobe=3))))
+
+    lann = E._ann_index_for(spark, sf_dir, "lsh")
+    sections.append((
+        "Materialized ANN probe (sign-LSH, pbucket + bucket pruning)",
+        "Expect: PartitionFilters on `pbucket` (bucket mod "
+        "bucket_partitions — bounded directory fan-out at any corpus "
+        "size) plus PushedFilters on the full `bucket` (rows are "
+        "bucket-sorted per partition → row-group pruning).",
+        fmt(lann.topk(qv, k=10, max_hamming=2))))
+
     from datapipe.curate import contamination, hash_sample
     sections.append((
         "Benchmark decontamination (13-gram overlap)",
