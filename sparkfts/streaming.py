@@ -928,9 +928,13 @@ def compact_merge(spark: SparkSession, base_root: str, out_root: str,
             raise ValueError(
                 f"compact_merge: generation {r} has a sparse id space "
                 f"(span {span} != n {n}) — use compact()")
+        # fields stats carry per-generation avgdl VALUES — only the
+        # field-name sets must agree across generations
+        fset = frozenset(json.loads(st["fields"])) \
+            if st.get("fields") else frozenset()
         if g == 0:
-            fields_any = st.get("fields") or ""
-        elif (st.get("fields") or "") != fields_any and n > 0:
+            fields_any = fset
+        elif fset != fields_any and n > 0:
             raise ValueError("compact_merge: generations disagree on "
                              "fields config")
         gens.append({"root": r, "n": n, "off": off,

@@ -773,3 +773,51 @@ def test_compact_merge_refuses_routed_and_sparse(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="routed"):
         compact_merge(spark, root,
                       str(tmp_path_factory.mktemp("cm_routed_out")))
+
+
+def test_compact_merge_multifield_generations(spark, tmp_path_factory):
+    """Merge compaction over MULTI-FIELD generations: field-prefixed
+    terms, per-field doc lengths and per-field avgdl must all survive
+    the decode-shift-merge-encode path — field-scoped queries equal the
+    rebuild compact's by (conv_id, turn_idx) keys."""
+    import pandas as pd
+    from sparkfts import FTSIndex
+    from sparkfts.analyzer import TokenizerConfig
+    from sparkfts.streaming import compact, compact_merge
+    mfcfg = BuildConfig(num_shards=3, partitions=4,
+                        fields={"text": TokenizerConfig(),
+                                "lang": TokenizerConfig()})
+
+    def prep(pdf):
+        return pdf.assign(lang=pdf["conv_id"].map(
+            lambda c: ["en", "de", "fr"][sum(map(ord, c)) % 3]))
+
+    base, d1 = prep(make_transcripts(10, seed=85)), \
+        prep(make_transcripts(4, seed=86))
+    root = str(tmp_path_factory.mktemp("cmf_base"))
+    build_index(spark, spark.createDataFrame(base), root,
+                order_cols=["conv_id", "turn_idx"], cfg=mfcfg)
+    make_batch_indexer(root, cfg=mfcfg)(spark.createDataFrame(d1),
+                                        batch_id=0)
+    rout = str(tmp_path_factory.mktemp("cmf_rebuild"))
+    mout = str(tmp_path_factory.mktemp("cmf_merged"))
+    compact(spark, root, rout, cfg=mfcfg)
+    compact_merge(spark, root, mout, cfg=mfcfg)
+    ridx, midx = FTSIndex(spark, rout), FTSIndex(spark, mout)
+    assert midx.fields is not None
+    for fld, ad in midx.fields.items():
+        assert ad == pytest.approx(ridx.fields[fld], abs=1e-12), fld
+
+    def keyed(idx, hits):
+        if hits.empty:
+            return []
+        docs = idx.fetch_docs_local(hits["docid"].tolist())
+        m = {int(r["docid"]): (r["conv_id"], int(r["turn_idx"]))
+             for _, r in docs.iterrows()}
+        return sorted((round(float(s), 9), *m[int(d)])
+                      for d, s in zip(hits["docid"], hits["score"]))
+
+    for fld, q in [("text", "alpha query index"), ("lang", "en de")]:
+        got = midx.topk_local(q, k=12, field=fld)
+        want = ridx.topk_local(q, k=12, field=fld)
+        assert keyed(midx, got) == keyed(ridx, want), fld
