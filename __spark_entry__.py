@@ -619,6 +619,40 @@ def _stream_union_ci(spark, sf_dir):
     return ci
 
 
+def q_compact_merge_bm25(spark, sf_dir):
+    """Merge-based compaction gate (r4): base + delta folded WITHOUT
+    re-tokenization (compact_merge decode-shift-merge-encodes the
+    posting runs; docids re-mint arithmetically). BM25 over the merged
+    monolith must equal corpus-wide BM25 — tf/dl/df/cf/avgdl all
+    survive the merge byte-exactly. AND mode exercises intersection
+    over merged lists."""
+    from sparkfts import BuildConfig, FTSIndex
+    from sparkfts.storage import manifest_exists
+    from sparkfts.streaming import compact_merge
+    ci = _stream_union_ci(spark, sf_dir)          # ensures base+delta
+    key = f"{os.path.abspath(sf_dir)}#cmerge"
+    if key in _INDEX_CACHE:
+        idx = _INDEX_CACHE[key]
+    else:
+        root = _gate_root(sf_dir, "cmerge")
+        if not manifest_exists(root):
+            compact_merge(spark, _gate_root(sf_dir, "stream"), root,
+                          cfg=BuildConfig(num_shards=3, partitions=4))
+        idx = FTSIndex(spark, root)
+        _INDEX_CACHE[key] = idx
+    del ci
+    hits = idx.topk_local(f"{T_HOT} {T_MID}", k=10, mode="and")
+    docs = idx.fetch_docs_local(hits["docid"].tolist())
+    out = hits.merge(docs[["docid", "doc_id"]], on="docid")
+    out = out.sort_values(["score", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    out["rank"] = out.index + 1
+    out["score_r"] = out["score"].round(4)
+    return spark.createDataFrame(
+        out[["rank", "doc_id", "score_r"]],
+        schema="rank long, doc_id long, score_r double")
+
+
 def q_streaming_union_bm25(spark, sf_dir):
     """Streaming incremental index (r3 gate for the formerly pytest-only
     realtime leg): base + delta generation with DIFFERENT shard
@@ -697,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_build_many_bm25": q_build_many_bm25,
         "fts_routed_delta_org_search": q_routed_delta_org_search,
         "fts_streaming_union_bm25": q_streaming_union_bm25,
+        "fts_compact_merge_bm25": q_compact_merge_bm25,
         "dp_decontaminate": q_dp_decontaminate,
         "fts_org_possible_shards": q_org_possible_shards,
         "fts_multifield_text_bm25": q_mf_text_bm25,
@@ -1089,6 +1124,14 @@ def oracle_sql() -> dict[str, str]:
             [T_HOT, T_MID, T_RARE], "or", ORG),
         "fts_build_many_bm25": _bm25_many_sql(
             [T_HOT, T_MID], "or", "doc_id % 2 = 0"),
+        "fts_compact_merge_bm25": f"""
+            {_bm25_scored([T_HOT, T_MID], "and")}
+            SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                     AS rank,
+                   doc_id, round(score, 4) AS score_r
+            FROM scored
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10""",
         "fts_streaming_union_bm25": f"""
             {_bm25_scored([T_HOT, T_MID, T_RARE], "or")}
             SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)

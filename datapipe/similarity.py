@@ -414,7 +414,13 @@ class AnnIndex:
     # -- probe resolution (driver-side, no Spark job) ---------------
     def _ivf_probe(self, q: np.ndarray, nprobe: int) -> list[int]:
         c = np.asarray(self.meta["centroids"], dtype=np.float64)
-        cos = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q))
+        # zero-norm guard mirrors the build-side assignment kernel
+        # (ann_signatures substitutes 1.0) — a zero centroid or query
+        # must rank deterministically, not through NaN cosines
+        cn = np.linalg.norm(c, axis=1)
+        cn[cn == 0.0] = 1.0
+        qn = float(np.linalg.norm(q)) or 1.0
+        cos = (c @ q) / (cn * qn)
         order = sorted(range(len(c)), key=lambda i: (-cos[i], i))
         return [int(i) for i in order[:nprobe]]
 

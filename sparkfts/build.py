@@ -218,6 +218,24 @@ def _make_tokenize_udf(cfg: TokenizerConfig):
     return tok
 
 
+def posting_pa_fields() -> list[tuple]:
+    """The pyarrow twin of POSTING_SCHEMA — single source of truth for
+    every kernel that emits posting rows (build + compact_merge)."""
+    import pyarrow as pa
+    return [
+        ("shard", pa.int32()), ("term", pa.string()), ("th", pa.int64()),
+        ("chunk", pa.int32()), ("df", pa.int64()), ("cf", pa.int64()),
+        ("blob", pa.binary()),
+        ("block_first", pa.list_(pa.int64())),
+        ("block_last", pa.list_(pa.int64())),
+        ("block_off", pa.list_(pa.int64())),
+        ("block_n", pa.list_(pa.int32())),
+        ("block_max_tf", pa.list_(pa.int64())),
+        ("block_min_dl", pa.list_(pa.int64())),
+        ("nbytes", pa.int64()), ("enc_us", pa.int64()),
+    ]
+
+
 def _make_shard_kernel(cfg: BuildConfig,
                        spec_by_shard: dict[int, list] | None = None):
     """Per-shard inverted-index kernel for mapInArrow over doc rows
@@ -243,18 +261,7 @@ def _make_shard_kernel(cfg: BuildConfig,
 
     block, max_chunk = cfg.block, cfg.max_chunk_postings
     tokenizer = cfg.tokenizer
-    out_fields = [
-        ("shard", pa.int32()), ("term", pa.string()), ("th", pa.int64()),
-        ("chunk", pa.int32()), ("df", pa.int64()), ("cf", pa.int64()),
-        ("blob", pa.binary()),
-        ("block_first", pa.list_(pa.int64())),
-        ("block_last", pa.list_(pa.int64())),
-        ("block_off", pa.list_(pa.int64())),
-        ("block_n", pa.list_(pa.int32())),
-        ("block_max_tf", pa.list_(pa.int64())),
-        ("block_min_dl", pa.list_(pa.int64())),
-        ("nbytes", pa.int64()), ("enc_us", pa.int64()),
-    ]
+    out_fields = posting_pa_fields()
     out_schema = pa.schema(out_fields)
 
     # (field name in input batch, term prefix, tokenizer) per field;
@@ -1098,9 +1105,8 @@ def build_many(spark: SparkSession, df: DataFrame, out_base: str,
             _os.makedirs(root, exist_ok=True)
             m = meta[nm]
             c = configs[nm]
-            moved = False
             for part in ("docstore", "postings"):
-                moved = _move_shards(part, nm) or moved
+                _move_shards(part, nm)
             if not partial:
                 src = _os.path.join(staging, "term_stats",
                                     f"{index_col}={nm}")
@@ -1109,16 +1115,18 @@ def build_many(spark: SparkSession, df: DataFrame, out_base: str,
                     if _os.path.isdir(dst):
                         shutil.rmtree(dst)
                     _os.replace(src, dst)
-                if not moved:
-                    # configured index with no rows: write schema-
-                    # bearing empty parquet so the root stays readable
-                    # (IndexingPostProcessor.java:86-94 materializes
-                    # EMPTY indices for every configured name)
-                    for part in ("docstore", "postings", "term_stats"):
-                        sch = empty_schemas[part]
-                        spark.createDataFrame([], sch).write.mode(
-                            "overwrite").parquet(
-                                storage.path(root, part))
+            # any part still missing gets a schema-bearing empty parquet
+            # so the root stays readable — PER PART, not gated on a
+            # single any-moved flag: an index whose docs all tokenize to
+            # zero terms has docstore rows but NO posting rows, and must
+            # still get postings/term_stats dirs (the reference likewise
+            # materializes EMPTY indices, IndexingPostProcessor.java:
+            # 86-94). Also covers resumed roots missing a part.
+            for part in ("docstore", "postings", "term_stats"):
+                if not _os.path.isdir(storage.path(root, part)):
+                    spark.createDataFrame(
+                        [], empty_schemas[part]).write.mode(
+                        "overwrite").parquet(storage.path(root, part))
             if c.routing_col is not None:
                 _write_org_ranges(spark, root, c.routing_col,
                                   c.num_shards)

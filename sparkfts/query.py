@@ -814,41 +814,79 @@ class FTSIndex:
                 storage.path(self.root, "term_stats"), format="parquet")
         return self._pa_postings, self._pa_term_stats
 
-    # serving-path cache size (decoded-dictionary rows per handle); the
-    # index is an immutable snapshot, so entries never invalidate —
-    # rotation swaps in a NEW handle
+    # serving-path cache bounds per handle (entries AND payload bytes —
+    # a 256-entry cap over hot terms' decoded postings can still be GBs
+    # on a large index, so bytes are the binding limit); the index is
+    # an immutable snapshot, so entries never invalidate — rotation
+    # swaps in a NEW handle
     TERM_CACHE_CAP = 256
+    TERM_CACHE_BYTES = 256 << 20
 
-    def _local_term_rows(self, terms: list[str]) -> pd.DataFrame:
+    @staticmethod
+    def _lru_evict(cache, sizes: dict, cap: int, byte_cap: int,
+                   protect: set) -> None:
+        """Evict from the front (LRU) until both caps hold, but NEVER a
+        key the current call needs — callers move_to_end their keys
+        first, so a query with more terms than the cap overshoots
+        temporarily instead of evicting (then crashing on) its own
+        entries."""
+        while (len(cache) > cap
+               or sum(sizes.values()) > byte_cap):
+            k = next(iter(cache))
+            if k in protect:
+                break   # only the current call's keys remain
+            cache.pop(k)
+            sizes.pop(k, None)
+
+    def _local_term_rows(self, terms: list[str],
+                         use_cache: bool = True) -> pd.DataFrame:
         """Driver-side dictionary lookup via pyarrow dataset filters
         (same th/term pushdown as the Spark path, no Spark job), behind
         a per-handle LRU of term → dictionary rows: repeated serving
         queries skip the parquet read entirely (the reference's
         always-on ES keeps its segments hot; this is the snapshot-reader
-        analog). Negative entries (absent terms) are cached too."""
+        analog). Negative entries (absent terms) are cached too.
+        ``use_cache=False`` reads through without populating (the
+        decoded-postings cache keeps its own copy — storing the raw
+        frames again would double the footprint of every hot term)."""
         import pyarrow.dataset as ds
         if not hasattr(self, "_term_cache"):
             from collections import OrderedDict
             self._term_cache: "OrderedDict[str, pd.DataFrame]" = \
                 OrderedDict()
+            self._term_cache_sz: dict[str, int] = {}
         cache = self._term_cache
+
+        def read(miss: list[str]) -> pd.DataFrame:
+            post, _ = self._pa_datasets()
+            hs = [codec.term_hash(t) for t in miss]
+            flt = ds.field("th").isin(hs) & ds.field("term").isin(miss)
+            return post.to_table(filter=flt).to_pandas()
+
+        if not use_cache:
+            parts = [cache[t] for t in terms if t in cache]
+            miss = [t for t in terms if t not in cache]
+            if miss:
+                parts.append(read(miss))
+            return pd.concat(parts, ignore_index=True)
+
         missing = [t for t in terms if t not in cache]
         if missing:
-            post, _ = self._pa_datasets()
-            hs = [codec.term_hash(t) for t in missing]
-            flt = ds.field("th").isin(hs) & ds.field("term").isin(missing)
-            got = post.to_table(filter=flt).to_pandas()
+            got = read(missing)
             for t in missing:
                 # per-term frame keeps its chunk/file order (scoring
                 # paths re-order by (shard, chunk) where needed)
-                cache[t] = got[got["term"] == t]
-            while len(cache) > self.TERM_CACHE_CAP:
-                cache.popitem(last=False)
+                sub = got[got["term"] == t]
+                cache[t] = sub
+                self._term_cache_sz[t] = int(sub["nbytes"].sum()) \
+                    if len(sub) else 0
         parts = []
         for t in terms:
-            if t in cache:
-                cache.move_to_end(t)
-                parts.append(cache[t])
+            cache.move_to_end(t)
+            parts.append(cache[t])
+        self._lru_evict(cache, self._term_cache_sz,
+                        self.TERM_CACHE_CAP, self.TERM_CACHE_BYTES,
+                        set(terms))
         return pd.concat(parts, ignore_index=True)
 
     def _decoded_terms(self, terms: list[str]) \
@@ -856,31 +894,36 @@ class FTSIndex:
         """term → decoded (docids, tfs, dls) in globally ascending docid
         order, behind a per-handle LRU: the second hit on a term skips
         BOTH the dictionary parquet read and the varint decode. Absent
-        terms cache empty arrays."""
+        terms cache empty arrays. Reads bypass the raw-frame cache
+        (use_cache=False) so hot terms aren't stored twice."""
         if not hasattr(self, "_dec_cache"):
             from collections import OrderedDict
             self._dec_cache = OrderedDict()
+            self._dec_cache_sz: dict[str, int] = {}
         cache = self._dec_cache
         missing = [t for t in terms if t not in cache]
         if missing:
-            pdf = self._local_term_rows(missing)
+            pdf = self._local_term_rows(missing, use_cache=False)
             e = np.empty(0, dtype=np.int64)
             for t in missing:
                 sub = pdf[pdf["term"] == t]
-                cache[t] = (_decode_term_rows(sub) if len(sub)
-                            else (e, e, e))
-            while len(cache) > self.TERM_CACHE_CAP:
-                cache.popitem(last=False)
+                dec = _decode_term_rows(sub) if len(sub) else (e, e, e)
+                cache[t] = dec
+                self._dec_cache_sz[t] = sum(a.nbytes for a in dec)
         out = {}
         for t in terms:
             cache.move_to_end(t)
             out[t] = cache[t]
+        self._lru_evict(cache, self._dec_cache_sz,
+                        self.TERM_CACHE_CAP, self.TERM_CACHE_BYTES,
+                        set(terms))
         return out
 
     def _local_df_counts(self, terms: list[str]) -> dict[str, float]:
         import pyarrow.dataset as ds
         if not hasattr(self, "_df_cache"):
-            self._df_cache: dict[str, float] = {}
+            from collections import OrderedDict
+            self._df_cache = OrderedDict()
         missing = [t for t in terms if t not in self._df_cache]
         if missing:
             _, ts = self._pa_datasets()
@@ -889,8 +932,18 @@ class FTSIndex:
             got = dict(zip(trows["term"], trows["df"].astype(float)))
             for t in missing:
                 self._df_cache[t] = got.get(t, 0.0)
-        return {t: self._df_cache[t] for t in terms
-                if self._df_cache[t] > 0.0}
+        out = {}
+        for t in terms:
+            self._df_cache.move_to_end(t)
+            if self._df_cache[t] > 0.0:
+                out[t] = self._df_cache[t]
+        # floats are tiny — entry cap only, generous multiple
+        while len(self._df_cache) > 64 * self.TERM_CACHE_CAP:
+            k = next(iter(self._df_cache))
+            if k in out or k in terms:
+                break
+            self._df_cache.pop(k)
+        return out
 
     def _pa_docstore_ds(self):
         import pyarrow.dataset as ds
@@ -924,7 +977,14 @@ class FTSIndex:
         With ``org`` (routed indexes only): dictionary rows are pruned to
         the tenant's shards and scoring restricts to the org's docids
         (read driver-side from the shard-pruned doc store) — the
-        ms-latency analog of topk(org=...), rank-identical to it."""
+        ms-latency analog of topk(org=...), rank-identical to it.
+
+        The org=None path serves from the decoded-postings LRU: the
+        FIRST query on a term pays a full decode (warming the cache —
+        deliberate for a serving handle; the always-on reference keeps
+        segments hot the same way), so ``method`` block pruning applies
+        only on the org paths. One-shot cold queries that must not warm
+        a cache belong on the distributed topk()."""
         prefix, avgdl = self._field(field)
         terms = self._terms(query, prefix)
         empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
@@ -1146,6 +1206,112 @@ class FTSIndex:
         return self.spark.createDataFrame(
             merged.astype({"docid": "int64", "score": "float64"}),
             schema="docid long, score double")
+
+    def match_docids_local(self, query: str, mode: str = "and",
+                           field: str | None = None,
+                           org: str | None = None) -> pd.DataFrame:
+        """Boolean match with ZERO Spark jobs (the serving twin of
+        match_docids): docids containing all (and) / any (or) query
+        terms, ascending pandas. org=None serves from the decoded-
+        postings LRU; org paths restrict to the tenant's interval map
+        (or docid set) exactly like topk_local."""
+        prefix, _ = self._field(field)
+        terms = self._terms(query, prefix)
+        empty = pd.DataFrame({"docid": pd.Series(dtype="int64")})
+        if not terms:
+            return empty
+        if org is not None:
+            shards = self.possible_shards(org)
+            ranges = self._org_ranges(org)
+            pdf = self._local_term_rows(terms)
+            pdf = pdf[pdf["shard"].isin(shards)]
+            pt = {}
+            for t in terms:
+                sub = pdf[pdf["term"] == t]
+                pt[t] = (_decode_term_rows(sub)[0] if len(sub)
+                         else np.empty(0, dtype=np.int64))
+            if ranges is not None:
+                def restrict(d):
+                    if d.size == 0 or not ranges:
+                        return d[:0]
+                    m = np.zeros(d.shape[0], dtype=bool)
+                    for lo, hi in ranges.values():
+                        m |= (d >= lo) & (d <= hi)
+                    return d[m]
+            else:
+                cand = self._local_org_docids(org, shards)
+
+                def restrict(d):
+                    return d[np.isin(d, cand, assume_unique=True)]
+            dec = {t: restrict(d) for t, d in pt.items()}
+        else:
+            dec = {t: d for t, (d, _, _)
+                   in self._decoded_terms(terms).items()}
+        if mode == "and":
+            res: np.ndarray | None = None
+            for t in terms:
+                d = dec[t]
+                if d.size == 0:
+                    return empty
+                res = d if res is None else np.intersect1d(
+                    res, d, assume_unique=True)
+        else:
+            parts = [d for d in dec.values() if d.size]
+            res = (np.unique(np.concatenate(parts)) if parts
+                   else np.empty(0, dtype=np.int64))
+        return pd.DataFrame({"docid": np.sort(res)})
+
+    def phrase_topk_local(self, query: str, k: int = 10,
+                          field: str | None = None,
+                          org: str | None = None) -> pd.DataFrame:
+        """Exact phrase query with ZERO Spark jobs (the serving twin of
+        phrase_topk): driver-side dictionary read + the same vectorized
+        flat-array adjacency kernel over ALL shards in one call (docs
+        live in exactly one shard, so the global call equals the
+        per-shard + merge result). Rank-identical to phrase_topk."""
+        prefix, avgdl = self._field(field)
+        seq = [prefix + t for t in tokenize_text(query, self.tokenizer)]
+        empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if not seq:
+            return empty
+        uniq = sorted(set(seq))
+        if org is not None:
+            shards = self.possible_shards(org)
+        pdf = self._local_term_rows(uniq)
+        if pdf.empty:
+            return empty
+        dfm = self._local_df_counts(uniq)
+        idf = {t: _bm25_idf(float(self.N), dfm.get(t, 0.0))
+               for t in uniq}
+        if org is not None:
+            ranges = self._org_ranges(org)
+            if ranges is not None:
+                parts = []
+                for s in sorted(ranges):
+                    sub = pdf[pdf["shard"] == s]
+                    if sub.empty:
+                        continue
+                    parts.append(_phrase_shard(
+                        sub, seq, uniq, idf, avgdl, self.k1, self.b,
+                        k, org_range=ranges[s]))
+                if not parts:
+                    return empty
+                return (pd.concat(parts)
+                        .sort_values(["score", "docid"],
+                                     ascending=[False, True])
+                        .head(k).reset_index(drop=True))
+            pdf = pdf[pdf["shard"].isin(shards)]
+            if pdf.empty:
+                return empty
+            cand = self._local_org_docids(org, shards)
+            if cand.size == 0:
+                return empty
+            return _phrase_shard(pdf, seq, uniq, idf, avgdl, self.k1,
+                                 self.b, k,
+                                 org_cand=cand).reset_index(drop=True)
+        return _phrase_shard(pdf, seq, uniq, idf, avgdl, self.k1,
+                             self.b, k).reset_index(drop=True)
 
     def fetch_docs_local(self, docids: Iterable[int]) -> pd.DataFrame:
         """Doc-store point fetch with NO Spark job: pyarrow dataset read

@@ -361,6 +361,79 @@ class CombinedIndex:
                              ascending=[False, True])
                 .head(k).reset_index(drop=True))
 
+    def match_docids_local(self, query: str, mode: str = "and",
+                           field: str | None = None,
+                           org: str | None = None) -> pd.DataFrame:
+        """Boolean match over base + deltas with ZERO Spark jobs: docs
+        live in exactly one generation, so per-sub local matches union
+        exactly (no stats involved). Serving twin of match_docids."""
+        if org is not None:
+            self._org_subs(org)        # every generation must be routed
+        self._field(field)             # validates the field mode
+        parts = [s.match_docids_local(query, mode, field=field, org=org)
+                 for s in self.subs]
+        out = pd.concat(parts, ignore_index=True)
+        return (out.sort_values("docid").reset_index(drop=True)
+                if not out.empty else out)
+
+    def phrase_topk_local(self, query: str, k: int = 10,
+                          field: str | None = None,
+                          org: str | None = None) -> pd.DataFrame:
+        """Exact phrase over base + deltas with ZERO Spark jobs:
+        positions are per (generation, doc) so adjacency never crosses
+        sub-indexes; idf/avgdl are UNION-global (same stats the
+        distributed phrase_topk uses), so ranks match it exactly."""
+        from .analyzer import tokenize_text
+        from .query import _bm25_idf, _phrase_shard
+        org_subs = self._org_subs(org) if org is not None else None
+        prefix, avgdl = self._field(field)
+        seq = [prefix + t for t in tokenize_text(query, self.tokenizer)]
+        empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if not seq:
+            return empty
+        uniq = sorted(set(seq))
+        df_tot = {t: 0.0 for t in uniq}
+        for s in self.subs:
+            for t, d in s._local_df_counts(uniq).items():
+                df_tot[t] += d
+        idf = {t: _bm25_idf(float(self.N), d) for t, d in df_tot.items()}
+        parts = []
+        for i, s in enumerate(self.subs):
+            pdf = s._local_term_rows(uniq)
+            if pdf.empty:
+                continue
+            if org_subs is not None:
+                ranges = s._org_ranges(org)
+                if ranges is not None:
+                    for sh in sorted(ranges):
+                        sub = pdf[pdf["shard"] == sh]
+                        if sub.empty:
+                            continue
+                        parts.append(_phrase_shard(
+                            sub, seq, uniq, idf, avgdl, self.k1,
+                            self.b, k, org_range=ranges[sh]))
+                    continue
+                ps = org_subs[i][1]
+                pdf = pdf[pdf["shard"].isin(ps)]
+                if pdf.empty:
+                    continue
+                cand = s._local_org_docids(org, ps)
+                if cand.size == 0:
+                    continue
+                parts.append(_phrase_shard(pdf, seq, uniq, idf, avgdl,
+                                           self.k1, self.b, k,
+                                           org_cand=cand))
+                continue
+            parts.append(_phrase_shard(pdf, seq, uniq, idf, avgdl,
+                                       self.k1, self.b, k))
+        if not parts:
+            return empty
+        return (pd.concat(parts)
+                .sort_values(["score", "docid"],
+                             ascending=[False, True])
+                .head(k).reset_index(drop=True))
+
     def _fetch_parts(self, docids, local: bool) -> list[pd.DataFrame]:
         by_sub: dict[int, list[int]] = {}
         for d in docids:
@@ -787,21 +860,11 @@ def _merge_posting_kernel(dps_new: int, block: int, max_chunk: int):
     import pyarrow as pa
 
     from . import codec
-    from .build import POSTING_SCHEMA
+    from .build import posting_pa_fields
 
-    out_fields = [(f.name, f.dataType) for f in POSTING_SCHEMA.fields]
-    pa_types = {"shard": pa.int32(), "term": pa.string(),
-                "th": pa.int64(), "chunk": pa.int32(),
-                "df": pa.int64(), "cf": pa.int64(),
-                "blob": pa.binary(),
-                "block_first": pa.list_(pa.int64()),
-                "block_last": pa.list_(pa.int64()),
-                "block_off": pa.list_(pa.int64()),
-                "block_n": pa.list_(pa.int32()),
-                "block_max_tf": pa.list_(pa.int64()),
-                "block_min_dl": pa.list_(pa.int64()),
-                "nbytes": pa.int64(), "enc_us": pa.int64()}
-    out_schema = pa.schema([(n, pa_types[n]) for n, _ in out_fields])
+    out_fields = posting_pa_fields()
+    pa_types = dict(out_fields)
+    out_schema = pa.schema(out_fields)
 
     def kernel(batches):
         import time as _time
@@ -909,7 +972,6 @@ def compact_merge(spark: SparkSession, base_root: str, out_root: str,
     way). Routed generations are refused (org-contiguous minting needs
     a real re-rank — use compact()); caller-docid (sparse) bases too.
     """
-    from .build import POSTING_SCHEMA  # noqa: F401 (schema parity)
     cfg = cfg or BuildConfig()
     roots = [base_root] + [e["root"] for e in read_delta_log(base_root)]
     gens = []
@@ -928,15 +990,19 @@ def compact_merge(spark: SparkSession, base_root: str, out_root: str,
             raise ValueError(
                 f"compact_merge: generation {r} has a sparse id space "
                 f"(span {span} != n {n}) — use compact()")
-        # fields stats carry per-generation avgdl VALUES — only the
-        # field-name sets must agree across generations
-        fset = frozenset(json.loads(st["fields"])) \
-            if st.get("fields") else frozenset()
+        # fields stats carry DATA-derived per-field avgdl (a field with
+        # zero tokens in one generation is simply absent from its json),
+        # so only the fields MODE must agree: all generations
+        # multi-field, or all plain. Name sets may differ per
+        # generation; the merged json is recomputed from the merged
+        # dictionary below.
+        is_mf = bool(st.get("fields"))
         if g == 0:
-            fields_any = fset
-        elif fset != fields_any and n > 0:
-            raise ValueError("compact_merge: generations disagree on "
-                             "fields config")
+            fields_any = is_mf
+        elif is_mf != fields_any and n > 0:
+            raise ValueError(
+                "compact_merge: generations mix multi-field and plain "
+                "builds (the same refusal CombinedIndex makes)")
         gens.append({"root": r, "n": n, "off": off,
                      "shift": cum - off})
         cum += n

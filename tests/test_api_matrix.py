@@ -181,3 +181,76 @@ def test_match_docids_org_scoped(idx_routed):
                    idx_routed.match_docids("alpha index", mode,
                                            org=org).collect()]
             assert got == [d for d in full if d in keep], (org, mode)
+
+
+# ------------------------------------------------------------------ #
+# Round 4: zero-Spark-job twins for phrase + boolean match           #
+# ------------------------------------------------------------------ #
+
+def _zero_jobs(spark, tag, fn):
+    sc = spark.sparkContext
+    sc.setJobGroup(tag, tag)
+    out = fn()
+    jobs = sc.statusTracker().getJobIdsForGroup(tag)
+    sc.setJobGroup(None, None)
+    assert len(jobs) == 0, f"{tag}: local path must not launch Spark jobs"
+    return out
+
+
+def test_phrase_topk_local_matches_distributed(spark, idx_classic,
+                                               idx_mf, idx_routed):
+    for idx, kw in [(idx_classic, {}), (idx_mf, {"field": "text"}),
+                    (idx_routed, {"org": "o1"})]:
+        want = _pd(idx.phrase_topk("nightly index", k=15, **kw))
+        got = _zero_jobs(spark, f"ptl-{id(idx)}",
+                         lambda: idx.phrase_topk_local("nightly index",
+                                                       k=15, **kw))
+        _same(got, want)
+    # absent phrase and empty query
+    assert idx_classic.phrase_topk_local("zzz qqq", k=5).empty
+    assert idx_classic.phrase_topk_local("... !!!", k=5).empty
+
+
+def test_match_docids_local_matches_distributed(spark, idx_classic,
+                                                idx_mf, idx_routed):
+    for idx, kw in [(idx_classic, {}), (idx_mf, {"field": "text"}),
+                    (idx_routed, {"org": "o2"})]:
+        for mode in ("and", "or"):
+            want = _pd(idx.match_docids("alpha index", mode, **kw))
+            got = _zero_jobs(
+                spark, f"mdl-{id(idx)}-{mode}",
+                lambda: idx.match_docids_local("alpha index", mode,
+                                               **kw))
+            assert got["docid"].tolist() == want["docid"].tolist(), \
+                (mode, kw)
+    # AND with an absent term is empty
+    assert idx_classic.match_docids_local("alpha zzzmissing",
+                                          "and").empty
+
+
+def test_combined_local_twins(spark, corpus, tmp_path_factory):
+    """CombinedIndex phrase_topk_local / match_docids_local over
+    base+delta: zero jobs, rank-identical to the distributed surfaces
+    (union-global stats for phrase)."""
+    from sparkfts.streaming import CombinedIndex, make_batch_indexer
+    cfg = BuildConfig(num_shards=3, partitions=4)
+    base = corpus.iloc[:40]
+    d1 = corpus.iloc[40:]
+    root = str(tmp_path_factory.mktemp("amx_stream"))
+    build_index(spark, spark.createDataFrame(base), root,
+                order_cols=["conv_id", "turn_idx"], cfg=cfg)
+    make_batch_indexer(root, cfg=cfg)(spark.createDataFrame(d1),
+                                      batch_id=0)
+    ci = CombinedIndex(spark, root)
+    want = ci.phrase_topk("nightly index", k=15)
+    got = _zero_jobs(spark, "ci-ptl",
+                     lambda: ci.phrase_topk_local("nightly index", k=15))
+    assert got["docid"].tolist() == want["docid"].tolist()
+    assert got["score"].to_numpy() == pytest.approx(
+        want["score"].to_numpy(), abs=1e-9)
+    for mode in ("and", "or"):
+        wantm = ci.match_docids("alpha index", mode)
+        gotm = _zero_jobs(
+            spark, f"ci-mdl-{mode}",
+            lambda: ci.match_docids_local("alpha index", mode))
+        assert gotm["docid"].tolist() == wantm["docid"].tolist(), mode

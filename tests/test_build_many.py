@@ -345,3 +345,39 @@ def test_build_many_kill_resume_converges(spark, tmp_path_factory):
                        resume=True)
     assert all(s["built_shards"] == [] for s in sums2.values())
     assert FTSIndex(spark, f"{out}/plain").N == sums["plain"]["n_docs"]
+
+
+def test_build_many_zero_token_index_stays_readable(spark,
+                                                    tmp_path_factory):
+    """Code-review r4 #3: an index whose docs all tokenize to ZERO terms
+    has docstore rows but no posting rows — the root must still get
+    schema-bearing postings/term_stats dirs (readable, empty results),
+    not a missing-path crash."""
+    import pandas as pd
+    pdf = make_transcripts(8, seed=44).assign(index="words")
+    punct = pd.DataFrame({
+        "conv_id": [f"p{i}" for i in range(4)],
+        "turn_idx": [0] * 4,
+        "role": ["user"] * 4,
+        "ts": [0] * 4,
+        "text": ["!!! ???", "...", "—–", "¡¿"],
+        "index": ["punct"] * 4,
+    })
+    pdf = pd.concat([pdf, punct[pdf.columns.intersection(punct.columns)]],
+                    ignore_index=True)
+    out = str(tmp_path_factory.mktemp("many_punct"))
+    sums = build_many(
+        spark, spark.createDataFrame(pdf[["conv_id", "turn_idx", "text",
+                                          "index"]]), out,
+        {"words": BuildConfig(num_shards=2, partitions=2),
+         "punct": BuildConfig(num_shards=2, partitions=2)},
+        index_col="index")
+    assert sums["punct"]["n_docs"] == 4
+    idx = FTSIndex(spark, f"{out}/punct")
+    assert idx.N == 4
+    assert idx.topk_pandas("alpha", k=5).empty
+    assert idx.topk_local("alpha", k=5).empty
+    assert len(idx.fetch_docs_local([0, 1])) == 2   # docstore is real
+    # sibling with real text unaffected
+    assert not FTSIndex(spark, f"{out}/words").topk_pandas(
+        "alpha", k=5).empty

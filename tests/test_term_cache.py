@@ -64,3 +64,45 @@ def test_cache_serves_match_and_phrase_surfaces(spark, built):
     g = idx.search_local("alpha query index", k=5)
     w = fresh.search_local("alpha query index", k=5)
     assert g["docid"].tolist() == w["docid"].tolist()
+
+
+def test_query_wider_than_cache_cap(spark, built):
+    """Code-review r4 #1/#2: a query with more unique terms than
+    TERM_CACHE_CAP must not evict its own entries mid-call (KeyError),
+    drop terms from the returned rows, or poison the decoded cache with
+    false term-absent entries."""
+    idx = FTSIndex(spark, built)
+    idx.TERM_CACHE_CAP = 2
+    fresh = FTSIndex(spark, built)
+    wide = "alpha query index nightly shard merge checkpoint resume"
+    got = idx.topk_local(wide, k=10)                 # 8 uniques > cap 2
+    want = fresh.topk_local(wide, k=10)
+    assert got["docid"].tolist() == want["docid"].tolist()
+    assert got["score"].to_numpy() == pytest.approx(
+        want["score"].to_numpy(), abs=0.0)
+    # cache shrank back after the call (overshoot was temporary)
+    assert len(idx._dec_cache) <= 8
+    # no poisoned negative entries: a narrow follow-up query still
+    # sees the terms the wide query should have cached or evicted
+    g2 = idx.topk_local("alpha query", k=10)
+    w2 = fresh.topk_local("alpha query", k=10)
+    assert g2["docid"].tolist() == w2["docid"].tolist()
+    # org-path raw-frame read with the same tiny cap (AND semantics
+    # depend on every term's rows being present)
+    m = idx.match_docids(wide, "or").toPandas()
+    wm = fresh.match_docids(wide, "or").toPandas()
+    assert m["docid"].tolist() == wm["docid"].tolist()
+
+
+def test_byte_cap_evicts(spark, built):
+    """The bytes cap binds independently of the entry cap."""
+    idx = FTSIndex(spark, built)
+    idx.TERM_CACHE_BYTES = 1   # everything over budget
+    idx.topk_local("alpha query index", k=5)
+    idx.topk_local("shard merge", k=5)
+    # later call's terms survive (protected), earlier ones evicted
+    assert set(idx._dec_cache) <= {"shard", "merge"}
+    fresh = FTSIndex(spark, built)
+    got = idx.topk_local("alpha query index", k=5)
+    want = fresh.topk_local("alpha query index", k=5)
+    assert got["docid"].tolist() == want["docid"].tolist()
