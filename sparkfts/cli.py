@@ -75,6 +75,13 @@ def main(argv: list[str] | None = None) -> int:
                         "to the org's shards and rank only its docs")
     q.add_argument("--field", default=None,
                    help="field-scoped search (multi-field indexes)")
+    q.add_argument("--phrase", action="store_true",
+                   help="exact phrase (positions) instead of bag-of-"
+                        "words BM25")
+    q.add_argument("--local", action="store_true",
+                   help="serve driver-side with ZERO Spark jobs "
+                        "(ms-latency path; base index must fit one "
+                        "reader's bandwidth)")
 
     c = sub.add_parser("compact",
                        help="fold base + streaming deltas into a fresh "
@@ -83,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--out", required=True)
     c.add_argument("--num-shards", type=int, default=16)
     c.add_argument("--order-cols", default="conv_id,turn_idx")
+    c.add_argument("--merge", action="store_true",
+                   help="merge-based fold: re-mint docids "
+                        "arithmetically and re-encode the existing "
+                        "posting runs — no re-tokenization (plain "
+                        "dense generations only)")
 
     m = sub.add_parser("build-many",
                        help="build MANY indices off one input pass with "
@@ -96,6 +108,44 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--shards", required=True,
                    help="per-index shard counts, e.g. 'logs=8,docs=32'")
     m.add_argument("--partitions", type=int, default=None)
+    m.add_argument("--routing", default=None,
+                   help="per-index tenant routing, e.g. "
+                        "'logs=org:2,docs=tenant:4' (col:shards_per_org)")
+    m.add_argument("--mf-fields", default=None,
+                   help="per-index multi-field columns, e.g. "
+                        "'docs=text|lang'")
+    m.add_argument("--resume", action="store_true",
+                   help="complete a killed run at (index, shard) "
+                        "granularity (pass the SAME config flags)")
+
+    ab = sub.add_parser("ann-build",
+                        help="materialize an ANN index over an "
+                             "embedding table (IVF cells / LSH buckets "
+                             "as partition columns)")
+    ab.add_argument("--input", required=True)
+    ab.add_argument("--out", required=True)
+    ab.add_argument("--kind", choices=["ivf", "lsh"], default="ivf")
+    ab.add_argument("--n-centroids", type=int, default=256)
+    ab.add_argument("--train-iters", type=int, default=0)
+    ab.add_argument("--n-planes", type=int, default=16)
+    ab.add_argument("--bucket-partitions", type=int, default=256)
+    ab.add_argument("--id-col", default="vec_id")
+    ab.add_argument("--vec-col", default="embedding")
+
+    aq = sub.add_parser("ann-query",
+                        help="partition-pruned ANN top-k (query vector "
+                             "= the corpus vector with --query-id)")
+    aq.add_argument("--index", required=True)
+    aq.add_argument("--input", required=True,
+                    help="embedding table holding --query-id's vector")
+    aq.add_argument("--query-id", type=int, required=True)
+    aq.add_argument("--k", type=int, default=10)
+    aq.add_argument("--nprobe", type=int, default=3)
+    aq.add_argument("--max-hamming", type=int, default=2)
+    aq.add_argument("--local", action="store_true",
+                    help="zero-Spark-job serving path")
+    aq.add_argument("--id-col", default="vec_id")
+    aq.add_argument("--vec-col", default="embedding")
 
     d = sub.add_parser("ingest-delta",
                        help="append one micro-batch delta index to a "
@@ -156,33 +206,101 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "query":
             from .query import FTSIndex
             idx = FTSIndex(spark, args.index)
-            if args.fetch:
-                out = idx.search(args.q, args.k, args.mode, args.method)
+            kw = {"org": args.org, "field": args.field}
+            if args.phrase:
+                out = (idx.phrase_topk_local(args.q, args.k, **kw)
+                       if args.local
+                       else idx.phrase_topk(args.q, args.k, **kw))
+            elif args.fetch:
+                out = (idx.search_local(args.q, args.k, args.mode,
+                                        args.method, **kw)
+                       if args.local
+                       else idx.search(args.q, args.k, args.mode,
+                                       args.method, **kw))
+            elif args.local:
+                out = idx.topk_local(args.q, args.k, args.mode,
+                                     args.method, **kw)
             else:
                 out = idx.topk(args.q, args.k, args.mode, args.method,
-                               org=args.org, field=args.field)
-            for row in out.collect():
-                print(json.dumps(row.asDict(), default=str))
+                               **kw)
+            rows = (out.collect() if hasattr(out, "collect")
+                    else out.to_dict("records"))
+            for row in rows:
+                print(json.dumps(row.asDict() if hasattr(row, "asDict")
+                                 else row, default=str))
         elif args.cmd == "compact":
             from .build import BuildConfig
-            from .streaming import compact
-            summary = compact(spark, args.base, args.out,
-                              order_cols=args.order_cols.split(","),
-                              cfg=BuildConfig(num_shards=args.num_shards))
+            from .streaming import compact, compact_merge
+            cfg = BuildConfig(num_shards=args.num_shards)
+            if args.merge:
+                summary = compact_merge(spark, args.base, args.out,
+                                        cfg=cfg)
+            else:
+                summary = compact(spark, args.base, args.out,
+                                  order_cols=args.order_cols.split(","),
+                                  cfg=cfg)
             print(json.dumps(summary))
         elif args.cmd == "build-many":
+            from .analyzer import TokenizerConfig
             from .build import BuildConfig, build_many
+            routing = {}
+            for part in (args.routing or "").split(","):
+                if part:
+                    name, spec = part.split("=")
+                    col, k = spec.split(":")
+                    routing[name] = (col, int(k))
+            mf = {}
+            for part in (args.mf_fields or "").split(","):
+                if part:
+                    name, cols = part.split("=")
+                    mf[name] = {c: TokenizerConfig()
+                                for c in cols.split("|")}
             configs = {}
             for part in args.shards.split(","):
                 name, ns = part.split("=")
-                configs[name] = BuildConfig(num_shards=int(ns),
-                                            partitions=args.partitions)
+                rc, spo = routing.get(name, (None, 2))
+                configs[name] = BuildConfig(
+                    num_shards=int(ns), partitions=args.partitions,
+                    routing_col=rc, shards_per_org=spo,
+                    fields=mf.get(name))
             summaries = build_many(
                 spark, spark.read.parquet(args.input), args.out_base,
                 configs, index_col=args.index_col,
                 text_col=args.text_col,
-                order_cols=args.order_cols.split(","))
+                order_cols=args.order_cols.split(","),
+                resume=args.resume)
             print(json.dumps(summaries))
+        elif args.cmd == "ann-build":
+            from datapipe.similarity import build_ann
+            meta = build_ann(
+                spark, spark.read.parquet(args.input), args.out,
+                kind=args.kind, n_centroids=args.n_centroids,
+                train_iters=args.train_iters, n_planes=args.n_planes,
+                bucket_partitions=args.bucket_partitions,
+                id_col=args.id_col, vec_col=args.vec_col)
+            print(json.dumps({"kind": meta["kind"], "dim": meta["dim"],
+                              "out": args.out}))
+        elif args.cmd == "ann-query":
+            from pyspark.sql import functions as F
+            from datapipe.similarity import AnnIndex
+            qrow = (spark.read.parquet(args.input)
+                    .where(F.col(args.id_col) == args.query_id)
+                    .select(args.vec_col).first())
+            if qrow is None:
+                print(json.dumps({"error": "query id not found"}))
+                return 1
+            qv = [float(x) for x in qrow[0]]
+            idx = AnnIndex(spark, args.index)
+            if args.local:
+                out = idx.topk_local(qv, k=args.k, nprobe=args.nprobe,
+                                     max_hamming=args.max_hamming)
+                rows = out.to_dict("records")
+            else:
+                rows = [r.asDict() for r in
+                        idx.topk(qv, k=args.k, nprobe=args.nprobe,
+                                 max_hamming=args.max_hamming).collect()]
+            for row in rows:
+                print(json.dumps(row, default=str))
         elif args.cmd == "ingest-delta":
             from .build import BuildConfig
             from .streaming import make_batch_indexer
