@@ -495,3 +495,53 @@ class AnnIndex:
         order = np.lexsort((ids, -cos))[:k]
         return pd.DataFrame({"vec_id": ids[order].astype(np.int64),
                              "cos_r": np.round(cos[order], 6)})
+
+    def topk_many(self, queries: dict, k: int = 10, nprobe: int = 3,
+                  max_hamming: int = 2):
+        """Batched ANN: the WHOLE query set answered from ONE
+        partition-pruned read (union of every query's probe set) — the
+        vector analog of FTSIndex.topk_many. Returns {qid: pandas
+        (vec_id, cos_r)}, each entry identical to a solo topk call.
+        Scale shape: one Spark job whose scan reads only the union of
+        probed cells/buckets; per-query re-rank happens column-side
+        (one cosine expression per query over the pruned rows)."""
+        import pandas as pd
+        qs = {qid: [float(x) for x in v] for qid, v in queries.items()}
+        if not qs:
+            return {}
+        probes: dict[str, set] = {}
+        union: set = set()
+        for qid, q in qs.items():
+            qa = np.asarray(q, dtype=np.float64)
+            p = set(self._ivf_probe(qa, nprobe)) if self.kind == "ivf" \
+                else set(self._lsh_probe(qa, max_hamming))
+            probes[qid] = p
+            union |= p
+        if self.kind == "ivf":
+            pruned = self._data.where(
+                F.col("cell").isin(sorted(union)))
+            keycol = "cell"
+        else:
+            nbp = int(self.meta["bucket_partitions"])
+            pruned = (self._data
+                      .where(F.col("pbucket").isin(
+                          sorted({b % nbp for b in union})))
+                      .where(F.col("bucket").isin(sorted(union))))
+            keycol = "bucket"
+        sel = [F.col("vec_id"), F.col(keycol)]
+        for qid, q in qs.items():
+            sel.append(_cos_to(q, "embedding").alias(f"c_{qid}"))
+        rows = pruned.select(*sel).toPandas()
+        out = {}
+        for qid in qs:
+            sub = rows[rows[keycol].isin(probes[qid])]
+            sub = (sub[["vec_id", f"c_{qid}"]]
+                   .rename(columns={f"c_{qid}": "cos"})
+                   .sort_values(["cos", "vec_id"],
+                                ascending=[False, True])
+                   .head(k))
+            out[qid] = pd.DataFrame(
+                {"vec_id": sub["vec_id"].to_numpy(),
+                 "cos_r": sub["cos"].round(6).to_numpy()}) \
+                .reset_index(drop=True)
+        return out

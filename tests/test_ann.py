@@ -179,3 +179,37 @@ def test_ann_ivf_recall(spark, tmp_path_factory):
         hits += len(exact & approx)
         tot += len(exact)
     assert hits / tot >= 0.9
+
+
+def test_ann_topk_many_matches_solo(spark, ivf_ann, lsh_ann):
+    """Batched ANN (one union-pruned read, one job) must equal solo
+    topk per query for both index kinds."""
+    edf, idx, _ = ivf_ann
+    _, lidx = lsh_ann
+    qs = {}
+    for qi in (0, 17, 123):
+        qs[f"q{qi}"] = [float(x) for x in
+                        edf.where(F.col("vec_id") == qi)
+                        .first()["embedding"]]
+    def run(index, tag, queries):
+        sc = spark.sparkContext
+        sc.setJobGroup(tag, tag)
+        out = index.topk_many(queries, k=10)
+        jobs = sc.statusTracker().getJobIdsForGroup(tag)
+        sc.setJobGroup(None, None)
+        return out, len(jobs)
+
+    for index in (idx, lidx):
+        one_q = {"q0": qs["q0"]}
+        _, j1 = run(index, f"ann-many1-{index.kind}", one_q)
+        got, j3 = run(index, f"ann-many3-{index.kind}", qs)
+        # job count independent of the query-set size (the whole set
+        # answers from ONE union-pruned read)
+        assert j3 == j1, (index.kind, j1, j3)
+        for qid, q in qs.items():
+            want = index.topk(q, k=10).collect()
+            assert got[qid]["vec_id"].tolist() == \
+                [r["vec_id"] for r in want], (index.kind, qid)
+            assert got[qid]["cos_r"].to_numpy() == pytest.approx(
+                [r["cos_r"] for r in want], abs=1e-9), (index.kind, qid)
+    assert idx.topk_many({}, k=5) == {}

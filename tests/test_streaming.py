@@ -821,3 +821,58 @@ def test_compact_merge_multifield_generations(spark, tmp_path_factory):
         got = midx.topk_local(q, k=12, field=fld)
         want = ridx.topk_local(q, k=12, field=fld)
         assert keyed(midx, got) == keyed(ridx, want), fld
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_compact_merge_random_corpora_property(spark, tmp_path_factory,
+                                               seed):
+    """Randomized parity sweep: random corpus sizes / delta counts /
+    shard geometries — merge compaction must stay document-identical to
+    the rebuild compact on random queries (including an absent-term AND
+    and a duplicate-term query)."""
+    import numpy as np
+    import pandas as pd
+    from sparkfts import FTSIndex
+    from sparkfts.streaming import compact, compact_merge
+    rng = np.random.default_rng(seed)
+    cfg = BuildConfig(num_shards=int(rng.integers(2, 6)),
+                      partitions=4)
+    n_deltas = int(rng.integers(1, 4))
+    base = make_transcripts(int(rng.integers(6, 16)), seed=seed)
+    root = str(tmp_path_factory.mktemp(f"cmr_{seed}"))
+    build_index(spark, spark.createDataFrame(base), root,
+                order_cols=["conv_id", "turn_idx"], cfg=cfg)
+    idxer = make_batch_indexer(root, cfg=BuildConfig(
+        num_shards=int(rng.integers(1, 4)), partitions=2))
+    for b in range(n_deltas):
+        d = make_transcripts(int(rng.integers(2, 7)),
+                             seed=seed * 10 + b)
+        idxer(spark.createDataFrame(d), batch_id=b)
+    out_cfg = BuildConfig(num_shards=int(rng.integers(2, 7)),
+                          partitions=4)
+    rout = str(tmp_path_factory.mktemp(f"cmr_r_{seed}"))
+    mout = str(tmp_path_factory.mktemp(f"cmr_m_{seed}"))
+    compact(spark, root, rout, cfg=out_cfg)
+    compact_merge(spark, root, mout, cfg=out_cfg)
+    ridx, midx = FTSIndex(spark, rout), FTSIndex(spark, mout)
+    assert (midx.N, midx.avgdl) == (ridx.N, ridx.avgdl)
+
+    def keyed(idx, hits):
+        if hits.empty:
+            return []
+        docs = idx.fetch_docs_local(hits["docid"].tolist())
+        m = {int(r["docid"]): (r["conv_id"], int(r["turn_idx"]))
+             for _, r in docs.iterrows()}
+        return sorted((round(float(s), 9), *m[int(d)])
+                      for d, s in zip(hits["docid"], hits["score"]))
+
+    vocab = ["alpha", "query", "index", "nightly", "shard", "merge",
+             "checkpoint", "resume", "snapshot", "rebuild"]
+    queries = [" ".join(rng.choice(vocab, size=int(rng.integers(1, 4)),
+                                   replace=True)) for _ in range(3)]
+    queries += ["alpha zzzabsent", "merge merge merge"]
+    for q in queries:
+        for mode in ("or", "and"):
+            got = midx.topk_local(q, k=10, mode=mode)
+            want = ridx.topk_local(q, k=10, mode=mode)
+            assert keyed(midx, got) == keyed(ridx, want), (seed, q, mode)
