@@ -629,7 +629,7 @@ def q_compact_merge_bm25(spark, sf_dir):
     from sparkfts import BuildConfig, FTSIndex
     from sparkfts.storage import manifest_exists
     from sparkfts.streaming import compact_merge
-    ci = _stream_union_ci(spark, sf_dir)          # ensures base+delta
+    _stream_union_ci(spark, sf_dir)               # ensures base+delta
     key = f"{os.path.abspath(sf_dir)}#cmerge"
     if key in _INDEX_CACHE:
         idx = _INDEX_CACHE[key]
@@ -640,7 +640,6 @@ def q_compact_merge_bm25(spark, sf_dir):
                           cfg=BuildConfig(num_shards=3, partitions=4))
         idx = FTSIndex(spark, root)
         _INDEX_CACHE[key] = idx
-    del ci
     hits = idx.topk_local(f"{T_HOT} {T_MID}", k=10, mode="and")
     docs = idx.fetch_docs_local(hits["docid"].tolist())
     out = hits.merge(docs[["docid", "doc_id"]], on="docid")

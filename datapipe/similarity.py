@@ -545,3 +545,42 @@ class AnnIndex:
                  "cos_r": sub["cos"].round(6).to_numpy()}) \
                 .reset_index(drop=True)
         return out
+
+
+def build_ann_append(spark: SparkSession, emb: DataFrame,
+                     root: str, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> dict:
+    """Append new vectors to an existing build_ann root (the ANN delta
+    path): cell/bucket assignment is DETERMINISTIC given the stored
+    centroids/planes (meta.json), so an append is just the signature
+    pass over the new batch written in append mode into the same
+    partition directories — no rebuild, no touch of existing files,
+    and every AnnIndex query (topk / topk_local / topk_many) sees the
+    union immediately. Mirrors the fts side's delta generations, minus
+    the stats problem (cosine needs no collection statistics).
+    Caller owns vec_id uniqueness across appends. Returns the meta."""
+    with open(os.path.join(root, "meta.json")) as f:
+        meta = json.load(f)
+    dim = int(meta["dim"])
+    base = emb.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("embedding"))
+    if meta["kind"] == "ivf":
+        out = ann_signatures(
+            base, dim, centroids=np.asarray(meta["centroids"]),
+            vec_col="embedding")
+        (out.repartition("cell")
+            .write.mode("append").partitionBy("cell")
+            .parquet(os.path.join(root, "data")))
+    else:
+        pl = np.asarray(meta["planes"], dtype=np.float64)
+        nbp = int(meta["bucket_partitions"])
+        out = (ann_signatures(base, dim, planes=pl,
+                              vec_col="embedding")
+               .withColumn("pbucket",
+                           F.pmod(F.col("bucket"), F.lit(nbp))
+                           .cast("int")))
+        (out.repartition("pbucket")
+            .sortWithinPartitions("bucket")
+            .write.mode("append").partitionBy("pbucket")
+            .parquet(os.path.join(root, "data")))
+    return meta

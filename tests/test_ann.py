@@ -213,3 +213,43 @@ def test_ann_topk_many_matches_solo(spark, ivf_ann, lsh_ann):
             assert got[qid]["cos_r"].to_numpy() == pytest.approx(
                 [r["cos_r"] for r in want], abs=1e-9), (index.kind, qid)
     assert idx.topk_many({}, k=5) == {}
+
+
+def test_ann_append_matches_scan_over_union(spark, tmp_path_factory):
+    """Incremental ANN: build on the first half, append the second —
+    queries must equal the scan-path ivf_topk over the FULL corpus with
+    the index's (first-half-sampled) centroids, and the appended root
+    must keep its partition pruning."""
+    _, edf = _rand_emb(spark, n=240, dim=16, seed=31)
+    first = edf.where(F.col("vec_id") < 120)
+    second = edf.where(F.col("vec_id") >= 120)
+    root = str(tmp_path_factory.mktemp("ann_append"))
+    meta = build_ann(spark, first, root, kind="ivf", n_centroids=6)
+    from datapipe.similarity import build_ann_append
+    build_ann_append(spark, second, root)
+    idx = AnnIndex(spark, root)
+    for qi in (3, 150):
+        q = [float(x) for x in
+             edf.where(F.col("vec_id") == qi).first()["embedding"]]
+        want = ivf_topk(edf, q, k=10, centroids=meta["centroids"],
+                        nprobe=3).collect()
+        got = idx.topk(q, k=10, nprobe=3).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want], qi
+        loc = idx.topk_local(q, k=10, nprobe=3)
+        assert loc["vec_id"].tolist() == [r["vec_id"] for r in got]
+    plan = idx._pruned([1.0] * 16, 3, 2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # LSH kind appends too
+    lroot = str(tmp_path_factory.mktemp("ann_append_lsh"))
+    build_ann(spark, first, lroot, kind="lsh", n_planes=10,
+              bucket_partitions=16)
+    build_ann_append(spark, second, lroot)
+    lidx = AnnIndex(spark, lroot)
+    q = [float(x) for x in
+         edf.where(F.col("vec_id") == 200).first()["embedding"]]
+    want = lsh_topk(edf, q, k=10,
+                    planes=hyperplanes(16, n_planes=10, seed=42),
+                    max_hamming=2).collect()
+    got = lidx.topk(q, k=10, max_hamming=2).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
