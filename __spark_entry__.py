@@ -641,6 +641,9 @@ def q_compact_merge_bm25(spark, sf_dir):
         idx = FTSIndex(spark, root)
         _INDEX_CACHE[key] = idx
     hits = idx.topk_local(f"{T_HOT} {T_MID}", k=10, mode="and")
+    if hits.empty:
+        return spark.createDataFrame(
+            [], "rank long, doc_id long, score_r double")
     docs = idx.fetch_docs_local(hits["docid"].tolist())
     out = hits.merge(docs[["docid", "doc_id"]], on="docid")
     out = out.sort_values(["score", "doc_id"],
@@ -660,6 +663,9 @@ def q_streaming_union_bm25(spark, sf_dir):
     (score desc, doc_id asc)."""
     ci = _stream_union_ci(spark, sf_dir)
     hits = ci.topk(f"{T_HOT} {T_MID} {T_RARE}", k=10, mode="or")
+    if hits.empty:
+        return spark.createDataFrame(
+            [], "rank long, doc_id long, score_r double")
     docs = ci.fetch_docs(hits["docid"].tolist())
     out = hits.merge(docs[["docid", "doc_id"]], on="docid")
     out = out.sort_values(["score", "doc_id"],
@@ -698,6 +704,9 @@ def q_routed_delta_org_search(spark, sf_dir):
     doc_id asc), as in the monolithic org gate."""
     ci = _routed_delta_ci(spark, sf_dir)
     hits = ci.topk(f"{T_MID2} {T_HOT}", k=10, mode="or", org=ORG)
+    if hits.empty:
+        return spark.createDataFrame(
+            [], "rank long, doc_id long, score_r double")
     docs = ci.fetch_docs(hits["docid"].tolist())
     out = hits.merge(docs[["docid", "doc_id"]], on="docid")
     out = out.sort_values(["score", "doc_id"],

@@ -50,6 +50,21 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
             .select("vec_id", F.round("cos", 6).alias("cos_r")))
 
 
+def _cos_to_guarded(vec: list[float], vec_col: str = "embedding"):
+    """_cos_to with zero-norm guards (0-vector → norm treated as 1, so
+    its cosine is a deterministic 0): the AnnIndex serving surfaces use
+    this so Catalyst, pandas and numpy paths order degenerate vectors
+    identically (NaN sorts FIRST under Spark desc but LAST in pandas)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    q = F.array(*[F.lit(float(x)) for x in vec])
+    dot = F.aggregate(F.zip_with(v, q, lambda x, y: x * y),
+                      F.lit(0.0), lambda a, x: a + x)
+    nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    nv = F.when(nv == 0.0, F.lit(1.0)).otherwise(nv)
+    nq = float(np.sqrt(np.sum(np.asarray(vec, dtype=np.float64) ** 2)))
+    return dot / (nv * F.lit(nq or 1.0))
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes for sign-LSH."""
     rng = np.random.default_rng(seed)
@@ -408,8 +423,25 @@ class AnnIndex:
             self.meta = json.load(f)
         self.kind = self.meta["kind"]
         self.dim = int(self.meta["dim"])
-        # one file-index per handle (same rationale as FTSIndex)
-        self._data = spark.read.parquet(os.path.join(root, "data"))
+        self._data_df = None
+
+    @property
+    def _data(self):
+        # one file-index per handle (same rationale as FTSIndex), built
+        # LAZILY so a --local-only consumer never touches Spark
+        if self._data_df is None:
+            self._data_df = self.spark.read.parquet(
+                os.path.join(self.root, "data"))
+        return self._data_df
+
+    def refresh(self) -> None:
+        """Drop the cached Spark file listing. Spark snapshots partition
+        discovery at first read, so a handle created BEFORE a
+        build_ann_append would silently miss the appended vectors on
+        the Spark paths (topk/topk_many) while topk_local — a fresh
+        pyarrow dataset per call — sees them. Call refresh() (or make a
+        new handle) after appends."""
+        self._data_df = None
 
     # -- probe resolution (driver-side, no Spark job) ---------------
     def _ivf_probe(self, q: np.ndarray, nprobe: int) -> list[int]:
@@ -456,11 +488,15 @@ class AnnIndex:
         """ANN top-k as a partition-pruned read + exact re-rank; output
         schema (vec_id, cos_r) identical to ivf_topk/lsh_topk, and for
         the same centroids/planes the results are identical too — only
-        the per-query full-corpus assignment scan is gone."""
+        the per-query full-corpus assignment scan is gone. One
+        deliberate divergence: zero-norm vectors score a deterministic
+        cosine of 0 (guarded norms, matching _ivf_probe/topk_local)
+        instead of the scan path's NaN, whose sort placement differs
+        between engines."""
         q = [float(x) for x in query_vec]
         return (self._pruned(q, nprobe, max_hamming)
                 .select("vec_id",
-                        _cos_to(q, "embedding").alias("cos"))
+                        _cos_to_guarded(q, "embedding").alias("cos"))
                 .orderBy(F.desc("cos"), F.asc("vec_id"))
                 .limit(k)
                 .select("vec_id", F.round("cos", 6).alias("cos_r")))
@@ -491,7 +527,7 @@ class AnnIndex:
         ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
         nv = np.linalg.norm(v, axis=1)
         nv[nv == 0.0] = 1.0
-        cos = (v @ q) / (nv * np.linalg.norm(q))
+        cos = (v @ q) / (nv * (float(np.linalg.norm(q)) or 1.0))
         order = np.lexsort((ids, -cos))[:k]
         return pd.DataFrame({"vec_id": ids[order].astype(np.int64),
                              "cos_r": np.round(cos[order], 6)})
@@ -528,22 +564,34 @@ class AnnIndex:
                           sorted({b % nbp for b in union})))
                       .where(F.col("bucket").isin(sorted(union))))
             keycol = "bucket"
-        sel = [F.col("vec_id"), F.col(keycol)]
-        for qid, q in qs.items():
-            sel.append(_cos_to(q, "embedding").alias(f"c_{qid}"))
-        rows = pruned.select(*sel).toPandas()
+        # ONE narrow job ships (vec_id, key, embedding) of the pruned
+        # rows; ALL cosines come from a single numpy matmul driver-side
+        # — a per-query _cos_to Catalyst expression would put
+        # n_queries x dim literal nodes in the plan, the codegen blowup
+        # ann_signatures exists to avoid
+        rows = pruned.select("vec_id", keycol, "embedding").toPandas()
+        qids = list(qs)
+        if rows.empty:
+            e = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                              "cos_r": pd.Series(dtype="float64")})
+            return {qid: e.copy() for qid in qids}
+        v = np.asarray(rows["embedding"].tolist(), dtype=np.float64)
+        ids = rows["vec_id"].to_numpy(np.int64)
+        keys = rows[keycol].to_numpy()
+        nv = np.linalg.norm(v, axis=1)
+        nv[nv == 0.0] = 1.0
+        qm = np.asarray([qs[qid] for qid in qids], dtype=np.float64)
+        qn = np.linalg.norm(qm, axis=1)
+        qn[qn == 0.0] = 1.0
+        cos = (v @ qm.T) / (nv[:, None] * qn[None, :])
         out = {}
-        for qid in qs:
-            sub = rows[rows[keycol].isin(probes[qid])]
-            sub = (sub[["vec_id", f"c_{qid}"]]
-                   .rename(columns={f"c_{qid}": "cos"})
-                   .sort_values(["cos", "vec_id"],
-                                ascending=[False, True])
-                   .head(k))
+        for j, qid in enumerate(qids):
+            m = np.isin(keys, sorted(probes[qid]))
+            c, i = cos[m, j], ids[m]
+            order = np.lexsort((i, -c))[:k]
             out[qid] = pd.DataFrame(
-                {"vec_id": sub["vec_id"].to_numpy(),
-                 "cos_r": sub["cos"].round(6).to_numpy()}) \
-                .reset_index(drop=True)
+                {"vec_id": i[order],
+                 "cos_r": np.round(c[order], 6)})
         return out
 
 

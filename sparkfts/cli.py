@@ -208,9 +208,25 @@ def main(argv: list[str] | None = None) -> int:
             idx = FTSIndex(spark, args.index)
             kw = {"org": args.org, "field": args.field}
             if args.phrase:
-                out = (idx.phrase_topk_local(args.q, args.k, **kw)
-                       if args.local
-                       else idx.phrase_topk(args.q, args.k, **kw))
+                if args.mode != "or" or args.method != "wand":
+                    p.error("--phrase is positional-exact matching: "
+                            "--mode/--method do not apply")
+                hits = (idx.phrase_topk_local(args.q, args.k, **kw)
+                        if args.local
+                        else idx.phrase_topk(args.q, args.k, **kw))
+                if args.fetch:
+                    hp = (hits if args.local else hits.toPandas())
+                    if hp.empty:
+                        out = hp
+                    else:
+                        docs = idx.fetch_docs_local(hp["docid"].tolist())
+                        out = (hp.merge(docs.drop(columns=["shard"]),
+                                        on="docid")
+                               .sort_values(["score", "docid"],
+                                            ascending=[False, True])
+                               .reset_index(drop=True))
+                else:
+                    out = hits
             elif args.fetch:
                 out = (idx.search_local(args.q, args.k, args.mode,
                                         args.method, **kw)
@@ -281,21 +297,35 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"kind": meta["kind"], "dim": meta["dim"],
                               "out": args.out}))
         elif args.cmd == "ann-query":
-            from pyspark.sql import functions as F
             from datapipe.similarity import AnnIndex
-            qrow = (spark.read.parquet(args.input)
-                    .where(F.col(args.id_col) == args.query_id)
-                    .select(args.vec_col).first())
-            if qrow is None:
-                print(json.dumps({"error": "query id not found"}))
-                return 1
-            qv = [float(x) for x in qrow[0]]
             idx = AnnIndex(spark, args.index)
             if args.local:
-                out = idx.topk_local(qv, k=args.k, nprobe=args.nprobe,
-                                     max_hamming=args.max_hamming)
-                rows = out.to_dict("records")
+                # the --local contract is zero Spark jobs for the whole
+                # command: the query vector comes from a driver-side
+                # pyarrow point read and the handle's Spark DataFrame is
+                # lazy (never materialized on this path)
+                import pyarrow.dataset as ds
+                t = (ds.dataset(args.input, format="parquet")
+                     .to_table(filter=ds.field(args.id_col)
+                               == args.query_id,
+                               columns=[args.vec_col]))
+                if t.num_rows == 0:
+                    print(json.dumps({"error": "query id not found"}))
+                    return 1
+                qv = [float(x)
+                      for x in t.column(args.vec_col)[0].as_py()]
+                rows = idx.topk_local(
+                    qv, k=args.k, nprobe=args.nprobe,
+                    max_hamming=args.max_hamming).to_dict("records")
             else:
+                from pyspark.sql import functions as F
+                qrow = (spark.read.parquet(args.input)
+                        .where(F.col(args.id_col) == args.query_id)
+                        .select(args.vec_col).first())
+                if qrow is None:
+                    print(json.dumps({"error": "query id not found"}))
+                    return 1
+                qv = [float(x) for x in qrow[0]]
                 rows = [r.asDict() for r in
                         idx.topk(qv, k=args.k, nprobe=args.nprobe,
                                  max_hamming=args.max_hamming).collect()]

@@ -1216,7 +1216,16 @@ class FTSIndex:
         postings LRU; org paths restrict to the tenant's interval map
         (or docid set) exactly like topk_local."""
         prefix, _ = self._field(field)
-        terms = self._terms(query, prefix)
+        return self._match_docids_local_terms(
+            self._terms(query, prefix), mode, org)
+
+    def _match_docids_local_terms(self, terms: list[str], mode: str,
+                                  org: str | None) -> pd.DataFrame:
+        """Core of match_docids_local over ALREADY-PREFIXED terms —
+        CombinedIndex validates field against its UNION field set and
+        calls this per generation (a field with zero tokens in one
+        generation is absent from that generation's stats json, so
+        per-sub field validation would wrongly raise)."""
         empty = pd.DataFrame({"docid": pd.Series(dtype="int64")})
         if not terms:
             return empty

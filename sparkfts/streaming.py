@@ -366,11 +366,18 @@ class CombinedIndex:
                            org: str | None = None) -> pd.DataFrame:
         """Boolean match over base + deltas with ZERO Spark jobs: docs
         live in exactly one generation, so per-sub local matches union
-        exactly (no stats involved). Serving twin of match_docids."""
+        exactly (no stats involved). Serving twin of match_docids.
+        Field validation happens ONCE against the union field set —
+        a field with zero tokens in one generation is absent from that
+        generation's stats json, so per-sub validation would wrongly
+        raise (the terms go to the subs pre-prefixed)."""
+        from .analyzer import tokenize_text
         if org is not None:
             self._org_subs(org)        # every generation must be routed
-        self._field(field)             # validates the field mode
-        parts = [s.match_docids_local(query, mode, field=field, org=org)
+        prefix, _ = self._field(field)
+        terms = sorted({prefix + t
+                        for t in tokenize_text(query, self.tokenizer)})
+        parts = [s._match_docids_local_terms(terms, mode, org)
                  for s in self.subs]
         out = pd.concat(parts, ignore_index=True)
         return (out.sort_values("docid").reset_index(drop=True)

@@ -253,3 +253,52 @@ def test_ann_append_matches_scan_over_union(spark, tmp_path_factory):
                     max_hamming=2).collect()
     got = lidx.topk(q, k=10, max_hamming=2).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_ann_zero_vector_deterministic_and_refresh(spark,
+                                                   tmp_path_factory):
+    """Code-review r4b: (a) a zero-norm corpus vector must rank
+    DETERMINISTICALLY (guarded cosine = 0) and identically across
+    topk / topk_local / topk_many — not through NaN, whose sort
+    placement differs between Spark (first under desc) and pandas
+    (last); (b) a handle created before build_ann_append must see the
+    appended vectors after refresh()."""
+    from datapipe.similarity import build_ann_append
+    _, edf = _rand_emb(spark, n=60, dim=8, seed=41)
+    zero = spark.createDataFrame([(999, [0.0] * 8)],
+                                 "vec_id long, embedding array<float>")
+    root = str(tmp_path_factory.mktemp("ann_zero"))
+    build_ann(spark, edf.unionByName(zero), root, kind="ivf",
+              n_centroids=4)
+    idx = AnnIndex(spark, root)
+    q = [float(x) for x in
+         edf.where(F.col("vec_id") == 7).first()["embedding"]]
+    got = idx.topk(q, k=61, nprobe=4).collect()
+    loc = idx.topk_local(q, k=61, nprobe=4)
+    many = idx.topk_many({"q": q}, k=61, nprobe=4)["q"]
+    assert loc["vec_id"].tolist() == [r["vec_id"] for r in got]
+    assert many["vec_id"].tolist() == [r["vec_id"] for r in got]
+    zrow = [r for r in got if r["vec_id"] == 999]
+    if zrow:                      # zero vector inside a probed cell
+        assert zrow[0]["cos_r"] == 0.0
+
+    # (b) append visibility: stale Spark listing until refresh()
+    before = AnnIndex(spark, root)
+    before.topk(q, k=5, nprobe=4).collect()     # materialize listing
+    extra = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in
+                     np.random.default_rng(50 + i).standard_normal(8)])
+         for i in range(20)],
+        "vec_id long, embedding array<float>")
+    build_ann_append(spark, extra, root)
+    stale_ids = {r["vec_id"] for r in
+                 before.topk(q, k=100, nprobe=4).collect()}
+    before.refresh()
+    fresh_ids = {r["vec_id"] for r in
+                 before.topk(q, k=100, nprobe=4).collect()}
+    assert fresh_ids >= stale_ids
+    assert any(v >= 1000 for v in fresh_ids - stale_ids) or \
+        not any(v >= 1000 for v in fresh_ids)   # appended cells probed?
+    # topk_local (fresh pyarrow dataset per call) always sees the union
+    loc_ids = set(before.topk_local(q, k=100, nprobe=4)["vec_id"])
+    assert loc_ids == fresh_ids
