@@ -91,10 +91,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--num-shards", type=int, default=16)
     c.add_argument("--order-cols", default="conv_id,turn_idx")
     c.add_argument("--merge", action="store_true",
-                   help="merge-based fold: re-mint docids "
-                        "arithmetically and re-encode the existing "
-                        "posting runs — no re-tokenization (plain "
-                        "dense generations only)")
+                   help="merge-based fold: remap docids and re-encode "
+                        "the existing posting runs — no re-tokenization "
+                        "(plain or routed generations; routed keeps "
+                        "shards and tenant contiguity)")
 
     m = sub.add_parser("build-many",
                        help="build MANY indices off one input pass with "

@@ -856,14 +856,23 @@ def compact(spark: SparkSession, base_root: str, out_root: str,
                        order_cols=order_cols, cfg=cfg or BuildConfig())
 
 
-def _merge_posting_kernel(dps_new: int, block: int, max_chunk: int):
+def _merge_posting_kernel(dps_new: int, block: int, max_chunk: int,
+                          seg_map: dict | None = None):
     """mapInArrow kernel for compact_merge: rows sorted by
     (nshard, th, term, gen, gshard, chunk) arrive term-group-contiguous;
     each group's posting runs are decoded (WITH positions), docids
-    shifted by the generation's constant, clipped to the target shard's
-    docid range, concatenated (generation order == ascending new-docid
-    order) and re-encoded. No tokenization anywhere — cost ∝ postings
-    bytes, not corpus text."""
+    shifted, concatenated and re-encoded. No tokenization anywhere —
+    cost ∝ postings bytes, not corpus text.
+
+    Plain mode (seg_map=None): the shift is the generation's CONSTANT
+    (gshift column) and generation order == ascending new-docid order,
+    so the concat is already sorted.
+
+    Routed mode (seg_map = {(gen, shard): (los, shifts)} sorted
+    segment arrays from the generations' org_ranges): the shift is
+    PIECEWISE per (org block), new per-org blocks interleave
+    generations, so the merged postings are re-sorted by a stable
+    argsort with the flat position arrays gathered along."""
     import pyarrow as pa
 
     from . import codec
@@ -878,7 +887,7 @@ def _merge_posting_kernel(dps_new: int, block: int, max_chunk: int):
         t0 = _time.perf_counter()
         cols: dict[str, list] = {n: [] for n, _ in out_fields}
         cur: tuple[int, str] | None = None
-        acc: list[tuple] = []   # (shift, blob, boff, bn)
+        acc: list[tuple] = []   # (gen, shift, blob, boff, bn)
 
         def flush_term():
             if cur is None or not acc:
@@ -887,11 +896,16 @@ def _merge_posting_kernel(dps_new: int, block: int, max_chunk: int):
             lo = nshard * dps_new
             hi = lo + dps_new
             ds, ts, ls, ps = [], [], [], []
-            for shift, blob, boff, bn in acc:
+            for gen, shift, blob, boff, bn in acc:
                 d, tf, dl, pos = codec.decode_postings(
                     blob, np.asarray(boff), np.asarray(bn),
                     with_positions=True)
-                d = d + shift
+                if seg_map is not None:
+                    los, shifts = seg_map[(gen, nshard)]
+                    si = np.searchsorted(los, d, side="right") - 1
+                    d = d + shifts[si]
+                else:
+                    d = d + shift
                 m = (d >= lo) & (d < hi)
                 if not m.all():
                     pos = pos[np.repeat(m, tf)]
@@ -905,9 +919,30 @@ def _merge_posting_kernel(dps_new: int, block: int, max_chunk: int):
             d = np.concatenate(ds); tf = np.concatenate(ts)
             dl = np.concatenate(ls); pos = np.concatenate(ps)
             if d.size > 1 and not (d[1:] > d[:-1]).all():
-                raise ValueError(
-                    f"compact_merge: non-increasing docids for term "
-                    f"{term!r} in shard {nshard} — generations overlap?")
+                if seg_map is None:
+                    raise ValueError(
+                        f"compact_merge: non-increasing docids for term "
+                        f"{term!r} in shard {nshard} — generations "
+                        "overlap?")
+                # routed mode: per-org blocks interleave generations —
+                # stable merge-sort, gathering each posting's flat
+                # position run along with it
+                order = np.argsort(d, kind="stable")
+                pb0 = np.concatenate(([0], np.cumsum(tf)))
+                starts = pb0[:-1][order]
+                lens = tf[order]
+                total = int(lens.sum())
+                cum = np.concatenate(([0], np.cumsum(lens)))
+                gather = (np.arange(total, dtype=np.int64)
+                          - np.repeat(cum[:-1], lens)
+                          + np.repeat(starts, lens))
+                pos = pos[gather]
+                d, tf, dl = d[order], lens, dl[order]
+                if d.size > 1 and not (d[1:] > d[:-1]).all():
+                    raise ValueError(
+                        f"compact_merge: duplicate docids for term "
+                        f"{term!r} in shard {nshard} after routed "
+                        "remap — segment tables inconsistent?")
             pb = np.concatenate(([0], np.cumsum(tf)))
             for ci, s in enumerate(range(0, d.size, max_chunk)):
                 e = min(s + max_chunk, d.size)
@@ -934,6 +969,7 @@ def _merge_posting_kernel(dps_new: int, block: int, max_chunk: int):
                 continue
             c_ns = rb.column("nshard")
             c_term = rb.column("term")
+            c_gen = rb.column("gen")
             c_shift = rb.column("gshift")
             c_blob = rb.column("blob")
             c_boff = rb.column("block_off")
@@ -943,7 +979,8 @@ def _merge_posting_kernel(dps_new: int, block: int, max_chunk: int):
                 if key != cur:
                     flush_term()
                     cur = key
-                acc.append((int(c_shift[i].as_py()),
+                acc.append((int(c_gen[i].as_py()),
+                            int(c_shift[i].as_py()),
                             c_blob[i].as_py(),
                             c_boff[i].as_py(), c_bn[i].as_py()))
             if len(cols["shard"]) >= 512:
@@ -961,42 +998,138 @@ def _merge_posting_kernel(dps_new: int, block: int, max_chunk: int):
     return kernel, out_schema
 
 
+def _finalize_merge(spark: SparkSession, out_root: str,
+                    cfg: BuildConfig, ns_new: int, dps_new: int,
+                    N: int, fields_any: bool, routing_json: str,
+                    span: int, t0: float) -> dict:
+    """Derived artifacts of a merged root, from the on-disk postings
+    (same contract as build_index): dictionary merge, stats, per-shard
+    manifest rows."""
+    narrow = (spark.read.parquet(storage.path(out_root, "postings"))
+              .select("shard", "term", "df", "cf", "nbytes", "enc_us")
+              .persist())
+    ts_parts = max(1, ns_new // 8)
+    (narrow.groupBy("term")
+           .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+           .repartition(ts_parts, "term")
+           .sortWithinPartitions("term")
+           .write.mode("overwrite")
+           .parquet(storage.path(out_root, "term_stats")))
+    shard_rows = {int(r["shard"]): r for r in
+                  (narrow.groupBy("shard")
+                   .agg(F.countDistinct("term").alias("n_terms"),
+                        F.sum("df").alias("n_postings"),
+                        F.sum("cf").alias("cf"),
+                        F.sum("nbytes").alias("bytes"),
+                        F.max("enc_us").alias("max_enc_us"))
+                   .collect())}
+    fields_json = ""
+    if fields_any:
+        frows = (narrow.withColumn("fld",
+                                   F.split("term", ":").getItem(0))
+                 .groupBy("fld").agg(F.sum("cf").alias("cf")).collect())
+        fields_json = json.dumps(
+            {r["fld"]: (float(r["cf"]) / N if N else 0.0)
+             for r in frows})
+    narrow.unpersist()
+    tot_cf = sum(int(r["cf"]) for r in shard_rows.values())
+    avgdl = (float(tot_cf) / N) if N else 0.0
+    build_id = storage.new_build_id(out_root)
+    storage.append_stats_row(out_root, {
+        "n": N, "avgdl": avgdl, "num_shards": ns_new,
+        "docs_per_shard": int(dps_new), "k1": float(cfg.k1),
+        "b": float(cfg.b), "block": int(cfg.block),
+        "docid_offset": 0, "build_id": build_id,
+        "docid_span": int(span), "fields": fields_json,
+        "routing": routing_json})
+    wall_us = int((time.perf_counter() - t0) * 1e6)
+    man_rows = []
+    for s in range(ns_new):
+        r = shard_rows.get(s)
+        man_rows.append({
+            "shard": int(s),
+            "n_terms": int(r["n_terms"]) if r else 0,
+            "n_postings": int(r["n_postings"]) if r else 0,
+            "bytes": int(r["bytes"]) if r else 0,
+            "max_enc_us": int(r["max_enc_us"]) if r else 0,
+            "status": "committed", "build_id": build_id,
+            "build_wall_us": wall_us, "corpus_docs": N})
+    storage.append_manifest_rows(out_root, man_rows, build_id)
+    return {"n_docs": N, "avgdl": avgdl, "num_shards": ns_new,
+            "docs_per_shard": dps_new, "docid_span": int(span),
+            "build_id": build_id,
+            "wall_sec": time.perf_counter() - t0}
+
+
 def compact_merge(spark: SparkSession, base_root: str, out_root: str,
                   cfg: BuildConfig | None = None) -> dict:
-    """Merge-based nightly fold (no re-tokenization): new docids are
-    minted ARITHMETICALLY — generation g's dense range [off_g,
-    off_g + n_g) shifts to [cum_prev, cum_prev + n_g), order-preserving
-    — and each (term, shard) posting list of the merged index is built
-    by decode → shift → clip → concat → re-encode of the existing
-    runs (positions and embedded doc lengths ride along). Cost scales
-    with postings BYTES instead of corpus text, cutting the nightly by
-    the base/delta ratio; the reference rebuilds fully each night
-    (README.md:3-13), so this is beyond-parity.
+    """Merge-based nightly fold (no re-tokenization): each (term, shard)
+    posting list of the merged index is built by decode → shift →
+    merge → re-encode of the existing runs (positions and embedded doc
+    lengths ride along). Cost scales with postings BYTES instead of
+    corpus text, cutting the nightly by the base/delta ratio; the
+    reference rebuilds fully each night (README.md:3-13), so this is
+    beyond-parity.
 
-    Result is document-identical to compact(): same docs, same tf/dl/
-    df/cf ⇒ same BM25 scores; docid TIE order is generation-insertion
-    order rather than order_cols re-rank (docids are index-local either
-    way). Routed generations are refused (org-contiguous minting needs
-    a real re-rank — use compact()); caller-docid (sparse) bases too.
-    """
+    PLAIN generations: new docids are minted arithmetically —
+    generation g's dense range [off_g, off_g + n_g) shifts to
+    [cum_prev, cum_prev + n_g), order-preserving; the merged shard
+    count comes from ``cfg.num_shards``.
+
+    ROUTED generations (all sharing the base's routing config): a doc's
+    shard is the routing HASH, which is identical in every generation —
+    so shards are preserved and only docids remap, piecewise per
+    (shard, org, generation) segment derived from the generations'
+    org_ranges tables: org blocks stay contiguous in org order, each
+    org block concatenates its generations' sub-blocks in generation
+    order. The segment table (one row per (generation, shard, org)) is
+    collected to the driver for the merge kernel — at extreme tenant
+    counts where that table itself is too large, use the re-ranking
+    compact(). Every generation must carry org_ranges (contiguous
+    layout); the merged root is org-contiguous again by construction.
+
+    Result is document-identical to compact(): same docs, same
+    tf/dl/df/cf ⇒ same BM25 scores; docid TIE order is
+    generation-insertion order rather than order_cols re-rank (docids
+    are index-local either way). Caller-docid (sparse, unrouted) bases
+    are refused."""
     cfg = cfg or BuildConfig()
     roots = [base_root] + [e["root"] for e in read_delta_log(base_root)]
     gens = []
     cum = 0
     fields_any = None
+    routing0: str | None = None
+    ns0 = None
     for g, r in enumerate(roots):
         st = storage.read_stats(r)
-        if st.get("routing"):
-            raise ValueError(
-                "compact_merge: routed generations need the re-ranking "
-                "compact() (org-contiguous docid minting)")
         n = int(st["n"])
+        rt = st.get("routing") or ""
+        if g == 0:
+            routing0, ns0 = rt, int(st["num_shards"])
+        elif n > 0:
+            if bool(rt) != bool(routing0):
+                raise ValueError(
+                    "compact_merge: generations mix routed and "
+                    "unrouted builds")
+            if rt and (rt != routing0
+                       or int(st["num_shards"]) != ns0):
+                raise ValueError(
+                    "compact_merge: routed generations disagree on "
+                    "routing config / shard count — shards are only "
+                    "preserved under one geometry (use compact())")
         off = int(st.get("docid_offset") or 0)
-        span = storage.effective_docid_span(r, st)
-        if span != n:
+        if not rt:
+            span = storage.effective_docid_span(r, st)
+            if span != n:
+                raise ValueError(
+                    f"compact_merge: generation {r} has a sparse id "
+                    f"space (span {span} != n {n}) — use compact()")
+        elif n > 0 and not os.path.isdir(
+                storage.path(r, "org_ranges")):
             raise ValueError(
-                f"compact_merge: generation {r} has a sparse id space "
-                f"(span {span} != n {n}) — use compact()")
+                f"compact_merge: routed generation {r} lacks "
+                "org_ranges (non-contiguous legacy layout?) — use "
+                "compact()")
         # fields stats carry DATA-derived per-field avgdl (a field with
         # zero tokens in one generation is simply absent from its json),
         # so only the fields MODE must agree: all generations
@@ -1014,9 +1147,13 @@ def compact_merge(spark: SparkSession, base_root: str, out_root: str,
                      "shift": cum - off})
         cum += n
     N = cum
+    t0 = time.perf_counter()
+    if routing0:
+        return _compact_merge_routed(spark, gens, out_root, cfg, N,
+                                     fields_any, routing0, ns0, t0)
+
     ns_new = cfg.num_shards
     dps_new = max(1, -(-N // ns_new)) if N else 1
-    t0 = time.perf_counter()
 
     # docstore: narrow union pass, shard from the arithmetic docid
     dparts = []
@@ -1074,62 +1211,111 @@ def compact_merge(spark: SparkSession, base_root: str, out_root: str,
     (enc_in.mapInArrow(kernel, schema=_PS)
            .write.mode("overwrite").partitionBy("shard")
            .parquet(storage.path(out_root, "postings")))
+    return _finalize_merge(spark, out_root, cfg, ns_new, dps_new, N,
+                           fields_any, "", N, t0)
 
-    # derived artifacts from the merged on-disk postings (same contract
-    # as build_index): dictionary merge + per-shard manifest aggregates
-    narrow = (spark.read.parquet(storage.path(out_root, "postings"))
-              .select("shard", "term", "df", "cf", "nbytes", "enc_us")
-              .persist())
-    ts_parts = max(1, ns_new // 8)
-    (narrow.groupBy("term")
-           .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
-           .repartition(ts_parts, "term")
-           .sortWithinPartitions("term")
-           .write.mode("overwrite")
-           .parquet(storage.path(out_root, "term_stats")))
-    shard_rows = {int(r["shard"]): r for r in
-                  (narrow.groupBy("shard")
-                   .agg(F.countDistinct("term").alias("n_terms"),
-                        F.sum("df").alias("n_postings"),
-                        F.sum("cf").alias("cf"),
-                        F.sum("nbytes").alias("bytes"),
-                        F.max("enc_us").alias("max_enc_us"))
-                   .collect())}
-    fields_json = ""
-    if fields_any:
-        frows = (narrow.withColumn("fld",
-                                   F.split("term", ":").getItem(0))
-                 .groupBy("fld").agg(F.sum("cf").alias("cf")).collect())
-        fields_json = json.dumps(
-            {r["fld"]: (float(r["cf"]) / N if N else 0.0)
-             for r in frows})
-    narrow.unpersist()
-    tot_cf = sum(int(r["cf"]) for r in shard_rows.values())
-    avgdl = (float(tot_cf) / N) if N else 0.0
-    build_id = storage.new_build_id(out_root)
-    storage.append_stats_row(out_root, {
-        "n": N, "avgdl": avgdl, "num_shards": ns_new,
-        "docs_per_shard": int(dps_new), "k1": float(cfg.k1),
-        "b": float(cfg.b), "block": int(cfg.block),
-        "docid_offset": 0, "build_id": build_id,
-        "docid_span": int(N), "fields": fields_json, "routing": ""})
-    wall_us = int((time.perf_counter() - t0) * 1e6)
-    man_rows = []
-    for s in range(ns_new):
-        r = shard_rows.get(s)
-        man_rows.append({
-            "shard": int(s),
-            "n_terms": int(r["n_terms"]) if r else 0,
-            "n_postings": int(r["n_postings"]) if r else 0,
-            "bytes": int(r["bytes"]) if r else 0,
-            "max_enc_us": int(r["max_enc_us"]) if r else 0,
-            "status": "committed", "build_id": build_id,
-            "build_wall_us": wall_us, "corpus_docs": N})
-    storage.append_manifest_rows(out_root, man_rows, build_id)
-    return {"n_docs": N, "avgdl": avgdl, "num_shards": ns_new,
-            "docs_per_shard": dps_new, "docid_span": N,
-            "build_id": build_id,
-            "wall_sec": time.perf_counter() - t0}
+
+def _compact_merge_routed(spark: SparkSession, gens: list[dict],
+                          out_root: str, cfg: BuildConfig, N: int,
+                          fields_any: bool, routing_json: str,
+                          ns0: int, t0: float) -> dict:
+    """Routed half of compact_merge (see its docstring): shards are
+    routing-hash-stable across generations, so only docids remap —
+    piecewise per (shard, org, generation) segment, keeping every
+    tenant org-contiguous in the merged root."""
+    from pyspark.sql.window import Window
+    live = [(gi, gen) for gi, gen in enumerate(gens) if gen["n"] > 0]
+    if not live:
+        raise ValueError("compact_merge: no rows in any generation")
+    sparts = []
+    for gi, gen in live:
+        sparts.append(
+            spark.read.parquet(storage.path(gen["root"], "org_ranges"))
+            .withColumn("gen", F.lit(gi)))
+    seg = sparts[0]
+    for s in sparts[1:]:
+        seg = seg.unionByName(s)
+    seg = seg.withColumn("cnt", F.col("hi") - F.col("lo") + 1)
+    tot = (seg.groupBy("shard", "org")
+           .agg(F.sum("cnt").alias("tot")))
+    sh_tot = {int(r["shard"]): int(r["t"]) for r in
+              tot.groupBy("shard").agg(F.sum("tot").alias("t"))
+              .collect()}
+    assert sum(sh_tot.values()) == N, "org_ranges/stats disagree on N"
+    dps_new = max(sh_tot.values(), default=1)
+    w_org = (Window.partitionBy("shard").orderBy("org")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    tot = tot.withColumn(
+        "obase", F.coalesce(F.sum("tot").over(w_org), F.lit(0)))
+    w_gen = (Window.partitionBy("shard", "org").orderBy("gen")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    seg2 = (seg.join(tot, ["shard", "org"])
+            .withColumn("gprev",
+                        F.coalesce(F.sum("cnt").over(w_gen), F.lit(0)))
+            .withColumn("shift",
+                        F.col("shard").cast("long")
+                        * F.lit(int(dps_new))
+                        + F.col("obase") + F.col("gprev")
+                        - F.col("lo"))
+            .select("gen", "shard", "org", "lo", "shift"))
+    seg_rows = seg2.collect()
+    seg_map: dict[tuple[int, int], tuple] = {}
+    tmp: dict[tuple[int, int], list] = {}
+    for r in seg_rows:
+        tmp.setdefault((int(r["gen"]), int(r["shard"])), []).append(
+            (int(r["lo"]), int(r["shift"])))
+    for k, v in tmp.items():
+        v.sort()
+        seg_map[k] = (np.asarray([x[0] for x in v], dtype=np.int64),
+                      np.asarray([x[1] for x in v], dtype=np.int64))
+
+    rc = json.loads(routing_json)["col"]
+    dparts = []
+    for gi, gen in live:
+        d = spark.read.parquet(storage.path(gen["root"], "docstore"))
+        sg = (seg2.where(F.col("gen") == gi)
+              .select("shard", F.col("org").alias(rc), "shift"))
+        dparts.append(
+            d.join(F.broadcast(sg), ["shard", rc])
+             .withColumn("docid", F.col("docid") + F.col("shift"))
+             .drop("shift"))
+    dall = dparts[0]
+    for d in dparts[1:]:
+        dall = dall.unionByName(d)
+    (dall.repartition(max(1, min(ns0, cfg.partitions or ns0)), "shard")
+         .sortWithinPartitions("docid")
+         .write.mode("overwrite").partitionBy("shard")
+         .parquet(storage.path(out_root, "docstore")))
+
+    pparts = []
+    for gi, gen in live:
+        pparts.append(
+            spark.read.parquet(storage.path(gen["root"], "postings"))
+            .withColumn("nshard", F.col("shard"))
+            .withColumnRenamed("shard", "gshard")
+            .withColumn("gen", F.lit(gi))
+            .withColumn("gshift", F.lit(0)))
+    pall = pparts[0]
+    for p in pparts[1:]:
+        pall = pall.unionByName(p)
+    parts_n = cfg.partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    kernel, _ = _merge_posting_kernel(dps_new, cfg.block,
+                                      cfg.max_chunk_postings,
+                                      seg_map=seg_map)
+    enc_in = (pall.repartitionByRange(min(parts_n, max(1, ns0)),
+                                      "nshard")
+              .sortWithinPartitions("nshard", "th", "term", "gen",
+                                    "gshard", "chunk"))
+    from .build import POSTING_SCHEMA as _PS
+    (enc_in.mapInArrow(kernel, schema=_PS)
+           .write.mode("overwrite").partitionBy("shard")
+           .parquet(storage.path(out_root, "postings")))
+    from .build import _write_org_ranges
+    _write_org_ranges(spark, out_root, rc, ns0)
+    span = int(ns0) * int(dps_new)
+    return _finalize_merge(spark, out_root, cfg, ns0, dps_new, N,
+                           fields_any, routing_json, span, t0)
 
 
 def nightly_rotate(spark: SparkSession, registry, alias: str,

@@ -761,18 +761,110 @@ def test_compact_merge_document_identical_to_rebuild(spark, setup2,
     assert md.equals(rd)
 
 
-def test_compact_merge_refuses_routed_and_sparse(spark, tmp_path_factory):
+def test_compact_merge_refuses_mixed_and_mismatched(spark,
+                                                    tmp_path_factory):
+    """Merge compaction refusals: routed base + UNROUTED delta (mixed
+    modes), and routed generations with DIFFERENT shard geometry (the
+    shard-preservation premise fails)."""
     from sparkfts.streaming import compact_merge
     rcfg = BuildConfig(num_shards=4, partitions=4, routing_col="org",
                        shards_per_org=2)
-    pdf = make_transcripts(6, seed=71).assign(
-        org=lambda d: d["conv_id"].map(lambda c: f"o{sum(map(ord, c)) % 2}"))
-    root = str(tmp_path_factory.mktemp("cm_routed"))
-    build_index(spark, spark.createDataFrame(pdf), root,
-                order_cols=["conv_id", "turn_idx"], cfg=rcfg)
-    with pytest.raises(ValueError, match="routed"):
+
+    def prep(pdf):
+        return pdf.assign(org=pdf["conv_id"].map(
+            lambda c: f"o{sum(map(ord, c)) % 2}"))
+
+    root = str(tmp_path_factory.mktemp("cm_mixed"))
+    build_index(spark, spark.createDataFrame(prep(make_transcripts(
+        6, seed=71))), root, order_cols=["conv_id", "turn_idx"],
+        cfg=rcfg)
+    make_batch_indexer(root, cfg=BuildConfig(num_shards=2,
+                                             partitions=2))(
+        spark.createDataFrame(prep(make_transcripts(3, seed=72))),
+        batch_id=0)
+    with pytest.raises(ValueError, match="mix routed"):
         compact_merge(spark, root,
-                      str(tmp_path_factory.mktemp("cm_routed_out")))
+                      str(tmp_path_factory.mktemp("cm_mixed_out")))
+
+    root2 = str(tmp_path_factory.mktemp("cm_geom"))
+    build_index(spark, spark.createDataFrame(prep(make_transcripts(
+        6, seed=73))), root2, order_cols=["conv_id", "turn_idx"],
+        cfg=rcfg)
+    make_batch_indexer(root2, cfg=BuildConfig(
+        num_shards=8, partitions=2, routing_col="org",
+        shards_per_org=2))(
+        spark.createDataFrame(prep(make_transcripts(3, seed=74))),
+        batch_id=0)
+    with pytest.raises(ValueError, match="disagree"):
+        compact_merge(spark, root2,
+                      str(tmp_path_factory.mktemp("cm_geom_out")))
+
+
+def test_compact_merge_routed_generations(spark, tmp_path_factory):
+    """ROUTED merge compaction: shards are routing-hash-stable across
+    generations, so the fold preserves shards and remaps docids
+    piecewise per (shard, org, generation) — document-identical to the
+    routed rebuild compact on global AND org-scoped surfaces, with
+    org_ranges (contiguous tenants) restored in the merged root."""
+    import os as _os
+    import pandas as pd
+    from sparkfts import FTSIndex
+    from sparkfts.streaming import compact, compact_merge
+    rcfg = BuildConfig(num_shards=4, partitions=4, routing_col="org",
+                       shards_per_org=2)
+
+    def prep(pdf):
+        return pdf.assign(org=pdf["conv_id"].map(
+            lambda c: f"o{sum(map(ord, c)) % 3}"))
+
+    base = prep(make_transcripts(12, seed=75))
+    d1, d2 = prep(make_transcripts(5, seed=76)), \
+        prep(make_transcripts(4, seed=77))
+    root = str(tmp_path_factory.mktemp("cmr_base"))
+    build_index(spark, spark.createDataFrame(base), root,
+                order_cols=["conv_id", "turn_idx"], cfg=rcfg)
+    idxer = make_batch_indexer(root, cfg=rcfg)
+    idxer(spark.createDataFrame(d1), batch_id=0)
+    idxer(spark.createDataFrame(d2), batch_id=1)
+    rout = str(tmp_path_factory.mktemp("cmr_rebuild"))
+    mout = str(tmp_path_factory.mktemp("cmr_merged"))
+    rs = compact(spark, root, rout, cfg=rcfg)
+    ms = compact_merge(spark, root, mout, cfg=rcfg)
+    assert ms["n_docs"] == rs["n_docs"]
+    assert ms["avgdl"] == pytest.approx(rs["avgdl"], abs=1e-12)
+    assert ms["num_shards"] == rcfg.num_shards
+    ridx, midx = FTSIndex(spark, rout), FTSIndex(spark, mout)
+    assert midx.routing_col == "org"
+    assert _os.path.isdir(f"{mout}/org_ranges")
+    # every doc's shard is its routing-hash shard (preserved)
+    from sparkfts import routing as _routing
+    for r in midx._docstore.select("shard", "org", "conv_id",
+                                   "turn_idx").collect():
+        key = f"{r['conv_id']}\x1f{r['turn_idx']}"
+        assert r["shard"] == _routing.doc_shard(
+            r["org"], key, rcfg.num_shards, rcfg.shards_per_org)
+
+    def keyed(idx, hits):
+        if hits.empty:
+            return []
+        docs = idx.fetch_docs_local(hits["docid"].tolist())
+        m = {int(r["docid"]): (r["conv_id"], int(r["turn_idx"]))
+             for _, r in docs.iterrows()}
+        return sorted((round(float(s), 9), *m[int(d)])
+                      for d, s in zip(hits["docid"], hits["score"]))
+
+    for q, mode in [("alpha query index", "or"), ("shard merge", "and")]:
+        got = midx.topk_local(q, k=12, mode=mode)
+        want = ridx.topk_local(q, k=12, mode=mode)
+        assert keyed(midx, got) == keyed(ridx, want), (q, mode)
+        for org in ("o0", "o1", "o2"):
+            go = midx.topk_local(q, k=12, mode=mode, org=org)
+            wo = ridx.topk_local(q, k=12, mode=mode, org=org)
+            assert keyed(midx, go) == keyed(ridx, wo), (q, mode, org)
+    # phrase positions survived the routed merge-sort
+    gp = midx.phrase_topk_local("nightly index", k=20, org="o1")
+    wp = ridx.phrase_topk_local("nightly index", k=20, org="o1")
+    assert keyed(midx, gp) == keyed(ridx, wp)
 
 
 def test_compact_merge_multifield_generations(spark, tmp_path_factory):
