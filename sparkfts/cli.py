@@ -170,6 +170,9 @@ def main(argv: list[str] | None = None) -> int:
     n.add_argument("--index-date", required=True)
     n.add_argument("--num-shards", type=int, default=16)
     n.add_argument("--order-cols", default="conv_id,turn_idx")
+    n.add_argument("--merge", action="store_true",
+                   help="use the no-retokenize merge fold for the "
+                        "compaction step")
 
     args = p.parse_args(argv)
 
@@ -355,7 +358,8 @@ def main(argv: list[str] | None = None) -> int:
                 spark, RotationRegistry(args.registry), args.alias,
                 args.base, args.out, index_date=args.index_date,
                 order_cols=args.order_cols.split(","),
-                cfg=BuildConfig(num_shards=args.num_shards))
+                cfg=BuildConfig(num_shards=args.num_shards),
+                merge=args.merge)
             print(json.dumps({"vid": out["vid"], "root": out["root"],
                               **out["summary"]}))
     finally:

@@ -1323,7 +1323,8 @@ def nightly_rotate(spark: SparkSession, registry, alias: str,
                    index_date: str, registered_at: str | None = None,
                    text_col: str = "text",
                    order_cols: list[str] | None = None,
-                   cfg: BuildConfig | None = None) -> dict:
+                   cfg: BuildConfig | None = None,
+                   merge: bool = False) -> dict:
     """The full nightly cycle in one call — the reference's rebuild →
     snapshot → register-in-ZK → alias-swap sequence
     (BaseESReducer + ElasticsearchIndexRotationManagerZookeeper.java:
@@ -1344,8 +1345,13 @@ def nightly_rotate(spark: SparkSession, registry, alias: str,
     now for operational convenience. Returns {vid, root, summary}.
     """
     from .rotation import IndexVersion, utcnow_iso
-    summary = compact(spark, base_root, out_root, text_col=text_col,
-                      order_cols=order_cols, cfg=cfg)
+    if merge:
+        # no-retokenize fold (compact_merge) — postings-bytes cost
+        # instead of corpus-text cost; same document-identical result
+        summary = compact_merge(spark, base_root, out_root, cfg=cfg)
+    else:
+        summary = compact(spark, base_root, out_root, text_col=text_col,
+                          order_cols=order_cols, cfg=cfg)
     vid = registry.register(IndexVersion(
         alias=alias, root=out_root, index_date=index_date,
         registered_at=registered_at or utcnow_iso(),

@@ -968,3 +968,31 @@ def test_compact_merge_random_corpora_property(spark, tmp_path_factory,
             got = midx.topk_local(q, k=10, mode=mode)
             want = ridx.topk_local(q, k=10, mode=mode)
             assert keyed(midx, got) == keyed(ridx, want), (seed, q, mode)
+
+
+def test_nightly_rotate_merge_fold(spark, tmp_path_factory):
+    """nightly_rotate(merge=True) runs the no-retokenize fold through
+    the full register→COMPLETE→swap cycle; queries against the rotated
+    alias equal the rebuild-rotate's."""
+    from sparkfts import FTSIndex
+    from sparkfts.rotation import RotationRegistry
+    from sparkfts.streaming import nightly_rotate
+    base_pdf = make_transcripts(10, seed=88)
+    d1 = make_transcripts(4, seed=89)
+    root = str(tmp_path_factory.mktemp("nr_base"))
+    build_index(spark, spark.createDataFrame(base_pdf), root,
+                order_cols=["conv_id", "turn_idx"], cfg=CFG)
+    make_batch_indexer(root, cfg=CFG)(spark.createDataFrame(d1),
+                                      batch_id=0)
+    reg = RotationRegistry(str(tmp_path_factory.mktemp("nr_reg")))
+    out = nightly_rotate(
+        spark, reg, "convs", root,
+        str(tmp_path_factory.mktemp("nr_out")), index_date="2026-08-17",
+        registered_at="2026-08-17T00:00:00", cfg=CFG, merge=True)
+    cur = reg.current("convs")
+    assert cur["root"] == out["root"] and cur["state"] == "COMPLETE"
+    idx = FTSIndex(spark, cur["root"])
+    assert idx.N == len(base_pdf) + len(d1)
+    assert not idx.topk_local("alpha query", k=5).empty
+    from sparkfts.streaming import read_delta_log
+    assert read_delta_log(cur["root"]) == []     # fresh ledger
