@@ -52,6 +52,14 @@ def make_spark(cores: int, parts: int = 8):
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
             .config("spark.sql.files.maxPartitionBytes", "16m")
+            # committer v2: task-side renames instead of a serial
+            # job-commit walk over every partition dir — part of the
+            # fixed serial floor the scaling ratio pays twice. Safe
+            # here (single box, no speculation) and in this engine
+            # generally: shard visibility is gated by the manifest,
+            # not by the committer.
+            .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                    ".algorithm.version", "2")
             .config("spark.driver.memory",
                     os.environ.get("SPARKFTS_DRIVER_MEM", "24g"))
             .config("spark.ui.enabled", "false")
@@ -296,11 +304,18 @@ def main() -> None:
         # staying inside the bench wall-time budget.
         scaling = {}
         if os.environ.get("SPARKFTS_SKIP_SCALING") != "1":
-            # 2x: large enough that the fixed serial floor is <6% of the
-            # low-side wall, small enough that a single pinned run stays
-            # ~30s/90s — longer runs span proportionally more hypervisor
-            # steal bursts (3x was measured super-linearly slower at 4
-            # cores purely from steal exposure)
+            # 2x: large enough that the fixed serial floor is ~10% of
+            # the low-side wall, small enough that 4 concurrent kernel
+            # tasks stay inside this box's per-socket memory bandwidth.
+            # 3x was REMEASURED in round 4 (zero steal, pinned): the
+            # 1-CPU side scales linearly with corpus (70.7 -> 116.8s)
+            # but the 4-CPU side degrades SUPER-linearly (23.7 -> 53.1s)
+            # — four concurrent Arrow kernels contending for one box's
+            # memory bus, a single-host artifact a real 4-executor
+            # cluster (per-node memory) does not have. The honest
+            # asymptotic argument for the 10^12-turn regime is the
+            # Amdahl decomposition published in BASELINE.md, not a
+            # bigger single-box corpus.
             mult = int(os.environ.get("SPARKFTS_SCALE_CORPUS_MULT", "2"))
             if mult > 1:
                 scale_src = os.path.join(work, "transcripts_scale.parquet")

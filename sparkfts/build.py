@@ -22,9 +22,12 @@ one-reducer-builds-one-shard model (README.md:29-33) but from scratch:
   3. Doc store written as a pure relational pass (no tokenization: doc
      lengths live inside the posting streams, Lucene-norms style, and
      avgdl falls out of the dictionary as sum(cf)/N).
-  4. ONE shuffle at doc granularity — repartitionByRange(P, shard) of
-     (shard, docid, text) rows (exact shard balance; hash placement is
-     binomial) + a cheap int sort on shard.
+  4. ONE shuffle at doc granularity — exact-placement hash repartition
+     (placement.repartition_exact) of (shard, docid, text) rows: the
+     contiguous balanced layout rangepartitioning would pick, WITHOUT
+     its sampling job (which re-executes the whole child plan — scan +
+     docid join — a second time; plain hash placement is binomial) + a
+     cheap int sort on shard.
   5. Arrow shard kernel (mapInArrow, _make_shard_kernel): pyarrow re2
      tokenization (~15x java regex), dictionary-encode + np.lexsort
      inversion, run-length tf, delta+varint block encode with
@@ -659,8 +662,9 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
         else:
             fsel = [F.coalesce(F.col(text_col).cast("string"), F.lit(""))
                     .alias("text")]
-        enc_in = (sub.select("shard", "docid", *fsel)
-                  .repartitionByRange(min(p, max(1, len(todo))), "shard")
+        from .placement import repartition_exact
+        enc_in = (repartition_exact(sub.select("shard", "docid", *fsel),
+                                    todo, min(p, max(1, len(todo))))
                   .sortWithinPartitions("shard"))
         enc_out = enc_in.mapInArrow(_make_shard_kernel(cfg),
                                     schema=POSTING_SCHEMA)
@@ -1004,10 +1008,11 @@ def build_many(spark: SparkSession, df: DataFrame, out_base: str,
             th.start()
             p = cfg0.partitions or int(
                 spark.conf.get("spark.sql.shuffle.partitions"))
-            enc_in = (doc.select(F.col("gshard").alias("shard"),
-                                 "docid", *fsel)
-                      .repartitionByRange(min(p, max(1, len(todo_g))),
-                                          "shard")
+            from .placement import repartition_exact
+            enc_in = (repartition_exact(
+                          doc.select(F.col("gshard").alias("shard"),
+                                     "docid", *fsel),
+                          todo_g, min(p, max(1, len(todo_g))))
                       .sortWithinPartitions("shard"))
             enc_out = enc_in.mapInArrow(
                 _make_shard_kernel(cfg0, spec_by_shard=spec_by_shard),

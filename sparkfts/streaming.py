@@ -1203,8 +1203,10 @@ def compact_merge(spark: SparkSession, base_root: str, out_root: str,
         spark.conf.get("spark.sql.shuffle.partitions"))
     kernel, _ = _merge_posting_kernel(dps_new, cfg.block,
                                       cfg.max_chunk_postings)
-    enc_in = (pall.repartitionByRange(min(parts_n, max(1, ns_new)),
-                                      "nshard")
+    from .placement import repartition_exact
+    enc_in = (repartition_exact(pall, list(range(ns_new)),
+                                min(parts_n, max(1, ns_new)),
+                                shard_col="nshard")
               .sortWithinPartitions("nshard", "th", "term", "gen",
                                     "gshard", "chunk"))
     from .build import POSTING_SCHEMA as _PS
@@ -1303,8 +1305,10 @@ def _compact_merge_routed(spark: SparkSession, gens: list[dict],
     kernel, _ = _merge_posting_kernel(dps_new, cfg.block,
                                       cfg.max_chunk_postings,
                                       seg_map=seg_map)
-    enc_in = (pall.repartitionByRange(min(parts_n, max(1, ns0)),
-                                      "nshard")
+    from .placement import repartition_exact
+    enc_in = (repartition_exact(pall, list(range(ns0)),
+                                min(parts_n, max(1, ns0)),
+                                shard_col="nshard")
               .sortWithinPartitions("nshard", "th", "term", "gen",
                                     "gshard", "chunk"))
     from .build import POSTING_SCHEMA as _PS

@@ -52,16 +52,20 @@ def main(sf_dir: str) -> None:
     doc = docs.select(F.col("doc_id").alias("docid"),
                       (F.col("doc_id") / F.lit(125)).cast("int")
                       .alias("shard"), "text")
-    enc = (doc.repartitionByRange(8, "shard")
+    from sparkfts.placement import repartition_exact
+    enc = (repartition_exact(doc, list(range(4)), 8)
            .sortWithinPartitions("shard")
            .mapInArrow(_make_shard_kernel(BuildConfig(num_shards=4)),
                        schema=POSTING_SCHEMA))
     sections.append((
         "Posting build stage (one exchange + Arrow shard kernel)",
-        "Expect: exactly ONE Exchange (rangepartitioning on shard) of "
-        "doc-granularity rows, an in-stage Sort on the int shard key, "
-        "then the terminal MapInArrow — no other shuffle, no Generate, "
-        "nothing Python-side before the kernel.",
+        "Expect: exactly ONE Exchange — HASHpartitioning on the "
+        "precomputed exact-placement key (_pkey), NOT rangepartitioning "
+        "(whose bounds sampling re-executes the whole child a second "
+        "time as a separate job) — of doc-granularity rows, an in-stage "
+        "Sort on the int shard key, then the terminal MapInArrow — no "
+        "other shuffle, no Generate, nothing Python-side before the "
+        "kernel.",
         fmt(enc)))
 
     ridx = E._routed_index_for(spark, sf_dir)

@@ -46,6 +46,8 @@ def main(cores: int, src: str, root: str, warmup_src: str | None) -> None:
              .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
              .config("spark.sql.files.maxPartitionBytes", "16m")
+             .config("spark.hadoop.mapreduce.fileoutputcommitter"
+                     ".algorithm.version", "2")
              .config("spark.driver.memory",
                      os.environ.get("SPARKFTS_DRIVER_MEM", "24g"))
              .config("spark.ui.enabled", "false")
