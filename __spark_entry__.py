@@ -419,6 +419,24 @@ def q_dp_token_count(spark, sf_dir):
     return token_count(_docs(spark, sf_dir)).sort("doc_id")
 
 
+def q_dp_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-cut sequence packing: each doc's offset in
+    the concatenated token stream and the first/last training sequence
+    (budget=512 tokens) it touches. The Spark side is the scalable
+    two-pass cumsum (no single-partition window); the oracle IS the
+    single-window SQL the op must equal."""
+    from datapipe.packing import pack_sequences
+    return pack_sequences(_docs(spark, sf_dir), budget=512) \
+        .sort("doc_id")
+
+
+def q_dp_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition signals (dup-token
+    fraction, top 2-/3-gram fraction) — pretraining quality filters."""
+    from datapipe.textstats import repetition_stats
+    return repetition_stats(_docs(spark, sf_dir)).sort("doc_id")
+
+
 def q_dp_quality(spark, sf_dir):
     from datapipe.textstats import quality_score
     return quality_score(_docs(spark, sf_dir)).sort("doc_id")
@@ -526,6 +544,31 @@ def q_dp_mm_real_decode(spark, sf_dir):
     on the oracle side, so agreement proves the byte parsing."""
     from datapipe.multimodal import decode_stats, synth_ppm_media
     return decode_stats(synth_ppm_media(_docs(spark, sf_dir))) \
+        .sort("doc_id")
+
+
+def q_dp_mm_png_decode(spark, sf_dir):
+    """REAL PNG decode: deterministic PNG payloads (zlib-deflated, CRC'd
+    chunks, per-row filter type cycling through None/Sub/Up/Average/
+    Paeth) are parsed from actual image BYTES — chunk walk, inflate,
+    filter inversion — and per-channel pixel stats computed from the
+    decoded array; the oracle recomputes the same stats from the
+    pixel-generator arithmetic in SQL, with no inflate/unfilter on the
+    oracle side, so agreement proves the real decode."""
+    from datapipe.multimodal import decode_stats, synth_png_media
+    return decode_stats(synth_png_media(_docs(spark, sf_dir))) \
+        .sort("doc_id")
+
+
+def q_dp_mm_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode: block-constant grayscale JPEGs
+    (Huffman-coded scan, unit quant → bit-exact round trip) are decoded
+    from actual JPEG BYTES — marker parse, canonical Huffman, dequant,
+    exact IDCT — and pixel stats computed from the decoded array; the
+    oracle recomputes the stats from the block-value arithmetic in SQL
+    with no decoder on its side."""
+    from datapipe.multimodal import decode_stats, synth_jpeg_media
+    return decode_stats(synth_jpeg_media(_docs(spark, sf_dir))) \
         .sort("doc_id")
 
 
@@ -752,6 +795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_embedding_dups": q_dp_embedding_dups,
         "dp_cosine_topk": q_dp_cosine_topk,
         "dp_token_count": q_dp_token_count,
+        "dp_pack_sequences": q_dp_pack_sequences,
+        "dp_repetition": q_dp_repetition,
         "dp_quality": q_dp_quality,
         "dp_lang_id": q_dp_lang_id,
         "dp_fingerprint": q_dp_fingerprint,
@@ -770,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_mm_features": q_dp_mm_features,
         "dp_mm_frames": q_dp_mm_frames,
         "dp_mm_real_decode": q_dp_mm_real_decode,
+        "dp_mm_png_decode": q_dp_mm_png_decode,
+        "dp_mm_jpeg_decode": q_dp_mm_jpeg_decode,
     }
 
 
@@ -1259,6 +1306,61 @@ def oracle_sql() -> dict[str, str]:
                                    t -> t <> '')) AS n_tokens,
                    length(text) AS n_chars
             FROM documents ORDER BY doc_id""",
+        "dp_pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(lower(text),
+                                                        '[^a-z0-9]+'),
+                                     x -> x <> '')) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS tok_start
+              FROM t)
+            SELECT doc_id, n_tokens, tok_start,
+                   tok_start // 512 AS seq_first,
+                   greatest(tok_start, tok_start + n_tokens - 1) // 512
+                     AS seq_last
+            FROM c ORDER BY doc_id""",
+        "dp_repetition": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            g2 AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS g
+              FROM t WHERE len(toks) >= 2),
+            a2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+            f2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS t2
+                   FROM a2 GROUP BY 1),
+            g3 AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i + 1] || ' '
+                            || toks[i + 2])) AS g
+              FROM t WHERE len(toks) >= 3),
+            a3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+            f3 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS t3
+                   FROM a3 GROUP BY 1)
+            SELECT t.doc_id,
+                   len(toks) AS n_tokens,
+                   len(list_distinct(toks)) AS n_distinct_tokens,
+                   round(CASE WHEN len(toks) > 0 THEN
+                     1 - len(list_distinct(toks))::DOUBLE / len(toks)
+                     ELSE 0 END, 6) AS dup_token_frac,
+                   round(COALESCE(f2.t2, 0), 6) AS top2gram_frac,
+                   round(COALESCE(f3.t3, 0), 6) AS top3gram_frac
+            FROM t LEFT JOIN f2 USING (doc_id)
+                   LEFT JOIN f3 USING (doc_id)
+            ORDER BY doc_id""",
         "dp_quality": f"""
             WITH {_QUALITY_TOKS}
             SELECT doc_id, n_tokens,
@@ -1387,6 +1489,39 @@ def oracle_sql() -> dict[str, str]:
             px AS (
               SELECT g.doc_id, g.w, g.h, t.i,
                      (g.doc_id * 7 + t.i * 13) % 256 AS v
+              FROM g, UNNEST(generate_series(0, g.w * g.h * 3 - 1))
+                   AS t(i))
+            SELECT doc_id, w::INT AS width, h::INT AS height,
+                   round(avg(v), 6) AS mean_px_r,
+                   round(avg(v) FILTER (i % 3 = 0), 6) AS mean_red_r,
+                   max(v)::INT AS max_px
+            FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
+        "dp_mm_png_decode": """
+            WITH g AS (
+              SELECT doc_id,
+                     16 + doc_id % 8 AS w, 12 + doc_id % 5 AS h
+              FROM documents),
+            px AS (
+              SELECT g.doc_id, g.w, g.h, t.i,
+                     (g.doc_id * 11 + t.i * 17) % 256 AS v
+              FROM g, UNNEST(generate_series(0, g.w * g.h * 3 - 1))
+                   AS t(i))
+            SELECT doc_id, w::INT AS width, h::INT AS height,
+                   round(avg(v), 6) AS mean_px_r,
+                   round(avg(v) FILTER (i % 3 = 0), 6) AS mean_red_r,
+                   max(v)::INT AS max_px
+            FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
+        "dp_mm_jpeg_decode": """
+            WITH g AS (
+              SELECT doc_id,
+                     16 + (doc_id % 3) * 8 AS w,
+                     16 + (doc_id % 2) * 8 AS h
+              FROM documents),
+            px AS (
+              SELECT g.doc_id, g.w, g.h, t.i,
+                     (g.doc_id * 29
+                      + (((t.i // 3) // g.w) // 8) * 5
+                      + (((t.i // 3) % g.w) // 8) * 3) % 256 AS v
               FROM g, UNNEST(generate_series(0, g.w * g.h * 3 - 1))
                    AS t(i))
             SELECT doc_id, w::INT AS width, h::INT AS height,

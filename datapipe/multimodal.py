@@ -4,12 +4,13 @@ Image/audio/video payloads are `binary` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 pandas UDFs over mapInPandas.
 
-Codec status: PPM/P6 (a self-contained netpbm format, public spec) is
-REALLY decoded/encoded here in pure numpy — `decode_image` parses actual
-image bytes, verified by a driver gate whose oracle recomputes the pixel
-statistics in SQL. Lib-dependent codecs (JPEG/PNG/audio/video) are
-STUBBED (no image/audio libraries in this container):
-`decode_image(real=True)` on a non-P6 payload raises
+Codec status: PPM/P6 (netpbm, public spec) and PNG (RFC 2083: CRC'd
+chunk framing, stdlib-zlib inflate, all five scanline filters inverted)
+are REALLY decoded/encoded here in pure numpy — `decode_image` parses
+actual image bytes, verified by driver gates whose oracles recompute the
+pixel statistics in SQL with no decoder on the oracle side.
+Lib-dependent codecs (JPEG/audio/video) are STUBBED (no codec libraries
+in this container): `decode_image(real=True)` on such a payload raises
 NotImplementedError, while a deterministic fake decoder keeps the
 Spark-side plumbing (schema, partitioning, UDF signature, Arrow batch
 shape) testable end-to-end for those types.
@@ -100,24 +101,179 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return px.reshape(h, w, 3)
 
 
+# --------------------------------------------------------- real PNG codec
+# PNG (RFC 2083 / ISO 15948) in pure numpy + stdlib zlib: chunk framing
+# with CRC-32 verification, zlib inflate of the IDAT stream, and the five
+# scanline filters (None/Sub/Up/Average/Paeth) inverted per row. No
+# external imaging library — zlib ships in CPython's stdlib. JPEG stays
+# a declared stub (baseline JPEG needs a Huffman+IDCT stack; no codec
+# libs in this container).
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §6.6), vectorized; a=left, b=up,
+    c=upper-left, all int16+ to avoid uint8 wraparound in |p - x|."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(px: np.ndarray, filters: list[int] | None = None,
+               level: int = 6) -> bytes:
+    """Encode an HxWx3 uint8 array as an 8-bit truecolor PNG.
+
+    ``filters`` gives the per-row filter type (0..4, cycled if shorter
+    than the height; default all-0). Forward filtering is vectorized —
+    predictions use the ORIGINAL bytes, so this path shares no code with
+    the decoder's sequential reconstruction (round-trip tests exercise
+    two genuinely independent implementations of the filter algebra)."""
+    import struct
+    import zlib
+    h, w, c = px.shape
+    assert c == 3 and px.dtype == np.uint8
+    filters = filters or [0]
+    raw = px.reshape(h, w * 3).astype(np.int16)
+    left = np.zeros_like(raw)
+    left[:, 3:] = raw[:, :-3]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    ul = np.zeros_like(raw)
+    ul[1:, 3:] = raw[:-1, :-3]
+    preds = [np.zeros_like(raw), left, up, (left + up) // 2,
+             _paeth(left, up, ul)]
+    out = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        out.append(f)
+        out += ((raw[y] - preds[f][y]) % 256).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out), level))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Parse a PNG to HxWx3 uint8: chunk walk with CRC-32 checks, zlib
+    inflate, per-row filter inversion. Supports bit depth 8, color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) — alpha is
+    dropped, gray replicated, palette looked up, so the return shape is
+    always HxWx3. Interlaced (Adam7) images are rejected. Sub rows
+    invert via a per-channel cumulative sum; Average/Paeth rows need the
+    just-reconstructed left neighbor, so they scan the row with
+    channel-vectorized steps."""
+    import struct
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    ihdr, idat, plte = None, [], None
+    while pos + 8 <= n:
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG bit depth {depth}/compression {comp} not supported")
+    if interlace:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if ch is None:
+        raise ValueError(f"PNG color type {ctype} invalid")
+    raw = zlib.decompress(b"".join(idat))   # adler32-verified by zlib
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes, data = rows[:, 0], rows[:, 1:].astype(np.int16)
+    recon = np.zeros((h, stride), dtype=np.int16)
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        f, r = int(ftypes[y]), data[y]
+        if f == 0:
+            line = r.copy()
+        elif f == 1:        # Sub: prefix sum per channel offset
+            line = r.copy()
+            for k in range(ch):
+                line[k::ch] = np.cumsum(r[k::ch]) % 256
+        elif f == 2:        # Up
+            line = (r + prev) % 256
+        elif f in (3, 4):   # Average / Paeth: left-recursive
+            line = np.empty(stride, dtype=np.int16)
+            zero = np.zeros(ch, dtype=np.int16)
+            for x in range(w):
+                s = x * ch
+                a = line[s - ch:s] if x else zero
+                b = prev[s:s + ch]
+                if f == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = prev[s - ch:s] if x else zero
+                    pred = _paeth(a, b, c)
+                line[s:s + ch] = (r[s:s + ch] + pred) % 256
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        recon[y], prev = line, line
+    px = recon.astype(np.uint8).reshape(h, w, ch)
+    if ctype == 2:
+        return px
+    if ctype == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    if ctype in (0, 4):
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    return plte[px[:, :, 0]]
+
+
 def decode_image(payload: bytes, w: int, h: int,
                  real: bool | None = None) -> np.ndarray:
     """Decode an image payload to HxWx3 uint8.
 
-    real=None (default): auto — REAL decode for P6/PPM payloads, the
-    deterministic fake for anything else. real=True: require a real
-    decode (raises NotImplementedError for formats needing external
-    codecs — JPEG/PNG → PIL/libjpeg on a full cluster). real=False:
-    force the fake (plumbing tests)."""
+    real=None (default): auto — REAL decode for P6/PPM, PNG, and
+    baseline JPEG payloads, the deterministic fake for anything else.
+    real=True: require a real decode (raises NotImplementedError for
+    formats needing external codecs — e.g. WebP/AVIF, progressive or
+    subsampled JPEG). real=False: force the fake (plumbing tests)."""
     is_ppm = payload[:2] == b"P6"
+    is_png = payload[:8] == _PNG_SIG
+    is_jpg = payload[:2] == b"\xff\xd8"
     if real is None:
-        real = is_ppm
+        real = is_ppm or is_png or is_jpg
     if real:
         if is_ppm:
             return decode_ppm(payload)
+        if is_png:
+            return decode_png(payload)
+        if is_jpg:
+            from .jpeg import decode_jpeg
+            return decode_jpeg(payload)
         raise NotImplementedError(
-            "only PPM/P6 decodes without external codecs; plug in "
-            "PIL/torchvision here on a full cluster for JPEG/PNG")
+            "PPM/P6, PNG, and baseline JPEG decode without external "
+            "codecs; plug in PIL/torchvision here on a full cluster "
+            "for other formats")
     return _fake_decode(payload, w, h)
 
 
@@ -148,9 +304,77 @@ def synth_ppm_media(df: DataFrame) -> DataFrame:
     return df.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
 
 
+def synth_png_media(df: DataFrame) -> DataFrame:
+    """Fabricate REAL PNG image payloads deterministically from doc_id:
+    w = 16 + doc_id%8, h = 12 + doc_id%5, pixel byte i =
+    (doc_id*11 + i*17) % 256, per-row filter type (doc_id + y) % 5 so
+    every scanline filter (None/Sub/Up/Average/Paeth) is exercised.
+    Pixel arithmetic is SQL-expressible, so a DuckDB oracle recomputes
+    the decoded-pixel statistics WITHOUT any inflate/unfilter step —
+    agreement proves the zlib + filter-inversion path is a real
+    decoder, not an echo of the generator."""
+    from typing import Iterator as _It
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 8, 12 + d % 5
+                i = np.arange(w * h * 3, dtype=np.int64)
+                px = ((d * 11 + i * 17) % 256).astype(np.uint8)
+                filt = [(d + y) % 5 for y in range(h)]
+                rows.append({
+                    "doc_id": d, "media_type": "image",
+                    "payload": encode_png(px.reshape(h, w, 3),
+                                          filters=filt),
+                    "meta": {"width": w, "height": h,
+                             "sample_rate": 0, "n_frames": 1}})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA])
+
+    return df.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def synth_jpeg_media(df: DataFrame) -> DataFrame:
+    """Fabricate REAL baseline-JPEG payloads deterministically from
+    doc_id: grayscale w = 16 + (doc_id%3)*8, h = 16 + (doc_id%2)*8,
+    8x8-block-constant pixels with block (bx,by) value
+    (doc_id*29 + by*5 + bx*3) % 256, unit quantization table. Block-
+    constant images survive DCT quantization BIT-EXACTLY (all AC
+    coefficients are exactly zero, DC is exact under quant[0]=1), so a
+    DuckDB oracle recomputes decoded-pixel statistics from the
+    generator arithmetic — while the Spark side must run a real Huffman
+    + dequant + IDCT decode to agree."""
+    from typing import Iterator as _It
+
+    from .jpeg import encode_jpeg
+
+    def run(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + (d % 3) * 8, 16 + (d % 2) * 8
+                bv = ((d * 29
+                       + np.add.outer(np.arange(h // 8) * 5,
+                                      np.arange(w // 8) * 3)) % 256)
+                px = np.repeat(np.repeat(bv, 8, 0), 8, 1) \
+                    .astype(np.uint8)
+                rows.append({
+                    "doc_id": d, "media_type": "image",
+                    "payload": encode_jpeg(px),
+                    "meta": {"width": w, "height": h,
+                             "sample_rate": 0, "n_frames": 1}})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in MEDIA_SCHEMA])
+
+    return df.select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
 def decode_stats(media: DataFrame) -> DataFrame:
-    """REAL decode check: parse each payload's image bytes (P6) and
-    report dimensions + channel statistics computed FROM THE DECODED
+    """REAL decode check: parse each payload's image bytes (P6 or PNG)
+    and report dimensions + channel statistics computed FROM THE DECODED
     PIXELS (not from metadata)."""
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -168,7 +392,8 @@ def decode_stats(media: DataFrame) -> DataFrame:
             # decode is inherently per-payload; ALL statistics are
             # computed in one vectorized pass over the concatenated
             # pixel buffer (segment reductions via np.*.reduceat)
-            decoded = [decode_ppm(bytes(p)) for p in pdf["payload"]]
+            decoded = [decode_image(bytes(p), 0, 0, real=True)
+                       for p in pdf["payload"]]
             ws = np.array([d.shape[1] for d in decoded], dtype=np.int64)
             hs = np.array([d.shape[0] for d in decoded], dtype=np.int64)
             lens = ws * hs * 3

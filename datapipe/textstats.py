@@ -149,3 +149,59 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
             .select("doc_id", F.col("s.h").alias("fp_hash"),
                     (-F.col("s.np")).cast("int").alias("fp_pos"))
             .distinct())
+
+
+def _ngram_col(n: int):
+    """Array<string> of word n-grams from the analyzer tokens of `toks`
+    (guarded: size < n → empty array; the unguarded sequence(0, size-n)
+    would flip to a DESCENDING sequence for short docs)."""
+    joiner = " "
+    parts = [f"element_at(toks, i + {j + 1})" for j in range(n)]
+    return F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(0, size(toks) - {n}), "
+        f"i -> concat_ws('{joiner}', {', '.join(parts)})) "
+        f"ELSE array() END")
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher / MassiveText
+    quality-filter family, Rae et al. 2021 §A1.1), token-level:
+
+      dup_token_frac  = 1 - distinct_tokens / n_tokens  (0 if empty)
+      top2gram_frac   = count(mode 2-gram) / n_2grams   (0 if none)
+      top3gram_frac   = count(mode 3-gram) / n_3grams   (0 if none)
+
+    High values flag boilerplate/spam documents that a pretraining
+    curation pass drops. One explode→two-level aggregation per n-gram
+    order — shuffle keys are (doc_id, gram), so partial aggregation
+    combines map-side and hot documents cannot skew a reducer beyond
+    their own gram multiset. Exact SQL oracle (gate dp_repetition)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    base = df.select("doc_id", toks.alias("toks"))
+
+    def top_frac(n: int, name: str) -> DataFrame:
+        return (base.select("doc_id",
+                            F.explode(_ngram_col(n)).alias("g"))
+                .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+                .groupBy("doc_id")
+                .agg((F.max("c") / F.sum("c")).alias(name)))
+
+    tok_stats = base.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long")
+         .alias("n_distinct_tokens"))
+    out = (tok_stats
+           .join(top_frac(2, "_t2"), "doc_id", "left")
+           .join(top_frac(3, "_t3"), "doc_id", "left"))
+    dup = F.when(F.col("n_tokens") > 0,
+                 1.0 - F.col("n_distinct_tokens")
+                 / F.col("n_tokens").cast("double")).otherwise(0.0)
+    return out.select(
+        "doc_id", "n_tokens", "n_distinct_tokens",
+        F.round(dup, 6).alias("dup_token_frac"),
+        F.round(F.coalesce(F.col("_t2"), F.lit(0.0)), 6)
+         .alias("top2gram_frac"),
+        F.round(F.coalesce(F.col("_t3"), F.lit(0.0)), 6)
+         .alias("top3gram_frac"))
