@@ -437,6 +437,25 @@ def q_dp_repetition(spark, sf_dir):
     return repetition_stats(_docs(spark, sf_dir)).sort("doc_id")
 
 
+def q_dp_dup_spans(spark, sf_dir):
+    """Span-level exact substring dedup stats (Lee et al. 2022
+    ExactSubstr at L-token gram resolution): per-doc duplicated-token
+    count / maximal-run count / fraction from the corpus-wide union of
+    duplicated length-L windows."""
+    from datapipe.dedup import duplicated_spans
+    return duplicated_spans(_docs(spark, sf_dir), min_len=10) \
+        .sort("doc_id")
+
+
+def q_dp_strip_dup_spans(spark, sf_dir):
+    """ExactSubstr cleaning: delete every non-first occurrence of each
+    duplicated length-L window and rebuild the doc text from surviving
+    tokens — value-checked including the rebuilt text itself."""
+    from datapipe.dedup import strip_duplicate_spans
+    return strip_duplicate_spans(_docs(spark, sf_dir), min_len=10) \
+        .sort("doc_id")
+
+
 def q_dp_quality(spark, sf_dir):
     from datapipe.textstats import quality_score
     return quality_score(_docs(spark, sf_dir)).sort("doc_id")
@@ -797,6 +816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_token_count": q_dp_token_count,
         "dp_pack_sequences": q_dp_pack_sequences,
         "dp_repetition": q_dp_repetition,
+        "dp_dup_spans": q_dp_dup_spans,
+        "dp_strip_dup_spans": q_dp_strip_dup_spans,
         "dp_quality": q_dp_quality,
         "dp_lang_id": q_dp_lang_id,
         "dp_fingerprint": q_dp_fingerprint,
@@ -984,6 +1005,97 @@ def _winnow_sql(kgram: int = 5, window: int = 4) -> str:
                          AND kg.p BETWEEN ws.w AND ws.w + {window - 1})
         SELECT DISTINCT doc_id, h AS fp_hash, p::INT AS fp_pos
         FROM win WHERE rn = 1 ORDER BY doc_id, fp_pos"""
+
+
+def _span_grams_sql(L: int) -> str:
+    """Shared CTEs for the ExactSubstr gates: analyzer token lists,
+    per-doc token counts, and md5-hashed length-L gram windows with
+    0-based start positions — the exact arithmetic of
+    datapipe.dedup._span_grams."""
+    return f"""
+        base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT}'),
+                             t -> t <> '') AS tl
+          FROM documents),
+        nt AS (SELECT doc_id, len(tl)::BIGINT AS n_tokens FROM base),
+        kg AS (
+          SELECT doc_id, i - 1 AS p,
+                 md5(array_to_string(tl[i:i+{L - 1}], ' ')) AS h
+          FROM base, UNNEST(generate_series(1, len(tl) - {L - 1}))
+               AS g(i))"""
+
+
+def _dup_spans_sql(L: int = 10) -> str:
+    """Per-doc duplicated-span stats: duplicated grams = hash occurs
+    >= 2 times corpus-wide; covered tokens = merged-interval union over
+    sorted starts (sum of min(L, gap), + L for the last)."""
+    return f"""
+        WITH {_span_grams_sql(L)},
+        dcnt AS (SELECT h FROM kg GROUP BY h HAVING count(*) >= 2),
+        dup AS (SELECT kg.doc_id, kg.p FROM kg JOIN dcnt USING (h)),
+        seq AS (SELECT doc_id, p,
+                       lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np,
+                       lag(p)  OVER (PARTITION BY doc_id ORDER BY p) AS pp
+                FROM dup),
+        agg AS (SELECT doc_id,
+                       sum(CASE WHEN np IS NULL THEN {L}
+                                ELSE least({L}, np - p) END)::BIGINT
+                         AS dup_tokens,
+                       sum(CASE WHEN pp IS NULL OR p - pp > {L}
+                                THEN 1 ELSE 0 END)::BIGINT AS dup_spans
+                FROM seq GROUP BY doc_id)
+        SELECT nt.doc_id,
+               coalesce(agg.dup_tokens, 0) AS dup_tokens,
+               coalesce(agg.dup_spans, 0) AS dup_spans,
+               nt.n_tokens,
+               round(coalesce(agg.dup_tokens, 0)
+                     / greatest(nt.n_tokens, 1), 6) AS dup_frac
+        FROM nt LEFT JOIN agg USING (doc_id) ORDER BY nt.doc_id"""
+
+
+def _strip_dup_spans_sql(L: int = 10) -> str:
+    """ExactSubstr cleaning oracle: delete non-first occurrences of
+    duplicated grams (first = min (doc_id, p) per hash), coverage via a
+    running last-non-null removal start over the merged doc-ordered
+    event stream (start events sort before the token at the same
+    position), rebuilt text = kept tokens space-joined in order."""
+    return f"""
+        WITH {_span_grams_sql(L)},
+        marked AS (
+          SELECT doc_id, p FROM (
+            SELECT kg.doc_id, kg.p,
+                   count(*) OVER (PARTITION BY h) AS c,
+                   row_number() OVER (PARTITION BY h
+                                      ORDER BY doc_id, p) AS rn
+            FROM kg) WHERE c >= 2 AND rn >= 2),
+        tokpos AS (
+          SELECT doc_id, i - 1 AS q, tl[i] AS tok
+          FROM base, UNNEST(generate_series(1, len(tl))) AS g(i)),
+        ev AS (
+          SELECT doc_id, q, tok, NULL::BIGINT AS sp FROM tokpos
+          UNION ALL
+          SELECT doc_id, p AS q, NULL AS tok, p AS sp FROM marked),
+        run AS (
+          SELECT doc_id, q, tok,
+                 last_value(sp IGNORE NULLS) OVER (
+                   PARTITION BY doc_id
+                   ORDER BY q, (sp IS NULL)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_sp
+          FROM ev),
+        kept AS (SELECT doc_id, q, tok FROM run
+                 WHERE tok IS NOT NULL
+                   AND (run_sp IS NULL OR run_sp + {L} <= q)),
+        outt AS (SELECT doc_id,
+                        string_agg(tok, ' ' ORDER BY q) AS clean_text,
+                        count(*)::BIGINT AS kept_tokens
+                 FROM kept GROUP BY doc_id)
+        SELECT nt.doc_id,
+               coalesce(outt.clean_text, '') AS clean_text,
+               coalesce(outt.kept_tokens, 0) AS kept_tokens,
+               nt.n_tokens
+        FROM nt LEFT JOIN outt USING (doc_id) ORDER BY nt.doc_id"""
 
 
 def _lsh_topk_sql(dim: int = 64, n_planes: int = 16,
@@ -1361,6 +1473,8 @@ def oracle_sql() -> dict[str, str]:
             FROM t LEFT JOIN f2 USING (doc_id)
                    LEFT JOIN f3 USING (doc_id)
             ORDER BY doc_id""",
+        "dp_dup_spans": _dup_spans_sql(),
+        "dp_strip_dup_spans": _strip_dup_spans_sql(),
         "dp_quality": f"""
             WITH {_QUALITY_TOKS}
             SELECT doc_id, n_tokens,

@@ -13,9 +13,10 @@ can reproduce them bit-for-bit.
 """
 from .curate import (contamination, decontaminate, hash_sample,
                      redact_pii, stratified_hash_sample)
-from .dedup import (dedup_corpus, dup_groups, embedding_dup_pairs,
-                    exact_dedup, jaccard_pairs, minhash_lsh_pairs,
-                    minhash_signatures, simhash)
+from .dedup import (dedup_corpus, dup_groups, duplicated_spans,
+                    embedding_dup_pairs, exact_dedup, jaccard_pairs,
+                    minhash_lsh_pairs, minhash_signatures, simhash,
+                    strip_duplicate_spans)
 from .packing import pack_sequences
 from .similarity import (AnnIndex, build_ann, build_ann_append,
                          cosine_topk, ivf_topk, lsh_topk,
@@ -29,6 +30,7 @@ __all__ = [
     "stratified_hash_sample",
     "dedup_corpus", "dup_groups", "embedding_dup_pairs", "exact_dedup",
     "jaccard_pairs", "minhash_lsh_pairs", "minhash_signatures", "simhash",
+    "duplicated_spans", "strip_duplicate_spans",
     "AnnIndex", "build_ann", "build_ann_append",
     "cosine_topk", "ivf_topk", "lsh_topk", "sample_centroid_ids",
     "train_centroids",

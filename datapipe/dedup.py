@@ -357,3 +357,135 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.95,
             .withColumn("cos", _pair_cos())
             .where(F.col("cos") >= threshold)
             .select("a", "b", F.round("cos", 6).alias("cos")))
+
+
+# --------------------------------------------------------------------
+# Span-level exact substring dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr pass).
+# The paper builds a corpus-wide suffix array; the Spark-native
+# equivalent is gram-granular: every length-L token window is hashed,
+# windows whose hash occurs >= min_count times anywhere in the corpus
+# are "duplicated", and per-doc the union of their [p, p+L) intervals
+# is the duplicated region. Identical duplicated-span semantics at
+# L-token resolution, expressed as two bucketed shuffles (by gram hash,
+# then by doc_id) — no suffix array, no driver state, no join on the
+# gram hot path (the occurrence count is a window aggregate).
+# --------------------------------------------------------------------
+
+def _span_grams(df: DataFrame, text_col: str, min_len: int):
+    """base=(doc_id, tl, n_tokens) and kg=(doc_id, p, h): md5 of each
+    length-``min_len`` token window at start position p (0-based),
+    analyzer-tokenized. Docs shorter than min_len emit no grams. kg
+    carries ONLY (doc_id, p, h) — nothing else rides the gram-hash
+    shuffle."""
+    L = int(min_len)
+    txt = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    toks = F.filter(F.split(F.lower(txt), "[^a-z0-9]+"),
+                    lambda t: t != "")
+    base = (df.select("doc_id", toks.alias("tl"))
+              .withColumn("n_tokens", F.size("tl")))
+    grams = F.when(
+        F.col("n_tokens") >= L,
+        F.transform(F.sequence(F.lit(1), F.col("n_tokens") - L + 1),
+                    lambda i: F.md5(F.encode(
+                        F.concat_ws(" ", F.slice(F.col("tl"), i, L)),
+                        "UTF-8")))
+    ).otherwise(F.array().cast("array<string>"))
+    kg = base.select("doc_id", F.posexplode(grams).alias("p", "h"))
+    return base, kg
+
+
+def duplicated_spans(df: DataFrame, text_col: str = "text",
+                     min_len: int = 10, min_count: int = 2) -> DataFrame:
+    """Per-doc duplicated-span statistics: (doc_id, dup_tokens,
+    dup_spans, n_tokens, dup_frac) where dup_tokens is the number of
+    token positions covered by at least one duplicated length-L window
+    (merged-interval union), and dup_spans the number of maximal
+    contiguous duplicated runs.
+
+    Scale: one shuffle by gram hash (occurrence count as a window
+    aggregate — no join), one by doc_id (interval union via lead/lag
+    over sorted starts: covered = sum(min(L, next_p - p)) + L for the
+    last start). Gram fan-out is ~n_tokens rows/doc, same budget as the
+    inverted-index build itself."""
+    from pyspark.sql import Window as W
+    L = int(min_len)
+    base, kg = _span_grams(df, text_col, L)
+    cnt = F.count("*").over(W.partitionBy("h"))
+    dup = kg.withColumn("c", cnt).where(F.col("c") >= int(min_count))
+    w2 = W.partitionBy("doc_id").orderBy("p")
+    nxt = F.lead("p").over(w2)
+    prv = F.lag("p").over(w2)
+    contrib = F.when(nxt.isNull(), F.lit(L)).otherwise(
+        F.least(F.lit(L), nxt - F.col("p")))
+    new_span = F.when(prv.isNull() | (F.col("p") - prv > L), 1).otherwise(0)
+    agg = (dup.select("doc_id", contrib.alias("ct"), new_span.alias("ns"))
+              .groupBy("doc_id")
+              .agg(F.sum("ct").alias("dup_tokens"),
+                   F.sum("ns").alias("dup_spans")))
+    return (base.select("doc_id", "n_tokens").join(agg, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+                    F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.round(F.coalesce("dup_tokens", F.lit(0))
+                            / F.greatest("n_tokens", F.lit(1)), 6)
+                     .alias("dup_frac")))
+
+
+def strip_duplicate_spans(df: DataFrame, text_col: str = "text",
+                          min_len: int = 10,
+                          min_count: int = 2) -> DataFrame:
+    """ExactSubstr cleaning: for every duplicated length-L window keep
+    the FIRST occurrence in (doc_id, p) order and delete the token
+    range [p, p+L) of every later occurrence, then rebuild each doc's
+    text from the surviving tokens (whitespace/punctuation normalized —
+    the output is analyzer-token text, space-joined).
+
+    Returns (doc_id, clean_text, kept_tokens, n_tokens). Removal-
+    coverage is computed without an interval join: token positions and
+    removal starts merge-sort into one doc-ordered stream, and a
+    running last-non-null start (window `last(ignorenulls)`) marks a
+    token q deleted iff last_start + L > q — O(1) state per row, one
+    doc_id shuffle."""
+    from pyspark.sql import Window as W
+    L = int(min_len)
+    base, kg = _span_grams(df, text_col, L)
+    # global first-occurrence rank per gram hash (deterministic order:
+    # doc_id then position); rn >= 2 → delete this occurrence
+    wh = W.partitionBy("h").orderBy("doc_id", "p")
+    marked = (kg.withColumn("c", F.count("*").over(W.partitionBy("h")))
+                .withColumn("rn", F.row_number().over(wh))
+                .where((F.col("c") >= int(min_count)) & (F.col("rn") >= 2))
+                .select("doc_id", "p"))
+    toks_pos = base.select(
+        "doc_id", F.posexplode("tl").alias("q", "tok"))
+    ev = toks_pos.unionByName(
+        marked.select("doc_id", F.col("p").alias("q"),
+                      F.lit(None).cast("string").alias("tok"))
+              .withColumn("sp", F.col("q")),
+        allowMissingColumns=True)
+    # at equal position, the start event must precede the token event so
+    # a window starting AT q deletes the token at q: sp asc_nulls_last
+    we = (W.partitionBy("doc_id")
+           .orderBy(F.col("q"), F.col("sp").asc_nulls_last())
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    run = F.last("sp", ignorenulls=True).over(we)
+    kept = (ev.withColumn("run_sp", run)
+              .where(F.col("tok").isNotNull()
+                     & (F.col("run_sp").isNull()
+                        | (F.col("run_sp") + L <= F.col("q")))))
+    out = (kept.groupBy("doc_id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(F.col("q"), F.col("tok")))),
+                            lambda s: s["tok"]), " ").alias("clean_text"),
+                    F.count("*").alias("kept_tokens")))
+    return (base.select("doc_id", F.col("n_tokens").cast("long")
+                        .alias("n_tokens"))
+            .join(out, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+                    "n_tokens"))

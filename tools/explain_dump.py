@@ -148,6 +148,17 @@ def main(sf_dir: str) -> None:
         fmt(contamination(docs.where("doc_id % 17 <> 0"),
                           docs.where("doc_id % 17 = 0")))))
 
+    from datapipe.dedup import duplicated_spans
+    sections.append((
+        "ExactSubstr span dedup (duplicated_spans)",
+        "Expect: gram occurrence counting as a window aggregate over "
+        "one Exchange on the gram hash `h` — NO self-join on the gram "
+        "path — then one Exchange by doc_id for the lead/lag interval "
+        "union; the final per-doc rollup is a partial-aggregated "
+        "HashAggregate. Two bucketed shuffles total, fan-out bounded "
+        "by tokens/doc (same budget as the index build itself).",
+        fmt(duplicated_spans(docs, min_len=10))))
+
     sections.append((
         "Deterministic hash sampling",
         "Expect: a pure map-side Filter (md5 hex-cutoff) directly over "
