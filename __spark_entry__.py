@@ -456,6 +456,44 @@ def q_dp_strip_dup_spans(spark, sf_dir):
         .sort("doc_id")
 
 
+# Fixed merge table for the value-checked BPE-encode gate: exercises
+# chained merges (merged symbols as later pair members) over the
+# fixture vocabulary. Sequential-apply semantics == one string replace
+# per merge, so the DuckDB oracle is an exact chained-replace.
+BPE_FIXED_MERGES = [
+    ("t", "h"), ("th", "e"), ("q", "u"), ("qu", "e"), ("que", "r"),
+    ("quer", "y"), ("b", "a"), ("ba", "t"), ("bat", "c"), ("batc", "h"),
+    ("e", "r"),
+]
+
+
+def q_dp_bpe_encode_fixed(spark, sf_dir):
+    """Distributed BPE encode under a FIXED merge table — value-checked
+    including the full per-doc token stream (bpe_text)."""
+    from datapipe.bpe import bpe_encode
+    out = bpe_encode(_docs(spark, sf_dir), BPE_FIXED_MERGES)
+    return (out.select("doc_id",
+                       F.array_join("bpe_tokens", " ").alias("bpe_text"),
+                       F.col("n_bpe_tokens").cast("long")
+                        .alias("n_bpe_tokens"))
+               .sort("doc_id"))
+
+
+def q_dp_bpe_train_encode(spark, sf_dir):
+    """End-to-end BPE: ONE distributed word-histogram pass, driver-side
+    merge learning over the bounded histogram (deterministic
+    tie-breaks), distributed encode. Training is iterative and not
+    SQL-expressible, so this gate is rows-only; the trainer itself is
+    pinned to a naive recount-reference in tests/test_bpe.py."""
+    from datapipe.bpe import bpe_encode, train_bpe
+    docs = _docs(spark, sf_dir)
+    merges = train_bpe(docs, num_merges=30)
+    return (bpe_encode(docs, merges)
+            .select("doc_id", F.col("n_bpe_tokens").cast("long")
+                    .alias("n_bpe_tokens"))
+            .sort("doc_id"))
+
+
 def q_dp_quality(spark, sf_dir):
     from datapipe.textstats import quality_score
     return quality_score(_docs(spark, sf_dir)).sort("doc_id")
@@ -818,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_repetition": q_dp_repetition,
         "dp_dup_spans": q_dp_dup_spans,
         "dp_strip_dup_spans": q_dp_strip_dup_spans,
+        "dp_bpe_encode_fixed": q_dp_bpe_encode_fixed,
+        "dp_bpe_train_encode": q_dp_bpe_train_encode,
         "dp_quality": q_dp_quality,
         "dp_lang_id": q_dp_lang_id,
         "dp_fingerprint": q_dp_fingerprint,
@@ -1096,6 +1136,39 @@ def _strip_dup_spans_sql(L: int = 10) -> str:
                coalesce(outt.kept_tokens, 0) AS kept_tokens,
                nt.n_tokens
         FROM nt LEFT JOIN outt USING (doc_id) ORDER BY nt.doc_id"""
+
+
+def _bpe_encode_fixed_sql() -> str:
+    """Chained-replace BPE oracle: each word becomes its leading-space
+    char form (' a b c'), then one replace() per merge in learned order
+    — replace()'s left-to-right non-overlapping pass IS the sequential
+    BPE apply — and the per-doc stream re-assembles in token order."""
+    expr = "regexp_replace(word, '(.)', ' \\1', 'g')"
+    for a, b in BPE_FIXED_MERGES:
+        expr = f"replace({expr}, ' {a} {b}', ' {a}{b}')"
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT}'),
+                             t -> t <> '') AS tl
+          FROM documents),
+        tok AS (
+          SELECT doc_id, i AS idx, tl[i] AS word
+          FROM base, UNNEST(generate_series(1, len(tl))) AS g(i)),
+        enc AS (
+          SELECT doc_id, idx, trim({expr}) AS toks_str
+          FROM tok),
+        perdoc AS (
+          SELECT doc_id,
+                 string_agg(toks_str, ' ' ORDER BY idx) AS bpe_text,
+                 sum(len(string_split(toks_str, ' ')))::BIGINT
+                   AS n_bpe_tokens
+          FROM enc GROUP BY doc_id)
+        SELECT b.doc_id,
+               coalesce(p.bpe_text, '') AS bpe_text,
+               coalesce(p.n_bpe_tokens, 0) AS n_bpe_tokens
+        FROM base b LEFT JOIN perdoc p USING (doc_id)
+        ORDER BY b.doc_id"""
 
 
 def _lsh_topk_sql(dim: int = 64, n_planes: int = 16,
@@ -1475,6 +1548,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id""",
         "dp_dup_spans": _dup_spans_sql(),
         "dp_strip_dup_spans": _strip_dup_spans_sql(),
+        "dp_bpe_encode_fixed": _bpe_encode_fixed_sql(),
+        # dp_bpe_train_encode: deliberately no oracle — iterative merge
+        # learning is not SQL-expressible; trainer pinned in pytest
         "dp_quality": f"""
             WITH {_QUALITY_TOKS}
             SELECT doc_id, n_tokens,
