@@ -1139,13 +1139,18 @@ def _strip_dup_spans_sql(L: int = 10) -> str:
 
 
 def _bpe_encode_fixed_sql() -> str:
-    """Chained-replace BPE oracle: each word becomes its leading-space
-    char form (' a b c'), then one replace() per merge in learned order
-    — replace()'s left-to-right non-overlapping pass IS the sequential
-    BPE apply — and the per-doc stream re-assembles in token order."""
-    expr = "regexp_replace(word, '(.)', ' \\1', 'g')"
+    """Chained-replace BPE oracle. Each symbol is FULLY delimited on
+    both sides ('abc' -> '|a||b||c|'; '|' cannot occur in analyzer
+    tokens), so the per-merge pattern '|a||b|' -> '|ab|' (i) cannot
+    match when the following symbol merely STARTS with b — a leading-
+    space-only form had exactly that false match, e.g. ' ba t' inside
+    ' ba th' — and (ii) consecutive occurrences share no delimiter, so
+    replace()'s left-to-right non-overlapping pass walks symbols
+    exactly like one sequential-BPE sweep ('|a||a||a||a|' -> '|aa||aa|',
+    matching the Python encoder on odd and even runs alike)."""
+    expr = "regexp_replace(word, '(.)', '|\\1|', 'g')"
     for a, b in BPE_FIXED_MERGES:
-        expr = f"replace({expr}, ' {a} {b}', ' {a}{b}')"
+        expr = f"replace({expr}, '|{a}||{b}|', '|{a}{b}|')"
     return f"""
         WITH base AS (
           SELECT doc_id,
@@ -1156,13 +1161,14 @@ def _bpe_encode_fixed_sql() -> str:
           SELECT doc_id, i AS idx, tl[i] AS word
           FROM base, UNNEST(generate_series(1, len(tl))) AS g(i)),
         enc AS (
-          SELECT doc_id, idx, trim({expr}) AS toks_str
+          SELECT doc_id, idx,
+                 string_split(trim({expr}, '|'), '||') AS toks
           FROM tok),
         perdoc AS (
           SELECT doc_id,
-                 string_agg(toks_str, ' ' ORDER BY idx) AS bpe_text,
-                 sum(len(string_split(toks_str, ' ')))::BIGINT
-                   AS n_bpe_tokens
+                 string_agg(array_to_string(toks, ' '), ' '
+                            ORDER BY idx) AS bpe_text,
+                 sum(len(toks))::BIGINT AS n_bpe_tokens
           FROM enc GROUP BY doc_id)
         SELECT b.doc_id,
                coalesce(p.bpe_text, '') AS bpe_text,

@@ -374,8 +374,8 @@ def main() -> None:
             for q, mode in qset.values():
                 idx.topk_local(q, k=10, mode=mode, method="wand")
         qps_wall = time.perf_counter() - t0
-        timings["q_local_cached_batch"] = qps_wall   # 4*reps queries
-        serving_qps = round(4 * reps / qps_wall, 1)
+        timings["q_local_cached_batch"] = qps_wall   # len(qset)*reps queries
+        serving_qps = round(len(qset) * reps / qps_wall, 1)
         spark.stop()
 
         total = time.perf_counter() - t_all

@@ -58,7 +58,12 @@ def learn_merges(hist: list[tuple[str, int]],
 
     Deterministic: best pair = max count, ties broken by the pair's
     lexicographic order (smallest wins) so every engine that replays
-    this histogram learns the identical merge list."""
+    this histogram learns the identical merge list. Best-pair selection
+    is a lazy-deletion max-heap keyed (-count, pair) — heap order IS
+    the (max count, lexicographically-smallest) rule — so a merge round
+    costs O(affected words + popped-stale entries), never a full scan
+    of the pair table."""
+    import heapq
     words: list[list] = []          # [sym tuple, count]
     agg: dict[tuple, int] = {}
     for w, c in hist:
@@ -72,24 +77,35 @@ def learn_merges(hist: list[tuple[str, int]],
         for p in zip(sym, sym[1:]):
             pair_counts[p] = pair_counts.get(p, 0) + c
             pair_words.setdefault(p, set()).add(wi)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    def bump(p: tuple[str, str], delta: int) -> None:
+        c = pair_counts.get(p, 0) + delta
+        pair_counts[p] = c
+        if delta > 0:               # stale smaller entries lazily skipped
+            heapq.heappush(heap, (-c, p))
+
     merges: list[tuple[str, str]] = []
-    for _ in range(int(num_merges)):
-        pair_counts = {p: c for p, c in pair_counts.items() if c > 0}
-        if not pair_counts:
-            break
-        mx = max(pair_counts.values())
-        best = min(p for p, c in pair_counts.items() if c == mx)
+    while len(merges) < int(num_merges) and heap:
+        negc, best = heapq.heappop(heap)
+        cur = pair_counts.get(best, 0)
+        if cur <= 0:
+            continue
+        if -negc != cur:            # stale entry: re-queue at true count
+            heapq.heappush(heap, (-cur, best))
+            continue
         merges.append(best)
         for wi in sorted(pair_words.get(best, ())):
             sym, c = words[wi]
             if best not in set(zip(sym, sym[1:])):
                 continue            # stale index entry
             for p in zip(sym, sym[1:]):
-                pair_counts[p] = pair_counts.get(p, 0) - c
+                bump(p, -c)
             new_sym = _merge_word(sym, best)
             words[wi][0] = new_sym
             for p in zip(new_sym, new_sym[1:]):
-                pair_counts[p] = pair_counts.get(p, 0) + c
+                bump(p, c)
                 pair_words.setdefault(p, set()).add(wi)
         pair_counts.pop(best, None)
         pair_words.pop(best, None)
@@ -115,9 +131,10 @@ def _encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     subword-nmt semantics, one left-to-right non-overlapping pass per
     merge). Chosen over GPT-2's rank-priority loop because a sequential
     pass per merge is exactly one string `replace()` — so a fixed merge
-    table has an exact ANSI-SQL oracle (chained replaces over the
-    space-joined char form), and the two schemes agree on any
-    self-consistent learned list anyway."""
+    table has an exact ANSI-SQL oracle: chained replaces over a
+    fully-delimited symbol form ('|a||b|' -> '|ab|'; both boundaries
+    explicit, so a pattern can never match the PREFIX of a longer
+    following symbol and consecutive matches share no delimiter)."""
     sym = tuple(word)
     for m in merges:
         if len(sym) < 2:

@@ -100,3 +100,29 @@ def test_max_word_types_cap_is_deterministic(spark):
     a = train_bpe(df, num_merges=10, max_word_types=3)
     b = train_bpe(df, num_merges=10, max_word_types=3)
     assert a == b
+
+
+def test_fixed_oracle_sql_matches_encoder_on_adversarial_words():
+    """The chained-replace SQL oracle must equal the Python encoder on
+    words where a merge's second member is a PREFIX of the following
+    symbol (e.g. 'bath': pair (ba,t) must NOT fire inside 'ba th') and
+    on odd/even homogeneous runs — the cases a boundary-less replace
+    form gets wrong."""
+    import duckdb
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entry_bpe_test", "/root/repo/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    from datapipe.bpe import _encode_word
+    words = ["bath", "bathe", "the", "ther", "query", "batch",
+             "thth", "ththth", "erer", "erbat", "tth", "bbat"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for i, w in enumerate(words):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, w])
+    got = con.execute(m.oracle_sql()["dp_bpe_encode_fixed"]).fetchall()
+    for (doc_id, bpe_text, n), w in zip(sorted(got), words):
+        py = _encode_word(w, m.BPE_FIXED_MERGES)
+        assert bpe_text == " ".join(py), (w, bpe_text, py)
+        assert n == len(py), w
