@@ -494,6 +494,14 @@ def q_dp_bpe_train_encode(spark, sf_dir):
             .sort("doc_id"))
 
 
+def q_dp_clean_corpus(spark, sf_dir):
+    """Composed curation recipe: exact-dedup survivors → ExactSubstr
+    strip over survivors → min-kept-tokens filter. Value-checked
+    end-to-end, including every rebuilt text."""
+    from datapipe.curate import clean_corpus
+    return clean_corpus(_docs(spark, sf_dir)).sort("doc_id")
+
+
 def q_dp_quality(spark, sf_dir):
     from datapipe.textstats import quality_score
     return quality_score(_docs(spark, sf_dir)).sort("doc_id")
@@ -858,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_strip_dup_spans": q_dp_strip_dup_spans,
         "dp_bpe_encode_fixed": q_dp_bpe_encode_fixed,
         "dp_bpe_train_encode": q_dp_bpe_train_encode,
+        "dp_clean_corpus": q_dp_clean_corpus,
         "dp_quality": q_dp_quality,
         "dp_lang_id": q_dp_lang_id,
         "dp_fingerprint": q_dp_fingerprint,
@@ -1047,17 +1056,18 @@ def _winnow_sql(kgram: int = 5, window: int = 4) -> str:
         FROM win WHERE rn = 1 ORDER BY doc_id, fp_pos"""
 
 
-def _span_grams_sql(L: int) -> str:
+def _span_grams_sql(L: int, src: str = "documents") -> str:
     """Shared CTEs for the ExactSubstr gates: analyzer token lists,
     per-doc token counts, and md5-hashed length-L gram windows with
     0-based start positions — the exact arithmetic of
-    datapipe.dedup._span_grams."""
+    datapipe.dedup._span_grams. ``src`` lets composed gates run the
+    same machinery over an upstream CTE instead of the raw table."""
     return f"""
         base AS (
           SELECT doc_id,
                  list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT}'),
                              t -> t <> '') AS tl
-          FROM documents),
+          FROM {src}),
         nt AS (SELECT doc_id, len(tl)::BIGINT AS n_tokens FROM base),
         kg AS (
           SELECT doc_id, i - 1 AS p,
@@ -1094,15 +1104,11 @@ def _dup_spans_sql(L: int = 10) -> str:
         FROM nt LEFT JOIN agg USING (doc_id) ORDER BY nt.doc_id"""
 
 
-def _strip_dup_spans_sql(L: int = 10) -> str:
-    """ExactSubstr cleaning oracle: delete non-first occurrences of
-    duplicated grams (first = min (doc_id, p) per hash), coverage via a
-    running last-non-null removal start over the merged doc-ordered
-    event stream (start events sort before the token at the same
-    position), rebuilt text = kept tokens space-joined in order."""
-    return f"""
-        WITH {_span_grams_sql(L)},
-        marked AS (
+def _strip_core_ctes(L: int) -> str:
+    """The marked→tokpos→ev→run→kept→outt CTE chain of the ExactSubstr
+    cleaning oracle, shared by the solo gate and the composed
+    clean-corpus gate (which runs it over a survivors CTE)."""
+    return f"""marked AS (
           SELECT doc_id, p FROM (
             SELECT kg.doc_id, kg.p,
                    count(*) OVER (PARTITION BY h) AS c,
@@ -1130,12 +1136,43 @@ def _strip_dup_spans_sql(L: int = 10) -> str:
         outt AS (SELECT doc_id,
                         string_agg(tok, ' ' ORDER BY q) AS clean_text,
                         count(*)::BIGINT AS kept_tokens
-                 FROM kept GROUP BY doc_id)
+                 FROM kept GROUP BY doc_id)"""
+
+
+def _strip_dup_spans_sql(L: int = 10) -> str:
+    """ExactSubstr cleaning oracle: delete non-first occurrences of
+    duplicated grams (first = min (doc_id, p) per hash), coverage via a
+    running last-non-null removal start over the merged doc-ordered
+    event stream (start events sort before the token at the same
+    position), rebuilt text = kept tokens space-joined in order."""
+    return f"""
+        WITH {_span_grams_sql(L)},
+        {_strip_core_ctes(L)}
         SELECT nt.doc_id,
                coalesce(outt.clean_text, '') AS clean_text,
                coalesce(outt.kept_tokens, 0) AS kept_tokens,
                nt.n_tokens
         FROM nt LEFT JOIN outt USING (doc_id) ORDER BY nt.doc_id"""
+
+
+def _clean_corpus_sql(L: int = 10, min_tokens: int = 5) -> str:
+    """Composed curation oracle: exact-dedup survivors (min-doc_id per
+    md5(text) group) feed the SAME ExactSubstr cleaning CTEs — gram
+    counts run over SURVIVORS only, matching the Spark composition —
+    then docs below ``min_tokens`` kept tokens are dropped."""
+    return f"""
+        WITH survivors AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id IN (SELECT min(doc_id) FROM documents
+                           GROUP BY md5(text))),
+        {_span_grams_sql(L, src="survivors")},
+        {_strip_core_ctes(L)}
+        SELECT nt.doc_id,
+               coalesce(outt.clean_text, '') AS clean_text,
+               coalesce(outt.kept_tokens, 0) AS kept_tokens
+        FROM nt LEFT JOIN outt USING (doc_id)
+        WHERE coalesce(outt.kept_tokens, 0) >= {int(min_tokens)}
+        ORDER BY nt.doc_id"""
 
 
 def _bpe_encode_fixed_sql() -> str:
@@ -1555,6 +1592,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_dup_spans": _dup_spans_sql(),
         "dp_strip_dup_spans": _strip_dup_spans_sql(),
         "dp_bpe_encode_fixed": _bpe_encode_fixed_sql(),
+        "dp_clean_corpus": _clean_corpus_sql(),
         # dp_bpe_train_encode: deliberately no oracle — iterative merge
         # learning is not SQL-expressible; trainer pinned in pytest
         "dp_quality": f"""

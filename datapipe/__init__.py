@@ -11,8 +11,8 @@ plumbing with REAL pure-numpy PPM/PNG/baseline-JPEG codecs. Everything
 is DataFrame-first; hash primitives are md5-hex so an ANSI-SQL oracle
 can reproduce them bit-for-bit.
 """
-from .curate import (contamination, decontaminate, hash_sample,
-                     redact_pii, stratified_hash_sample)
+from .curate import (clean_corpus, contamination, decontaminate,
+                     hash_sample, redact_pii, stratified_hash_sample)
 from .dedup import (dedup_corpus, dup_groups, duplicated_spans,
                     embedding_dup_pairs, exact_dedup, jaccard_pairs,
                     minhash_lsh_pairs, minhash_signatures, simhash,
@@ -27,7 +27,7 @@ from .textstats import (bpe_token_estimate, fingerprint, lang_id,
                         winnow_fingerprints)
 
 __all__ = [
-    "contamination", "decontaminate", "hash_sample", "redact_pii",
+    "clean_corpus", "contamination", "decontaminate", "hash_sample", "redact_pii",
     "stratified_hash_sample",
     "dedup_corpus", "dup_groups", "embedding_dup_pairs", "exact_dedup",
     "jaccard_pairs", "minhash_lsh_pairs", "minhash_signatures", "simhash",

@@ -131,3 +131,27 @@ def stratified_hash_sample(df: DataFrame, fractions: dict[str, float],
                        for x in (F.lit(k), F.lit(_frac_hex(v)))]),
         F.col(strata_col).cast("string"))
     return df.where(cut.isNotNull() & (_key_hash(key_col, seed) < cut))
+
+
+def clean_corpus(df: DataFrame, text_col: str = "text",
+                 span_min_len: int = 10,
+                 min_tokens: int = 5) -> DataFrame:
+    """End-to-end curation recipe composing the pipeline's own stages —
+    the order real pretraining pipelines use:
+
+    1. exact dedup (keep the min-doc_id survivor per content hash);
+    2. ExactSubstr span cleaning over the SURVIVORS (duplicated-window
+       counts are computed on the deduped corpus, so a phrase that was
+       only duplicated because the whole doc was copied is not
+       over-stripped);
+    3. drop docs left with fewer than ``min_tokens`` kept tokens.
+
+    Returns (doc_id, clean_text, kept_tokens). Every stage is a
+    composition of the individually-gated operators, so the whole
+    recipe keeps an exact SQL oracle."""
+    from .dedup import dedup_corpus, strip_duplicate_spans
+    survivors = dedup_corpus(df, text_col=text_col)
+    stripped = strip_duplicate_spans(survivors, text_col=text_col,
+                                     min_len=span_min_len)
+    return (stripped.where(F.col("kept_tokens") >= int(min_tokens))
+                    .select("doc_id", "clean_text", "kept_tokens"))

@@ -135,3 +135,25 @@ def test_randomized_vs_naive(spark):
                          phrases[int(rng.integers(0, 4))])
         rows.append((d, " ".join(parts)))
     _check(spark, rows, L=5)
+
+
+def test_clean_corpus_composition(spark):
+    from datapipe.curate import clean_corpus
+    shared = " ".join(f"p{i}" for i in range(10))
+    rows = [
+        (0, f"unique words here only once and plenty of them to keep"),
+        (1, f"{shared} trailing tail tokens here now extra filler"),
+        (2, f"{shared} trailing tail tokens here now extra filler"),  # exact dup of 1
+        (3, f"lead in {shared} more words beyond the duplicate span"),
+        (4, "tiny"),                                    # < min_tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in clean_corpus(df, min_tokens=5).collect()}
+    # doc 2 is an exact duplicate -> removed BEFORE span counting, so
+    # doc 1 (first survivor) keeps its text intact unless doc 3 also
+    # shares the 10-gram — which it does, so doc 3 loses the span
+    assert 2 not in got and 4 not in got
+    assert set(got) == {0, 1, 3}
+    assert got[1]["clean_text"].startswith("p0 p1")
+    assert shared not in got[3]["clean_text"]
+    assert got[3]["kept_tokens"] < 10 + 7
