@@ -17,7 +17,8 @@ from .dedup import (dedup_corpus, dup_groups, duplicated_spans,
                     embedding_dup_pairs, exact_dedup, jaccard_pairs,
                     minhash_lsh_pairs, minhash_signatures, simhash,
                     strip_duplicate_spans)
-from .bpe import bpe_encode, learn_merges, train_bpe, word_histogram
+from .bpe import (bpe_encode, bpe_encode_ids, bpe_vocab, learn_merges,
+                  load_merges, save_merges, train_bpe, word_histogram)
 from .packing import pack_sequences
 from .similarity import (AnnIndex, build_ann, build_ann_append,
                          cosine_topk, ivf_topk, lsh_topk,
@@ -38,5 +39,6 @@ __all__ = [
     "bpe_token_estimate", "fingerprint", "lang_id", "quality_score",
     "repetition_stats", "token_count", "winnow_fingerprints",
     "pack_sequences",
-    "bpe_encode", "learn_merges", "train_bpe", "word_histogram",
+    "bpe_encode", "bpe_encode_ids", "bpe_vocab", "learn_merges",
+    "load_merges", "save_merges", "train_bpe", "word_histogram",
 ]

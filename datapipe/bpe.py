@@ -175,3 +175,71 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
 
     return (df.select("doc_id", enc(F.col(text_col)).alias("bpe_tokens"))
               .withColumn("n_bpe_tokens", F.size("bpe_tokens")))
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
+    """Deterministic vocabulary for a merge list: the 36 analyzer base
+    symbols ([a-z0-9], in that order) followed by each merge's product
+    in learned order. Token id = position in this list — the id space
+    every downstream consumer (packing, embedding rows) keys on."""
+    base = [chr(c) for c in range(ord("a"), ord("z") + 1)] + \
+           [chr(c) for c in range(ord("0"), ord("9") + 1)]
+    return base + [a + b for a, b in merges]
+
+
+def save_merges(path: str, merges: list[tuple[str, str]]) -> None:
+    """Persist a learned merge table as JSON (atomic rename) — the
+    tokenizer artifact a nightly vocab-fit job hands to every
+    downstream encode job."""
+    import json
+    import os
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": 1, "merges": [list(m) for m in merges]}, f)
+    os.replace(tmp, path)
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    import json
+    with open(path) as f:
+        d = json.load(f)
+    if d.get("version") != 1:
+        raise ValueError(f"unsupported merges file version: {d.get('version')!r}")
+    return [tuple(m) for m in d["merges"]]
+
+
+def bpe_encode_ids(df: DataFrame, merges: list[tuple[str, str]],
+                   text_col: str = "text",
+                   unk_id: int = -1) -> DataFrame:
+    """(doc_id, bpe_ids, n_bpe_tokens): like bpe_encode but emitting
+    token IDS over the bpe_vocab(merges) id space — the form sequence
+    packing and training actually consume. Symbols outside the vocab
+    (impossible for analyzer output + a vocab from the same analyzer,
+    but kept total) map to ``unk_id``."""
+    from pyspark.sql.functions import pandas_udf
+
+    mlist = [tuple(m) for m in merges]
+    vid = {s: i for i, s in enumerate(bpe_vocab(mlist))}
+    import re
+    splitter = re.compile(_TOKEN_SPLIT)
+
+    @pandas_udf("array<int>")
+    def enc(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[int]] = {}
+
+        def one(t):
+            out = []
+            for w in splitter.split(str(t or "").lower()):
+                if not w:
+                    continue
+                e = memo.get(w)
+                if e is None:
+                    e = [vid.get(s, unk_id)
+                         for s in _encode_word(w, mlist)]
+                    memo[w] = e
+                out.extend(e)
+            return out
+        return texts.map(one)
+
+    return (df.select("doc_id", enc(F.col(text_col)).alias("bpe_ids"))
+              .withColumn("n_bpe_tokens", F.size("bpe_ids")))

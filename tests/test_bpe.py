@@ -126,3 +126,23 @@ def test_fixed_oracle_sql_matches_encoder_on_adversarial_words():
         py = _encode_word(w, m.BPE_FIXED_MERGES)
         assert bpe_text == " ".join(py), (w, bpe_text, py)
         assert n == len(py), w
+
+
+def test_vocab_ids_roundtrip_and_persistence(spark, tmp_path):
+    from datapipe.bpe import (bpe_encode, bpe_encode_ids, bpe_vocab,
+                              load_merges, save_merges, train_bpe)
+    rows = [(0, "the rate the rate merge"), (1, "merge the rate")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, num_merges=12)
+    p = str(tmp_path / "merges.json")
+    save_merges(p, merges)
+    assert load_merges(p) == merges
+    vocab = bpe_vocab(merges)
+    assert vocab[:3] == ["a", "b", "c"] and len(vocab) == 36 + len(merges)
+    toks = {r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_encode(df, merges).collect()}
+    ids = {r["doc_id"]: r["bpe_ids"]
+           for r in bpe_encode_ids(df, merges).collect()}
+    for d in (0, 1):
+        assert [vocab[i] for i in ids[d]] == toks[d]
+        assert all(i >= 0 for i in ids[d])   # nothing fell to unk
