@@ -425,9 +425,13 @@ def q_dp_pack_sequences(spark, sf_dir):
     (budget=512 tokens) it touches. The Spark side is the scalable
     two-pass cumsum (no single-partition window); the oracle IS the
     single-window SQL the op must equal."""
-    from datapipe.packing import pack_sequences
-    return pack_sequences(_docs(spark, sf_dir), budget=512) \
-        .sort("doc_id")
+    from datapipe.packing import pack_sequences, release_pack_cache
+    out = pack_sequences(_docs(spark, sf_dir), budget=512)
+    pdf = out.toPandas().sort_values("doc_id").reset_index(drop=True)
+    release_pack_cache(out)   # honor the persist contract (ADVICE r4)
+    return spark.createDataFrame(
+        pdf, schema="doc_id long, n_tokens long, tok_start long, "
+                    "seq_first long, seq_last long")
 
 
 def q_dp_repetition(spark, sf_dir):
@@ -1065,7 +1069,8 @@ def _span_grams_sql(L: int, src: str = "documents") -> str:
     return f"""
         base AS (
           SELECT doc_id,
-                 list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT}'),
+                 list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                '{TOKEN_SPLIT}'),
                              t -> t <> '') AS tl
           FROM {src}),
         nt AS (SELECT doc_id, len(tl)::BIGINT AS n_tokens FROM base),
@@ -1537,9 +1542,9 @@ def oracle_sql() -> dict[str, str]:
         "dp_pack_sequences": """
             WITH t AS (
               SELECT doc_id,
-                     len(list_filter(string_split_regex(lower(text),
-                                                        '[^a-z0-9]+'),
-                                     x -> x <> '')) AS n_tokens
+                     len(list_filter(string_split_regex(
+                           lower(coalesce(text, '')), '[^a-z0-9]+'),
+                                     x -> x <> ''))::BIGINT AS n_tokens
               FROM documents),
             c AS (
               SELECT doc_id, n_tokens,
@@ -1547,16 +1552,18 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING
                        AND 1 PRECEDING), 0) AS tok_start
               FROM t)
-            SELECT doc_id, n_tokens, tok_start,
-                   tok_start // 512 AS seq_first,
-                   greatest(tok_start, tok_start + n_tokens - 1) // 512
-                     AS seq_last
+            SELECT doc_id, n_tokens,
+                   tok_start::BIGINT AS tok_start,
+                   (tok_start // 512)::BIGINT AS seq_first,
+                   (greatest(tok_start, tok_start + n_tokens - 1)
+                    // 512)::BIGINT AS seq_last
             FROM c ORDER BY doc_id""",
         "dp_repetition": """
             WITH t AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(text),
-                                                    '[^a-z0-9]+'),
+                     list_filter(string_split_regex(
+                                   lower(coalesce(text, '')),
+                                   '[^a-z0-9]+'),
                                  x -> x <> '') AS toks
               FROM documents),
             g2 AS (

@@ -180,11 +180,22 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
 def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
     """Deterministic vocabulary for a merge list: the 36 analyzer base
     symbols ([a-z0-9], in that order) followed by each merge's product
-    in learned order. Token id = position in this list — the id space
+    in learned order, DEDUPLICATED first-occurrence-wins. Two merges can
+    yield the same product (('a','bc') and ('ab','c') both make 'abc');
+    without the dedup bpe_encode_ids' string→id dict silently mapped
+    both to the LAST id, leaving dead ids in the declared space
+    (ADVICE r4). Token id = position in this list — a dense id space
     every downstream consumer (packing, embedding rows) keys on."""
     base = [chr(c) for c in range(ord("a"), ord("z") + 1)] + \
            [chr(c) for c in range(ord("0"), ord("9") + 1)]
-    return base + [a + b for a, b in merges]
+    seen = set(base)
+    out = list(base)
+    for a, b in merges:
+        s = a + b
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
 
 
 def save_merges(path: str, merges: list[tuple[str, str]]) -> None:

@@ -243,10 +243,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htabs: dict[tuple[int, int], dict] = {}
     frame = None
     restart = 0
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        # spec-legal 0xFF fill bytes may pad the space before any
+        # marker code (ITU T.81 B.1.1.2) — skip the run, keeping one
+        # 0xFF as the marker prefix
+        while pos + 2 <= n and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > n:
+            break
         marker = payload[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (TEM, RSTn) carry no length segment
+            pos += 2
+            continue
+        if marker == 0xD9:                          # EOI
+            break
+        if pos + 4 > n:
+            break
         (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
         body = payload[pos + 4:pos + 2 + ln]
         pos += 2 + ln
@@ -297,8 +312,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 sel[cid] = (tt >> 4, tt & 0x0F)
             return _decode_scan(payload, pos, frame, sel, qtabs, htabs,
                                 restart)
-        elif marker == 0xD9:                        # EOI
-            break
         # APPn / COM / others: skipped
     raise ValueError("JPEG has no scan data")
 

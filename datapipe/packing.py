@@ -39,7 +39,12 @@ def pack_sequences(df: DataFrame, budget: int, text_col: str = "text",
     spark = df.sparkSession
     p = int(partitions
             or spark.conf.get("spark.sql.shuffle.partitions"))
-    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+    # null text counts as zero tokens (same coalesce as _span_grams /
+    # word_histogram) — without it size(split(NULL)) is NULL and the
+    # int64 cast in assign() crashes
+    toks = F.filter(F.split(F.lower(F.coalesce(
+                        F.col(text_col).cast("string"), F.lit(""))),
+                    "[^a-z0-9]+"),
                     lambda t: t != "")
     narrow = df.select(F.col(id_col).alias("doc_id"),
                        F.size(toks).cast("long").alias("n_tokens"))
@@ -83,5 +88,19 @@ def pack_sequences(df: DataFrame, budget: int, text_col: str = "text",
             })
 
     out = srt.mapInPandas(assign, schema=out_schema)
+    # caller contract: the persisted (doc_id, n_tokens) parent MUST stay
+    # cached until `out` is materialized (the driver offsets were
+    # computed from this exact partitioning); afterwards call
+    # `release_pack_cache(out)` to free the executors' cache. The
+    # __spark_entry__ gate and tests honor this.
     out._sparkfts_cached_parent = srt   # type: ignore[attr-defined]
     return out
+
+
+def release_pack_cache(out: DataFrame) -> None:
+    """Unpersist the cached parent stashed by pack_sequences once the
+    output has been materialized (collect/write/toPandas)."""
+    srt = getattr(out, "_sparkfts_cached_parent", None)
+    if srt is not None:
+        srt.unpersist()
+        out._sparkfts_cached_parent = None  # type: ignore[attr-defined]
