@@ -377,8 +377,17 @@ def _query_vec(spark, sf_dir) -> list[float]:
 
 
 def q_dp_exact_dedup(spark, sf_dir):
-    from datapipe.dedup import exact_dedup
-    return exact_dedup(_docs(spark, sf_dir)).sort("doc_id")
+    """Exact dedup, BOTH surfaces in one gate (registry consolidated to
+    fit the driver's 50-query window, VERDICT r4 #1): the group table
+    (exact_dedup: survivor doc_id, content hash, group size) joined to
+    the surviving corpus rows (dedup_corpus: text, lang). The inner
+    join is itself an invariant — both operators must agree on the
+    survivor set exactly."""
+    from datapipe.dedup import dedup_corpus, exact_dedup
+    docs = _docs(spark, sf_dir)
+    groups = exact_dedup(docs)
+    kept = dedup_corpus(docs).select("doc_id", "text", "lang")
+    return groups.join(kept, "doc_id").sort("doc_id")
 
 
 def q_dp_minhash_signatures(spark, sf_dir):
@@ -396,11 +405,6 @@ def q_dp_jaccard_pairs(spark, sf_dir):
     return jaccard_pairs(_docs(spark, sf_dir), threshold=0.9).sort("a", "b")
 
 
-def q_dp_simhash(spark, sf_dir):
-    from datapipe.dedup import simhash
-    return simhash(_docs(spark, sf_dir)).sort("doc_id")
-
-
 def q_dp_embedding_dups(spark, sf_dir):
     from datapipe.dedup import embedding_dup_pairs
     return (embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
@@ -408,15 +412,45 @@ def q_dp_embedding_dups(spark, sf_dir):
             .sort("a", "b"))
 
 
-def q_dp_cosine_topk(spark, sf_dir):
-    from datapipe.similarity import cosine_topk
-    out = cosine_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
-    return out.select("vec_id", F.round("cos_r", 4).alias("cos_r4"))
+def q_dp_ann_scan_topk(spark, sf_dir):
+    """All three scan-path ANN strategies in ONE gate (registry
+    consolidation, VERDICT r4 #1): brute-force exact cosine top-10,
+    sign-LSH bucket probe + exact re-rank, and IVF nprobe-cell probe +
+    exact re-rank, each tagged with a method column and unioned. Each
+    leg keeps its own exact SQL oracle leg (hyperplane/centroid
+    arithmetic inlined as literals), so per-method value checking is
+    unchanged — only the registry slot count shrinks."""
+    from datapipe.similarity import cosine_topk, ivf_topk, lsh_topk
+    emb, qv = _emb(spark, sf_dir), _query_vec(spark, sf_dir)
+    legs = [("brute", cosine_topk(emb, qv, k=10)),
+            ("ivf", ivf_topk(emb, qv, k=10)),
+            ("lsh", lsh_topk(emb, qv, k=10))]
+    out = None
+    for m, df in legs:
+        leg = df.select(F.lit(m).alias("method"), "vec_id",
+                        F.round("cos_r", 4).alias("cos_r4"))
+        out = leg if out is None else out.unionByName(leg)
+    return out.sort("method", "vec_id")
 
 
-def q_dp_token_count(spark, sf_dir):
-    from datapipe.textstats import token_count
-    return token_count(_docs(spark, sf_dir)).sort("doc_id")
+def q_dp_text_stats(spark, sf_dir):
+    """Per-doc signatures & statistics, four operators joined on doc_id
+    in one gate (registry consolidation, VERDICT r4 #1): analyzer
+    token/char counts (token_count), whitespace-normalized md5
+    fingerprint (fingerprint), the GPT-style piece-count estimate
+    (bpe_token_estimate), and the tf-weighted 64-bit SimHash (simhash).
+    Every column of every operator is still value-checked; the inner
+    join on doc_id is itself an invariant (all four must emit the same
+    doc set)."""
+    from datapipe.dedup import simhash
+    from datapipe.textstats import (bpe_token_estimate, fingerprint,
+                                    token_count)
+    docs = _docs(spark, sf_dir)
+    return (token_count(docs)
+            .join(fingerprint(docs), "doc_id")
+            .join(bpe_token_estimate(docs), "doc_id")
+            .join(simhash(docs), "doc_id")
+            .sort("doc_id"))
 
 
 def q_dp_pack_sequences(spark, sf_dir):
@@ -442,22 +476,19 @@ def q_dp_repetition(spark, sf_dir):
 
 
 def q_dp_dup_spans(spark, sf_dir):
-    """Span-level exact substring dedup stats (Lee et al. 2022
-    ExactSubstr at L-token gram resolution): per-doc duplicated-token
-    count / maximal-run count / fraction from the corpus-wide union of
-    duplicated length-L windows."""
-    from datapipe.dedup import duplicated_spans
-    return duplicated_spans(_docs(spark, sf_dir), min_len=10) \
-        .sort("doc_id")
-
-
-def q_dp_strip_dup_spans(spark, sf_dir):
-    """ExactSubstr cleaning: delete every non-first occurrence of each
-    duplicated length-L window and rebuild the doc text from surviving
-    tokens — value-checked including the rebuilt text itself."""
-    from datapipe.dedup import strip_duplicate_spans
-    return strip_duplicate_spans(_docs(spark, sf_dir), min_len=10) \
-        .sort("doc_id")
+    """ExactSubstr span dedup (Lee et al. 2022 at L-token gram
+    resolution), BOTH operators joined in one gate (registry
+    consolidation): per-doc duplicated-token stats (duplicated_spans)
+    plus the cleaning result — every non-first occurrence of each
+    duplicated length-L window deleted and the doc text rebuilt from
+    surviving tokens (strip_duplicate_spans), value-checked including
+    the rebuilt text itself."""
+    from datapipe.dedup import duplicated_spans, strip_duplicate_spans
+    docs = _docs(spark, sf_dir)
+    stats = duplicated_spans(docs, min_len=10)
+    strip = strip_duplicate_spans(docs, min_len=10) \
+        .select("doc_id", "clean_text", "kept_tokens")
+    return stats.join(strip, "doc_id").sort("doc_id")
 
 
 # Fixed merge table for the value-checked BPE-encode gate: exercises
@@ -486,15 +517,21 @@ def q_dp_bpe_encode_fixed(spark, sf_dir):
 def q_dp_bpe_train_encode(spark, sf_dir):
     """End-to-end BPE: ONE distributed word-histogram pass, driver-side
     merge learning over the bounded histogram (deterministic
-    tie-breaks), distributed encode. Training is iterative and not
-    SQL-expressible, so this gate is rows-only; the trainer itself is
-    pinned to a naive recount-reference in tests/test_bpe.py."""
+    tie-breaks), distributed encode. Now VALUE-checked (VERDICT r4 #5):
+    the merge-learning loop is iterative and not SQL-expressible, but
+    it is a deterministic function of the corpus histogram — so the
+    oracle recomputes the histogram in DuckDB from the same parquet,
+    replays the same learn_merges, and chain-replaces the LEARNED
+    table exactly like the dp_bpe_encode_fixed oracle. Full per-doc
+    token stream (bpe_text) included in the hash."""
     from datapipe.bpe import bpe_encode, train_bpe
     docs = _docs(spark, sf_dir)
     merges = train_bpe(docs, num_merges=30)
     return (bpe_encode(docs, merges)
-            .select("doc_id", F.col("n_bpe_tokens").cast("long")
-                    .alias("n_bpe_tokens"))
+            .select("doc_id",
+                    F.array_join("bpe_tokens", " ").alias("bpe_text"),
+                    F.col("n_bpe_tokens").cast("long")
+                     .alias("n_bpe_tokens"))
             .sort("doc_id"))
 
 
@@ -506,19 +543,15 @@ def q_dp_clean_corpus(spark, sf_dir):
     return clean_corpus(_docs(spark, sf_dir)).sort("doc_id")
 
 
-def q_dp_quality(spark, sf_dir):
-    from datapipe.textstats import quality_score
-    return quality_score(_docs(spark, sf_dir)).sort("doc_id")
-
-
-def q_dp_lang_id(spark, sf_dir):
-    from datapipe.textstats import lang_id
-    return lang_id(_docs(spark, sf_dir)).sort("doc_id")
-
-
-def q_dp_fingerprint(spark, sf_dir):
-    from datapipe.textstats import fingerprint
-    return fingerprint(_docs(spark, sf_dir)).sort("doc_id")
+def q_dp_quality_lang(spark, sf_dir):
+    """Per-doc quality scoring + language ID joined on doc_id in one
+    gate (registry consolidation): Gopher-style length/punct/stopword
+    quality signals (quality_score) and the marker-n-gram language
+    heuristic (lang_id). All columns of both operators value-checked."""
+    from datapipe.textstats import lang_id, quality_score
+    docs = _docs(spark, sf_dir)
+    return (quality_score(docs).join(lang_id(docs), "doc_id")
+            .sort("doc_id"))
 
 
 def q_dp_winnow(spark, sf_dir):
@@ -528,15 +561,6 @@ def q_dp_winnow(spark, sf_dir):
     return winnow_fingerprints(_docs(spark, sf_dir)).sort("doc_id", "fp_pos")
 
 
-def q_dp_lsh_topk(spark, sf_dir):
-    """Sign-LSH ANN over deterministic hyperplanes — bucket probing +
-    exact re-rank is fully SQL-expressible (planes inlined as literals),
-    so this gate is value-checked, not rows-only."""
-    from datapipe.similarity import lsh_topk
-    out = lsh_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
-    return out.select("vec_id", F.round("cos_r", 4).alias("cos_r4"))
-
-
 def q_dp_dup_groups(spark, sf_dir):
     """Connected components over verified near-dup pairs → cluster-based
     dedup groups (iterative min-label propagation; oracle = recursive
@@ -544,29 +568,6 @@ def q_dp_dup_groups(spark, sf_dir):
     from datapipe.dedup import dup_groups, jaccard_pairs
     pairs = jaccard_pairs(_docs(spark, sf_dir), threshold=0.9)
     return dup_groups(pairs).sort("doc_id")
-
-
-def q_dp_dedup_corpus(spark, sf_dir):
-    """End-to-end corpus dedup: rows surviving exact dedup."""
-    from datapipe.dedup import dedup_corpus
-    return (dedup_corpus(_docs(spark, sf_dir))
-            .select("doc_id", "text", "lang").sort("doc_id"))
-
-
-def q_dp_bpe_estimate(spark, sf_dir):
-    from datapipe.textstats import bpe_token_estimate
-    return bpe_token_estimate(_docs(spark, sf_dir)).sort("doc_id")
-
-
-def q_dp_ivf_topk(spark, sf_dir):
-    """IVF ANN: deterministic seeded-sample centroids (md5 order — the
-    oracle re-derives the identical set in SQL), nprobe cells, exact
-    re-rank. The trained-k-means path (train_iters>0) is pytest-gated
-    (tests/test_datapipe.py) since data-derived means can't be inlined
-    into a static SQL oracle."""
-    from datapipe.similarity import ivf_topk
-    out = ivf_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
-    return out.select("vec_id", F.round("cos_r", 4).alias("cos_r4"))
 
 
 def _ann_index_for(spark, sf_dir, kind):
@@ -586,23 +587,25 @@ def _ann_index_for(spark, sf_dir, kind):
     return idx
 
 
-def q_dp_ann_ivf_topk(spark, sf_dir):
-    """Same query semantics as dp_ivf_topk (identical seeded centroids,
-    nprobe=3, exact re-rank) served from the MATERIALIZED index: the
-    probed cells come back as a partition-pruned read, not a full
-    corpus re-assignment scan — so the same SQL oracle must agree."""
-    idx = _ann_index_for(spark, sf_dir, "ivf")
-    out = idx.topk(_query_vec(spark, sf_dir), k=10, nprobe=3)
-    return out.select("vec_id", F.round("cos_r", 4).alias("cos_r4"))
-
-
-def q_dp_ann_lsh_topk(spark, sf_dir):
-    """dp_lsh_topk semantics (same deterministic hyperplanes, hamming
-    <= 2 probe) from the materialized LSH index (pbucket partition
-    pruning + row-group-sorted bucket filter)."""
-    idx = _ann_index_for(spark, sf_dir, "lsh")
-    out = idx.topk(_query_vec(spark, sf_dir), k=10, max_hamming=2)
-    return out.select("vec_id", F.round("cos_r", 4).alias("cos_r4"))
+def q_dp_ann_index_topk(spark, sf_dir):
+    """Both MATERIALIZED-ANN-index strategies in one gate (registry
+    consolidation): the same queries as the ivf/lsh legs of
+    dp_ann_scan_topk (identical seeded centroids / deterministic
+    hyperplanes) answered from the build_ann parquet index instead of
+    a corpus re-assignment scan — IVF probed cells and LSH buckets come
+    back as partition-pruned reads, exact re-rank on top. Same SQL
+    oracles as the scan path, so agreement proves the index serves
+    scan-identical results."""
+    ivf = _ann_index_for(spark, sf_dir, "ivf") \
+        .topk(_query_vec(spark, sf_dir), k=10, nprobe=3)
+    lsh = _ann_index_for(spark, sf_dir, "lsh") \
+        .topk(_query_vec(spark, sf_dir), k=10, max_hamming=2)
+    out = None
+    for m, df in [("ivf", ivf), ("lsh", lsh)]:
+        leg = df.select(F.lit(m).alias("method"), "vec_id",
+                        F.round("cos_r", 4).alias("cos_r4"))
+        out = leg if out is None else out.unionByName(leg)
+    return out.sort("method", "vec_id")
 
 
 def q_dp_mm_real_decode(spark, sf_dir):
@@ -689,21 +692,19 @@ def q_dp_redact_pii(spark, sf_dir):
     return redact_pii(aug).sort("doc_id")
 
 
-def q_dp_hash_sample(spark, sf_dir):
-    """Deterministic hash sampling (r3): md5-cutoff keep rule —
-    reproducible on any executor layout / engine."""
-    from datapipe.curate import hash_sample
-    return hash_sample(_docs(spark, sf_dir), 0.25).select("doc_id") \
-        .sort("doc_id")
-
-
-def q_dp_strat_sample(spark, sf_dir):
-    """Per-stratum deterministic sampling (r3): downweight 'en' to 0.5,
-    'zh' to 0.125, drop everything else."""
-    from datapipe.curate import stratified_hash_sample
-    return (stratified_hash_sample(_docs(spark, sf_dir),
-                                   {"en": 0.5, "zh": 0.125}, "lang")
-            .select("doc_id", "lang").sort("doc_id"))
+def q_dp_sample(spark, sf_dir):
+    """BOTH deterministic sampling strategies in one gate (registry
+    consolidation): uniform md5-cutoff hash sampling at 0.25 and
+    per-stratum sampling (downweight 'en' to 0.5, 'zh' to 0.125, drop
+    every other stratum), tagged with a method column. Reproducible on
+    any executor layout / engine — no RNG state anywhere."""
+    from datapipe.curate import hash_sample, stratified_hash_sample
+    docs = _docs(spark, sf_dir)
+    h = hash_sample(docs, 0.25).select(
+        F.lit("hash").alias("method"), "doc_id", "lang")
+    s = stratified_hash_sample(docs, {"en": 0.5, "zh": 0.125}, "lang") \
+        .select(F.lit("strat").alias("method"), "doc_id", "lang")
+    return h.unionByName(s).sort("method", "doc_id")
 
 
 def _stream_union_ci(spark, sf_dir):
@@ -856,41 +857,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_org_possible_shards": q_org_possible_shards,
         "fts_multifield_text_bm25": q_mf_text_bm25,
         "fts_multifield_lang_bm25": q_mf_lang_bm25,
+        # never-driver-verified in r04 (registry overflowed the driver's
+        # 50-query window) — listed right after the fts block so they
+        # get oracle rows even if the registry ever overflows again
+        "dp_mm_png_decode": q_dp_mm_png_decode,
+        "dp_mm_jpeg_decode": q_dp_mm_jpeg_decode,
+        "dp_mm_real_decode": q_dp_mm_real_decode,
+        "dp_mm_features": q_dp_mm_features,
+        "dp_mm_frames": q_dp_mm_frames,
+        "dp_contamination": q_dp_contamination,
+        "dp_redact_pii": q_dp_redact_pii,
+        "dp_sample": q_dp_sample,
+        # consolidated gates (each joins/unions formerly-separate gates;
+        # every column of every constituent operator is still checked)
         "dp_exact_dedup": q_dp_exact_dedup,
+        "dp_text_stats": q_dp_text_stats,
+        "dp_quality_lang": q_dp_quality_lang,
+        "dp_dup_spans": q_dp_dup_spans,
+        "dp_ann_scan_topk": q_dp_ann_scan_topk,
+        "dp_ann_index_topk": q_dp_ann_index_topk,
+        "dp_bpe_train_encode": q_dp_bpe_train_encode,
+        # single-operator gates
         "dp_minhash_signatures": q_dp_minhash_signatures,
         "dp_minhash_lsh_pairs": q_dp_minhash_lsh_pairs,
         "dp_jaccard_pairs": q_dp_jaccard_pairs,
-        "dp_simhash": q_dp_simhash,
         "dp_embedding_dups": q_dp_embedding_dups,
-        "dp_cosine_topk": q_dp_cosine_topk,
-        "dp_token_count": q_dp_token_count,
         "dp_pack_sequences": q_dp_pack_sequences,
         "dp_repetition": q_dp_repetition,
-        "dp_dup_spans": q_dp_dup_spans,
-        "dp_strip_dup_spans": q_dp_strip_dup_spans,
         "dp_bpe_encode_fixed": q_dp_bpe_encode_fixed,
-        "dp_bpe_train_encode": q_dp_bpe_train_encode,
         "dp_clean_corpus": q_dp_clean_corpus,
-        "dp_quality": q_dp_quality,
-        "dp_lang_id": q_dp_lang_id,
-        "dp_fingerprint": q_dp_fingerprint,
         "dp_winnow": q_dp_winnow,
-        "dp_lsh_topk": q_dp_lsh_topk,
         "dp_dup_groups": q_dp_dup_groups,
-        "dp_dedup_corpus": q_dp_dedup_corpus,
-        "dp_bpe_estimate": q_dp_bpe_estimate,
-        "dp_ivf_topk": q_dp_ivf_topk,
-        "dp_ann_ivf_topk": q_dp_ann_ivf_topk,
-        "dp_ann_lsh_topk": q_dp_ann_lsh_topk,
-        "dp_contamination": q_dp_contamination,
-        "dp_redact_pii": q_dp_redact_pii,
-        "dp_hash_sample": q_dp_hash_sample,
-        "dp_strat_sample": q_dp_strat_sample,
-        "dp_mm_features": q_dp_mm_features,
-        "dp_mm_frames": q_dp_mm_frames,
-        "dp_mm_real_decode": q_dp_mm_real_decode,
-        "dp_mm_png_decode": q_dp_mm_png_decode,
-        "dp_mm_jpeg_decode": q_dp_mm_jpeg_decode,
     }
 
 
@@ -1011,6 +1008,70 @@ _BANDS = " UNION ALL ".join(
 
 _COS = ("list_cosine_similarity(a.embedding::DOUBLE[], "
         "b.embedding::DOUBLE[])")
+
+_SIMHASH_SQL = f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf, md5(term) AS h FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text),
+                                         '{TOKEN_SPLIT}')) AS term
+        FROM documents)
+      WHERE term <> '' AND length(term) <= 64 GROUP BY 1, 2),
+    bits AS (SELECT unnest(generate_series(0, 63)) AS bpos),
+    votes AS (
+      SELECT doc_id, bpos,
+        sum(CASE WHEN floor((strpos('0123456789abcdef',
+              substr(h, (bpos // 4)::INT + 1, 1)) - 1)
+              / power(2, 3 - bpos % 4))::INT % 2 = 1
+            THEN tf ELSE -tf END) AS v
+      FROM tf CROSS JOIN bits GROUP BY 1, 2),
+    nibs AS (SELECT doc_id, bpos // 4 AS nibble,
+        sum((CASE WHEN v > 0 THEN 1 ELSE 0 END)
+            * (power(2, 3 - bpos % 4))::INT) AS nv
+      FROM votes GROUP BY 1, 2)
+    SELECT doc_id,
+           string_agg(substr('0123456789abcdef', (nv + 1)::INT, 1),
+                      '' ORDER BY nibble) AS simhash
+    FROM nibs GROUP BY 1"""
+
+_COSINE_TOPK_SQL = """
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT b.vec_id,
+           round(round(list_cosine_similarity(
+               b.embedding::DOUBLE[],
+               (SELECT embedding FROM q)::DOUBLE[]), 6), 4) AS cos_r4
+    FROM embeddings b
+    ORDER BY list_cosine_similarity(b.embedding::DOUBLE[],
+               (SELECT embedding FROM q)::DOUBLE[]) DESC,
+             b.vec_id ASC
+    LIMIT 10"""
+
+_TOKEN_COUNT_SQL = """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(lower(text),
+                                              '[^a-z0-9]+'),
+                           t -> t <> '')) AS n_tokens,
+           length(text) AS n_chars
+    FROM documents"""
+
+_FINGERPRINT_SQL = """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             AS fingerprint
+    FROM documents"""
+
+_BPE_EST_SQL = r"""
+    WITH p AS (
+      SELECT doc_id,
+             regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]') AS ps
+      FROM documents)
+    SELECT doc_id, len(ps)::BIGINT AS n_pieces,
+           coalesce(list_sum(list_transform(ps,
+             x -> CASE WHEN regexp_matches(x, '^[a-zA-Z]')
+                       THEN ceil(length(x) / 4.0)::BIGINT
+                       ELSE 1 END)), 0)::BIGINT AS n_bpe_est
+    FROM p"""
 
 _QUALITY_TOKS = """
   qt AS (
@@ -1180,7 +1241,7 @@ def _clean_corpus_sql(L: int = 10, min_tokens: int = 5) -> str:
         ORDER BY nt.doc_id"""
 
 
-def _bpe_encode_fixed_sql() -> str:
+def _bpe_encode_fixed_sql(merges=None) -> str:
     """Chained-replace BPE oracle. Each symbol is FULLY delimited on
     both sides ('abc' -> '|a||b||c|'; '|' cannot occur in analyzer
     tokens), so the per-merge pattern '|a||b|' -> '|ab|' (i) cannot
@@ -1189,9 +1250,12 @@ def _bpe_encode_fixed_sql() -> str:
     ' ba th' — and (ii) consecutive occurrences share no delimiter, so
     replace()'s left-to-right non-overlapping pass walks symbols
     exactly like one sequential-BPE sweep ('|a||a||a||a|' -> '|aa||aa|',
-    matching the Python encoder on odd and even runs alike)."""
+    matching the Python encoder on odd and even runs alike).
+
+    ``merges`` defaults to the fixed table; dp_bpe_train_encode passes
+    the LEARNED table instead (same encode semantics, same SQL)."""
     expr = "regexp_replace(word, '(.)', '|\\1|', 'g')"
-    for a, b in BPE_FIXED_MERGES:
+    for a, b in (BPE_FIXED_MERGES if merges is None else merges):
         expr = f"replace({expr}, '|{a}||{b}|', '|{a}{b}|')"
     return f"""
         WITH base AS (
@@ -1217,6 +1281,38 @@ def _bpe_encode_fixed_sql() -> str:
                coalesce(p.n_bpe_tokens, 0) AS n_bpe_tokens
         FROM base b LEFT JOIN perdoc p USING (doc_id)
         ORDER BY b.doc_id"""
+
+
+def _bpe_train_oracle_sql(num_merges: int = 30) -> str:
+    """Generated oracle for dp_bpe_train_encode (VERDICT r4 #5): the
+    merge table is a DETERMINISTIC function of the corpus word
+    histogram, so the harness re-derives it at oracle-build time — the
+    histogram via an independent DuckDB scan of the same parquet the
+    driver registers as ``documents`` (NOT through Spark), the merge
+    replay via learn_merges (itself pinned against a naive
+    recount-reference in tests/test_bpe.py) — and inlines the LEARNED
+    merges into the same chained-replace SQL the dp_bpe_encode_fixed
+    gate uses. The driver's correctness harness runs at sf=0.01;
+    override the corpus location with SPARKFTS_ORACLE_SF_DIR when
+    gate-checking another scale."""
+    import duckdb
+    from datapipe.bpe import learn_merges
+    sf_dir = os.environ.get("SPARKFTS_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    try:
+        hist = con.execute(f"""
+            SELECT word, count(*) AS n FROM (
+              SELECT unnest(list_filter(string_split_regex(
+                       lower(coalesce(text, '')), '{TOKEN_SPLIT}'),
+                     t -> t <> '')) AS word
+              FROM read_parquet('{sf_dir}/documents.parquet'))
+            GROUP BY word ORDER BY n DESC, word ASC
+            LIMIT 1000000""").fetchall()
+    finally:
+        con.close()
+    merges = learn_merges([(w, int(n)) for w, n in hist], num_merges)
+    return _bpe_encode_fixed_sql(merges)
 
 
 def _lsh_topk_sql(dim: int = 64, n_planes: int = 16,
@@ -1462,9 +1558,13 @@ def oracle_sql() -> dict[str, str]:
         "fts_multifield_lang_bm25": _bm25_sql(["en", "de"], "or",
                                               col="lang"),
         "dp_exact_dedup": """
-            SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
-                   count(*) AS group_size
-            FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+            WITH g AS (
+              SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
+                     count(*) AS group_size
+              FROM documents GROUP BY md5(text))
+            SELECT g.doc_id, g.content_hash, g.group_size, d.text, d.lang
+            FROM g JOIN documents d USING (doc_id)
+            ORDER BY g.doc_id""",
         "dp_minhash_signatures": f"""
             WITH {_DP_TOK}, {_MH_SIG}
             SELECT * FROM sig ORDER BY doc_id""",
@@ -1491,54 +1591,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.9
             ORDER BY a, b""",
-        "dp_simhash": f"""
-            WITH tf AS (
-              SELECT doc_id, term, count(*) AS tf, md5(term) AS h FROM (
-                SELECT doc_id,
-                       unnest(string_split_regex(lower(text),
-                                                 '{TOKEN_SPLIT}')) AS term
-                FROM documents)
-              WHERE term <> '' AND length(term) <= 64 GROUP BY 1, 2),
-            bits AS (SELECT unnest(generate_series(0, 63)) AS bpos),
-            votes AS (
-              SELECT doc_id, bpos,
-                sum(CASE WHEN floor((strpos('0123456789abcdef',
-                      substr(h, (bpos // 4)::INT + 1, 1)) - 1)
-                      / power(2, 3 - bpos % 4))::INT % 2 = 1
-                    THEN tf ELSE -tf END) AS v
-              FROM tf CROSS JOIN bits GROUP BY 1, 2),
-            nibs AS (SELECT doc_id, bpos // 4 AS nibble,
-                sum((CASE WHEN v > 0 THEN 1 ELSE 0 END)
-                    * (power(2, 3 - bpos % 4))::INT) AS nv
-              FROM votes GROUP BY 1, 2)
-            SELECT doc_id,
-                   string_agg(substr('0123456789abcdef', (nv + 1)::INT, 1),
-                              '' ORDER BY nibble) AS simhash
-            FROM nibs GROUP BY 1 ORDER BY doc_id""",
         "dp_embedding_dups": f"""
             SELECT a.vec_id AS a, b.vec_id AS b,
                    round(round({_COS}, 6), 4) AS cos_r4
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE {_COS} >= 0.4
             ORDER BY a, b""",
-        "dp_cosine_topk": f"""
-            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
-            SELECT b.vec_id,
-                   round(round(list_cosine_similarity(
-                       b.embedding::DOUBLE[],
-                       (SELECT embedding FROM q)::DOUBLE[]), 6), 4) AS cos_r4
-            FROM embeddings b
-            ORDER BY list_cosine_similarity(b.embedding::DOUBLE[],
-                       (SELECT embedding FROM q)::DOUBLE[]) DESC,
-                     b.vec_id ASC
-            LIMIT 10""",
-        "dp_token_count": """
-            SELECT doc_id,
-                   len(list_filter(string_split_regex(lower(text),
-                                                      '[^a-z0-9]+'),
-                                   t -> t <> '')) AS n_tokens,
-                   length(text) AS n_chars
-            FROM documents ORDER BY doc_id""",
+        # each leg of the consolidated ANN gates keeps its original,
+        # independently-derived oracle; the union only tags the method
+        "dp_ann_scan_topk": f"""
+            SELECT 'brute' AS method, vec_id, cos_r4
+            FROM ({_COSINE_TOPK_SQL})
+            UNION ALL
+            SELECT 'ivf' AS method, vec_id, cos_r4 FROM ({_IVF_TOPK_SQL})
+            UNION ALL
+            SELECT 'lsh' AS method, vec_id, cos_r4
+            FROM ({_lsh_topk_sql()})
+            ORDER BY method, vec_id""",
+        "dp_text_stats": f"""
+            SELECT t.doc_id, t.n_tokens, t.n_chars, f.fingerprint,
+                   e.n_pieces, e.n_bpe_est, s.simhash
+            FROM ({_TOKEN_COUNT_SQL}) t
+            JOIN ({_FINGERPRINT_SQL}) f USING (doc_id)
+            JOIN ({_BPE_EST_SQL}) e USING (doc_id)
+            JOIN ({_SIMHASH_SQL}) s USING (doc_id)
+            ORDER BY t.doc_id""",
         "dp_pack_sequences": """
             WITH t AS (
               SELECT doc_id,
@@ -1596,52 +1673,54 @@ def oracle_sql() -> dict[str, str]:
             FROM t LEFT JOIN f2 USING (doc_id)
                    LEFT JOIN f3 USING (doc_id)
             ORDER BY doc_id""",
-        "dp_dup_spans": _dup_spans_sql(),
-        "dp_strip_dup_spans": _strip_dup_spans_sql(),
+        "dp_dup_spans": f"""
+            SELECT s.*, t.clean_text, t.kept_tokens
+            FROM ({_dup_spans_sql()}) s
+            JOIN ({_strip_dup_spans_sql()}) t USING (doc_id)
+            ORDER BY s.doc_id""",
         "dp_bpe_encode_fixed": _bpe_encode_fixed_sql(),
+        "dp_bpe_train_encode": _bpe_train_oracle_sql(),
         "dp_clean_corpus": _clean_corpus_sql(),
-        # dp_bpe_train_encode: deliberately no oracle — iterative merge
-        # learning is not SQL-expressible; trainer pinned in pytest
-        "dp_quality": f"""
-            WITH {_QUALITY_TOKS}
-            SELECT doc_id, n_tokens,
-                   round(n_alnum::DOUBLE / greatest(n_tokens, 1), 6)
-                     AS mean_tok_len,
-                   round(punct::DOUBLE / greatest(n_chars, 1), 6)
-                     AS punct_ratio,
-                   round(n_stop::DOUBLE / greatest(n_tokens, 1), 6)
-                     AS stop_ratio,
-                   round(0.4 * least(n_tokens::DOUBLE, 50) / 50
-                         + 0.3 * (1 - punct::DOUBLE / greatest(n_chars, 1))
-                         + 0.3 * (1 - n_stop::DOUBLE / greatest(n_tokens, 1)),
-                         6) AS quality
-            FROM qt ORDER BY doc_id""",
-        "dp_lang_id": f"""
-            WITH ls AS (
+        "dp_quality_lang": f"""
+            WITH {_QUALITY_TOKS},
+            q AS (
+              SELECT doc_id, n_tokens,
+                     round(n_alnum::DOUBLE / greatest(n_tokens, 1), 6)
+                       AS mean_tok_len,
+                     round(punct::DOUBLE / greatest(n_chars, 1), 6)
+                       AS punct_ratio,
+                     round(n_stop::DOUBLE / greatest(n_tokens, 1), 6)
+                       AS stop_ratio,
+                     round(0.4 * least(n_tokens::DOUBLE, 50) / 50
+                           + 0.3 * (1 - punct::DOUBLE
+                                        / greatest(n_chars, 1))
+                           + 0.3 * (1 - n_stop::DOUBLE
+                                        / greatest(n_tokens, 1)),
+                           6) AS quality
+              FROM qt),
+            ls AS (
               SELECT doc_id, {lang_counts}
-              FROM documents)
-            SELECT doc_id,
-                   CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0
-                        THEN 'und'
-                        WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh)
-                        THEN 'en'
-                        WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh)
-                        THEN 'de'
-                        WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh)
-                        THEN 'es'
-                        WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh)
-                        THEN 'fr'
-                        ELSE 'zh' END AS pred_lang,
-                   greatest(s_en, s_de, s_es, s_fr, s_zh)::BIGINT
-                     AS marker_hits
-            FROM ls ORDER BY doc_id""",
-        "dp_fingerprint": """
-            SELECT doc_id,
-                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-                     AS fingerprint
-            FROM documents ORDER BY doc_id""",
+              FROM documents),
+            l AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0
+                          THEN 'und'
+                          WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                          THEN 'en'
+                          WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                          THEN 'de'
+                          WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                          THEN 'es'
+                          WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                          THEN 'fr'
+                          ELSE 'zh' END AS pred_lang,
+                     greatest(s_en, s_de, s_es, s_fr, s_zh)::BIGINT
+                       AS marker_hits
+              FROM ls)
+            SELECT q.*, l.pred_lang, l.marker_hits
+            FROM q JOIN l USING (doc_id)
+            ORDER BY q.doc_id""",
         "dp_winnow": _winnow_sql(),
-        "dp_lsh_topk": _lsh_topk_sql(),
         "dp_dup_groups": f"""
             WITH RECURSIVE {_DP_TOK},
             sizes AS (SELECT doc_id, count(*) AS sz FROM dtok GROUP BY 1),
@@ -1663,29 +1742,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.x, c.r FROM edges e JOIN comp c ON c.x = e.y)
             SELECT x AS doc_id, min(r) AS group_id
             FROM comp GROUP BY x ORDER BY doc_id""",
-        "dp_dedup_corpus": """
-            SELECT doc_id, text, lang FROM documents
-            WHERE doc_id IN (SELECT min(doc_id) FROM documents
-                             GROUP BY md5(text))
-            ORDER BY doc_id""",
-        "dp_bpe_estimate": r"""
-            WITH p AS (
-              SELECT doc_id,
-                     regexp_extract_all(text,
-                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]') AS ps
-              FROM documents)
-            SELECT doc_id, len(ps)::BIGINT AS n_pieces,
-                   coalesce(list_sum(list_transform(ps,
-                     x -> CASE WHEN regexp_matches(x, '^[a-zA-Z]')
-                               THEN ceil(length(x) / 4.0)::BIGINT
-                               ELSE 1 END)), 0)::BIGINT AS n_bpe_est
-            FROM p ORDER BY doc_id""",
-        "dp_ivf_topk": _IVF_TOPK_SQL,
-        # the materialized-index gates answer the SAME query from the
+        # the materialized-index gate answers the SAME queries from the
         # build_ann parquet (partition-pruned) — semantics unchanged,
-        # so the oracles are identical to the scan-path gates'
-        "dp_ann_ivf_topk": _IVF_TOPK_SQL,
-        "dp_ann_lsh_topk": _lsh_topk_sql(),
+        # so the oracle legs are identical to the scan-path gate's
+        "dp_ann_index_topk": f"""
+            SELECT 'ivf' AS method, vec_id, cos_r4 FROM ({_IVF_TOPK_SQL})
+            UNION ALL
+            SELECT 'lsh' AS method, vec_id, cos_r4
+            FROM ({_lsh_topk_sql()})
+            ORDER BY method, vec_id""",
         "dp_contamination": """
             WITH base AS (
               SELECT doc_id,
@@ -1704,17 +1769,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 17 <> 0 AND g IN (SELECT g FROM bench)
             GROUP BY doc_id ORDER BY doc_id""",
         "dp_redact_pii": _redact_sql(),
-        "dp_hash_sample": f"""
-            SELECT doc_id FROM documents
+        "dp_sample": f"""
+            SELECT 'hash' AS method, doc_id, lang FROM documents
             WHERE substr(md5('42:' || doc_id::VARCHAR), 1, 15)
                   < '{_frac_hex(0.25)}'
-            ORDER BY doc_id""",
-        "dp_strat_sample": f"""
-            SELECT doc_id, lang FROM documents
+            UNION ALL
+            SELECT 'strat' AS method, doc_id, lang FROM documents
             WHERE substr(md5('42:' || doc_id::VARCHAR), 1, 15) <
                   CASE lang WHEN 'en' THEN '{_frac_hex(0.5)}'
                             WHEN 'zh' THEN '{_frac_hex(0.125)}' END
-            ORDER BY doc_id""",
+            ORDER BY method, doc_id""",
         "dp_mm_features": """
             SELECT doc_id,
                    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
