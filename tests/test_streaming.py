@@ -996,3 +996,72 @@ def test_nightly_rotate_merge_fold(spark, tmp_path_factory):
     assert not idx.topk_local("alpha query", k=5).empty
     from sparkfts.streaming import read_delta_log
     assert read_delta_log(cur["root"]) == []     # fresh ledger
+
+
+def test_compact_merge_routed_segment_table_never_collected(
+        spark, tmp_path_factory, monkeypatch):
+    """Job-structure guard for the r5 de-driver fix (VERDICT r4 wrong
+    #3): the routed merge's piecewise docid-remap table is
+    O(gens x shards x orgs) rows and must reach the merge kernel as a
+    parquet side-input partitioned by shard — NEVER via a driver
+    collect. With 25 tenants over 3 generations the segment table is
+    far larger than any legitimate driver materialization (per-shard
+    totals, manifest rows), so asserting every collect during
+    compact_merge stays tiny proves the segment table stayed
+    distributed. Also pins the side-input layout the executors read."""
+    import os as _os
+    import pandas as pd
+    from pyspark.sql import DataFrame as _DF
+    from sparkfts import FTSIndex
+    from sparkfts.streaming import compact_merge
+    rcfg = BuildConfig(num_shards=4, partitions=4, routing_col="org",
+                       shards_per_org=2)
+
+    def prep(pdf):
+        return pdf.assign(org=pdf["conv_id"].map(
+            lambda c: f"org{sum(map(ord, c)) % 25}"))
+
+    base = prep(make_transcripts(30, seed=185))
+    d1 = prep(make_transcripts(12, seed=186))
+    d2 = prep(make_transcripts(10, seed=187))
+    root = str(tmp_path_factory.mktemp("cseg_base"))
+    build_index(spark, spark.createDataFrame(base), root,
+                order_cols=["conv_id", "turn_idx"], cfg=rcfg)
+    idxer = make_batch_indexer(root, cfg=rcfg)
+    idxer(spark.createDataFrame(d1), batch_id=0)
+    idxer(spark.createDataFrame(d2), batch_id=1)
+
+    collected: list[int] = []
+    real_collect = _DF.collect
+    real_topandas = _DF.toPandas
+
+    def spy_collect(self):
+        rows = real_collect(self)
+        collected.append(len(rows))
+        return rows
+
+    def spy_topandas(self):
+        pdf = real_topandas(self)
+        collected.append(len(pdf))
+        return pdf
+
+    monkeypatch.setattr(_DF, "collect", spy_collect)
+    monkeypatch.setattr(_DF, "toPandas", spy_topandas)
+    mout = str(tmp_path_factory.mktemp("cseg_merged"))
+    ms = compact_merge(spark, root, mout, cfg=rcfg)
+    monkeypatch.undo()
+
+    n_seg_rows = spark.read.parquet(f"{mout}/segmap").count()
+    assert n_seg_rows >= 25 * 2, "fixture too small to be probative"
+    bound = rcfg.num_shards + 4      # per-shard totals + slack
+    assert bound < n_seg_rows
+    assert max(collected, default=0) <= bound, (
+        f"driver materialized {max(collected)} rows during "
+        f"compact_merge (segment table is {n_seg_rows} rows)")
+    # side-input layout the executors load: one partition dir per shard
+    for s in range(rcfg.num_shards):
+        assert _os.path.isdir(f"{mout}/segmap/shard={s}")
+    # and the merged index still answers correctly
+    idx = FTSIndex(spark, mout)
+    assert ms["n_docs"] == len(base) + len(d1) + len(d2)
+    assert not idx.topk_local("alpha query", k=5).empty
