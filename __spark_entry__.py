@@ -666,6 +666,57 @@ def entry(spark: SparkSession) -> DataFrame:
     return hits.select("docid", "score", "text")
 
 
+def _typed_index_for(spark, sf_dir):
+    """Doc-type mapping (r5; reference doctype|docId|json value format,
+    BaseESMapper.java:24-27 / BaseESReducer.java:148-152): doctype =
+    parity of doc_id, type → index via ONE build_typed (build_many)
+    pass with per-type shard counts."""
+    from sparkfts import BuildConfig, TypedIndex, build_typed
+    from sparkfts.storage import manifest_exists
+    key = f"{os.path.abspath(sf_dir)}#typed"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    root = _gate_root(sf_dir, "typed")
+    if not all(manifest_exists(os.path.join(root, t))
+               for t in ("chat", "email")):
+        docs = _docs(spark, sf_dir).withColumn(
+            "doctype", F.when(F.col("doc_id") % 2 == 1,
+                              F.lit("chat")).otherwise(F.lit("email")))
+        build_typed(spark, docs, root, type_col="doctype",
+                    order_cols=["doc_id"],
+                    per_type={"chat": BuildConfig(num_shards=2,
+                                                  partitions=2),
+                              "email": BuildConfig(num_shards=3,
+                                                   partitions=3)})
+    ti = TypedIndex(spark, root)
+    _INDEX_CACHE[key] = ti
+    return ti
+
+
+def q_doctype_search(spark, sf_dir):
+    """Cross-type merged search over the type→index mapping: each type
+    scores with ITS OWN N/df/avgdl (per-(index,type) isolation, the
+    reference's prepareIndex(index, type)), merged by (score desc,
+    doctype, docid) — ES multi-index semantics. Hits map back to the
+    user's doc_id via the per-type docstores."""
+    ti = _typed_index_for(spark, sf_dir)
+    hits = ti.topk_local(f"{T_HOT} {T_MID}", k=10, mode="or")
+    if hits.empty:
+        return spark.createDataFrame(
+            [], "rank long, doctype string, doc_id long, score_r double")
+    docs = ti.fetch_docs_local(hits)
+    out = hits.merge(docs[["doctype", "docid", "doc_id"]],
+                     on=["doctype", "docid"])
+    out = out.sort_values(["score", "doctype", "docid"],
+                          ascending=[False, True, True]) \
+        .reset_index(drop=True)
+    out["rank"] = out.index + 1
+    out["score_r"] = out["score"].round(4)
+    return spark.createDataFrame(
+        out[["rank", "doctype", "doc_id", "score_r"]],
+        schema="rank long, doctype string, doc_id long, score_r double")
+
+
 def q_dp_contamination(spark, sf_dir):
     """Benchmark decontamination (r3; the 13-token-gram overlap rule
     from the public GPT-3/PaLM contamination methodology): corpus docs
@@ -857,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_org_possible_shards": q_org_possible_shards,
         "fts_multifield_text_bm25": q_mf_text_bm25,
         "fts_multifield_lang_bm25": q_mf_lang_bm25,
+        "fts_doctype_search": q_doctype_search,
         # never-driver-verified in r04 (registry overflowed the driver's
         # 50-query window) — listed right after the fts block so they
         # get oracle rows even if the registry ever overflows again
@@ -1283,6 +1335,33 @@ def _bpe_encode_fixed_sql(merges=None) -> str:
         ORDER BY b.doc_id"""
 
 
+def _typed_bm25_sql(terms: list[str], mode: str) -> str:
+    """Cross-type merged BM25 oracle: one _bm25_scored leg PER TYPE
+    over only that type's rows (its own N/df/avgdl — per-(index,type)
+    isolation), unioned with the type label and merged by
+    (score desc, doctype, doc_id), mirroring TypedIndex.topk_local's
+    per-type-docid tie-break (docid asc within a type == doc_id asc)."""
+    legs = []
+    for t, where in [("chat", "doc_id % 2 = 1"),
+                     ("email", "doc_id % 2 = 0")]:
+        scored = _bm25_scored(terms, mode).replace("documents",
+                                                   "docs_sub")
+        scored = scored.replace(
+            "WITH ",
+            f"WITH docs_sub AS (SELECT * FROM documents "
+            f"WHERE {where}),\n ", 1)
+        legs.append(f"SELECT '{t}' AS doctype, doc_id, score "
+                    f"FROM ({scored} SELECT doc_id, score FROM scored)")
+    both = " UNION ALL ".join(legs)
+    return f"""
+        SELECT row_number() OVER (ORDER BY score DESC, doctype ASC,
+                                  doc_id ASC) AS rank,
+               doctype, doc_id, round(score, 4) AS score_r
+        FROM ({both})
+        ORDER BY score DESC, doctype ASC, doc_id ASC
+        LIMIT 10"""
+
+
 def _bpe_train_oracle_sql(num_merges: int = 30) -> str:
     """Generated oracle for dp_bpe_train_encode (VERDICT r4 #5): the
     merge table is a DETERMINISTIC function of the corpus word
@@ -1557,6 +1636,7 @@ def oracle_sql() -> dict[str, str]:
             [T_HOT, T_MID, T_RARE], "or"),
         "fts_multifield_lang_bm25": _bm25_sql(["en", "de"], "or",
                                               col="lang"),
+        "fts_doctype_search": _typed_bm25_sql([T_HOT, T_MID], "or"),
         "dp_exact_dedup": """
             WITH g AS (
               SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,

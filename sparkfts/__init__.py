@@ -9,6 +9,7 @@ and checkpoint-resumable builds with per-shard lineage manifests.
 """
 from .analyzer import TokenizerConfig, tokenize_series, tokenize_text
 from .build import BuildConfig, assign_docids, build_index, build_many
+from .doctype import TypedIndex, build_typed, pivot_types
 from .query import FTSIndex
 from .rotation import IndexVersion, RotationRegistry
 from .streaming import (CombinedIndex, compact, make_batch_indexer,
@@ -17,6 +18,7 @@ from .streaming import (CombinedIndex, compact, make_batch_indexer,
 __all__ = [
     "TokenizerConfig", "tokenize_series", "tokenize_text",
     "BuildConfig", "assign_docids", "build_index", "build_many",
+    "TypedIndex", "build_typed", "pivot_types",
     "FTSIndex",
     "IndexVersion", "RotationRegistry",
     "CombinedIndex", "compact", "make_batch_indexer", "nightly_rotate",

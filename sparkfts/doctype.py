@@ -1,0 +1,163 @@
+"""Doc-type dimension: per-document types over the multi-index build.
+
+The reference carries a per-document TYPE through its whole pipeline —
+the mapper emits ``doctype|docId|json`` (BaseESMapper.java:24-27), the
+reducer splits it back out (BaseESReducer.java:148-152) and indexes
+under ``prepareIndex(index, type)``. Elasticsearch itself has since
+collapsed mapping types into indices (one type per index from ES6);
+this module follows that endpoint with TWO supported mappings, chosen
+by what the user needs to share:
+
+1. **type → index** (default; what ES6+ migrations do): ``build_typed``
+   routes each row to ``<out_base>/<type>`` via ONE ``build_many`` pass
+   (single docid job / docstore write / postings shuffle for ALL
+   types). Type-scoped search is a plain single-index query;
+   cross-type search merges per-type top-k with PER-TYPE statistics
+   (each type its own N/df/avgdl) — exactly the semantics of an ES
+   multi-index search across per-type indices.
+
+2. **type → field** (single index; shares docid space and shard
+   layout): ``pivot_types`` pivots ``(type, text)`` into one text
+   column PER TYPE (empty for rows of other types) for a multi-field
+   build (``BuildConfig.fields``). Type-scoped search = field-scoped
+   search; other types' rows contribute no terms to the field so they
+   can never match. CAVEAT (documented, deliberate): idf under this
+   mapping uses the index-global N (all types), while per-field avgdl
+   is still per-type — the same tradeoff Lucene made for multiple
+   types sharing one index, and the reason ES removed types. Use
+   mapping 1 when per-type scoring must equal a dedicated index.
+"""
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .build import BuildConfig, build_many
+from .query import FTSIndex
+
+
+def build_typed(spark: SparkSession, df: DataFrame, out_base: str,
+                type_col: str = "doctype", text_col: str = "text",
+                order_cols: list[str] | None = None,
+                cfg: BuildConfig | None = None,
+                per_type: dict[str, BuildConfig] | None = None,
+                resume: bool = False) -> dict:
+    """Type → index mapping: one ``build_many`` pass, one index root per
+    distinct ``type_col`` value at ``<out_base>/<type>``.
+
+    ``per_type`` pins the type set and per-type configs (the
+    ShardConfig-per-index analog); without it the type set is
+    discovered with one tiny distinct job (O(#types) driver rows) and
+    every type gets ``cfg`` (or the BuildConfig default). Type names
+    must be path-safe (they become directory names), mirroring the
+    reference's index-name-in-key convention."""
+    if per_type:
+        configs = dict(per_type)
+    else:
+        types = sorted(
+            r[0] for r in df.select(type_col).distinct().collect())
+        if not types:
+            raise ValueError("build_typed: input has no rows")
+        configs = {t: (cfg or BuildConfig()) for t in types}
+    for t in configs:
+        if not t or "/" in str(t) or str(t).startswith("."):
+            raise ValueError(f"build_typed: type {t!r} is not a valid "
+                             "index directory name")
+    return build_many(spark, df, out_base, configs,
+                      index_col=type_col, text_col=text_col,
+                      order_cols=order_cols, resume=resume)
+
+
+def pivot_types(df: DataFrame, type_col: str = "doctype",
+                text_col: str = "text",
+                types: list[str] | None = None,
+                prefix: str = "t_") -> tuple[DataFrame, list[str]]:
+    """Type → field mapping: one text column per type
+    (``<prefix><type>``), empty for rows of other types, ready for a
+    multi-field ``BuildConfig(fields={...})`` build. Returns
+    (pivoted df, field column names). Field names must be analyzer-safe
+    ([a-z0-9]+ after the prefix) so field-prefixed terms stay
+    unambiguous."""
+    if types is None:
+        types = sorted(r[0] for r in df.select(type_col).distinct()
+                       .collect())
+    cols = []
+    out = df
+    for t in types:
+        c = f"{prefix}{t}"
+        out = out.withColumn(
+            c, F.when(F.col(type_col) == t,
+                      F.coalesce(F.col(text_col).cast("string"),
+                                 F.lit(""))).otherwise(F.lit("")))
+        cols.append(c)
+    return out, cols
+
+
+class TypedIndex:
+    """Read surface over a ``build_typed`` root: per-type FTSIndex
+    handles, type-scoped or cross-type-merged top-k.
+
+    Cross-type semantics: each type scores with ITS OWN index
+    statistics and the per-type top-k are merged by (score desc,
+    type asc, docid asc) — ES multi-index search semantics, stated in
+    the module docstring. Uses the zero-Spark-job local query path, so
+    a k-type search costs k dictionary point-reads, no jobs."""
+
+    def __init__(self, spark: SparkSession, out_base: str,
+                 types: list[str] | None = None):
+        if types is None:
+            types = sorted(
+                d for d in os.listdir(out_base)
+                if not d.startswith((".", "_"))
+                and os.path.isdir(os.path.join(out_base, d)))
+        if not types:
+            raise ValueError(f"TypedIndex: no index roots under "
+                             f"{out_base!r}")
+        self.types = types
+        self._idx = {t: FTSIndex(spark, os.path.join(out_base, t))
+                     for t in types}
+
+    def index(self, doctype: str) -> FTSIndex:
+        return self._idx[doctype]
+
+    def topk_local(self, query: str, k: int = 10, mode: str = "or",
+                   method: str = "wand",
+                   doctype: str | None = None) -> pd.DataFrame:
+        """(doctype, docid, score) top-k — one type when ``doctype`` is
+        given, merged across all types otherwise."""
+        if doctype is not None:
+            if doctype not in self._idx:
+                raise ValueError(f"unknown doctype {doctype!r}: "
+                                 f"pick from {self.types}")
+            types = [doctype]
+        else:
+            types = self.types
+        parts = []
+        for t in types:
+            h = self._idx[t].topk_local(query, k=k, mode=mode,
+                                        method=method)
+            if not h.empty:
+                parts.append(h.assign(doctype=t))
+        if not parts:
+            return pd.DataFrame(
+                {"doctype": pd.Series(dtype=object),
+                 "docid": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64")})
+        out = pd.concat(parts, ignore_index=True)
+        out = (out.sort_values(["score", "doctype", "docid"],
+                               ascending=[False, True, True])
+               .head(k).reset_index(drop=True))
+        return out[["doctype", "docid", "score"]]
+
+    def fetch_docs_local(self, hits: pd.DataFrame) -> pd.DataFrame:
+        """Join a topk_local result back to stored docs (zero jobs):
+        per-type docstore point reads keyed by the hits' doctype."""
+        parts = []
+        for t, grp in hits.groupby("doctype", sort=True):
+            d = self._idx[t].fetch_docs_local(grp["docid"].tolist())
+            parts.append(d.assign(doctype=t))
+        if not parts:
+            return pd.DataFrame()
+        return pd.concat(parts, ignore_index=True)
