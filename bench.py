@@ -285,10 +285,12 @@ def run_pinned_scaling(src: str, warm: str, work: str,
     # draw (so 3+1 low / 3+2 high), and a trimmed-median estimator
     # reported ALONGSIDE min per side as a stability cross-check.
     t_scale0 = time.perf_counter()
-    # 900s fits the full 4-low + 5-high plan (~4x100 + 5x35 + 9x25
-    # overhead); 700 was measured to cut the planned extra LOW draw —
-    # the exact draw the r3->r4 protocol amendment added
-    budget = float(os.environ.get("SPARKFTS_SCALE_BUDGET", "900"))
+    # 1400s fits the full 4-low + 5-high plan (~4x100 + 5x35 + 9x25
+    # overhead) PLUS the quiet-window launch waits, which burn the same
+    # clock (up to 60s x 9 samples); 900 was measured (round 4, loaded
+    # run) to cut planned low draws to 2 — unconverged garbage — and
+    # 700 cut the extra LOW draw the r3->r4 amendment added
+    budget = float(os.environ.get("SPARKFTS_SCALE_BUDGET", "1400"))
     extra_high = int(os.environ.get("SPARKFTS_SCALE_EXTRA_HIGH", "2"))
     extra_low = int(os.environ.get("SPARKFTS_SCALE_EXTRA_LOW", "1"))
     plan = ([c for _ in range(repeats) for c in (n_hi, n_lo)]

@@ -11,7 +11,8 @@ from .analyzer import TokenizerConfig, tokenize_series, tokenize_text
 from .build import BuildConfig, assign_docids, build_index, build_many
 from .doctype import TypedIndex, build_typed, pivot_types
 from .query import FTSIndex
-from .rotation import IndexVersion, RotationRegistry
+from .rotation import AliasWatch, IndexVersion, RotationRegistry
+from .serving import ServingIndex
 from .streaming import (CombinedIndex, compact, make_batch_indexer,
                         nightly_rotate)
 
@@ -20,6 +21,6 @@ __all__ = [
     "BuildConfig", "assign_docids", "build_index", "build_many",
     "TypedIndex", "build_typed", "pivot_types",
     "FTSIndex",
-    "IndexVersion", "RotationRegistry",
+    "AliasWatch", "IndexVersion", "RotationRegistry", "ServingIndex",
     "CombinedIndex", "compact", "make_batch_indexer", "nightly_rotate",
 ]

@@ -123,6 +123,10 @@ class RotationRegistry:
         except FileNotFoundError:
             return None
 
+    def watch(self, alias: str) -> "AliasWatch":
+        """Open a node-cache-style watch on an alias (see AliasWatch)."""
+        return AliasWatch(self, alias)
+
     def versions(self, alias: str | None = None) -> list[dict]:
         out = []
         for fn in sorted(os.listdir(self.base)):
@@ -132,6 +136,56 @@ class RotationRegistry:
                 if alias is None or v["alias"] == alias:
                     out.append(v)
         return out
+
+
+class AliasWatch:
+    """Node-cache analog (ElasticsearchIndexRotationManagerZookeeper
+    .java:120-139: readers keep a ZK NodeCache on the alias znode and
+    observe swaps without re-reading ZK on every request). Here the
+    "znode" is the ``<alias>.current`` file; because ``swap`` replaces
+    it via os.replace, a change ALWAYS changes the inode, so one
+    os.stat per probe — (st_ino, st_mtime_ns, st_size) — is a
+    sufficient change token. ``poll()`` is the listener callback site:
+    it returns the new version row exactly once per observed swap and
+    None otherwise, re-reading the registry only when the token moved.
+    No background threads: the caller (or ServingIndex, per query)
+    drives the probe, keeping behavior deterministic and testable."""
+
+    def __init__(self, registry: "RotationRegistry", alias: str):
+        self.registry = registry
+        self.alias = alias
+        self._token = self._stat()
+        self._value = registry.current(alias)
+
+    def _stat(self):
+        try:
+            st = os.stat(self.registry._apath(self.alias))
+            return (st.st_ino, st.st_mtime_ns, st.st_size)
+        except FileNotFoundError:
+            return None
+
+    def changed(self) -> bool:
+        """One stat; True iff the alias pointer moved since the last
+        poll()/construction."""
+        return self._stat() != self._token
+
+    def poll(self) -> dict | None:
+        """Return the NEW current-version row if the alias moved since
+        the last poll (advancing the cached token), else None. Like the
+        ZK node cache, a deleted pointer keeps the last value cached
+        (``value()``) but poll reports nothing new."""
+        tok = self._stat()
+        if tok == self._token:
+            return None
+        self._token = tok
+        cur = self.registry.current(self.alias)
+        if cur is not None:
+            self._value = cur
+        return cur
+
+    def value(self) -> dict | None:
+        """Last observed current-version row (cached; no I/O)."""
+        return self._value
 
 
 def lagged_selection(index_date: date, today: date,
