@@ -338,29 +338,48 @@ def q_org_possible_shards(spark, sf_dir):
     return spark.createDataFrame(rows, "org string, shard int")
 
 
-def q_mf_text_bm25(spark, sf_dir):
-    """Multi-field index, field-scoped query on 'text' — must reproduce
-    the classic single-field ranking exactly."""
+def q_mf_bm25(spark, sf_dir):
+    """Multi-field index (B12), both fields in ONE gate (r5: the two
+    per-field gates merged to stay inside the driver's 50-query
+    window): the 'text' leg must reproduce the classic single-field
+    ranking exactly; the 'lang' leg exercises per-field df/avgdl
+    isolation."""
     idx = _mf_index_for(spark, sf_dir)
-    pdf = idx.topk_pandas(f"{T_HOT} {T_MID} {T_RARE}", k=10, mode="or",
-                          field="text")
-    pdf["rank"] = pdf.index + 1
-    pdf["score_r"] = pdf["score"].round(4)
-    return spark.createDataFrame(pdf[["rank", "docid", "score_r"]],
-                                 schema="rank long, docid long, "
-                                        "score_r double")
+    parts = []
+    for fld, qtext in [("lang", "en de"),
+                       ("text", f"{T_HOT} {T_MID} {T_RARE}")]:
+        pdf = idx.topk_pandas(qtext, k=10, mode="or", field=fld)
+        pdf["fld"] = fld
+        pdf["rank"] = pdf.index + 1
+        pdf["score_r"] = pdf["score"].round(4)
+        parts.append(pdf[["fld", "rank", "docid", "score_r"]])
+    import pandas as _pd
+    return spark.createDataFrame(
+        _pd.concat(parts, ignore_index=True),
+        schema="fld string, rank long, docid long, score_r double")
 
 
-def q_mf_lang_bm25(spark, sf_dir):
-    """Field-scoped BM25 on the second field ('lang') — exercises
-    per-field df/avgdl isolation."""
-    idx = _mf_index_for(spark, sf_dir)
-    pdf = idx.topk_pandas("en de", k=10, mode="or", field="lang")
-    pdf["rank"] = pdf.index + 1
-    pdf["score_r"] = pdf["score"].round(4)
-    return spark.createDataFrame(pdf[["rank", "docid", "score_r"]],
-                                 schema="rank long, docid long, "
-                                        "score_r double")
+SJ_QUERIES = [
+    ("hot_or", f"{T_HOT} {T_MID} {T_RARE}", "or"),
+    ("mid_and", f"{T_MID} {T_MID2}", "and"),
+    ("single", T_MID, "or"),
+    ("rare_or", f"{T_RARE} {T_MID2}", "or"),
+]
+
+
+def q_search_join(spark, sf_dir):
+    """Batch search as a JOIN (r5): a DataFrame of queries scored
+    against the index in one distributed plan — queries bucket by
+    xxhash64(qid), the query vocab broadcast-joins the dictionary (big
+    side never shuffles), per-(shard, bucket) cogroup scoring, global
+    per-query top-k via ONE window over qid. Nothing O(#queries) on
+    the driver; each query's rows are rank-identical to topk."""
+    idx = _index_for(spark, sf_dir)
+    qdf = spark.createDataFrame(SJ_QUERIES,
+                                "qid string, query string, mode string")
+    out = idx.search_join(qdf, k=10, mode_col="mode")
+    return out.select("qid", F.col("rank").cast("long").alias("rank"),
+                      "docid", F.round("score", 4).alias("score_r"))
 
 
 # --------------------------------------------------------------------
@@ -906,9 +925,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_compact_merge_bm25": q_compact_merge_bm25,
         "dp_decontaminate": q_dp_decontaminate,
         "fts_org_possible_shards": q_org_possible_shards,
-        "fts_multifield_text_bm25": q_mf_text_bm25,
-        "fts_multifield_lang_bm25": q_mf_lang_bm25,
+        "fts_multifield_bm25": q_mf_bm25,
         "fts_doctype_search": q_doctype_search,
+        "fts_search_join": q_search_join,
         # never-driver-verified in r04 (registry overflowed the driver's
         # 50-query window) — listed right after the fts block so they
         # get oracle rows even if the registry ever overflows again
@@ -1362,6 +1381,40 @@ def _typed_bm25_sql(terms: list[str], mode: str) -> str:
         LIMIT 10"""
 
 
+def _mf_bm25_sql() -> str:
+    """Merged multi-field oracle: the per-field legs are the SAME SQL
+    the two pre-r5 gates used, labeled and unioned (per-field df/avgdl
+    isolation is inherent — each leg's stats CTEs read only its own
+    column)."""
+    legs = []
+    for fld, terms, col in [("lang", ["en", "de"], "lang"),
+                            ("text", [T_HOT, T_MID, T_RARE], "text")]:
+        legs.append(f"SELECT '{fld}' AS fld, rank, docid, score_r "
+                    f"FROM ({_bm25_sql(terms, 'or', col=col)})")
+    return (" UNION ALL ".join(legs)
+            + " ORDER BY fld, rank")
+
+
+def _search_join_sql() -> str:
+    """search_join oracle: one _bm25_scored leg per query in
+    SJ_QUERIES, each re-ranked (score desc, doc_id asc) and labeled
+    with its qid — batch search must equal the per-query rankings."""
+    legs = []
+    for qid, qtext, mode in SJ_QUERIES:
+        scored = _bm25_scored(qtext.split(), mode)
+        legs.append(f"""
+          SELECT '{qid}' AS qid,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                     AS rank,
+                 doc_id AS docid, round(score, 4) AS score_r
+          FROM ({scored} SELECT doc_id, score FROM scored)
+          ORDER BY score DESC, doc_id ASC
+          LIMIT 10""")
+    return (" UNION ALL ".join(f"SELECT * FROM ({leg})"
+                               for leg in legs)
+            + " ORDER BY qid, rank")
+
+
 def _bpe_train_oracle_sql(num_merges: int = 30) -> str:
     """Generated oracle for dp_bpe_train_encode (VERDICT r4 #5): the
     merge table is a DETERMINISTIC function of the corpus word
@@ -1632,11 +1685,9 @@ def oracle_sql() -> dict[str, str]:
                      % {ORG_SHARDS // ORG_K}) * {ORG_K} + m.m)::INT
                      AS shard
             FROM orgs, m ORDER BY org, shard""",
-        "fts_multifield_text_bm25": _bm25_sql(
-            [T_HOT, T_MID, T_RARE], "or"),
-        "fts_multifield_lang_bm25": _bm25_sql(["en", "de"], "or",
-                                              col="lang"),
+        "fts_multifield_bm25": _mf_bm25_sql(),
         "fts_doctype_search": _typed_bm25_sql([T_HOT, T_MID], "or"),
+        "fts_search_join": _search_join_sql(),
         "dp_exact_dedup": """
             WITH g AS (
               SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,

@@ -40,7 +40,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import codec, storage
-from .analyzer import TokenizerConfig, tokenize_text
+from .analyzer import (TokenizerConfig, jvm_tokens, tokenize_series,
+                       tokenize_text)
 
 
 def _bm25_idf(N: float, df: float) -> float:
@@ -802,6 +803,181 @@ class FTSIndex:
                         .head(k)[["docid", "score"]]
                         .reset_index(drop=True))
         return out
+
+    def search_join(self, queries: DataFrame, k: int = 10,
+                    method: str = "wand", field: str | None = None,
+                    org: str | None = None, qid_col: str = "qid",
+                    query_col: str = "query",
+                    mode_col: str | None = None,
+                    default_mode: str = "or",
+                    n_buckets: int | None = None) -> DataFrame:
+        """Batch search as a JOIN: score a whole DataFrame of queries
+        against the index in one distributed plan and return per-query
+        top-k as a DataFrame — the surface for query-set-scale work
+        (query-log evaluation, search-based decontamination, weak
+        labeling) where the query table itself is big data.
+
+        Input: ``queries(qid_col, query_col[, mode_col])``; qids must
+        be unique (one row per query). Output:
+        ``(qid, rank, docid, score)`` with rank 1..k by (score desc,
+        docid asc) — each query's rows are rank-identical to the
+        corresponding ``topk`` call. Queries with no tokens, or whose
+        terms are all absent from the index, simply emit no rows.
+
+        Scale shape (how this differs from ``topk_many``'s driver
+        dict): NOTHING here is O(#queries) on the driver.
+
+        - queries tokenize with the same Catalyst expression the build
+          uses (pandas fallback for non-JVM configs) and explode to
+          (qid, term) rows; idf comes from a LEFT join against the
+          term_stats table (absent terms kept at df=0 so AND-mode term
+          counts stay exact) — no driver vocab collect;
+        - each query lands in one of ``n_buckets`` buckets
+          (xxhash64(qid) % B) — the parallelism axis of the query
+          dimension;
+        - dictionary rows are selected by BROADCAST-joining the query
+          set's distinct (term, bucket) pairs against the postings
+          table: the big side never shuffles for the join, and only
+          matching rows enter the ONE exchange that cogroups
+          (shard, bucket) postings with that bucket's queries. A hot
+          term queried in many buckets replicates its rows up to B× —
+          the classic replication/parallelism trade; B defaults to the
+          session's shuffle partitions and is caller-tunable;
+        - per-(shard, bucket) scoring reuses score_query_set (the
+          topk_many kernel), then ONE window over qid takes the global
+          per-query top-k. Total: broadcast + 2 shuffles, all stages
+          distributed in both the corpus and query dimensions.
+
+        For a handful of queries prefer ``topk_many`` (per-term
+        dictionary point-probes); search_join's full dictionary scan
+        only amortizes across a large query set.
+
+        ``org=`` (routed indexes with contiguous-tenant ranges) scopes
+        the WHOLE batch to one tenant: shard-pruned scan + interval
+        scoring, same semantics as ``topk(org=)``."""
+        prefix, avgdl = self._field(field)
+        if default_mode not in ("or", "and"):
+            raise ValueError(f"default_mode {default_mode!r}: or|and")
+        B = int(n_buckets
+                or self.spark.conf.get("spark.sql.shuffle.partitions",
+                                       "32"))
+        spark = self.spark
+        q = queries.select(
+            F.col(qid_col).cast("string").alias("qid"),
+            F.coalesce(F.col(query_col).cast("string"),
+                       F.lit("")).alias("qtext"),
+            (F.lower(F.col(mode_col).cast("string")) if mode_col
+             else F.lit(default_mode)).alias("mode"))
+        cfg = self.tokenizer
+
+        def make_qt() -> DataFrame:
+            # Called TWICE to give the cogroup's two sides independent
+            # plan lineages (same source plan on both sides trips
+            # Spark's ambiguous-self-join analysis); everything here is
+            # deterministic, and re-tokenizing the query table is cheap
+            # next to the postings scan.
+            toks = jvm_tokens(F.col("qtext"), cfg)
+            if toks is not None:
+                qt = q.select(
+                    "qid", "mode",
+                    F.explode(F.array_distinct(toks)).alias("tok"))
+            else:
+                def tok_pd(it):
+                    for pdf in it:
+                        tl = tokenize_series(pdf["qtext"], cfg)
+                        uniq = [np.unique(np.asarray(t, dtype=object))
+                                for t in tl]
+                        n = np.array([len(u) for u in uniq],
+                                     dtype=np.int64)
+                        yield pd.DataFrame({
+                            "qid": pdf["qid"].repeat(n).to_numpy(),
+                            "mode": pdf["mode"].repeat(n).to_numpy(),
+                            "tok": (np.concatenate(uniq) if len(uniq)
+                                    else np.empty(0, object))})
+
+                # one input row per qid → within-query np.unique
+                # already dedups; nothing to drop across partitions
+                qt = q.mapInPandas(
+                    tok_pd, schema="qid string, mode string, tok string")
+            return (qt.withColumn("term", F.concat(F.lit(prefix),
+                                                   F.col("tok")))
+                    .withColumn("bucket",
+                                F.pmod(F.xxhash64("qid"),
+                                       F.lit(B)).cast("int"))
+                    .select("qid", "mode", "term", "bucket"))
+        # idf via LEFT join: absent terms stay (df→0) so AND term
+        # counts include them; their idf never scores (no postings)
+        N = float(self.N)
+        qs = (make_qt().join(self._term_stats.select("term", "df"),
+                             "term", "left")
+              .withColumn("idf", F.log(
+                  F.lit(1.0)
+                  + (F.lit(N) - F.coalesce(F.col("df"), F.lit(0.0))
+                     + F.lit(0.5))
+                  / (F.coalesce(F.col("df"), F.lit(0.0)) + F.lit(0.5))))
+              .select("qid", "mode", "term", "bucket", "idf"))
+        ranges = None
+        if org is not None:
+            if self.routing_col is None:
+                raise ValueError("index was not built with org routing")
+            ranges = self._org_ranges(org)
+            if ranges is None:
+                raise ValueError(
+                    "search_join(org=...) needs contiguous-tenant "
+                    "ranges (index predates org_ranges); rebuild or "
+                    "use topk_many(org=...)")
+            shard_ids = sorted(ranges)
+        else:
+            shard_ids = list(range(self.num_shards))
+        empty = spark.createDataFrame(
+            [], "qid string, rank int, docid long, score double")
+        if not shard_ids:
+            return empty          # unknown tenant
+        shards_df = spark.createDataFrame(
+            [(int(s),) for s in shard_ids], "shard int")
+        # every query scores on every (pruned) shard: tiny broadcast
+        # nested-loop, O(#query-terms × #shards) rows of a few columns
+        qs_sh = qs.crossJoin(F.broadcast(shards_df))
+        # dictionary selection: broadcast the query vocab at the scan —
+        # postings never shuffle for the join itself
+        tb = make_qt().select("term", "bucket").distinct()
+        ps = (self._postings
+              .where(F.col("shard").isin(shard_ids))
+              .join(F.broadcast(tb), "term"))
+        k1, b, av = self.k1, self.b, avgdl
+        rng_by_shard = ranges
+
+        def score_group(lpdf: pd.DataFrame,
+                        rpdf: pd.DataFrame) -> pd.DataFrame:
+            if lpdf.empty or rpdf.empty:
+                return _QSET_EMPTY
+            bad = set(rpdf["mode"].unique()) - {"or", "and"}
+            if bad:
+                raise ValueError(f"search_join: bad mode(s) {bad}")
+            qterms = {qid: sorted(g["term"].unique())
+                      for qid, g in rpdf.groupby("qid")}
+            modes = dict(zip(rpdf["qid"], rpdf["mode"]))
+            idf = dict(zip(rpdf["term"], rpdf["idf"]))
+            rng = None
+            if rng_by_shard is not None:
+                rng = rng_by_shard.get(int(lpdf["shard"].iloc[0]))
+                if rng is None:
+                    return _QSET_EMPTY
+            return score_query_set(lpdf, None, qterms, modes, idf, av,
+                                   k1, b, k, method, rng=rng)
+
+        tops = (ps.groupBy("shard", "bucket")
+                .cogroup(qs_sh.groupBy("shard", "bucket"))
+                .applyInPandas(score_group,
+                               schema="qid string, docid long, "
+                                      "score double"))
+        from pyspark.sql import Window
+        w = (Window.partitionBy("qid")
+             .orderBy(F.desc("score"), F.asc("docid")))
+        return (tops.withColumn("rank",
+                                F.row_number().over(w).cast("int"))
+                .where(F.col("rank") <= k)
+                .select("qid", "rank", "docid", "score"))
 
     def _pa_datasets(self):
         import pyarrow.dataset as ds

@@ -1,0 +1,156 @@
+"""search_join: batch search as a join (DataFrame of queries in, per-
+query top-k DataFrame out, nothing O(#queries) on the driver). Each
+query's rows must be rank- AND score-identical to the corresponding
+``topk`` call, under every surface dimension: or/and, wand/exact,
+multi-field, org-scoped, absent/empty/duplicate-term queries."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkfts import BuildConfig, FTSIndex, build_index
+from sparkfts.analyzer import TokenizerConfig
+from sparkfts.fixtures import make_transcripts
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    pdf = make_transcripts(40, seed=31)
+    root = str(tmp_path_factory.mktemp("sj_idx"))
+    build_index(spark, spark.createDataFrame(pdf), root,
+                order_cols=["conv_id", "turn_idx"],
+                cfg=BuildConfig(num_shards=3, partitions=3))
+    return FTSIndex(spark, root)
+
+
+QUERIES = [
+    ("q_hot", "alpha query index", "or"),
+    ("q_and", "merge window", "and"),
+    ("q_one", "shard", "or"),
+    ("q_dup", "alpha alpha ALPHA", "or"),      # dup terms collapse
+    ("q_absent", "zzzunseenterm", "or"),       # no rows expected
+    ("q_and_absent", "alpha zzzunseenterm", "and"),  # AND w/ absent→none
+    ("q_empty", "!!! ...", "or"),              # tokenizes to nothing
+    ("q_mixed", "batch nightly shard", "and"),
+]
+
+
+def _want(idx, k=7, **kw):
+    out = {}
+    for qid, text, mode in QUERIES:
+        h = idx.topk_pandas(text, k=k, mode=mode, **kw)
+        out[qid] = h
+    return out
+
+
+def _got_map(res_pdf):
+    return {qid: g.sort_values("rank")[["docid", "score"]]
+            .reset_index(drop=True)
+            for qid, g in res_pdf.groupby("qid")}
+
+
+def _assert_same(got, want, label):
+    for qid, w in want.items():
+        g = got.get(qid)
+        if w.empty:
+            assert g is None, f"{label}/{qid}: expected no rows"
+            continue
+        assert g is not None, f"{label}/{qid}: missing"
+        assert g["docid"].tolist() == w["docid"].tolist(), \
+            f"{label}/{qid}"
+        np.testing.assert_allclose(g["score"], w["score"], rtol=0,
+                                   atol=1e-9, err_msg=f"{label}/{qid}")
+
+
+@pytest.mark.parametrize("method", ["wand", "exact"])
+def test_search_join_matches_topk(spark, idx, method):
+    qdf = spark.createDataFrame(
+        [(q, t, m) for q, t, m in QUERIES], "qid string, query string, "
+        "mode string")
+    res = idx.search_join(qdf, k=7, method=method,
+                          mode_col="mode").toPandas()
+    # ranks are dense 1..n per qid
+    for qid, g in res.groupby("qid"):
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+    _assert_same(_got_map(res), _want(idx, k=7), method)
+
+
+def test_search_join_default_mode_and_buckets(spark, idx):
+    """mode_col omitted → default_mode; result invariant to bucket
+    count (1 bucket == many buckets == per-query topk)."""
+    ors = [(q, t) for q, t, m in QUERIES if m == "or"]
+    qdf = spark.createDataFrame(ors, "qid string, query string")
+    want = {q: idx.topk_pandas(t, k=5, mode="or") for q, t in ors}
+    for nb in (1, 7):
+        res = idx.search_join(qdf, k=5, default_mode="or",
+                              n_buckets=nb).toPandas()
+        _assert_same(_got_map(res), want, f"B={nb}")
+
+
+def test_search_join_multifield(spark, tmp_path_factory):
+    pdf = make_transcripts(25, seed=32)
+    pdf["lang"] = np.where(np.arange(len(pdf)) % 3 == 0, "de en", "en")
+    root = str(tmp_path_factory.mktemp("sj_mf"))
+    build_index(spark, spark.createDataFrame(pdf), root,
+                order_cols=["conv_id", "turn_idx"],
+                cfg=BuildConfig(num_shards=2, partitions=2,
+                                fields={"text": TokenizerConfig(),
+                                        "lang": TokenizerConfig()}))
+    spark_idx = FTSIndex(spark, root)
+    qdf = spark.createDataFrame(
+        [("a", "alpha query"), ("b", "de")],
+        "qid string, query string")
+    for fld in ("text", "lang"):
+        res = spark_idx.search_join(qdf, k=6, field=fld).toPandas()
+        want = {q: spark_idx.topk_pandas(t, k=6, mode="or", field=fld)
+                for q, t in [("a", "alpha query"), ("b", "de")]}
+        _assert_same(_got_map(res), want, f"field={fld}")
+
+
+def test_search_join_org_scoped(spark, tmp_path_factory):
+    pdf = make_transcripts(30, seed=33)
+    orgs = sorted(pdf["conv_id"].unique())
+    pdf["org"] = pdf["conv_id"].map(
+        lambda c: f"o{orgs.index(c) % 4}")
+    root = str(tmp_path_factory.mktemp("sj_routed"))
+    build_index(spark, spark.createDataFrame(pdf), root,
+                order_cols=["conv_id", "turn_idx"],
+                cfg=BuildConfig(num_shards=4, partitions=4,
+                                routing_col="org", shards_per_org=2))
+    ridx = FTSIndex(spark, root)
+    qdf = spark.createDataFrame(
+        [("a", "alpha query index", "or"), ("b", "merge window", "and")],
+        "qid string, query string, mode string")
+    res = ridx.search_join(qdf, k=8, org="o1", mode_col="mode") \
+        .toPandas()
+    want = {"a": ridx.topk_pandas("alpha query index", k=8, mode="or",
+                                  org="o1"),
+            "b": ridx.topk_pandas("merge window", k=8, mode="and",
+                                  org="o1")}
+    _assert_same(_got_map(res), want, "org=o1")
+    # unknown tenant → empty frame, correct schema
+    gone = ridx.search_join(qdf, k=3, org="no_such_org").toPandas()
+    assert gone.empty
+    assert list(gone.columns) == ["qid", "rank", "docid", "score"]
+
+
+def test_search_join_errors(spark, idx):
+    qdf = spark.createDataFrame([("a", "alpha", "not_a_mode")],
+                                "qid string, query string, mode string")
+    with pytest.raises(Exception, match="bad mode"):
+        idx.search_join(qdf, mode_col="mode").toPandas()
+    with pytest.raises(ValueError, match="or|and"):
+        idx.search_join(qdf, default_mode="nope")
+    with pytest.raises(ValueError, match="org routing"):
+        idx.search_join(qdf, org="o1").toPandas()
+
+
+def test_search_join_null_and_unicode_queries(spark, idx):
+    qdf = spark.createDataFrame(
+        [("n", None), ("u", "ünïcode — alpha'); DROP--")],
+        "qid string, query string")
+    res = idx.search_join(qdf, k=5).toPandas()
+    got = _got_map(res)
+    assert "n" not in got                      # null → no tokens
+    if "u" in got:                             # ASCII analyzer keeps
+        w = idx.topk_pandas("ünïcode — alpha'); DROP--", k=5, mode="or")
+        assert got["u"]["docid"].tolist() == w["docid"].tolist()
