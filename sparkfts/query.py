@@ -518,6 +518,120 @@ def _phrase_shard(pdf: pd.DataFrame, seq: list[str], uniq: list[str],
     return pd.DataFrame({"docid": marr[order], "score": scores[order]})
 
 
+# -- search_join building blocks (shared by FTSIndex and
+# streaming.CombinedIndex) ------------------------------------------
+
+def sj_normalize_queries(queries: DataFrame, qid_col: str,
+                         query_col: str, mode_col: str | None,
+                         default_mode: str) -> DataFrame:
+    """(qid, qtext, mode) with null text coalesced and modes lowered."""
+    return queries.select(
+        F.col(qid_col).cast("string").alias("qid"),
+        F.coalesce(F.col(query_col).cast("string"),
+                   F.lit("")).alias("qtext"),
+        (F.lower(F.col(mode_col).cast("string")) if mode_col
+         else F.lit(default_mode)).alias("mode"))
+
+
+def sj_make_qt_factory(q: DataFrame, cfg: TokenizerConfig, prefix: str,
+                       B: int):
+    """Factory for the (qid, mode, term, bucket) query-term plan.
+    Callers invoke it ONCE PER SIDE of a join/cogroup so each side gets
+    an independent plan lineage (the same source plan on both sides
+    trips Spark's ambiguous-self-join analysis); everything inside is
+    deterministic, and re-tokenizing the query table is cheap next to
+    the postings scan."""
+
+    def make_qt() -> DataFrame:
+        toks = jvm_tokens(F.col("qtext"), cfg)
+        if toks is not None:
+            qt = q.select(
+                "qid", "mode",
+                F.explode(F.array_distinct(toks)).alias("tok"))
+        else:
+            def tok_pd(it):
+                for pdf in it:
+                    tl = tokenize_series(pdf["qtext"], cfg)
+                    uniq = [np.unique(np.asarray(t, dtype=object))
+                            for t in tl]
+                    n = np.array([len(u) for u in uniq],
+                                 dtype=np.int64)
+                    yield pd.DataFrame({
+                        "qid": pdf["qid"].repeat(n).to_numpy(),
+                        "mode": pdf["mode"].repeat(n).to_numpy(),
+                        "tok": (np.concatenate(uniq) if len(uniq)
+                                else np.empty(0, object))})
+
+            # one input row per qid → within-query np.unique already
+            # dedups; nothing to drop across partitions
+            qt = q.mapInPandas(
+                tok_pd, schema="qid string, mode string, tok string")
+        return (qt.withColumn("term", F.concat(F.lit(prefix),
+                                               F.col("tok")))
+                .withColumn("bucket",
+                            F.pmod(F.xxhash64("qid"),
+                                   F.lit(B)).cast("int"))
+                .select("qid", "mode", "term", "bucket"))
+
+    return make_qt
+
+
+def sj_attach_idf(qt: DataFrame, stats: DataFrame, N: float) -> DataFrame:
+    """idf via LEFT join on a (term, df) stats table: absent terms stay
+    (df→0) so AND-mode term counts include them; their idf never scores
+    (no postings). The formula must stay bit-identical to _bm25_idf."""
+    return (qt.join(stats, "term", "left")
+            .withColumn("idf", F.log(
+                F.lit(1.0)
+                + (F.lit(N) - F.coalesce(F.col("df"), F.lit(0.0))
+                   + F.lit(0.5))
+                / (F.coalesce(F.col("df"), F.lit(0.0)) + F.lit(0.5))))
+            .select("qid", "mode", "term", "bucket", "idf"))
+
+
+def sj_score_group_factory(avgdl: float, k1: float, b: float, k: int,
+                           method: str, rng_lookup=None):
+    """Cogroup kernel: rebuild the per-bucket qterms/modes/idf dicts
+    from the query side and score with score_query_set. ``rng_lookup``
+    (org-scoped paths) maps the postings pdf to the tenant's docid
+    interval for this group — None result means the tenant has no docs
+    here and the group is skipped."""
+
+    def score_group(lpdf: pd.DataFrame,
+                    rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return _QSET_EMPTY
+        bad = set(rpdf["mode"].unique()) - {"or", "and"}
+        if bad:
+            raise ValueError(f"search_join: bad mode(s) {bad}")
+        qterms = {qid: sorted(g["term"].unique())
+                  for qid, g in rpdf.groupby("qid")}
+        modes = dict(zip(rpdf["qid"], rpdf["mode"]))
+        idf = dict(zip(rpdf["term"], rpdf["idf"]))
+        rng = None
+        if rng_lookup is not None:
+            rng = rng_lookup(lpdf)
+            if rng is None:
+                return _QSET_EMPTY
+        return score_query_set(lpdf, None, qterms, modes, idf, avgdl,
+                               k1, b, k, method, rng=rng)
+
+    return score_group
+
+
+def sj_global_topk(tops: DataFrame, k: int) -> DataFrame:
+    """Per-query global top-k: ONE window over qid (Spark inserts
+    WindowGroupLimit before the exchange, so at most k rows per
+    (query, partition) shuffle)."""
+    from pyspark.sql import Window
+    w = (Window.partitionBy("qid")
+         .orderBy(F.desc("score"), F.asc("docid")))
+    return (tops.withColumn("rank",
+                            F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .select("qid", "rank", "docid", "score"))
+
+
 class FTSIndex:
     """Loaded index handle; query entry points."""
 
@@ -862,60 +976,12 @@ class FTSIndex:
                 or self.spark.conf.get("spark.sql.shuffle.partitions",
                                        "32"))
         spark = self.spark
-        q = queries.select(
-            F.col(qid_col).cast("string").alias("qid"),
-            F.coalesce(F.col(query_col).cast("string"),
-                       F.lit("")).alias("qtext"),
-            (F.lower(F.col(mode_col).cast("string")) if mode_col
-             else F.lit(default_mode)).alias("mode"))
-        cfg = self.tokenizer
-
-        def make_qt() -> DataFrame:
-            # Called TWICE to give the cogroup's two sides independent
-            # plan lineages (same source plan on both sides trips
-            # Spark's ambiguous-self-join analysis); everything here is
-            # deterministic, and re-tokenizing the query table is cheap
-            # next to the postings scan.
-            toks = jvm_tokens(F.col("qtext"), cfg)
-            if toks is not None:
-                qt = q.select(
-                    "qid", "mode",
-                    F.explode(F.array_distinct(toks)).alias("tok"))
-            else:
-                def tok_pd(it):
-                    for pdf in it:
-                        tl = tokenize_series(pdf["qtext"], cfg)
-                        uniq = [np.unique(np.asarray(t, dtype=object))
-                                for t in tl]
-                        n = np.array([len(u) for u in uniq],
-                                     dtype=np.int64)
-                        yield pd.DataFrame({
-                            "qid": pdf["qid"].repeat(n).to_numpy(),
-                            "mode": pdf["mode"].repeat(n).to_numpy(),
-                            "tok": (np.concatenate(uniq) if len(uniq)
-                                    else np.empty(0, object))})
-
-                # one input row per qid → within-query np.unique
-                # already dedups; nothing to drop across partitions
-                qt = q.mapInPandas(
-                    tok_pd, schema="qid string, mode string, tok string")
-            return (qt.withColumn("term", F.concat(F.lit(prefix),
-                                                   F.col("tok")))
-                    .withColumn("bucket",
-                                F.pmod(F.xxhash64("qid"),
-                                       F.lit(B)).cast("int"))
-                    .select("qid", "mode", "term", "bucket"))
-        # idf via LEFT join: absent terms stay (df→0) so AND term
-        # counts include them; their idf never scores (no postings)
-        N = float(self.N)
-        qs = (make_qt().join(self._term_stats.select("term", "df"),
-                             "term", "left")
-              .withColumn("idf", F.log(
-                  F.lit(1.0)
-                  + (F.lit(N) - F.coalesce(F.col("df"), F.lit(0.0))
-                     + F.lit(0.5))
-                  / (F.coalesce(F.col("df"), F.lit(0.0)) + F.lit(0.5))))
-              .select("qid", "mode", "term", "bucket", "idf"))
+        q = sj_normalize_queries(queries, qid_col, query_col, mode_col,
+                                 default_mode)
+        make_qt = sj_make_qt_factory(q, self.tokenizer, prefix, B)
+        qs = sj_attach_idf(make_qt(),
+                           self._term_stats.select("term", "df"),
+                           float(self.N))
         ranges = None
         if org is not None:
             if self.routing_col is None:
@@ -944,40 +1010,19 @@ class FTSIndex:
         ps = (self._postings
               .where(F.col("shard").isin(shard_ids))
               .join(F.broadcast(tb), "term"))
-        k1, b, av = self.k1, self.b, avgdl
-        rng_by_shard = ranges
-
-        def score_group(lpdf: pd.DataFrame,
-                        rpdf: pd.DataFrame) -> pd.DataFrame:
-            if lpdf.empty or rpdf.empty:
-                return _QSET_EMPTY
-            bad = set(rpdf["mode"].unique()) - {"or", "and"}
-            if bad:
-                raise ValueError(f"search_join: bad mode(s) {bad}")
-            qterms = {qid: sorted(g["term"].unique())
-                      for qid, g in rpdf.groupby("qid")}
-            modes = dict(zip(rpdf["qid"], rpdf["mode"]))
-            idf = dict(zip(rpdf["term"], rpdf["idf"]))
-            rng = None
-            if rng_by_shard is not None:
-                rng = rng_by_shard.get(int(lpdf["shard"].iloc[0]))
-                if rng is None:
-                    return _QSET_EMPTY
-            return score_query_set(lpdf, None, qterms, modes, idf, av,
-                                   k1, b, k, method, rng=rng)
-
+        rng_lookup = None
+        if ranges is not None:
+            rng_by_shard = ranges
+            rng_lookup = (lambda lpdf:
+                          rng_by_shard.get(int(lpdf["shard"].iloc[0])))
+        score_group = sj_score_group_factory(avgdl, self.k1, self.b, k,
+                                             method, rng_lookup)
         tops = (ps.groupBy("shard", "bucket")
                 .cogroup(qs_sh.groupBy("shard", "bucket"))
                 .applyInPandas(score_group,
                                schema="qid string, docid long, "
                                       "score double"))
-        from pyspark.sql import Window
-        w = (Window.partitionBy("qid")
-             .orderBy(F.desc("score"), F.asc("docid")))
-        return (tops.withColumn("rank",
-                                F.row_number().over(w).cast("int"))
-                .where(F.col("rank") <= k)
-                .select("qid", "rank", "docid", "score"))
+        return sj_global_topk(tops, k)
 
     def _pa_datasets(self):
         import pyarrow.dataset as ds

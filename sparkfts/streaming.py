@@ -833,6 +833,89 @@ class CombinedIndex:
                         .reset_index(drop=True))
         return out
 
+    def search_join(self, queries: DataFrame, k: int = 10,
+                    method: str = "wand", field: str | None = None,
+                    org: str | None = None, qid_col: str = "qid",
+                    query_col: str = "query",
+                    mode_col: str | None = None,
+                    default_mode: str = "or",
+                    n_buckets: int | None = None) -> DataFrame:
+        """Batch search as a join over base + deltas — the streaming
+        analog of FTSIndex.search_join (same contract: a DataFrame of
+        queries in, per-query (qid, rank, docid, score) top-k out,
+        nothing O(#queries) on the driver; see that docstring for the
+        plan shape). Union-global statistics come distributedly too:
+        df = SUM over generations' term_stats (one groupBy on the
+        query vocab — no driver collect), N/avgdl from the handle.
+        Docid spaces are disjoint by the ledger's reservation, so
+        per-(sub, shard, bucket) group results merge exactly in the
+        one global window. ``org=`` requires every generation routed
+        WITH contiguous-tenant ranges (the rngmap is O(subs × shards)
+        in the kernel closure)."""
+        from .query import (sj_attach_idf, sj_global_topk,
+                            sj_make_qt_factory, sj_normalize_queries,
+                            sj_score_group_factory)
+        prefix, avgdl = self._field(field)
+        if default_mode not in ("or", "and"):
+            raise ValueError(f"default_mode {default_mode!r}: or|and")
+        B = int(n_buckets
+                or self.spark.conf.get("spark.sql.shuffle.partitions",
+                                       "32"))
+        q = sj_normalize_queries(queries, qid_col, query_col, mode_col,
+                                 default_mode)
+        make_qt = sj_make_qt_factory(q, self.tokenizer, prefix, B)
+        stats = (self._union(lambda s: s._term_stats
+                             .select("term", "df"))
+                 .groupBy("term").agg(F.sum("df").alias("df")))
+        qs = sj_attach_idf(make_qt(), stats, float(self.N))
+        rngmap = None
+        if org is not None:
+            org_subs = self._org_subs(org)
+            rngmap = self._org_range_map(org_subs, org)
+            if rngmap is None:
+                raise ValueError(
+                    "search_join(org=...) needs contiguous-tenant "
+                    "ranges in EVERY generation; rebuild or use "
+                    "topk_many(org=...)")
+            keys = sorted(rngmap)
+        else:
+            keys = [(i, sh) for i, s in enumerate(self.subs)
+                    for sh in range(s.num_shards)]
+        empty = self.spark.createDataFrame(
+            [], "qid string, rank int, docid long, score double")
+        if not keys:
+            return empty          # unknown tenant
+        keys_df = self.spark.createDataFrame(
+            [(int(i), int(sh)) for i, sh in keys], "sub int, shard int")
+        qs_k = qs.crossJoin(F.broadcast(keys_df))
+        tb = make_qt().select("term", "bucket").distinct()
+        shards_of = {}
+        for i, sh in keys:
+            shards_of.setdefault(i, []).append(sh)
+        ps = None
+        for i, s in enumerate(self.subs):
+            if i not in shards_of:
+                continue
+            r = s._postings
+            if len(shards_of[i]) < s.num_shards:
+                r = r.where(F.col("shard").isin(sorted(shards_of[i])))
+            r = (r.join(F.broadcast(tb), "term")
+                 .withColumn("sub", F.lit(i)))
+            ps = r if ps is None else ps.unionByName(r)
+        rng_lookup = None
+        if rngmap is not None:
+            rm = rngmap
+            rng_lookup = (lambda lpdf:
+                          rm.get((int(lpdf["sub"].iloc[0]),
+                                  int(lpdf["shard"].iloc[0]))))
+        score_group = sj_score_group_factory(avgdl, self.k1, self.b, k,
+                                             method, rng_lookup)
+        tops = (ps.groupBy("sub", "shard", "bucket")
+                .cogroup(qs_k.groupBy("sub", "shard", "bucket"))
+                .applyInPandas(score_group,
+                               schema="qid string, docid long, "
+                                      "score double"))
+        return sj_global_topk(tops, k)
 
 
 def compact(spark: SparkSession, base_root: str, out_root: str,

@@ -154,3 +154,83 @@ def test_search_join_null_and_unicode_queries(spark, idx):
     if "u" in got:                             # ASCII analyzer keeps
         w = idx.topk_pandas("ünïcode — alpha'); DROP--", k=5, mode="or")
         assert got["u"]["docid"].tolist() == w["docid"].tolist()
+
+
+# ------------------------------------------------------------------ #
+# CombinedIndex.search_join (base + deltas)                          #
+# ------------------------------------------------------------------ #
+
+@pytest.fixture(scope="module")
+def combined(spark, tmp_path_factory):
+    from sparkfts.streaming import CombinedIndex, make_batch_indexer
+    from sparkfts import build_index as _bi
+    cfg = BuildConfig(num_shards=2, partitions=2)
+    root = str(tmp_path_factory.mktemp("sj_stream"))
+    _bi(spark, spark.createDataFrame(make_transcripts(12, seed=61)),
+        root, order_cols=["conv_id", "turn_idx"], cfg=cfg)
+    idxer = make_batch_indexer(root, cfg=cfg)
+    for i, seed in enumerate((62, 63)):
+        idxer(spark.createDataFrame(make_transcripts(4, seed=seed)),
+              batch_id=i)
+    return CombinedIndex(spark, root)
+
+
+def test_combined_search_join_matches_topk(spark, combined):
+    """Streaming batch search: per-query rows rank- and score-identical
+    to CombinedIndex.topk (union-global stats across generations)."""
+    qdf = spark.createDataFrame(
+        [(q, t, m) for q, t, m in QUERIES],
+        "qid string, query string, mode string")
+    res = combined.search_join(qdf, k=7, mode_col="mode").toPandas()
+    got = _got_map(res)
+    for qid, text, mode in QUERIES:
+        w = combined.topk(text, k=7, mode=mode).reset_index(drop=True)
+        if w.empty:
+            assert qid not in got, qid
+            continue
+        g = got.get(qid)
+        assert g is not None, qid
+        assert g["docid"].tolist() == w["docid"].tolist(), qid
+        np.testing.assert_allclose(g["score"], w["score"], rtol=0,
+                                   atol=1e-9, err_msg=qid)
+
+
+def test_combined_search_join_org_scoped(spark, tmp_path_factory):
+    """Org-scoped streaming batch search over routed generations with
+    per-generation shard geometry: equals CombinedIndex.topk(org=)."""
+    from sparkfts.streaming import CombinedIndex, make_batch_indexer
+    from sparkfts import build_index as _bi
+    rcfg = BuildConfig(num_shards=4, partitions=4, routing_col="org",
+                       shards_per_org=2)
+
+    def with_org(pdf):
+        return pdf.assign(org=pdf["conv_id"].map(
+            lambda c: f"o{sum(map(ord, c)) % 3}"))
+
+    root = str(tmp_path_factory.mktemp("sj_routed_stream"))
+    _bi(spark, spark.createDataFrame(with_org(make_transcripts(
+        12, seed=71))), root, order_cols=["conv_id", "turn_idx"],
+        cfg=rcfg)
+    idxer = make_batch_indexer(root, cfg=rcfg)
+    idxer(spark.createDataFrame(with_org(make_transcripts(
+        5, seed=72))), batch_id=0)
+    ci = CombinedIndex(spark, root)
+    qdf = spark.createDataFrame(
+        [("a", "alpha query index", "or"), ("b", "merge window", "and")],
+        "qid string, query string, mode string")
+    res = ci.search_join(qdf, k=8, org="o1", mode_col="mode").toPandas()
+    got = _got_map(res)
+    for qid, text, mode in [("a", "alpha query index", "or"),
+                            ("b", "merge window", "and")]:
+        w = ci.topk(text, k=8, mode=mode, org="o1") \
+            .reset_index(drop=True)
+        if w.empty:
+            assert qid not in got, qid
+            continue
+        g = got[qid]
+        assert g["docid"].tolist() == w["docid"].tolist(), qid
+        np.testing.assert_allclose(g["score"], w["score"], rtol=0,
+                                   atol=1e-9, err_msg=qid)
+    # unknown tenant → empty, correct schema
+    gone = ci.search_join(qdf, k=3, org="zzz_no_org").toPandas()
+    assert gone.empty
