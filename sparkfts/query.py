@@ -535,43 +535,61 @@ def sj_normalize_queries(queries: DataFrame, qid_col: str,
 
 def sj_make_qt_factory(q: DataFrame, cfg: TokenizerConfig, prefix: str,
                        B: int):
-    """Factory for the (qid, mode, term, bucket) query-term plan.
-    Callers invoke it ONCE PER SIDE of a join/cogroup so each side gets
-    an independent plan lineage (the same source plan on both sides
-    trips Spark's ambiguous-self-join analysis); everything inside is
-    deterministic, and re-tokenizing the query table is cheap next to
+    """Factory for the (qid, mode, term, bucket, qpos) query-term plan —
+    one row per DISTINCT term per query, ``qpos`` the term's positions
+    in the query's token sequence (phrase mode rebuilds the sequence
+    from them; or/and ignore the column — computing it is O(len²) in a
+    handful of query tokens, no extra shuffle either way).
+    Callers invoke the factory ONCE PER SIDE of a join/cogroup so each
+    side gets an independent plan lineage (the same source plan on both
+    sides trips Spark's ambiguous-self-join analysis); everything inside
+    is deterministic, and re-tokenizing the query table is cheap next to
     the postings scan."""
 
     def make_qt() -> DataFrame:
         toks = jvm_tokens(F.col("qtext"), cfg)
         if toks is not None:
-            qt = q.select(
-                "qid", "mode",
-                F.explode(F.array_distinct(toks)).alias("tok"))
+            # positions per distinct token as a pure Catalyst
+            # expression: filter an index-tagged copy of the array
+            tc = F.col("_toks")
+            pairs = F.transform(
+                F.array_distinct(tc),
+                lambda t: F.struct(
+                    t.alias("tok"),
+                    F.filter(
+                        F.transform(tc, lambda x, i: F.when(x == t, i)),
+                        lambda v: v.isNotNull()
+                    ).cast("array<int>").alias("qpos")))
+            qt = (q.withColumn("_toks", toks)
+                  .select("qid", "mode", F.explode(pairs).alias("p"))
+                  .select("qid", "mode", F.col("p.tok").alias("tok"),
+                          F.col("p.qpos").alias("qpos")))
         else:
             def tok_pd(it):
                 for pdf in it:
                     tl = tokenize_series(pdf["qtext"], cfg)
-                    uniq = [np.unique(np.asarray(t, dtype=object))
-                            for t in tl]
-                    n = np.array([len(u) for u in uniq],
-                                 dtype=np.int64)
-                    yield pd.DataFrame({
-                        "qid": pdf["qid"].repeat(n).to_numpy(),
-                        "mode": pdf["mode"].repeat(n).to_numpy(),
-                        "tok": (np.concatenate(uniq) if len(uniq)
-                                else np.empty(0, object))})
+                    qids, mds, tks, qps = [], [], [], []
+                    for qid, md, t in zip(pdf["qid"], pdf["mode"], tl):
+                        posmap: dict[str, list[int]] = {}
+                        for i, tok in enumerate(t):
+                            posmap.setdefault(tok, []).append(i)
+                        for tok, ps_ in posmap.items():
+                            qids.append(qid); mds.append(md)
+                            tks.append(tok); qps.append(ps_)
+                    yield pd.DataFrame({"qid": qids, "mode": mds,
+                                        "tok": tks, "qpos": qps})
 
-            # one input row per qid → within-query np.unique already
+            # one input row per qid → within-query posmap already
             # dedups; nothing to drop across partitions
             qt = q.mapInPandas(
-                tok_pd, schema="qid string, mode string, tok string")
+                tok_pd, schema="qid string, mode string, tok string, "
+                               "qpos array<int>")
         return (qt.withColumn("term", F.concat(F.lit(prefix),
                                                F.col("tok")))
                 .withColumn("bucket",
                             F.pmod(F.xxhash64("qid"),
                                    F.lit(B)).cast("int"))
-                .select("qid", "mode", "term", "bucket"))
+                .select("qid", "mode", "term", "bucket", "qpos"))
 
     return make_qt
 
@@ -586,13 +604,16 @@ def sj_attach_idf(qt: DataFrame, stats: DataFrame, N: float) -> DataFrame:
                 + (F.lit(N) - F.coalesce(F.col("df"), F.lit(0.0))
                    + F.lit(0.5))
                 / (F.coalesce(F.col("df"), F.lit(0.0)) + F.lit(0.5))))
-            .select("qid", "mode", "term", "bucket", "idf"))
+            .select("qid", "mode", "term", "bucket", "qpos", "idf"))
 
 
 def sj_score_group_factory(avgdl: float, k1: float, b: float, k: int,
                            method: str, rng_lookup=None):
     """Cogroup kernel: rebuild the per-bucket qterms/modes/idf dicts
-    from the query side and score with score_query_set. ``rng_lookup``
+    from the query side; or/and queries score in one score_query_set
+    pass, phrase queries each rebuild their token sequence from qpos
+    and run the shared positions kernel (_phrase_shard — the exact
+    kernel phrase_topk uses, so ranks/scores match it). ``rng_lookup``
     (org-scoped paths) maps the postings pdf to the tenant's docid
     interval for this group — None result means the tenant has no docs
     here and the group is skipped."""
@@ -601,20 +622,38 @@ def sj_score_group_factory(avgdl: float, k1: float, b: float, k: int,
                     rpdf: pd.DataFrame) -> pd.DataFrame:
         if lpdf.empty or rpdf.empty:
             return _QSET_EMPTY
-        bad = set(rpdf["mode"].unique()) - {"or", "and"}
+        bad = set(rpdf["mode"].unique()) - {"or", "and", "phrase"}
         if bad:
             raise ValueError(f"search_join: bad mode(s) {bad}")
-        qterms = {qid: sorted(g["term"].unique())
-                  for qid, g in rpdf.groupby("qid")}
-        modes = dict(zip(rpdf["qid"], rpdf["mode"]))
-        idf = dict(zip(rpdf["term"], rpdf["idf"]))
         rng = None
         if rng_lookup is not None:
             rng = rng_lookup(lpdf)
             if rng is None:
                 return _QSET_EMPTY
-        return score_query_set(lpdf, None, qterms, modes, idf, avgdl,
-                               k1, b, k, method, rng=rng)
+        ph = rpdf[rpdf["mode"] == "phrase"]
+        nb = rpdf[rpdf["mode"] != "phrase"]
+        outs = []
+        if not nb.empty:
+            qterms = {qid: sorted(g["term"].unique())
+                      for qid, g in nb.groupby("qid")}
+            modes = dict(zip(nb["qid"], nb["mode"]))
+            idf = dict(zip(nb["term"], nb["idf"]))
+            outs.append(score_query_set(lpdf, None, qterms, modes, idf,
+                                        avgdl, k1, b, k, method,
+                                        rng=rng))
+        for qid, g in ph.groupby("qid"):
+            seq: list[str] = [""] * int(sum(len(p) for p in g["qpos"]))
+            for term, ps_ in zip(g["term"], g["qpos"]):
+                for p in ps_:
+                    seq[int(p)] = term
+            idf_q = dict(zip(g["term"], g["idf"]))
+            out = _phrase_shard(lpdf, seq, sorted(idf_q), idf_q, avgdl,
+                                k1, b, k, org_range=rng)
+            if not out.empty:
+                outs.append(out.assign(qid=qid))
+        if not outs:
+            return _QSET_EMPTY
+        return pd.concat(outs)[["qid", "docid", "score"]]
 
     return score_group
 
@@ -937,6 +976,10 @@ class FTSIndex:
         docid asc) — each query's rows are rank-identical to the
         corresponding ``topk`` call. Queries with no tokens, or whose
         terms are all absent from the index, simply emit no rows.
+        Modes: ``or`` / ``and`` (BM25 over the query's distinct terms)
+        and ``phrase`` (exact consecutive match, positions-based —
+        rank-identical to ``phrase_topk``); a batch can mix all three
+        via ``mode_col``.
 
         Scale shape (how this differs from ``topk_many``'s driver
         dict): NOTHING here is O(#queries) on the driver.
@@ -970,8 +1013,9 @@ class FTSIndex:
         the WHOLE batch to one tenant: shard-pruned scan + interval
         scoring, same semantics as ``topk(org=)``."""
         prefix, avgdl = self._field(field)
-        if default_mode not in ("or", "and"):
-            raise ValueError(f"default_mode {default_mode!r}: or|and")
+        if default_mode not in ("or", "and", "phrase"):
+            raise ValueError(
+                f"default_mode {default_mode!r}: or|and|phrase")
         B = int(n_buckets
                 or self.spark.conf.get("spark.sql.shuffle.partitions",
                                        "32"))

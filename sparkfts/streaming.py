@@ -843,8 +843,8 @@ class CombinedIndex:
         """Batch search as a join over base + deltas — the streaming
         analog of FTSIndex.search_join (same contract: a DataFrame of
         queries in, per-query (qid, rank, docid, score) top-k out,
-        nothing O(#queries) on the driver; see that docstring for the
-        plan shape). Union-global statistics come distributedly too:
+        or/and/phrase modes, nothing O(#queries) on the driver; see
+        that docstring for the plan shape). Union-global statistics come distributedly too:
         df = SUM over generations' term_stats (one groupBy on the
         query vocab — no driver collect), N/avgdl from the handle.
         Docid spaces are disjoint by the ledger's reservation, so
@@ -856,8 +856,9 @@ class CombinedIndex:
                             sj_make_qt_factory, sj_normalize_queries,
                             sj_score_group_factory)
         prefix, avgdl = self._field(field)
-        if default_mode not in ("or", "and"):
-            raise ValueError(f"default_mode {default_mode!r}: or|and")
+        if default_mode not in ("or", "and", "phrase"):
+            raise ValueError(
+                f"default_mode {default_mode!r}: or|and|phrase")
         B = int(n_buckets
                 or self.spark.conf.get("spark.sql.shuffle.partitions",
                                        "32"))

@@ -1,8 +1,9 @@
 """search_join: batch search as a join (DataFrame of queries in, per-
 query top-k DataFrame out, nothing O(#queries) on the driver). Each
 query's rows must be rank- AND score-identical to the corresponding
-``topk`` call, under every surface dimension: or/and, wand/exact,
-multi-field, org-scoped, absent/empty/duplicate-term queries."""
+``topk`` call, under every surface dimension: or/and/phrase,
+wand/exact, multi-field, org-scoped, absent/empty/duplicate-term
+queries."""
 import numpy as np
 import pandas as pd
 import pytest
@@ -234,3 +235,102 @@ def test_combined_search_join_org_scoped(spark, tmp_path_factory):
     # unknown tenant → empty, correct schema
     gone = ci.search_join(qdf, k=3, org="zzz_no_org").toPandas()
     assert gone.empty
+
+
+# ------------------------------------------------------------------ #
+# phrase mode (positions-based, parity with phrase_topk)             #
+# ------------------------------------------------------------------ #
+
+PHRASES = [
+    ("p_hot", "nightly index snapshot", "phrase"),
+    ("p_two", "block max wand", "phrase"),
+    ("p_one", "shard", "phrase"),                # single-token phrase
+    ("p_rep", "the nightly the", "phrase"),      # repeated term in seq
+    ("p_absent", "alpha zzzunseenterm", "phrase"),
+    ("p_noadj", "snapshot nightly", "phrase"),   # terms present, order no
+]
+
+
+def test_search_join_phrase_matches_phrase_topk(spark, idx):
+    """Mixed or/and/phrase batch: phrase rows rank- and score-identical
+    to phrase_topk, or/and rows unaffected by sharing the plan."""
+    qdf = spark.createDataFrame(
+        [(q, t, m) for q, t, m in QUERIES + PHRASES],
+        "qid string, query string, mode string")
+    res = idx.search_join(qdf, k=7, mode_col="mode").toPandas()
+    got = _got_map(res)
+    _assert_same({q: got.get(q) for q, _, _ in QUERIES if q in got},
+                 _want(idx, k=7), "mixed/or-and")
+    for qid, text, _ in PHRASES:
+        w = idx.phrase_topk(text, k=7).toPandas().reset_index(drop=True)
+        g = got.get(qid)
+        if w.empty:
+            assert g is None, f"{qid}: expected no rows"
+            continue
+        assert g is not None, f"{qid}: missing"
+        assert g["docid"].tolist() == w["docid"].tolist(), qid
+        np.testing.assert_allclose(g["score"], w["score"], rtol=0,
+                                   atol=1e-9, err_msg=qid)
+
+
+def test_search_join_phrase_default_mode(spark, idx):
+    """default_mode='phrase' with no mode column."""
+    qdf = spark.createDataFrame([("p", "nightly index snapshot")],
+                                "qid string, query string")
+    res = idx.search_join(qdf, k=5, default_mode="phrase").toPandas()
+    w = idx.phrase_topk("nightly index snapshot", k=5).toPandas()
+    g = _got_map(res)["p"]
+    assert g["docid"].tolist() == w["docid"].tolist()
+    np.testing.assert_allclose(g["score"], w["score"], rtol=0, atol=1e-9)
+
+
+def test_search_join_phrase_org_scoped(spark, tmp_path_factory):
+    """Org-scoped phrase in the batch: equals phrase_topk(org=)."""
+    pdf = make_transcripts(30, seed=34)
+    orgs = sorted(pdf["conv_id"].unique())
+    pdf["org"] = pdf["conv_id"].map(lambda c: f"o{orgs.index(c) % 3}")
+    root = str(tmp_path_factory.mktemp("sj_routed_ph"))
+    build_index(spark, spark.createDataFrame(pdf), root,
+                order_cols=["conv_id", "turn_idx"],
+                cfg=BuildConfig(num_shards=4, partitions=4,
+                                routing_col="org", shards_per_org=2))
+    ridx = FTSIndex(spark, root)
+    qdf = spark.createDataFrame(
+        [("p", "nightly index snapshot", "phrase"),
+         ("a", "alpha query index", "or")],
+        "qid string, query string, mode string")
+    res = ridx.search_join(qdf, k=8, org="o2", mode_col="mode") \
+        .toPandas()
+    got = _got_map(res)
+    w = ridx.phrase_topk("nightly index snapshot", k=8, org="o2") \
+        .toPandas().reset_index(drop=True)
+    if w.empty:
+        assert "p" not in got
+    else:
+        g = got["p"]
+        assert g["docid"].tolist() == w["docid"].tolist()
+        np.testing.assert_allclose(g["score"], w["score"], rtol=0,
+                                   atol=1e-9)
+    wa = ridx.topk_pandas("alpha query index", k=8, mode="or", org="o2")
+    if not wa.empty:
+        assert got["a"]["docid"].tolist() == wa["docid"].tolist()
+
+
+def test_combined_search_join_phrase(spark, combined):
+    """Phrase mode over base + deltas: equals CombinedIndex.phrase_topk
+    (union-global stats, per-generation adjacency)."""
+    qdf = spark.createDataFrame(
+        [(q, t, m) for q, t, m in PHRASES],
+        "qid string, query string, mode string")
+    res = combined.search_join(qdf, k=6, mode_col="mode").toPandas()
+    got = _got_map(res)
+    for qid, text, _ in PHRASES:
+        w = combined.phrase_topk(text, k=6).reset_index(drop=True)
+        g = got.get(qid)
+        if w.empty:
+            assert g is None, f"{qid}: expected no rows"
+            continue
+        assert g is not None, f"{qid}: missing"
+        assert g["docid"].tolist() == w["docid"].tolist(), qid
+        np.testing.assert_allclose(g["score"], w["score"], rtol=0,
+                                   atol=1e-9, err_msg=qid)
