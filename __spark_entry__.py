@@ -364,6 +364,7 @@ SJ_QUERIES = [
     ("mid_and", f"{T_MID} {T_MID2}", "and"),
     ("single", T_MID, "or"),
     ("rare_or", f"{T_RARE} {T_MID2}", "or"),
+    ("hot_phrase", f"{T_HOT} {T_MID}", "phrase"),
 ]
 
 
@@ -1398,10 +1399,23 @@ def _mf_bm25_sql() -> str:
 def _search_join_sql() -> str:
     """search_join oracle: one _bm25_scored leg per query in
     SJ_QUERIES, each re-ranked (score desc, doc_id asc) and labeled
-    with its qid — batch search must equal the per-query rankings."""
+    with its qid — batch search must equal the per-query rankings.
+    Phrase-mode legs use the fts_phrase_top10 construction: BM25 over
+    the phrase's distinct terms (AND) restricted to docs containing
+    the exact consecutive token sequence."""
     legs = []
     for qid, qtext, mode in SJ_QUERIES:
-        scored = _bm25_scored(qtext.split(), mode)
+        if mode == "phrase":
+            scored = _bm25_scored(qtext.split(), "and").replace(
+                "GROUP BY tf.doc_id",
+                f"""AND tf.doc_id IN (
+                      SELECT doc_id FROM documents
+                      WHERE ' ' || trim(regexp_replace(lower(text),
+                                        '{TOKEN_SPLIT}', ' ', 'g'))
+                            || ' ' LIKE '% {qtext} %')
+                GROUP BY tf.doc_id""")
+        else:
+            scored = _bm25_scored(qtext.split(), mode)
         legs.append(f"""
           SELECT '{qid}' AS qid,
                  row_number() OVER (ORDER BY score DESC, doc_id ASC)
