@@ -222,29 +222,6 @@ def q_postings_decode(spark, sf_dir):
             .sort("term", "docid"))
 
 
-def q_bm25_single(spark, sf_dir):
-    idx = _index_for(spark, sf_dir)
-    return _ranked(idx, spark, T_MID, "or")
-
-
-def q_bm25_or_multi(spark, sf_dir):
-    idx = _index_for(spark, sf_dir)
-    return _ranked(idx, spark, f"{T_HOT} {T_MID} {T_RARE}", "or")
-
-
-def q_bm25_and(spark, sf_dir):
-    idx = _index_for(spark, sf_dir)
-    return _ranked(idx, spark, f"{T_MID} {T_MID2}", "and")
-
-
-def q_bm25_exact_method(spark, sf_dir):
-    """Same query as q_bm25_or_multi but via exhaustive scoring — pins
-    that block-max pruning (wand) and exact agree through the gate too."""
-    idx = _index_for(spark, sf_dir)
-    return _ranked(idx, spark, f"{T_HOT} {T_MID} {T_RARE}", "or",
-                   method="exact")
-
-
 def q_phrase_match(spark, sf_dir):
     """B7+: positions-based exact phrase matching (Lucene .prx analog)."""
     idx = _index_for(spark, sf_dir)
@@ -366,6 +343,73 @@ SJ_QUERIES = [
     ("rare_or", f"{T_RARE} {T_MID2}", "or"),
     ("hot_phrase", f"{T_HOT} {T_MID}", "phrase"),
 ]
+
+
+BM25_VARIANTS = [
+    ("and", f"{T_MID} {T_MID2}", "and", "wand"),
+    ("exact", f"{T_HOT} {T_MID} {T_RARE}", "or", "exact"),
+    ("or_multi", f"{T_HOT} {T_MID} {T_RARE}", "or", "wand"),
+    ("single", T_MID, "or", "wand"),
+]
+
+
+def q_bm25_modes(spark, sf_dir):
+    """Consolidates the four r1 BM25 gates (single / or_multi / and /
+    exact-method) into ONE driver slot — every constituent ranking is
+    still value-checked, labeled by a variant column."""
+    import pandas as _pd
+    idx = _index_for(spark, sf_dir)
+    parts = []
+    for variant, qtext, mode, method in BM25_VARIANTS:
+        pdf = idx.topk_pandas(qtext, k=10, mode=mode, method=method)
+        pdf["variant"] = variant
+        pdf["rank"] = pdf.index + 1
+        pdf["score_r"] = pdf["score"].round(4)
+        parts.append(pdf[["variant", "rank", "docid", "score_r"]])
+    return spark.createDataFrame(
+        _pd.concat(parts, ignore_index=True),
+        schema="variant string, rank long, docid long, score_r double")
+
+
+FLT_LEGS = [
+    ("en_or", f"{T_HOT} {T_MID} {T_RARE}", "or", "lang = 'en'"),
+    ("long_and", f"{T_MID} {T_MID2}", "and", "n_chars >= 300"),
+]
+
+
+def q_filtered_search(spark, sf_dir):
+    """Filtered BM25 (r5, the ES bool-filter analog): a SQL predicate
+    over docstore columns restricts results while BM25 stats stay
+    global. The predicate + (shard, docid) projection push down to the
+    docstore parquet scan; matching docids cogroup into the scoring
+    kernel per shard — nothing doc-scale on the driver."""
+    import pandas as _pd
+    idx = _index_for(spark, sf_dir)
+    parts = []
+    for leg, qtext, mode, flt in FLT_LEGS:
+        pdf = idx.topk_pandas(qtext, k=10, mode=mode, filter=flt)
+        pdf["leg"] = leg
+        pdf["rank"] = pdf.index + 1
+        pdf["score_r"] = pdf["score"].round(4)
+        parts.append(pdf[["leg", "rank", "docid", "score_r"]])
+    return spark.createDataFrame(
+        _pd.concat(parts, ignore_index=True),
+        schema="leg string, rank long, docid long, score_r double")
+
+
+def q_facet_counts(spark, sf_dir):
+    """Facet counts (r5, the ES terms-aggregation analog): per-value
+    doc counts of a docstore column over the query's boolean matches —
+    per-shard partial counts, one small shuffle to sum, top-k on
+    counts. Second leg composes a metadata filter."""
+    idx = _index_for(spark, sf_dir)
+    a = (idx.facet_counts(f"{T_HOT} {T_MID}", by="lang", k=50,
+                          mode="and")
+         .withColumn("facet", F.lit("lang_and")))
+    b = (idx.facet_counts(f"{T_HOT} {T_MID} {T_RARE}", by="source",
+                          k=50, mode="or", filter="n_chars >= 200")
+         .withColumn("facet", F.lit("source_or_flt")))
+    return a.unionByName(b).select("facet", "value", "doc_count")
 
 
 def q_search_join(spark, sf_dir):
@@ -908,10 +952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_collection_stats": q_collection_stats,
         "fts_term_stats": q_term_stats,
         "fts_postings_decode": q_postings_decode,
-        "fts_bm25_top10_single": q_bm25_single,
-        "fts_bm25_top10_or_multi": q_bm25_or_multi,
-        "fts_bm25_top10_and": q_bm25_and,
-        "fts_bm25_top10_exact": q_bm25_exact_method,
+        "fts_bm25_modes": q_bm25_modes,
+        "fts_filtered_search": q_filtered_search,
+        "fts_facet_counts": q_facet_counts,
         "fts_phrase_match": q_phrase_match,
         "fts_phrase_top10": q_phrase_top10,
         "fts_intersection_and": q_intersection,
@@ -1396,6 +1439,82 @@ def _mf_bm25_sql() -> str:
             + " ORDER BY fld, rank")
 
 
+def _bm25_modes_sql() -> str:
+    """Consolidated oracle: one _bm25_scored leg per BM25_VARIANTS
+    entry (wand/exact share the SQL — exactness of the pruned path IS
+    the claim being checked)."""
+    legs = []
+    for variant, qtext, mode, _method in BM25_VARIANTS:
+        scored = _bm25_scored(qtext.split(), mode)
+        legs.append(f"""
+          SELECT '{variant}' AS variant,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                     AS rank,
+                 doc_id AS docid, round(score, 4) AS score_r
+          FROM ({scored} SELECT doc_id, score FROM scored)
+          ORDER BY score DESC, doc_id ASC
+          LIMIT 10""")
+    return (" UNION ALL ".join(f"SELECT * FROM ({leg})"
+                               for leg in legs)
+            + " ORDER BY variant, rank")
+
+
+def _filtered_search_sql() -> str:
+    """Filtered-search oracle: the UNRESTRICTED BM25 scores (stats over
+    the whole corpus) filtered to docs satisfying the predicate — the
+    engine's bool-filter contract."""
+    legs = []
+    for leg, qtext, mode, flt in FLT_LEGS:
+        scored = _bm25_scored(qtext.split(), mode)
+        legs.append(f"""
+          SELECT '{leg}' AS leg,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                     AS rank,
+                 doc_id AS docid, round(score, 4) AS score_r
+          FROM ({scored}
+                SELECT s.doc_id, s.score FROM scored s
+                JOIN documents d ON d.doc_id = s.doc_id
+                WHERE {flt})
+          ORDER BY score DESC, doc_id ASC
+          LIMIT 10""")
+    return (" UNION ALL ".join(f"SELECT * FROM ({leg})"
+                               for leg in legs)
+            + " ORDER BY leg, rank")
+
+
+def _facet_counts_sql() -> str:
+    """Facet-count oracle: boolean match (AND = all distinct terms,
+    OR = any) joined to the documents metadata, grouped by the facet
+    column, NULL values uncounted, (count desc, value asc) top-50."""
+    return f"""
+        WITH {_TOKS},
+        m_and AS (
+          SELECT doc_id FROM tok
+          WHERE term IN ('{T_HOT}', '{T_MID}')
+          GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+        m_or AS (
+          SELECT DISTINCT doc_id FROM tok
+          WHERE term IN ('{T_HOT}', '{T_MID}', '{T_RARE}')),
+        lang_and AS (
+          SELECT 'lang_and' AS facet, d.lang AS value,
+                 count(*) AS doc_count
+          FROM m_and m JOIN documents d USING (doc_id)
+          WHERE d.lang IS NOT NULL
+          GROUP BY d.lang
+          ORDER BY doc_count DESC, value ASC LIMIT 50),
+        source_or_flt AS (
+          SELECT 'source_or_flt' AS facet, d.source AS value,
+                 count(*) AS doc_count
+          FROM m_or m JOIN documents d USING (doc_id)
+          WHERE d.n_chars >= 200 AND d.source IS NOT NULL
+          GROUP BY d.source
+          ORDER BY doc_count DESC, value ASC LIMIT 50)
+        SELECT * FROM lang_and
+        UNION ALL
+        SELECT * FROM source_or_flt
+        ORDER BY facet, doc_count DESC, value"""
+
+
 def _search_join_sql() -> str:
     """search_join oracle: one _bm25_scored leg per query in
     SJ_QUERIES, each re-ranked (score desc, doc_id asc) and labeled
@@ -1596,10 +1715,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, doc_id AS docid, count(*) AS tf
             FROM tok WHERE term IN ('{T_MID}', '{T_RARE}')
             GROUP BY term, doc_id ORDER BY term, docid""",
-        "fts_bm25_top10_single": _bm25_sql([T_MID], "or"),
-        "fts_bm25_top10_or_multi": _bm25_sql([T_HOT, T_MID, T_RARE], "or"),
-        "fts_bm25_top10_and": _bm25_sql([T_MID, T_MID2], "and"),
-        "fts_bm25_top10_exact": _bm25_sql([T_HOT, T_MID, T_RARE], "or"),
+        "fts_bm25_modes": _bm25_modes_sql(),
+        "fts_filtered_search": _filtered_search_sql(),
+        "fts_facet_counts": _facet_counts_sql(),
         "fts_phrase_match": f"""
             SELECT doc_id AS docid FROM documents
             WHERE ' ' || trim(regexp_replace(lower(text),

@@ -37,7 +37,7 @@ from typing import Iterable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from . import codec, storage
 from .analyzer import (TokenizerConfig, jvm_tokens, tokenize_series,
@@ -321,6 +321,71 @@ def score_range_pt(pdf: pd.DataFrame, lo: int, hi: int,
     pt = {t: pdf[pdf["term"] == t] for t in sorted(pdf["term"].unique())}
     return _score_candidates_range(pt, list(pt), lo, hi, idf, avgdl,
                                    k1, b, k, mode, n_query_terms)
+
+
+def cand_score_group(idf: dict[str, float], avgdl: float, k1: float,
+                     b: float, k: int, mode: str, n_query_terms: int):
+    """Cogroup kernel factory: score ONLY the candidate docids arriving
+    on the right side (a tenant's or a filter's docstore rows). BM25
+    statistics stay GLOBAL — the ES bool-filter contract: results equal
+    the unrestricted ranking filtered to the candidates. Shared by the
+    org docid-set and metadata-filter paths of FTSIndex/CombinedIndex
+    topk."""
+
+    def per_group(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"docid": pd.Series(dtype=np.int64),
+                                 "score": pd.Series(dtype=np.float64)})
+        cand = np.unique(rpdf["docid"].to_numpy(np.int64))
+        pt = {t: lpdf[lpdf["term"] == t]
+              for t in sorted(lpdf["term"].unique())}
+        return _score_candidates(pt, list(pt), cand, idf, avgdl, k1, b,
+                                 k, mode, n_query_terms)
+
+    return per_group
+
+
+def facet_count_group(mode: str, n_query_terms: int):
+    """Cogroup kernel factory for facet counting: left = one shard's
+    dictionary rows for the query terms, right = that shard's docstore
+    slice projected to (docid, value). Emits PARTIAL (value, cnt) rows
+    — callers sum them with one small shuffle. Matching is boolean
+    (and/or); docs whose facet value is NULL are not counted (the ES
+    terms-agg default). Shared by FTSIndex.facet_counts and
+    CombinedIndex.facet_counts."""
+
+    def per_group(lpdf: pd.DataFrame,
+                  rpdf: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({"value": pd.Series(dtype=object),
+                                  "cnt": pd.Series(dtype=np.int64)})
+        if lpdf.empty or rpdf.empty:
+            return out_empty
+        res: np.ndarray | None = None
+        union: list[np.ndarray] = []
+        for t in sorted(lpdf["term"].unique()):
+            d, _, _ = _decode_term_rows(lpdf[lpdf["term"] == t])
+            if mode == "and":
+                res = d if res is None else np.intersect1d(
+                    res, d, assume_unique=True)
+            else:
+                union.append(d)
+        if mode == "and":
+            if lpdf["term"].nunique() < n_query_terms or res is None:
+                res = np.empty(0, dtype=np.int64)
+        else:
+            res = (np.unique(np.concatenate(union))
+                   if union else np.empty(0, dtype=np.int64))
+        if res.size == 0:
+            return out_empty
+        hit = rpdf[np.isin(rpdf["docid"].to_numpy(np.int64), res,
+                           assume_unique=True)]
+        vc = hit["value"].value_counts()   # dropna: NULLs uncounted
+        if vc.empty:
+            return out_empty
+        return pd.DataFrame({"value": vc.index.astype(object),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    return per_group
 
 
 def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
@@ -784,6 +849,22 @@ class FTSIndex:
                    .select("shard", "docid"))
         return rows, orgdocs
 
+    def _filter_docs(self, filter: str | Column,
+                     org: str | None = None) -> DataFrame:
+        """(shard, docid) of docs satisfying a SQL predicate over
+        docstore columns — the candidate feed for filtered search. The
+        predicate plus the two-column projection push down to the
+        parquet scan (column-pruned: only shard, docid, and the
+        predicate's columns are read); with ``org`` the scan is also
+        partition-pruned to the tenant's shards and conjoined with the
+        tenant condition."""
+        fd = self._docstore.where(filter)
+        if org is not None:
+            fd = (fd.where(F.col("shard")
+                           .isin(self.possible_shards(org)))
+                  .where(F.col(self.routing_col) == org))
+        return fd.select("shard", "docid")
+
     # -- public API ---------------------------------------------------
     def possible_shards(self, org: str) -> list[int]:
         """Query-side shard pruning set for one tenant — the
@@ -797,7 +878,8 @@ class FTSIndex:
 
     def topk(self, query: str, k: int = 10, mode: str = "or",
              method: str = "wand", org: str | None = None,
-             field: str | None = None) -> DataFrame:
+             field: str | None = None,
+             filter: str | Column | None = None) -> DataFrame:
         """Distributed top-k: per-shard scoring via applyInPandas, driver
         merge of num_shards·k candidates. Returns (docid, score).
 
@@ -805,7 +887,15 @@ class FTSIndex:
         partition-pruned to the org's shards_per_org shards, the org's
         docids are cogrouped in per shard from the (equally pruned) doc
         store, and scoring restricts to them — BM25 stats stay GLOBAL,
-        so scores equal the unrestricted ranking filtered to the org."""
+        so scores equal the unrestricted ranking filtered to the org.
+
+        With ``filter`` (a SQL predicate string or Column over docstore
+        columns — the ES bool-filter analog): results restrict to docs
+        satisfying the predicate, scores unchanged (stats stay global).
+        The predicate and the (shard, docid) projection push down to
+        the docstore parquet scan; matching docids never touch the
+        driver — they cogroup into the scoring kernel per shard.
+        Composes with ``org`` (conjunction) and ``field``."""
         prefix, avgdl = self._field(field)
         terms = self._terms(query, prefix)
         idf = self._idf_map(terms)
@@ -815,7 +905,20 @@ class FTSIndex:
         nq = len(terms)
         k1, b = self.k1, self.b
 
-        if org is not None:
+        if filter is not None:
+            rows = self._posting_rows(terms)
+            if org is not None:
+                rows = rows.where(
+                    F.col("shard").isin(self.possible_shards(org)))
+            fdocs = self._filter_docs(filter, org)
+            shard_tops = (rows.groupBy("shard")
+                          .cogroup(fdocs.groupBy("shard"))
+                          .applyInPandas(
+                              cand_score_group(idf, avgdl, k1, b, k,
+                                               mode, nq),
+                              schema="docid long, score double")
+                          .collect())
+        elif org is not None:
             ranges = self._org_ranges(org)
             if ranges is not None:
                 if not ranges:
@@ -835,23 +938,11 @@ class FTSIndex:
                               .collect())
             else:
                 rows, orgdocs = self._org_rows_docs(terms, org)
-
-                def per_shard_org(lpdf: pd.DataFrame,
-                                  rpdf: pd.DataFrame) -> pd.DataFrame:
-                    if lpdf.empty or rpdf.empty:
-                        return pd.DataFrame(
-                            {"docid": pd.Series(dtype=np.int64),
-                             "score": pd.Series(dtype=np.float64)})
-                    cand = np.sort(rpdf["docid"].to_numpy(np.int64))
-                    pt = {t: lpdf[lpdf["term"] == t]
-                          for t in sorted(lpdf["term"].unique())}
-                    return _score_candidates(pt, list(pt), cand, idf,
-                                             avgdl, k1, b, k, mode, nq)
-
                 shard_tops = (rows.groupBy("shard")
                               .cogroup(orgdocs.groupBy("shard"))
                               .applyInPandas(
-                                  per_shard_org,
+                                  cand_score_group(idf, avgdl, k1, b,
+                                                   k, mode, nq),
                                   schema="docid long, score double")
                               .collect())
         else:
@@ -875,9 +966,11 @@ class FTSIndex:
 
     def topk_pandas(self, query: str, k: int = 10, mode: str = "or",
                     method: str = "wand", org: str | None = None,
-                    field: str | None = None) -> pd.DataFrame:
+                    field: str | None = None,
+                    filter: str | Column | None = None) -> pd.DataFrame:
         """Driver-local result as pandas (test/bench convenience)."""
-        return (self.topk(query, k, mode, method, org=org, field=field)
+        return (self.topk(query, k, mode, method, org=org, field=field,
+                          filter=filter)
                 .toPandas().reset_index(drop=True))
 
     def topk_many(self, queries: dict[str, tuple[str, str]], k: int = 10,
@@ -1308,38 +1401,63 @@ class FTSIndex:
 
     def match_docids(self, query: str, mode: str = "and",
                      field: str | None = None,
-                     org: str | None = None) -> DataFrame:
+                     org: str | None = None,
+                     filter: str | Column | None = None) -> DataFrame:
         """Boolean match without scoring (B7): docids containing all
         (and) / any (or) query terms, sorted ascending. With ``org``
         (routed indexes): shard-pruned read + restriction to the
-        tenant's docids."""
+        tenant's docids. With ``filter`` (SQL predicate over docstore
+        columns): restriction to docs satisfying it — composes with
+        ``org`` as a conjunction."""
         prefix, _ = self._field(field)
         terms = self._terms(query, prefix)
         if not terms:
             return self.spark.createDataFrame([], "docid long")
         nq = len(terms)
 
+        def _match(lpdf: pd.DataFrame, restrict) -> pd.DataFrame:
+            res: np.ndarray | None = None
+            union: list[np.ndarray] = []
+            for t in sorted(lpdf["term"].unique()):
+                d, _, _ = _decode_term_rows(lpdf[lpdf["term"] == t])
+                d = restrict(d)
+                if mode == "and":
+                    res = d if res is None else np.intersect1d(
+                        res, d, assume_unique=True)
+                else:
+                    union.append(d)
+            if mode == "and":
+                if lpdf["term"].nunique() < nq or res is None:
+                    res = np.empty(0, dtype=np.int64)
+            else:
+                res = (np.unique(np.concatenate(union))
+                       if union else np.empty(0, dtype=np.int64))
+            return pd.DataFrame({"docid": res})
+
+        if filter is not None:
+            rows = self._posting_rows(terms)
+            if org is not None:
+                rows = rows.where(
+                    F.col("shard").isin(self.possible_shards(org)))
+            fdocs = self._filter_docs(filter, org)
+
+            def per_shard_flt(lpdf: pd.DataFrame,
+                              rpdf: pd.DataFrame) -> pd.DataFrame:
+                if lpdf.empty or rpdf.empty:
+                    return pd.DataFrame(
+                        {"docid": pd.Series(dtype=np.int64)})
+                cand = np.unique(rpdf["docid"].to_numpy(np.int64))
+                return _match(
+                    lpdf, lambda d: d[np.isin(d, cand,
+                                              assume_unique=True)])
+
+            return (rows.groupBy("shard")
+                    .cogroup(fdocs.groupBy("shard"))
+                    .applyInPandas(per_shard_flt, schema="docid long")
+                    .sort("docid"))
+
         if org is not None:
             ranges = self._org_ranges(org)
-
-            def _match(lpdf: pd.DataFrame, restrict) -> pd.DataFrame:
-                res: np.ndarray | None = None
-                union: list[np.ndarray] = []
-                for t in sorted(lpdf["term"].unique()):
-                    d, _, _ = _decode_term_rows(lpdf[lpdf["term"] == t])
-                    d = restrict(d)
-                    if mode == "and":
-                        res = d if res is None else np.intersect1d(
-                            res, d, assume_unique=True)
-                    else:
-                        union.append(d)
-                if mode == "and":
-                    if lpdf["term"].nunique() < nq or res is None:
-                        res = np.empty(0, dtype=np.int64)
-                else:
-                    res = (np.unique(np.concatenate(union))
-                           if union else np.empty(0, dtype=np.int64))
-                return pd.DataFrame({"docid": res})
 
             if ranges is not None:
                 if not ranges:
@@ -1395,9 +1513,58 @@ class FTSIndex:
                 .applyInPandas(per_shard, schema="docid long")
                 .sort("docid"))
 
+    def facet_counts(self, query: str, by: str, k: int = 20,
+                     mode: str = "and", field: str | None = None,
+                     org: str | None = None,
+                     filter: str | Column | None = None) -> DataFrame:
+        """Per-value document counts of docstore column ``by`` over the
+        docs matching the query — the ES terms-aggregation analog
+        (a `"aggs": {"terms": {"field": by}}` under a bool query).
+        Returns (value string, doc_count long), count desc / value asc,
+        top ``k`` facet values; docs with a NULL facet value are not
+        counted (ES default).
+
+        Matching is boolean (``mode`` and/or — unscored, like a filter
+        context); ``org`` and ``filter`` restrict it exactly as in
+        ``match_docids``.
+
+        Scale shape: postings of the query terms cogroup with the
+        shard's docstore slice (column-pruned to shard, docid, ``by``
+        and any filter columns — all pushed to the parquet scan); each
+        shard emits PARTIAL (value, count) rows, one small shuffle sums
+        them, and the top-k order/limit runs on counts, never on docs.
+        No driver materialization anywhere."""
+        prefix, _ = self._field(field)
+        terms = self._terms(query, prefix)
+        empty = self.spark.createDataFrame(
+            [], "value string, doc_count long")
+        if not terms:
+            return empty
+        nq = len(terms)
+        rows = self._posting_rows(terms)
+        store = self._docstore
+        if org is not None:
+            shards = self.possible_shards(org)
+            rows = rows.where(F.col("shard").isin(shards))
+            store = (store.where(F.col("shard").isin(shards))
+                     .where(F.col(self.routing_col) == org))
+        if filter is not None:
+            store = store.where(filter)
+        store = store.select(
+            "shard", "docid", F.col(by).cast("string").alias("value"))
+
+        return (rows.groupBy("shard")
+                .cogroup(store.groupBy("shard"))
+                .applyInPandas(facet_count_group(mode, nq),
+                               schema="value string, cnt long")
+                .groupBy("value").agg(F.sum("cnt").alias("doc_count"))
+                .orderBy(F.desc("doc_count"), F.asc("value"))
+                .limit(k))
+
     def phrase_topk(self, query: str, k: int = 10,
                     field: str | None = None,
-                    org: str | None = None) -> DataFrame:
+                    org: str | None = None,
+                    filter: str | Column | None = None) -> DataFrame:
         """Exact phrase query (positions-based, the Lucene .prx analog):
         docs containing the query tokens consecutively, ranked by BM25
         over the phrase's distinct terms, ties by docid. Adjacency is
@@ -1409,7 +1576,9 @@ class FTSIndex:
         within the chosen field). With ``org`` (routed indexes) the read
         prunes to the tenant's shards and matching restricts to its docs
         — rank-identical to the unrestricted phrase ranking filtered to
-        the org (stats stay global)."""
+        the org (stats stay global). ``filter`` (SQL predicate over
+        docstore columns) restricts the hits the same way — composes
+        with ``org`` as a conjunction."""
         prefix, avgdl = self._field(field)
         seq = [prefix + t for t in tokenize_text(query, self.tokenizer)]
         empty = self.spark.createDataFrame([], "docid long, score double")
@@ -1419,7 +1588,29 @@ class FTSIndex:
         idf = self._idf_map(uniq)
         k1, b = self.k1, self.b
 
-        if org is not None:
+        if filter is not None:
+            rows = self._posting_rows(uniq)
+            if org is not None:
+                rows = rows.where(
+                    F.col("shard").isin(self.possible_shards(org)))
+            fdocs = self._filter_docs(filter, org)
+
+            def per_shard_flt(lpdf: pd.DataFrame,
+                              rpdf: pd.DataFrame) -> pd.DataFrame:
+                if lpdf.empty or rpdf.empty:
+                    return pd.DataFrame(
+                        {"docid": pd.Series(dtype=np.int64),
+                         "score": pd.Series(dtype=np.float64)})
+                cand = np.unique(rpdf["docid"].to_numpy(np.int64))
+                return _phrase_shard(lpdf, seq, uniq, idf, avgdl,
+                                     k1, b, k, org_cand=cand)
+
+            tops = (rows.groupBy("shard")
+                    .cogroup(fdocs.groupBy("shard"))
+                    .applyInPandas(per_shard_flt,
+                                   schema="docid long, score double")
+                    .collect())
+        elif org is not None:
             ranges = self._org_ranges(org)
             if ranges is not None:
                 if not ranges:

@@ -512,17 +512,21 @@ class CombinedIndex:
 
     def topk(self, query: str, k: int = 10, mode: str = "or",
              method: str = "wand", org: str | None = None,
-             field: str | None = None) -> pd.DataFrame:
+             field: str | None = None, filter=None) -> pd.DataFrame:
         """ONE Spark job over the unioned dictionaries. With ``org``
         (every generation routed): each sub's rows are pruned to ITS
         possible shards and the tenant's docids are cogrouped in per
         (sub, shard) — stats stay union-global, so results equal the
         unrestricted union ranking filtered to the org. With ``field``
         (every generation multi-field): field-prefixed terms + the
-        union's per-field avgdl."""
+        union's per-field avgdl. With ``filter`` (SQL predicate over
+        docstore columns, same contract as FTSIndex.topk): each
+        generation's docstore scan evaluates the predicate and the
+        matching docids cogroup into scoring per (generation, shard) —
+        stats stay union-global, composes with ``org``."""
         import numpy as np
         from .analyzer import tokenize_text
-        from .query import _score_candidates
+        from .query import _score_candidates, cand_score_group
         org_subs = self._org_subs(org) if org is not None else None
         prefix, avgdl = self._field(field)
         terms = sorted({prefix + t
@@ -534,7 +538,26 @@ class CombinedIndex:
         nq = len(terms)
         k1, b = self.k1, self.b
 
-        if org_subs is not None:
+        if filter is not None:
+            if org is not None and org_subs is not None and not org_subs:
+                return pd.DataFrame(
+                    {"docid": pd.Series(dtype="int64"),
+                     "score": pd.Series(dtype="float64")})
+
+            rows = self._union(lambda s: s._posting_rows(terms)
+                               if org is None else
+                               s._posting_rows(terms).where(
+                                   F.col("shard").isin(
+                                       s.possible_shards(org))))
+            parts = self._union(lambda s: s._filter_docs(filter, org))
+            allp = (rows.groupBy("sub", "shard")
+                    .cogroup(parts.groupBy("sub", "shard"))
+                    .applyInPandas(
+                        cand_score_group(idf, avgdl, k1, b, k, mode,
+                                         nq),
+                        schema="docid long, score double")
+                    .toPandas())
+        elif org_subs is not None:
             empty_pd = pd.DataFrame(
                 {"docid": pd.Series(dtype=np.int64),
                  "score": pd.Series(dtype=np.float64)})
@@ -741,6 +764,55 @@ class CombinedIndex:
                    .toPandas())
         return (out.sort_values("docid").reset_index(drop=True)
                 if not out.empty else out)
+
+    def facet_counts(self, query: str, by: str, k: int = 20,
+                     mode: str = "and", field: str | None = None,
+                     org: str | None = None, filter=None) -> DataFrame:
+        """Facet counts over base + deltas in ONE Spark job — the
+        streaming twin of FTSIndex.facet_counts (same contract:
+        (value, doc_count), count desc / value asc, top k, NULL facet
+        values uncounted). Each generation's postings cogroup with its
+        own docstore slice per (generation, shard); partial counts sum
+        across generations in one small shuffle — counts are
+        union-global without any per-generation driver merge."""
+        from .analyzer import tokenize_text
+        from .query import facet_count_group
+        prefix, _ = self._field(field)
+        terms = sorted({prefix + t
+                        for t in tokenize_text(query, self.tokenizer)})
+        empty = self.spark.createDataFrame(
+            [], "value string, doc_count long")
+        if not terms:
+            return empty
+        if org is not None and not self._org_subs(org):
+            return empty
+        nq = len(terms)
+
+        def mk_rows(s: FTSIndex):
+            r = s._posting_rows(terms)
+            if org is not None:
+                r = r.where(F.col("shard")
+                            .isin(s.possible_shards(org)))
+            return r
+
+        def mk_store(s: FTSIndex):
+            st = s._docstore
+            if org is not None:
+                st = (st.where(F.col("shard")
+                               .isin(s.possible_shards(org)))
+                      .where(F.col(s.routing_col) == org))
+            if filter is not None:
+                st = st.where(filter)
+            return st.select("shard", "docid",
+                             F.col(by).cast("string").alias("value"))
+
+        return (self._union(mk_rows).groupBy("sub", "shard")
+                .cogroup(self._union(mk_store).groupBy("sub", "shard"))
+                .applyInPandas(facet_count_group(mode, nq),
+                               schema="value string, cnt long")
+                .groupBy("value").agg(F.sum("cnt").alias("doc_count"))
+                .orderBy(F.desc("doc_count"), F.asc("value"))
+                .limit(k))
 
     def search(self, query: str, k: int = 10, mode: str = "or",
                method: str = "wand", org: str | None = None,

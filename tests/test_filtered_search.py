@@ -1,0 +1,264 @@
+"""Filtered search + facet counts (the ES bool-filter and
+terms-aggregation analogs).
+
+Contract under test:
+- topk(filter=) equals the UNRESTRICTED ranking filtered to docs
+  satisfying the predicate (BM25 stats stay global), for or/and,
+  on FTSIndex and CombinedIndex, composed with org on routed builds.
+- match_docids(filter=) equals the boolean match intersected with the
+  predicate's docid set.
+- phrase_topk(filter=) equals the unrestricted phrase ranking filtered
+  to the predicate's docids.
+- facet_counts equals a pandas recompute over (match ∩ filter), NULL
+  facet values uncounted, ordered (count desc, value asc), top k.
+"""
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkfts import BuildConfig, FTSIndex, build_index
+from sparkfts.fixtures import make_transcripts
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    pdf = make_transcripts(40, seed=77)
+    root = str(tmp_path_factory.mktemp("flt_idx"))
+    build_index(spark, spark.createDataFrame(pdf), root,
+                order_cols=["conv_id", "turn_idx"],
+                cfg=BuildConfig(num_shards=3, partitions=3))
+    return FTSIndex(spark, root)
+
+
+@pytest.fixture(scope="module")
+def store(idx):
+    return idx._docstore.toPandas()
+
+
+def _expected_filtered(idx, query, k, mode, keep_ids):
+    """Unrestricted full ranking, filtered to keep_ids, head(k)."""
+    full = idx.topk_pandas(query, k=10 ** 9, mode=mode, method="exact")
+    out = full[full["docid"].isin(keep_ids)].head(k)
+    return out.reset_index(drop=True)
+
+
+FILTERS = [
+    ("role = 'user'", lambda s: s["role"] == "user"),
+    ("role IN ('tool', 'assistant')",
+     lambda s: s["role"].isin(["tool", "assistant"])),
+    ("turn_idx >= 10", lambda s: s["turn_idx"] >= 10),
+    ("role = 'user' AND turn_idx < 5",
+     lambda s: (s["role"] == "user") & (s["turn_idx"] < 5)),
+]
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_topk_filter_equals_postfiltered_ranking(idx, store, mode):
+    for sql, pyf in FILTERS:
+        keep = set(store.loc[pyf(store), "docid"])
+        got = idx.topk_pandas("alpha query index", k=8, mode=mode,
+                              filter=sql)
+        want = _expected_filtered(idx, "alpha query index", 8, mode,
+                                  keep)
+        assert got["docid"].tolist() == want["docid"].tolist(), sql
+        np.testing.assert_allclose(got["score"], want["score"],
+                                   rtol=0, atol=1e-9, err_msg=sql)
+
+
+def test_topk_filter_no_match_is_empty(idx):
+    out = idx.topk_pandas("alpha", k=5, filter="role = 'nosuchrole'")
+    assert out.empty
+
+
+def test_topk_filter_empty_query_is_empty(idx):
+    out = idx.topk_pandas("!!! ...", k=5, filter="role = 'user'")
+    assert out.empty
+
+
+def test_topk_filter_accepts_column(idx, store):
+    from pyspark.sql import functions as F
+    keep = set(store.loc[store["role"] == "user", "docid"])
+    got = idx.topk_pandas("alpha query", k=6,
+                          filter=F.col("role") == "user")
+    want = _expected_filtered(idx, "alpha query", 6, "or", keep)
+    assert got["docid"].tolist() == want["docid"].tolist()
+
+
+def test_match_docids_filter(idx, store):
+    base = idx.match_docids("merge window", mode="and") \
+        .toPandas()["docid"]
+    keep = set(store.loc[store["role"] == "user", "docid"])
+    got = idx.match_docids("merge window", mode="and",
+                           filter="role = 'user'").toPandas()["docid"]
+    assert got.tolist() == sorted(set(base) & keep)
+
+
+def test_phrase_topk_filter(idx, store):
+    phrase = "nightly index snapshot"
+    full = idx.phrase_topk(phrase, k=10 ** 9).toPandas()
+    keep = set(store.loc[store["turn_idx"] >= 3, "docid"])
+    want = (full[full["docid"].isin(keep)].head(6)
+            .reset_index(drop=True))
+    got = idx.phrase_topk(phrase, k=6,
+                          filter="turn_idx >= 3").toPandas()
+    assert got["docid"].tolist() == want["docid"].tolist()
+    np.testing.assert_allclose(got["score"], want["score"],
+                               rtol=0, atol=1e-9)
+
+
+def _facet_expected(idx, store, query, by, mode, k, pyf=None):
+    matched = set(idx.match_docids(query, mode=mode)
+                  .toPandas()["docid"])
+    sub = store[store["docid"].isin(matched)]
+    if pyf is not None:
+        sub = sub[pyf(sub)]
+    vals = sub[by].dropna().astype(str)
+    vc = vals.value_counts()
+    exp = (pd.DataFrame({"value": vc.index, "doc_count": vc.to_numpy()})
+           .sort_values(["doc_count", "value"],
+                        ascending=[False, True]).head(k)
+           .reset_index(drop=True))
+    return exp
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_facet_counts_match_pandas(idx, store, mode):
+    got = idx.facet_counts("alpha query", by="role", k=10,
+                           mode=mode).toPandas()
+    exp = _facet_expected(idx, store, "alpha query", "role", mode, 10)
+    assert got["value"].tolist() == exp["value"].tolist()
+    assert got["doc_count"].tolist() == exp["doc_count"].tolist()
+
+
+def test_facet_counts_with_filter(idx, store):
+    got = idx.facet_counts("alpha query", by="role", k=10, mode="or",
+                           filter="turn_idx >= 10").toPandas()
+    exp = _facet_expected(idx, store, "alpha query", "role", "or", 10,
+                          pyf=lambda s: s["turn_idx"] >= 10)
+    assert got["value"].tolist() == exp["value"].tolist()
+    assert got["doc_count"].tolist() == exp["doc_count"].tolist()
+
+
+def test_facet_counts_null_values_uncounted(idx, store):
+    """tool is NULL on non-tool turns — facet by tool counts only
+    docs with a value (ES terms-agg default)."""
+    got = idx.facet_counts("alpha", by="tool", k=20,
+                           mode="or").toPandas()
+    exp = _facet_expected(idx, store, "alpha", "tool", "or", 20)
+    assert got["value"].tolist() == exp["value"].tolist()
+    assert got["doc_count"].tolist() == exp["doc_count"].tolist()
+
+
+def test_facet_counts_k_limits(idx):
+    got = idx.facet_counts("alpha", by="role", k=2).toPandas()
+    assert len(got) <= 2
+
+
+def test_facet_counts_empty_query(idx):
+    assert idx.facet_counts("??", by="role").toPandas().empty
+
+
+# ------------------------------------------------------------------ #
+# routed composition: filter × org                                    #
+# ------------------------------------------------------------------ #
+
+@pytest.fixture(scope="module")
+def ridx(spark, tmp_path_factory):
+    pdf = make_transcripts(30, seed=78)
+    orgs = sorted(pdf["conv_id"].unique())
+    pdf["org"] = pdf["conv_id"].map(lambda c: f"o{orgs.index(c) % 3}")
+    root = str(tmp_path_factory.mktemp("flt_routed"))
+    build_index(spark, spark.createDataFrame(pdf), root,
+                order_cols=["conv_id", "turn_idx"],
+                cfg=BuildConfig(num_shards=4, partitions=4,
+                                routing_col="org", shards_per_org=2))
+    return FTSIndex(spark, root)
+
+
+def test_topk_filter_composes_with_org(ridx):
+    rstore = ridx._docstore.toPandas()
+    keep = set(rstore.loc[(rstore["org"] == "o1")
+                          & (rstore["role"] == "user"), "docid"])
+    full = ridx.topk_pandas("alpha query index", k=10 ** 9, mode="or",
+                            method="exact")
+    want = (full[full["docid"].isin(keep)].head(7)
+            .reset_index(drop=True))
+    got = ridx.topk_pandas("alpha query index", k=7, mode="or",
+                           org="o1", filter="role = 'user'")
+    assert got["docid"].tolist() == want["docid"].tolist()
+    np.testing.assert_allclose(got["score"], want["score"],
+                               rtol=0, atol=1e-9)
+
+
+def test_facet_counts_org_scoped(ridx):
+    rstore = ridx._docstore.toPandas()
+    matched = set(ridx.match_docids("alpha query", mode="or", org="o2")
+                  .toPandas()["docid"])
+    sub = rstore[rstore["docid"].isin(matched)]
+    vals = sub["role"].dropna().astype(str)
+    vc = vals.value_counts()
+    exp = (pd.DataFrame({"value": vc.index,
+                         "doc_count": vc.to_numpy()})
+           .sort_values(["doc_count", "value"],
+                        ascending=[False, True]).head(10)
+           .reset_index(drop=True))
+    got = ridx.facet_counts("alpha query", by="role", k=10, mode="or",
+                            org="o2").toPandas()
+    assert got["value"].tolist() == exp["value"].tolist()
+    assert got["doc_count"].tolist() == exp["doc_count"].tolist()
+
+
+# ------------------------------------------------------------------ #
+# streaming: CombinedIndex filter + facets                            #
+# ------------------------------------------------------------------ #
+
+@pytest.fixture(scope="module")
+def combined(spark, tmp_path_factory):
+    from sparkfts.streaming import CombinedIndex, make_batch_indexer
+    cfg = BuildConfig(num_shards=2, partitions=2)
+    root = str(tmp_path_factory.mktemp("flt_stream"))
+    build_index(spark,
+                spark.createDataFrame(make_transcripts(12, seed=79)),
+                root, order_cols=["conv_id", "turn_idx"], cfg=cfg)
+    idxer = make_batch_indexer(root, cfg=cfg)
+    for i, seed in enumerate((80, 81)):
+        idxer(spark.createDataFrame(make_transcripts(4, seed=seed)),
+              batch_id=i)
+    return CombinedIndex(spark, root)
+
+
+def _combined_store(combined):
+    return pd.concat([s._docstore.toPandas() for s in combined.subs],
+                     ignore_index=True)
+
+
+def test_combined_topk_filter(combined):
+    cstore = _combined_store(combined)
+    keep = set(cstore.loc[cstore["role"] == "user", "docid"])
+    full = combined.topk("alpha query index", k=10 ** 9, mode="or",
+                         method="exact")
+    want = (full[full["docid"].isin(keep)].head(7)
+            .reset_index(drop=True))
+    got = combined.topk("alpha query index", k=7, mode="or",
+                        filter="role = 'user'")
+    assert got["docid"].tolist() == want["docid"].tolist()
+    np.testing.assert_allclose(got["score"], want["score"],
+                               rtol=0, atol=1e-9)
+
+
+def test_combined_facet_counts(combined):
+    cstore = _combined_store(combined)
+    matched = set(combined.match_docids("alpha query", mode="or")
+                  ["docid"])
+    sub = cstore[cstore["docid"].isin(matched)]
+    vals = sub["role"].dropna().astype(str)
+    vc = vals.value_counts()
+    exp = (pd.DataFrame({"value": vc.index,
+                         "doc_count": vc.to_numpy()})
+           .sort_values(["doc_count", "value"],
+                        ascending=[False, True]).head(10)
+           .reset_index(drop=True))
+    got = combined.facet_counts("alpha query", by="role", k=10,
+                                mode="or").toPandas()
+    assert got["value"].tolist() == exp["value"].tolist()
+    assert got["doc_count"].tolist() == exp["doc_count"].tolist()
