@@ -905,6 +905,87 @@ def q_streaming_union_bm25(spark, sf_dir):
         schema="rank long, doc_id long, score_r double")
 
 
+DEL_PRED = "doc_id % 23 = 5"          # deterministic tombstone set
+
+
+def _delete_ci(spark, sf_dir):
+    """Base+delta like _stream_union_ci but on its OWN root, with the
+    DEL_PRED docs tombstoned (delete_docs is idempotent, so cached
+    re-runs are safe). The shared stream root stays tombstone-free —
+    compact_merge refuses pending deletes by design."""
+    from sparkfts import BuildConfig, build_index
+    from sparkfts.streaming import (CombinedIndex, make_batch_indexer,
+                                    read_delta_log)
+    from sparkfts.storage import manifest_exists
+    key = f"{os.path.abspath(sf_dir)}#delstream"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    root = _gate_root(sf_dir, "delstream")
+    docs = _docs(spark, sf_dir)
+    if not manifest_exists(root):
+        build_index(spark, docs.where("doc_id < 300"), root,
+                    text_col="text", order_cols=["doc_id"],
+                    cfg=BuildConfig(num_shards=4, partitions=4))
+    if not read_delta_log(root):
+        make_batch_indexer(root, text_col="text", order_cols=["doc_id"],
+                           cfg=BuildConfig(num_shards=2, partitions=2))(
+            docs.where("doc_id >= 300"), batch_id=0)
+    ci = CombinedIndex(spark, root)
+    dead = sorted({int(r["docid"]) for s in ci.subs
+                   for r in s._docstore.where(DEL_PRED)
+                   .select("docid").collect()})
+    ci.delete_docs(dead)
+    _INDEX_CACHE[key] = ci
+    return ci
+
+
+def q_delete_search(spark, sf_dir):
+    """Deletes / tombstones (r5, the Lucene live-docs analog). Two legs:
+    'live' — base+delta with DEL_PRED docs tombstoned; hits exclude
+    them but scores use STALE union stats (deleted docs still count in
+    N/avgdl/df, exactly Lucene-before-merge); 'compacted' — after
+    compact() physically drops them, scores use FRESH subset stats.
+    Hits map back to the user's doc_id (docids are generation-local)."""
+    import pandas as _pd
+    from sparkfts import BuildConfig, FTSIndex
+    from sparkfts.storage import manifest_exists
+    from sparkfts.streaming import compact
+    ci = _delete_ci(spark, sf_dir)
+    qtext = f"{T_HOT} {T_MID} {T_RARE}"
+    parts = []
+
+    hits = ci.topk(qtext, k=10, mode="or")
+    docs = ci.fetch_docs(hits["docid"].tolist())
+    out = hits.merge(docs[["docid", "doc_id"]], on="docid")
+    out = (out.sort_values(["score", "doc_id"],
+                           ascending=[False, True])
+           .reset_index(drop=True))
+    out["leg"] = "live"
+    out["rank"] = out.index + 1
+    out["score_r"] = out["score"].round(4)
+    parts.append(out[["leg", "rank", "doc_id", "score_r"]])
+
+    croot = _gate_root(sf_dir, "delcompact")
+    if not manifest_exists(croot):
+        compact(spark, ci.base_root, croot, text_col="text",
+                order_cols=["doc_id"],
+                cfg=BuildConfig(num_shards=3, partitions=3))
+    idx = FTSIndex(spark, croot)
+    h2 = idx.topk_pandas(qtext, k=10, mode="or")
+    d2 = idx.fetch_docs(h2["docid"].tolist()).toPandas()
+    o2 = h2.merge(d2[["docid", "doc_id"]], on="docid")
+    o2 = (o2.sort_values(["score", "doc_id"],
+                         ascending=[False, True])
+          .reset_index(drop=True))
+    o2["leg"] = "compacted"
+    o2["rank"] = o2.index + 1
+    o2["score_r"] = o2["score"].round(4)
+    parts.append(o2[["leg", "rank", "doc_id", "score_r"]])
+    return spark.createDataFrame(
+        _pd.concat(parts, ignore_index=True),
+        schema="leg string, rank long, doc_id long, score_r double")
+
+
 def q_dp_decontaminate(spark, sf_dir):
     """The corpus-filter form of decontamination: surviving doc ids."""
     from datapipe.curate import decontaminate
@@ -972,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_multifield_bm25": q_mf_bm25,
         "fts_doctype_search": q_doctype_search,
         "fts_search_join": q_search_join,
+        "fts_delete_search": q_delete_search,
         # never-driver-verified in r04 (registry overflowed the driver's
         # 50-query window) — listed right after the fts block so they
         # get oracle rows even if the registry ever overflows again
@@ -1515,6 +1597,40 @@ def _facet_counts_sql() -> str:
         ORDER BY facet, doc_count DESC, value"""
 
 
+def _delete_search_sql() -> str:
+    """Deletes oracle, two legs: 'live' = STALE-stats BM25 (whole
+    corpus incl. deleted docs) restricted to survivors — the
+    Lucene-before-merge contract; 'compacted' = FRESH-stats BM25 over
+    the surviving subset only (own N/df/avgdl)."""
+    terms = [T_HOT, T_MID, T_RARE]
+    live_scored = _bm25_scored(terms, "or")
+    sub_scored = _bm25_scored(terms, "or").replace("documents",
+                                                   "docs_sub")
+    sub_scored = sub_scored.replace(
+        "WITH ",
+        f"WITH docs_sub AS (SELECT * FROM documents "
+        f"WHERE NOT ({DEL_PRED})),\n ", 1)
+    return f"""
+        SELECT * FROM (
+          SELECT 'live' AS leg,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                     AS rank,
+                 doc_id, round(score, 4) AS score_r
+          FROM ({live_scored}
+                SELECT doc_id, score FROM scored
+                WHERE NOT ({DEL_PRED}))
+          ORDER BY score DESC, doc_id ASC LIMIT 10)
+        UNION ALL
+        SELECT * FROM (
+          SELECT 'compacted' AS leg,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                     AS rank,
+                 doc_id, round(score, 4) AS score_r
+          FROM ({sub_scored} SELECT doc_id, score FROM scored)
+          ORDER BY score DESC, doc_id ASC LIMIT 10)
+        ORDER BY leg, rank"""
+
+
 def _search_join_sql() -> str:
     """search_join oracle: one _bm25_scored leg per query in
     SJ_QUERIES, each re-ranked (score desc, doc_id asc) and labeled
@@ -1820,6 +1936,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_multifield_bm25": _mf_bm25_sql(),
         "fts_doctype_search": _typed_bm25_sql([T_HOT, T_MID], "or"),
         "fts_search_join": _search_join_sql(),
+        "fts_delete_search": _delete_search_sql(),
         "dp_exact_dedup": """
             WITH g AS (
               SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,

@@ -82,6 +82,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="serve driver-side with ZERO Spark jobs "
                         "(ms-latency path; base index must fit one "
                         "reader's bandwidth)")
+    q.add_argument("--filter", default=None,
+                   help="SQL predicate over docstore columns (ES "
+                        "bool-filter analog): restrict results, BM25 "
+                        "stats stay global (distributed path only)")
 
     c = sub.add_parser("compact",
                        help="fold base + streaming deltas into a fresh "
@@ -174,6 +178,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="use the no-retokenize merge fold for the "
                         "compaction step")
 
+    dd = sub.add_parser("delete",
+                        help="tombstone docs across base + deltas "
+                             "(Lucene live-docs analog): they vanish "
+                             "from every query surface now; stats stay "
+                             "stale until the next compact")
+    dd.add_argument("--base", required=True)
+    dd.add_argument("--docids", required=True,
+                    help="comma-separated docids")
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -210,6 +223,11 @@ def main(argv: list[str] | None = None) -> int:
             from .query import FTSIndex
             idx = FTSIndex(spark, args.index)
             kw = {"org": args.org, "field": args.field}
+            if args.filter:
+                if args.local:
+                    p.error("--filter runs on the distributed path "
+                            "(predicate evaluation is a docstore scan)")
+                kw["filter"] = args.filter
             if args.phrase:
                 if args.mode != "or" or args.method != "wand":
                     p.error("--phrase is positional-exact matching: "
@@ -247,6 +265,14 @@ def main(argv: list[str] | None = None) -> int:
             for row in rows:
                 print(json.dumps(row.asDict() if hasattr(row, "asDict")
                                  else row, default=str))
+        elif args.cmd == "delete":
+            from .streaming import CombinedIndex
+            ci = CombinedIndex(spark, args.base)
+            ids = [int(x) for x in args.docids.split(",") if x]
+            n = ci.delete_docs(ids)
+            print(json.dumps({"deleted": n,
+                              "total_tombstones":
+                                  int(ci.deleted_docids().size)}))
         elif args.cmd == "compact":
             from .build import BuildConfig
             from .streaming import compact, compact_merge

@@ -1818,10 +1818,12 @@ class FTSIndex:
 
     def search(self, query: str, k: int = 10, mode: str = "or",
                method: str = "wand", field: str | None = None,
-               org: str | None = None) -> DataFrame:
+               org: str | None = None,
+               filter: str | Column | None = None) -> DataFrame:
         """topk + doc-store join: the full 'search' the restored ES
         cluster would serve."""
-        hits = self.topk(query, k, mode, method, org=org, field=field)
+        hits = self.topk(query, k, mode, method, org=org, field=field,
+                         filter=filter)
         docs = self.fetch_docs([r["docid"] for r in hits.collect()])
         return (hits.join(F.broadcast(docs).drop("shard"), "docid")
                     .sort(F.desc("score"), F.asc("docid")))

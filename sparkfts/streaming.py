@@ -73,6 +73,30 @@ def read_delta_log(root: str, include_pending: bool = False) -> list[dict]:
     return [e for e in log if e.get("state", "committed") == "committed"]
 
 
+def _tombstone_dir(root: str) -> str:
+    return os.path.join(root, "delta", "tombstones")
+
+
+def read_tombstones(root: str) -> np.ndarray:
+    """Sorted unique docids marked deleted under ``root`` (empty array
+    when none). Tombstones are small immutable parquet files — one per
+    delete_docs call — so the read is a driver-side pyarrow scan of a
+    directory that stays tiny between compactions (the Lucene live-docs
+    assumption: deletes are a bounded fraction of the corpus until the
+    nightly fold physically drops them)."""
+    d = _tombstone_dir(root)
+    if not os.path.isdir(d):
+        return np.empty(0, dtype=np.int64)
+    import pyarrow.parquet as pq
+    parts = [pq.read_table(os.path.join(d, f), columns=["docid"])
+             .column("docid").to_numpy()
+             for f in sorted(os.listdir(d))
+             if f.endswith(".parquet")]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts).astype(np.int64))
+
+
 def _write_delta_log(root: str, log: list[dict]) -> None:
     tmp = _log_path(root) + ".tmp"
     os.makedirs(os.path.dirname(tmp), exist_ok=True)
@@ -181,6 +205,9 @@ class CombinedIndex:
 
     def __init__(self, spark: SparkSession, base_root: str):
         self.spark = spark
+        self.base_root = base_root
+        self._tomb_key: tuple | None = None
+        self._tomb_val: np.ndarray | None = None
         self.subs = [FTSIndex(spark, base_root)]
         for e in read_delta_log(base_root):
             self.subs.append(FTSIndex(spark, e["root"]))
@@ -291,6 +318,89 @@ class CombinedIndex:
         return [(s, s.possible_shards(org)) for s in self.subs]
 
 
+    # -- deletes (tombstones) -----------------------------------------
+    def delete_docs(self, docids) -> int:
+        """Mark docs deleted across base + deltas — the Lucene live-docs
+        analog (the reference has no incremental delete: its answer is
+        the nightly rebuild; this covers the gap between rebuilds).
+        Semantics: deleted docs disappear from every query surface
+        immediately, but BM25 statistics (N, avgdl, df) stay STALE
+        until a compaction physically drops the docs — exactly how
+        Lucene scores against segments with deletes pending merge.
+        Unknown docids raise (loud contract); already-deleted ids are
+        ignored. Returns the count of NEWLY tombstoned docs.
+
+        Storage: one immutable parquet file per call under
+        <base_root>/delta/tombstones/, named under the ledger lock —
+        O(deletes) bytes, no index mutation, crash-safe (tmp + rename).
+        """
+        ids = np.unique(np.asarray(list(docids), dtype=np.int64))
+        if ids.size == 0:
+            return 0
+        spans = sorted((s.docid_offset, s.docid_offset + s.docid_span)
+                       for s in self.subs)
+        lows = np.array([a for a, _ in spans], dtype=np.int64)
+        highs = np.array([b for _, b in spans], dtype=np.int64)
+        pos = np.searchsorted(lows, ids, side="right") - 1
+        bad = (pos < 0) | (ids >= highs[np.clip(pos, 0, None)])
+        if bad.any():
+            raise KeyError(
+                f"docids outside every sub-index range: "
+                f"{ids[bad][:5].tolist()}")
+        fresh = ids[~np.isin(ids, self.deleted_docids())]
+        if fresh.size == 0:
+            return 0
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        d = _tombstone_dir(self.base_root)
+        os.makedirs(d, exist_ok=True)
+        with _log_lock(self.base_root):
+            n = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            tmp = os.path.join(d, f".tmp-{n:06d}-{os.getpid()}")
+            pq.write_table(pa.table({"docid": fresh}), tmp)
+            os.replace(tmp, os.path.join(d, f"tomb-{n:06d}.parquet"))
+        self._tomb_key = None
+        return int(fresh.size)
+
+    def deleted_docids(self) -> np.ndarray:
+        """Sorted unique tombstoned docids, memoized per tombstone
+        file-set (immutable files ⇒ the file list is the cache key, so
+        a long-lived handle observes deletes made by other writers)."""
+        d = _tombstone_dir(self.base_root)
+        key = (tuple(sorted(os.listdir(d)))
+               if os.path.isdir(d) else ())
+        if key != self._tomb_key:
+            self._tomb_val = read_tombstones(self.base_root)
+            self._tomb_key = key
+        return self._tomb_val
+
+    def _overfetch(self, k: int):
+        """(k_eff, post) for exact top-k under tombstones: kernels
+        fetch k + T per group (T = tombstone count) and ``post`` drops
+        deleted rows then heads the user's k. Exactness: for any doc d
+        in the true filtered top-k, the docs outranking d within its
+        group are deleted (≤ T) or survivors outranking d globally
+        (< k), so d sits within the group's top (k + T)."""
+        tomb = self.deleted_docids()
+        if tomb.size == 0:
+            return k, lambda pdf: pdf
+
+        def post(pdf: pd.DataFrame) -> pd.DataFrame:
+            if pdf.empty:
+                return pdf
+            keep = ~np.isin(pdf["docid"].to_numpy(np.int64), tomb)
+            return pdf[keep]
+
+        return k + int(tomb.size), post
+
+    def _tomb_sdf(self):
+        """Tombstones as a (broadcastable) Spark DataFrame, or None."""
+        tomb = self.deleted_docids()
+        if tomb.size == 0:
+            return None
+        return self.spark.createDataFrame(
+            pd.DataFrame({"docid": tomb}), schema="docid long")
+
     def topk_local(self, query: str, k: int = 10, mode: str = "or",
                    method: str = "wand", org: str | None = None,
                    field: str | None = None) -> pd.DataFrame:
@@ -318,6 +428,8 @@ class CombinedIndex:
                 df_tot[t] += d
         idf = {t: math.log(1.0 + (self.N - d + 0.5) / (d + 0.5))
                for t, d in df_tot.items()}
+        ku = k
+        k, tomb_post = self._overfetch(k)
         parts = []
         for i, s in enumerate(self.subs):
             if org_subs is None:
@@ -356,10 +468,10 @@ class CombinedIndex:
                 self.b, k, mode, len(terms)))
         if not parts:
             return empty
-        return (pd.concat(parts)
-                .sort_values(["score", "docid"],
-                             ascending=[False, True])
-                .head(k).reset_index(drop=True))
+        return (tomb_post(pd.concat(parts)
+                          .sort_values(["score", "docid"],
+                                       ascending=[False, True]))
+                .head(ku).reset_index(drop=True))
 
     def match_docids_local(self, query: str, mode: str = "and",
                            field: str | None = None,
@@ -379,7 +491,8 @@ class CombinedIndex:
                         for t in tokenize_text(query, self.tokenizer)})
         parts = [s._match_docids_local_terms(terms, mode, org)
                  for s in self.subs]
-        out = pd.concat(parts, ignore_index=True)
+        _, tomb_post = self._overfetch(0)
+        out = tomb_post(pd.concat(parts, ignore_index=True))
         return (out.sort_values("docid").reset_index(drop=True)
                 if not out.empty else out)
 
@@ -405,6 +518,8 @@ class CombinedIndex:
             for t, d in s._local_df_counts(uniq).items():
                 df_tot[t] += d
         idf = {t: _bm25_idf(float(self.N), d) for t, d in df_tot.items()}
+        ku = k
+        k, tomb_post = self._overfetch(k)
         parts = []
         for i, s in enumerate(self.subs):
             pdf = s._local_term_rows(uniq)
@@ -436,12 +551,16 @@ class CombinedIndex:
                                        self.k1, self.b, k))
         if not parts:
             return empty
-        return (pd.concat(parts)
-                .sort_values(["score", "docid"],
-                             ascending=[False, True])
-                .head(k).reset_index(drop=True))
+        return (tomb_post(pd.concat(parts)
+                          .sort_values(["score", "docid"],
+                                       ascending=[False, True]))
+                .head(ku).reset_index(drop=True))
 
     def _fetch_parts(self, docids, local: bool) -> list[pd.DataFrame]:
+        tomb = self.deleted_docids()
+        if tomb.size:
+            ids = np.asarray(list(docids), dtype=np.int64)
+            docids = ids[~np.isin(ids, tomb)].tolist()
         by_sub: dict[int, list[int]] = {}
         for d in docids:
             s = self._sub_for(int(d))
@@ -537,6 +656,8 @@ class CombinedIndex:
         idf = self._idf(terms)
         nq = len(terms)
         k1, b = self.k1, self.b
+        ku = k                       # user-facing k
+        k, tomb_post = self._overfetch(k)
 
         if filter is not None:
             if org is not None and org_subs is not None and not org_subs:
@@ -611,9 +732,9 @@ class CombinedIndex:
         if allp.empty:
             return pd.DataFrame({"docid": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
-        return (allp.sort_values(["score", "docid"],
-                                 ascending=[False, True])
-                .head(k).reset_index(drop=True))
+        return (tomb_post(allp.sort_values(["score", "docid"],
+                                           ascending=[False, True]))
+                .head(ku).reset_index(drop=True))
 
     def phrase_topk(self, query: str, k: int = 10,
                     field: str | None = None,
@@ -637,6 +758,8 @@ class CombinedIndex:
         uniq = sorted(set(seq))
         idf = self._idf(uniq)
         k1, b = self.k1, self.b
+        ku = k
+        k, tomb_post = self._overfetch(k)
         schema = "docid long, score double"
 
         if org_subs is not None:
@@ -681,9 +804,9 @@ class CombinedIndex:
                     .toPandas())
         if allp.empty:
             return empty
-        return (allp.sort_values(["score", "docid"],
-                                 ascending=[False, True])
-                .head(k).reset_index(drop=True))
+        return (tomb_post(allp.sort_values(["score", "docid"],
+                                           ascending=[False, True]))
+                .head(ku).reset_index(drop=True))
 
     def match_docids(self, query: str, mode: str = "and",
                      field: str | None = None,
@@ -762,6 +885,8 @@ class CombinedIndex:
                    .applyInPandas(lambda pdf: _match(pdf),
                                   schema="docid long")
                    .toPandas())
+        _, tomb_post = self._overfetch(0)
+        out = tomb_post(out)
         return (out.sort_values("docid").reset_index(drop=True)
                 if not out.empty else out)
 
@@ -795,6 +920,8 @@ class CombinedIndex:
                             .isin(s.possible_shards(org)))
             return r
 
+        tdf = self._tomb_sdf()
+
         def mk_store(s: FTSIndex):
             st = s._docstore
             if org is not None:
@@ -803,8 +930,11 @@ class CombinedIndex:
                       .where(F.col(s.routing_col) == org))
             if filter is not None:
                 st = st.where(filter)
-            return st.select("shard", "docid",
-                             F.col(by).cast("string").alias("value"))
+            st = st.select("shard", "docid",
+                           F.col(by).cast("string").alias("value"))
+            if tdf is not None:   # deleted docs leave the counts too
+                st = st.join(F.broadcast(tdf), "docid", "left_anti")
+            return st
 
         return (self._union(mk_rows).groupBy("sub", "shard")
                 .cogroup(self._union(mk_store).groupBy("sub", "shard"))
@@ -853,6 +983,8 @@ class CombinedIndex:
         idf = self._idf(all_terms)
         modes = {qid: m for qid, (_, m) in queries.items()}
         k1, b = self.k1, self.b
+        ku = k
+        k, tomb_post = self._overfetch(k)
         out_schema = "qid string, docid long, score double"
 
         if org_subs is not None:
@@ -898,10 +1030,10 @@ class CombinedIndex:
                     .toPandas())
         out = {}
         for qid in queries:
-            sub = tops[tops["qid"] == qid]
+            sub = tomb_post(tops[tops["qid"] == qid])
             out[qid] = (sub.sort_values(["score", "docid"],
                                         ascending=[False, True])
-                        .head(k)[["docid", "score"]]
+                        .head(ku)[["docid", "score"]]
                         .reset_index(drop=True))
         return out
 
@@ -981,6 +1113,8 @@ class CombinedIndex:
             rng_lookup = (lambda lpdf:
                           rm.get((int(lpdf["sub"].iloc[0]),
                                   int(lpdf["shard"].iloc[0]))))
+        ku = k
+        k, _ = self._overfetch(k)
         score_group = sj_score_group_factory(avgdl, self.k1, self.b, k,
                                              method, rng_lookup)
         tops = (ps.groupBy("sub", "shard", "bucket")
@@ -988,7 +1122,12 @@ class CombinedIndex:
                 .applyInPandas(score_group,
                                schema="qid string, docid long, "
                                       "score double"))
-        return sj_global_topk(tops, k)
+        tdf = self._tomb_sdf()
+        if tdf is not None:
+            # distributed exclusion before the global top-k window —
+            # the over-fetched per-group tops guarantee exactness
+            tops = tops.join(F.broadcast(tdf), "docid", "left_anti")
+        return sj_global_topk(tops, ku)
 
 
 def compact(spark: SparkSession, base_root: str, out_root: str,
@@ -1000,11 +1139,24 @@ def compact(spark: SparkSession, base_root: str, out_root: str,
     (the full input rows), unions, and re-runs the batch build; the
     result is byte-for-byte what a from-scratch build over all rows
     produces (docids re-ranked under order_cols). The caller swaps it in
-    via rotation.RotationRegistry and starts a fresh delta log."""
+    via rotation.RotationRegistry and starts a fresh delta log.
+
+    Tombstoned docs (CombinedIndex.delete_docs) are physically dropped
+    here — a broadcast anti-join on the docstore read — so the new
+    generation's statistics (N, avgdl, df) are fresh, exactly like a
+    Lucene merge expunging deletes."""
     order_cols = order_cols or ["conv_id", "turn_idx"]
     roots = [base_root] + [e["root"] for e in read_delta_log(base_root)]
-    dfs = [spark.read.parquet(storage.path(r, "docstore"))
-           .drop("shard", "docid") for r in roots]
+    tomb = read_tombstones(base_root)
+    tdf = (spark.createDataFrame(pd.DataFrame({"docid": tomb}),
+                                 schema="docid long")
+           if tomb.size else None)
+    dfs = []
+    for r in roots:
+        d = spark.read.parquet(storage.path(r, "docstore"))
+        if tdf is not None:
+            d = d.join(F.broadcast(tdf), "docid", "left_anti")
+        dfs.append(d.drop("shard", "docid"))
     allrows = dfs[0]
     for d in dfs[1:]:
         allrows = allrows.unionByName(d)
@@ -1277,8 +1429,15 @@ def compact_merge(spark: SparkSession, base_root: str, out_root: str,
     tf/dl/df/cf ⇒ same BM25 scores; docid TIE order is
     generation-insertion order rather than order_cols re-rank (docids
     are index-local either way). Caller-docid (sparse, unrouted) bases
-    are refused."""
+    are refused, as are pending tombstones (the docid remap assumes
+    dense per-generation id spaces; folding deletes is the rebuild
+    path's job — use compact(), which drops them with fresh stats)."""
     cfg = cfg or BuildConfig()
+    if read_tombstones(base_root).size:
+        raise ValueError(
+            "compact_merge: pending tombstones (delete_docs) cannot be "
+            "folded by the merge path — use compact(), which drops "
+            "them and recomputes statistics")
     roots = [base_root] + [e["root"] for e in read_delta_log(base_root)]
     gens = []
     cum = 0
@@ -1537,6 +1696,11 @@ def nightly_rotate(spark: SparkSession, registry, alias: str,
     now for operational convenience. Returns {vid, root, summary}.
     """
     from .rotation import IndexVersion, utcnow_iso
+    if merge and read_tombstones(base_root).size:
+        # pending deletes force the rebuild path: compact_merge cannot
+        # fold tombstones (dense-id remap), compact() drops them with
+        # fresh statistics
+        merge = False
     if merge:
         # no-retokenize fold (compact_merge) — postings-bytes cost
         # instead of corpus-text cost; same document-identical result

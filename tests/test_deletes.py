@@ -1,0 +1,222 @@
+"""Document deletes (tombstones) — the Lucene live-docs analog.
+
+Contract under test:
+- delete_docs removes docs from EVERY query surface immediately
+  (topk/topk_local/phrase_topk/phrase_topk_local/topk_many/
+  match_docids/match_docids_local/search_join/facet_counts/
+  fetch_docs/fetch_docs_local/search_local);
+- surviving docs keep their EXACT pre-delete scores (stats stay stale
+  until compaction — deleted docs still count in N/avgdl/df);
+- results equal the pre-delete ranking with deleted rows dropped
+  (the k+T over-fetch is exact, not approximate);
+- compact() physically drops tombstoned docs with FRESH stats;
+- compact_merge() refuses pending tombstones; nightly_rotate
+  falls back to the rebuild path;
+- unknown docids raise; re-deleting returns 0; a fresh handle
+  observes deletes made through another handle.
+"""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkfts import BuildConfig, FTSIndex, build_index
+from sparkfts.fixtures import make_transcripts
+from sparkfts.streaming import CombinedIndex, make_batch_indexer
+
+Q_OR = "alpha query index"
+Q_AND = "alpha index"
+Q_PH = "nightly index snapshot"
+
+
+@pytest.fixture(scope="module")
+def env(spark, tmp_path_factory):
+    """Build base + 2 deltas, record pre-delete references on every
+    surface, then tombstone docs chosen to be VISIBLE in the top ranks
+    (top-2 of the or-query, the phrase's top hit, plus two mid-pack)."""
+    cfg = BuildConfig(num_shards=2, partitions=2)
+    root = str(tmp_path_factory.mktemp("del_stream"))
+    build_index(spark,
+                spark.createDataFrame(make_transcripts(12, seed=90)),
+                root, order_cols=["conv_id", "turn_idx"], cfg=cfg)
+    idxer = make_batch_indexer(root, cfg=cfg)
+    for i, seed in enumerate((91, 92)):
+        idxer(spark.createDataFrame(make_transcripts(4, seed=seed)),
+              batch_id=i)
+    ci = CombinedIndex(spark, root)
+
+    full_or = ci.topk(Q_OR, k=10 ** 6, mode="or", method="exact")
+    full_and = ci.topk(Q_AND, k=10 ** 6, mode="and", method="exact")
+    full_ph = ci.phrase_topk(Q_PH, k=10 ** 6)
+    match_and = ci.match_docids(Q_AND, mode="and")["docid"].tolist()
+
+    assert len(full_or) >= 8, "fixture too small for the delete picks"
+    dead = {int(full_or["docid"].iloc[0]),
+            int(full_or["docid"].iloc[1]),
+            int(full_or["docid"].iloc[7])}
+    if not full_and.empty:
+        dead.add(int(full_and["docid"].iloc[0]))
+    if not full_ph.empty:
+        dead.add(int(full_ph["docid"].iloc[0]))
+    dead = sorted(dead)
+    n_new = ci.delete_docs(dead)
+    assert n_new == len(dead)
+
+    return {"root": root, "ci": ci, "dead": dead, "cfg": cfg,
+            "full_or": full_or, "full_and": full_and,
+            "full_ph": full_ph, "match_and": match_and}
+
+
+def _drop(pdf, dead, k):
+    out = pdf[~pdf["docid"].isin(dead)].head(k)
+    return out.reset_index(drop=True)
+
+
+def _check(got, want, label):
+    assert got["docid"].tolist() == want["docid"].tolist(), label
+    np.testing.assert_allclose(got["score"], want["score"], rtol=0,
+                               atol=1e-9, err_msg=label)
+
+
+def test_topk_excludes_and_scores_stale(env):
+    want = _drop(env["full_or"], env["dead"], 7)
+    got = env["ci"].topk(Q_OR, k=7, mode="or").reset_index(drop=True)
+    _check(got, want, "topk/or")
+    want = _drop(env["full_and"], env["dead"], 7)
+    got = env["ci"].topk(Q_AND, k=7, mode="and").reset_index(drop=True)
+    _check(got, want, "topk/and")
+
+
+def test_topk_local_excludes(env):
+    want = _drop(env["full_or"], env["dead"], 7)
+    got = env["ci"].topk_local(Q_OR, k=7, mode="or")
+    _check(got, want, "topk_local")
+
+
+def test_phrase_excludes(env):
+    if env["full_ph"].empty:
+        pytest.skip("phrase has no hits in this fixture")
+    want = _drop(env["full_ph"], env["dead"], 5)
+    got = env["ci"].phrase_topk(Q_PH, k=5).reset_index(drop=True)
+    _check(got, want, "phrase")
+    got = env["ci"].phrase_topk_local(Q_PH, k=5)
+    _check(got, want, "phrase_local")
+
+
+def test_topk_many_excludes(env):
+    res = env["ci"].topk_many({"a": (Q_OR, "or"), "b": (Q_AND, "and")},
+                              k=6)
+    _check(res["a"], _drop(env["full_or"], env["dead"], 6), "many/a")
+    _check(res["b"], _drop(env["full_and"], env["dead"], 6), "many/b")
+
+
+def test_match_docids_excludes(env):
+    want = [d for d in env["match_and"] if d not in set(env["dead"])]
+    got = env["ci"].match_docids(Q_AND, mode="and")["docid"].tolist()
+    assert got == want
+    gotl = (env["ci"].match_docids_local(Q_AND, mode="and")["docid"]
+            .tolist())
+    assert gotl == want
+
+
+def test_search_join_excludes(env, spark):
+    qdf = spark.createDataFrame([("a", Q_OR, "or"), ("b", Q_AND, "and")],
+                                "qid string, query string, mode string")
+    res = env["ci"].search_join(qdf, k=6, mode_col="mode").toPandas()
+    for qid, full in (("a", env["full_or"]), ("b", env["full_and"])):
+        want = _drop(full, env["dead"], 6)
+        g = (res[res["qid"] == qid].sort_values("rank")
+             [["docid", "score"]].reset_index(drop=True))
+        _check(g, want, f"search_join/{qid}")
+
+
+def test_facet_counts_excludes(env):
+    ci = env["ci"]
+    matched = set(ci.match_docids(Q_OR, mode="or")["docid"])
+    cstore = pd.concat([s._docstore.toPandas() for s in ci.subs],
+                       ignore_index=True)
+    sub = cstore[cstore["docid"].isin(matched)]   # already tomb-free
+    vc = sub["role"].dropna().astype(str).value_counts()
+    exp = (pd.DataFrame({"value": vc.index, "doc_count": vc.to_numpy()})
+           .sort_values(["doc_count", "value"],
+                        ascending=[False, True]).head(10)
+           .reset_index(drop=True))
+    got = ci.facet_counts(Q_OR, by="role", k=10, mode="or").toPandas()
+    assert got["value"].tolist() == exp["value"].tolist()
+    assert got["doc_count"].tolist() == exp["doc_count"].tolist()
+
+
+def test_fetch_and_search_local_exclude(env):
+    ci, dead = env["ci"], env["dead"]
+    live = int(_drop(env["full_or"], dead, 1)["docid"].iloc[0])
+    got = ci.fetch_docs_local([dead[0], live])
+    assert got["docid"].tolist() == [live]
+    got = ci.fetch_docs([dead[0], live])
+    assert got["docid"].tolist() == [live]
+    s = ci.search_local(Q_OR, k=5, mode="or")
+    assert not set(s["docid"]) & set(dead)
+    assert "text" in s.columns
+
+
+def test_delete_validation_and_idempotence(env):
+    ci = env["ci"]
+    with pytest.raises(KeyError):
+        ci.delete_docs([10 ** 12])
+    assert ci.delete_docs([env["dead"][0]]) == 0
+    assert ci.delete_docs([]) == 0
+
+
+def test_fresh_handle_sees_deletes(env, spark):
+    ci2 = CombinedIndex(spark, env["root"])
+    got = ci2.topk(Q_OR, k=7, mode="or").reset_index(drop=True)
+    _check(got, _drop(env["full_or"], env["dead"], 7), "fresh handle")
+
+
+def test_compact_drops_tombstones(env, spark, tmp_path_factory):
+    from sparkfts.streaming import compact
+    out = str(tmp_path_factory.mktemp("del_compact"))
+    compact(spark, env["root"], out,
+            order_cols=["conv_id", "turn_idx"], cfg=env["cfg"])
+    idx = FTSIndex(spark, out)
+    n_before = env["ci"].N
+    assert idx.N == n_before - len(env["dead"])
+    store = idx._docstore.toPandas()
+    assert len(store) == idx.N
+    # fresh stats: the compacted ranking equals a from-scratch build
+    # over the surviving rows (delete → compact == never indexed)
+    live = pd.concat([s._docstore.toPandas() for s in env["ci"].subs],
+                     ignore_index=True)
+    live = live[~live["docid"].isin(env["dead"])] \
+        .drop(columns=["shard", "docid"])
+    root2 = str(tmp_path_factory.mktemp("del_rebuild"))
+    build_index(spark, spark.createDataFrame(live), root2,
+                order_cols=["conv_id", "turn_idx"], cfg=env["cfg"])
+    idx2 = FTSIndex(spark, root2)
+    a = idx.topk_pandas(Q_OR, k=8, mode="or")
+    b = idx2.topk_pandas(Q_OR, k=8, mode="or")
+    assert a["docid"].tolist() == b["docid"].tolist()
+    np.testing.assert_allclose(a["score"], b["score"], rtol=0,
+                               atol=1e-9)
+
+
+def test_compact_merge_refuses_tombstones(env, spark,
+                                          tmp_path_factory):
+    from sparkfts.streaming import compact_merge
+    out = str(tmp_path_factory.mktemp("del_merge"))
+    with pytest.raises(ValueError, match="tombstones"):
+        compact_merge(spark, env["root"], out, cfg=env["cfg"])
+
+
+def test_nightly_rotate_falls_back_to_rebuild(env, spark,
+                                              tmp_path_factory):
+    from sparkfts.rotation import RotationRegistry
+    from sparkfts.streaming import nightly_rotate
+    reg_dir = str(tmp_path_factory.mktemp("del_reg"))
+    out = str(tmp_path_factory.mktemp("del_rotate"))
+    res = nightly_rotate(spark, RotationRegistry(reg_dir), "convs",
+                         env["root"], out, index_date="20260817",
+                         order_cols=["conv_id", "turn_idx"],
+                         cfg=env["cfg"], merge=True)
+    idx = FTSIndex(spark, res["root"])
+    assert idx.N == env["ci"].N - len(env["dead"])
