@@ -981,6 +981,26 @@ def q_delete_search(spark, sf_dir):
     o2["rank"] = o2.index + 1
     o2["score_r"] = o2["score"].round(4)
     parts.append(o2[["leg", "rank", "doc_id", "score_r"]])
+
+    # merge-fold leg: compact_merge drops the tombstones IN the
+    # posting-merge kernel (dense survivor re-rank, stats recomputed)
+    # — must equal the rebuild-path oracle exactly
+    from sparkfts.streaming import compact_merge
+    mroot = _gate_root(sf_dir, "delmerged")
+    if not manifest_exists(mroot):
+        compact_merge(spark, ci.base_root, mroot,
+                      cfg=BuildConfig(num_shards=3, partitions=3))
+    idx3 = FTSIndex(spark, mroot)
+    h3 = idx3.topk_pandas(qtext, k=10, mode="or")
+    d3 = idx3.fetch_docs(h3["docid"].tolist()).toPandas()
+    o3 = h3.merge(d3[["docid", "doc_id"]], on="docid")
+    o3 = (o3.sort_values(["score", "doc_id"],
+                         ascending=[False, True])
+          .reset_index(drop=True))
+    o3["leg"] = "merged"
+    o3["rank"] = o3.index + 1
+    o3["score_r"] = o3["score"].round(4)
+    parts.append(o3[["leg", "rank", "doc_id", "score_r"]])
     return spark.createDataFrame(
         _pd.concat(parts, ignore_index=True),
         schema="leg string, rank long, doc_id long, score_r double")
@@ -1623,6 +1643,14 @@ def _delete_search_sql() -> str:
         UNION ALL
         SELECT * FROM (
           SELECT 'compacted' AS leg,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                     AS rank,
+                 doc_id, round(score, 4) AS score_r
+          FROM ({sub_scored} SELECT doc_id, score FROM scored)
+          ORDER BY score DESC, doc_id ASC LIMIT 10)
+        UNION ALL
+        SELECT * FROM (
+          SELECT 'merged' AS leg,
                  row_number() OVER (ORDER BY score DESC, doc_id ASC)
                      AS rank,
                  doc_id, round(score, 4) AS score_r

@@ -38,9 +38,9 @@ _FORWARDED = frozenset({
     "topk", "topk_pandas", "topk_local", "topk_many",
     "phrase_topk", "phrase_topk_local",
     "match_docids", "match_docids_local",
-    "search", "search_local",
+    "search", "search_local", "search_join",
     "fetch_docs", "fetch_docs_local",
-    "possible_shards",
+    "possible_shards", "facet_counts",
 })
 
 

@@ -1188,7 +1188,8 @@ def _load_segmap_shard(seg_path: str, nshard: int) -> dict[int, tuple]:
 
 
 def _merge_posting_kernel(dps_new: int, block: int, max_chunk: int,
-                          seg_path: str | None = None):
+                          seg_path: str | None = None,
+                          tomb_by_gen: dict | None = None):
     """mapInArrow kernel for compact_merge: rows sorted by
     (nshard, th, term, gen, gshard, chunk) arrive term-group-contiguous;
     each group's posting runs are decoded (WITH positions), docids
@@ -1204,7 +1205,16 @@ def _merge_posting_kernel(dps_new: int, block: int, max_chunk: int,
     PIECEWISE per (org block), loaded lazily per shard ON THE EXECUTOR
     (_load_segmap_shard), new per-org blocks interleave generations,
     so the merged postings are re-sorted by a stable argsort with the
-    flat position arrays gathered along."""
+    flat position arrays gathered along.
+
+    Tombstone fold (plain mode only, tomb_by_gen = {gen: sorted
+    original-docid array}): deleted postings are dropped and survivors
+    re-rank DENSELY — new docid = old + shift − #deleted≤old
+    (searchsorted), a strictly increasing map, so runs stay sorted and
+    the merged id space has no holes (future folds stay legal). The
+    per-generation tombstone arrays ride into the task closure: their
+    size is bounded by the deletes-between-compactions assumption
+    (documented at delete_docs), NOT by corpus/tenant scale."""
     import pyarrow as pa
 
     from . import codec
@@ -1233,6 +1243,7 @@ def _merge_posting_kernel(dps_new: int, block: int, max_chunk: int,
                 d, tf, dl, pos = codec.decode_postings(
                     blob, np.asarray(boff), np.asarray(bn),
                     with_positions=True)
+                keep = None
                 if seg_path is not None:
                     smap = seg_cache.get(nshard)
                     if smap is None:
@@ -1242,8 +1253,17 @@ def _merge_posting_kernel(dps_new: int, block: int, max_chunk: int,
                     si = np.searchsorted(los, d, side="right") - 1
                     d = d + shifts[si]
                 else:
-                    d = d + shift
+                    tg = (tomb_by_gen.get(gen)
+                          if tomb_by_gen else None)
+                    if tg is not None and tg.size:
+                        keep = ~np.isin(d, tg, assume_unique=True)
+                        d = (d + shift
+                             - np.searchsorted(tg, d, side="right"))
+                    else:
+                        d = d + shift
                 m = (d >= lo) & (d < hi)
+                if keep is not None:
+                    m &= keep
                 if not m.all():
                     pos = pos[np.repeat(m, tf)]
                     d, tf, dl = d[m], tf[m], dl[m]
@@ -1429,15 +1449,17 @@ def compact_merge(spark: SparkSession, base_root: str, out_root: str,
     tf/dl/df/cf ⇒ same BM25 scores; docid TIE order is
     generation-insertion order rather than order_cols re-rank (docids
     are index-local either way). Caller-docid (sparse, unrouted) bases
-    are refused, as are pending tombstones (the docid remap assumes
-    dense per-generation id spaces; folding deletes is the rebuild
-    path's job — use compact(), which drops them with fresh stats)."""
+    are refused.
+
+    Tombstones (delete_docs): PLAIN generations fold them — deleted
+    postings/doc rows drop inside the merge kernel and survivors
+    re-rank densely (new docid = old + shift − #deleted≤old), with
+    statistics recomputed over the survivors, so the merged root is
+    exactly what compact() produces. ROUTED generations with pending
+    tombstones are refused (the piecewise org-segment remap assumes
+    intact org_ranges intervals) — use compact()."""
     cfg = cfg or BuildConfig()
-    if read_tombstones(base_root).size:
-        raise ValueError(
-            "compact_merge: pending tombstones (delete_docs) cannot be "
-            "folded by the merge path — use compact(), which drops "
-            "them and recomputes statistics")
+    tomb = read_tombstones(base_root)
     roots = [base_root] + [e["root"] for e in read_delta_log(base_root)]
     gens = []
     cum = 0
@@ -1487,27 +1509,60 @@ def compact_merge(spark: SparkSession, base_root: str, out_root: str,
             raise ValueError(
                 "compact_merge: generations mix multi-field and plain "
                 "builds (the same refusal CombinedIndex makes)")
+        gtomb = np.empty(0, dtype=np.int64)
+        if tomb.size and n and not rt:
+            # plain generations have dense spans (checked above):
+            # the generation owns [off, off + n)
+            gtomb = tomb[(tomb >= off) & (tomb < off + n)]
         gens.append({"root": r, "n": n, "off": off,
-                     "shift": cum - off})
-        cum += n
+                     "shift": cum - off, "tomb": gtomb,
+                     "ndel": int(gtomb.size)})
+        cum += n - int(gtomb.size)
     N = cum
     t0 = time.perf_counter()
     if routing0:
+        if tomb.size:
+            raise ValueError(
+                "compact_merge: routed generations with pending "
+                "tombstones (delete_docs) cannot be merge-folded — "
+                "use compact(), which drops them with fresh stats")
         return _compact_merge_routed(spark, gens, out_root, cfg, N,
                                      fields_any, routing0, ns0, t0)
 
     ns_new = cfg.num_shards
     dps_new = max(1, -(-N // ns_new)) if N else 1
+    tomb_by_gen = {gi: gen["tomb"] for gi, gen in enumerate(gens)
+                   if gen["ndel"]}
 
-    # docstore: narrow union pass, shard from the arithmetic docid
+    # docstore: narrow union pass, shard from the arithmetic docid;
+    # tombstoned rows drop, survivors re-rank densely (same strictly
+    # increasing map the posting kernel applies)
     dparts = []
     for gen in gens:
         if gen["n"] == 0:
             continue
         d = (spark.read.parquet(storage.path(gen["root"], "docstore"))
-             .drop("shard")
-             .withColumn("docid",
-                         F.col("docid") + F.lit(int(gen["shift"]))))
+             .drop("shard"))
+        tg, shift = gen["tomb"], int(gen["shift"])
+        if tg.size:
+            tdf = spark.createDataFrame(
+                pd.DataFrame({"docid": tg}), schema="docid long")
+            d = d.join(F.broadcast(tdf), "docid", "left_anti")
+            from pyspark.sql.functions import pandas_udf
+
+            def _mk_remap(tg=tg, shift=shift):
+                @pandas_udf("long")
+                def remap(s: pd.Series) -> pd.Series:
+                    v = s.to_numpy(np.int64)
+                    return pd.Series(
+                        v + shift
+                        - np.searchsorted(tg, v, side="right"))
+                return remap
+
+            d = d.withColumn("docid", _mk_remap()(F.col("docid")))
+        else:
+            d = d.withColumn("docid",
+                             F.col("docid") + F.lit(shift))
         dparts.append(d)
     if not dparts:
         raise ValueError("compact_merge: no rows in any generation")
@@ -1526,27 +1581,37 @@ def compact_merge(spark: SparkSession, base_root: str, out_root: str,
     # range covers (rare >1: only rows crossing a new shard boundary),
     # ONE range shuffle on the new shard, merge kernel
     pparts = []
-    for gen in gens:
+    for gi, gen in enumerate(gens):
         if gen["n"] == 0:
             continue
         p = (spark.read.parquet(storage.path(gen["root"], "postings"))
              .withColumnRenamed("shard", "gshard")
-             .withColumn("gen", F.lit(int(gens.index(gen))))
-             .withColumn("gshift", F.lit(int(gen["shift"]))))
+             .withColumn("gen", F.lit(int(gi)))
+             .withColumn("gshift", F.lit(int(gen["shift"])))
+             .withColumn("gdel", F.lit(int(gen["ndel"]))))
         pparts.append(p)
     pall = pparts[0]
     for p in pparts[1:]:
         pall = pall.unionByName(p)
-    s_lo = ((F.element_at("block_first", 1) + F.col("gshift"))
-            / F.lit(int(dps_new))).cast("int")
-    s_hi = ((F.element_at("block_last", -1) + F.col("gshift"))
-            / F.lit(int(dps_new))).cast("int")
+    # new-shard range of a dictionary row: tombstone re-ranking only
+    # ever LOWERS a docid (by at most the generation's delete count),
+    # so widen the low bound by gdel and clamp at 0 — the kernel's
+    # range mask drops whatever the widened explode over-sends
+    s_lo = F.greatest(
+        ((F.element_at("block_first", 1) + F.col("gshift")
+          - F.col("gdel")) / F.lit(int(dps_new))).cast("int"),
+        F.lit(0))
+    s_hi = F.least(
+        ((F.element_at("block_last", -1) + F.col("gshift"))
+         / F.lit(int(dps_new))).cast("int"),
+        F.lit(int(ns_new - 1)))
     pall = (pall.withColumn("nshard",
                             F.explode(F.sequence(s_lo, s_hi))))
     parts_n = cfg.partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions"))
     kernel, _ = _merge_posting_kernel(dps_new, cfg.block,
-                                      cfg.max_chunk_postings)
+                                      cfg.max_chunk_postings,
+                                      tomb_by_gen=tomb_by_gen or None)
     from .placement import repartition_exact
     enc_in = (repartition_exact(pall, list(range(ns_new)),
                                 min(parts_n, max(1, ns_new)),
@@ -1696,10 +1761,12 @@ def nightly_rotate(spark: SparkSession, registry, alias: str,
     now for operational convenience. Returns {vid, root, summary}.
     """
     from .rotation import IndexVersion, utcnow_iso
-    if merge and read_tombstones(base_root).size:
-        # pending deletes force the rebuild path: compact_merge cannot
-        # fold tombstones (dense-id remap), compact() drops them with
-        # fresh statistics
+    if merge and read_tombstones(base_root).size and \
+            (storage.read_stats(base_root).get("routing") or ""):
+        # routed + pending deletes force the rebuild path: the merge
+        # fold's org-segment remap cannot drop tombstones; compact()
+        # drops them with fresh statistics. Plain bases merge-fold
+        # tombstones natively.
         merge = False
     if merge:
         # no-retokenize fold (compact_merge) — postings-bytes cost

@@ -200,12 +200,72 @@ def test_compact_drops_tombstones(env, spark, tmp_path_factory):
                                atol=1e-9)
 
 
-def test_compact_merge_refuses_tombstones(env, spark,
-                                          tmp_path_factory):
+def test_compact_merge_folds_tombstones(env, spark, tmp_path_factory):
+    """PLAIN generations merge-fold deletes: tombstoned postings/doc
+    rows drop in the kernel, survivors re-rank DENSELY, stats
+    recompute — document-identical to compact() (scores equal the
+    fresh-stats rebuild; doc identity via (conv_id, turn_idx))."""
     from sparkfts.streaming import compact_merge
-    out = str(tmp_path_factory.mktemp("del_merge"))
+    out = str(tmp_path_factory.mktemp("del_mergefold"))
+    compact_merge(spark, env["root"], out,
+                  cfg=BuildConfig(num_shards=3, partitions=3))
+    idx = FTSIndex(spark, out)
+    n_live = env["ci"].N - len(env["dead"])
+    assert idx.N == n_live
+    assert idx.docid_span == idx.N          # dense id space: future
+    store = idx._docstore.toPandas()        # folds stay legal
+    assert len(store) == n_live
+    assert store["docid"].min() == 0
+    assert store["docid"].max() == n_live - 1
+    assert store["docid"].nunique() == n_live
+    # no tombstoned doc survived (identity = conv_id, turn_idx)
+    old = pd.concat([s._docstore.toPandas() for s in env["ci"].subs],
+                    ignore_index=True)
+    dead_keys = set(map(tuple, old[old["docid"].isin(env["dead"])]
+                        [["conv_id", "turn_idx"]].to_numpy()))
+    got_keys = set(map(tuple, store[["conv_id", "turn_idx"]]
+                       .to_numpy()))
+    assert not (dead_keys & got_keys)
+    # fresh-stats parity with the rebuild path, identity-matched
+    rroot = str(tmp_path_factory.mktemp("del_mergefold_rb"))
+    from sparkfts.streaming import compact
+    compact(spark, env["root"], rroot,
+            order_cols=["conv_id", "turn_idx"],
+            cfg=BuildConfig(num_shards=3, partitions=3))
+    ridx = FTSIndex(spark, rroot)
+    for q, mode in ((Q_OR, "or"), (Q_AND, "and")):
+        a = idx.topk_pandas(q, k=10, mode=mode)
+        ad = idx.fetch_docs(a["docid"].tolist()).toPandas()
+        b = ridx.topk_pandas(q, k=10, mode=mode)
+        bd = ridx.fetch_docs(b["docid"].tolist()).toPandas()
+        ak = (a.merge(ad[["docid", "conv_id", "turn_idx"]], on="docid")
+              .assign(s=lambda x: x["score"].round(9)))
+        bk = (b.merge(bd[["docid", "conv_id", "turn_idx"]], on="docid")
+              .assign(s=lambda x: x["score"].round(9)))
+        assert (sorted(map(tuple,
+                           ak[["s", "conv_id", "turn_idx"]].to_numpy()))
+                == sorted(map(tuple,
+                              bk[["s", "conv_id",
+                                  "turn_idx"]].to_numpy()))), (q, mode)
+
+
+def test_compact_merge_refuses_routed_tombstones(spark,
+                                                 tmp_path_factory):
+    from sparkfts.streaming import CombinedIndex, compact_merge
+    pdf = make_transcripts(10, seed=95)
+    orgs = sorted(pdf["conv_id"].unique())
+    pdf["org"] = pdf["conv_id"].map(lambda c: f"o{orgs.index(c) % 2}")
+    root = str(tmp_path_factory.mktemp("del_routed"))
+    cfg = BuildConfig(num_shards=4, partitions=4,
+                      routing_col="org", shards_per_org=2)
+    build_index(spark, spark.createDataFrame(pdf), root,
+                order_cols=["conv_id", "turn_idx"], cfg=cfg)
+    ci = CombinedIndex(spark, root)
+    some = int(ci.subs[0]._docstore.limit(1).collect()[0]["docid"])
+    ci.delete_docs([some])
+    out = str(tmp_path_factory.mktemp("del_routed_out"))
     with pytest.raises(ValueError, match="tombstones"):
-        compact_merge(spark, env["root"], out, cfg=env["cfg"])
+        compact_merge(spark, root, out, cfg=cfg)
 
 
 def test_nightly_rotate_falls_back_to_rebuild(env, spark,

@@ -117,6 +117,28 @@ def test_serving_local_path_stays_zero_jobs(spark, two_generations,
     assert len(jobs) == 0
 
 
+def test_serving_forwards_r5_surfaces(spark, two_generations,
+                                      tmp_path):
+    """facet_counts / search_join / filter= reach the underlying
+    handle through the facade."""
+    root_a, _ = two_generations
+    reg = RotationRegistry(str(tmp_path))
+    reg.swap("conversations", reg.register(_version(root_a, "bc")))
+    srv = ServingIndex(spark, reg, "conversations")
+    fc = srv.facet_counts("alpha query", by="role", k=5,
+                          mode="or").toPandas()
+    assert list(fc.columns) == ["value", "doc_count"]
+    got = srv.topk("alpha query", k=3, filter="role = 'user'") \
+        .toPandas()
+    want = srv.handle().topk_pandas("alpha query", k=3,
+                                    filter="role = 'user'")
+    assert got["docid"].tolist() == want["docid"].tolist()
+    qdf = spark.createDataFrame([("a", "alpha query")],
+                                "qid string, query string")
+    sj = srv.search_join(qdf, k=3).toPandas()
+    assert set(sj.columns) == {"qid", "rank", "docid", "score"}
+
+
 def test_serving_index_errors(spark, tmp_path):
     reg = RotationRegistry(str(tmp_path))
     srv = ServingIndex(spark, reg, "conversations")
