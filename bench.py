@@ -27,7 +27,8 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), SPARKFTS_BENCH_CONVS (override size),
      SPARKFTS_SKIP_SCALING=1 to skip phase 4,
      SPARKFTS_SCALE_WAIT (per-sample quiet-window wait budget, sec),
-     SPARKFTS_SCALE_RETRIES (max replacement draws per dirty side).
+     SPARKFTS_SCALE_RETRIES (max replacement draws per dirty side),
+     SPARKFTS_MEMBW_FLOOR_MS / SPARKFTS_MEMBW_DIRTY_FACTOR (membw gate).
 """
 from __future__ import annotations
 
@@ -101,25 +102,61 @@ def _steal_pct(a: dict | None, b: dict | None) -> float | None:
 WINDOW_STEAL_MAX = 0.3    # launch gate: steal%% over the probe window
 WINDOW_BUSY_MAX = 8.0     # launch gate: other-process cpu busy%%
 SAMPLE_STEAL_DIRTY = 1.0  # post-hoc: sample marked dirty above this
+# Memory-bandwidth gate (round 5): co-tenant bandwidth pressure
+# inflates walls WITHOUT showing up as steal%% or local busy%% (the r5
+# driver-window draw: every sample ≤1%% steal, yet lows at 1.3-2.3x and
+# highs at 1.3-3.3x their quiet floors → efficiency 0.682 measured the
+# WINDOW). The probe times a fixed 256 MB streaming sum (far beyond
+# LLC); quiet floor on this box ≈26-29 ms (measured round 5). Samples
+# whose pre/post probe exceeds floor x factor are dirty, same retry
+# machinery as steal.
+MEMBW_FLOOR_MS = float(os.environ.get("SPARKFTS_MEMBW_FLOOR_MS", "26"))
+MEMBW_DIRTY_FACTOR = float(
+    os.environ.get("SPARKFTS_MEMBW_DIRTY_FACTOR", "1.5"))
+_MEMBW_ARR = None
+
+
+def _membw_probe_ms() -> float:
+    """Best-of-3 wall of a fixed 256 MB numpy streaming sum, in ms —
+    a direct bandwidth-pressure sensor, independent of the sample
+    walls (it reads neither them nor the ratio, so using it in the
+    window gate preserves the pre-committed-plan property)."""
+    global _MEMBW_ARR
+    import numpy as _np
+    if _MEMBW_ARR is None:
+        _MEMBW_ARR = _np.ones(32 << 20, dtype=_np.float64)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(_MEMBW_ARR.sum())
+        best = min(best, (time.perf_counter() - t0) * 1000.0)
+    return round(best, 2)
 
 
 def _cpu_probe(window_sec: float = 1.5) -> dict:
-    """steal%% and busy%% over a short idle probe window. Between
-    scaling samples this process is idle, so busy%% is OTHER tenants'
-    cpu use (loadavg can't distinguish them from our own just-finished
-    run's decay) and steal%% is hypervisor pressure."""
+    """steal%%, busy%% and membw-probe ms over a short idle probe
+    window. Between scaling samples this process is idle, so busy%% is
+    OTHER tenants' cpu use (loadavg can't distinguish them from our own
+    just-finished run's decay), steal%% is hypervisor pressure, and the
+    membw probe senses co-tenant memory-bandwidth pressure neither of
+    those catches."""
     a = _steal_snapshot2()
     time.sleep(window_sec)
     b = _steal_snapshot2()
+    membw = _membw_probe_ms()
+    membw_ok = membw <= MEMBW_FLOOR_MS * MEMBW_DIRTY_FACTOR
     if not a or not b or b["total"] <= a["total"]:
-        return {"steal_pct": None, "busy_pct": None, "ok": True}
+        return {"steal_pct": None, "busy_pct": None,
+                "membw_ms": membw, "ok": membw_ok}
     dt = b["total"] - a["total"]
     steal = 100.0 * (b["steal"] - a["steal"]) / dt
     busy = 100.0 * ((dt - (b["idle"] - a["idle"])
                      - (b["iowait"] - a["iowait"])
                      - (b["steal"] - a["steal"])) / dt)
     return {"steal_pct": round(steal, 2), "busy_pct": round(busy, 2),
-            "ok": steal <= WINDOW_STEAL_MAX and busy <= WINDOW_BUSY_MAX}
+            "membw_ms": membw,
+            "ok": (steal <= WINDOW_STEAL_MAX and busy <= WINDOW_BUSY_MAX
+                   and membw_ok)}
 
 
 def _steal_snapshot2() -> dict | None:
@@ -236,6 +273,7 @@ def run_pinned_scaling(src: str, warm: str, work: str,
     best: dict[int, dict] = {}
     samples: dict[int, list] = {n_lo: [], n_hi: []}
     steals: dict[int, list] = {n_lo: [], n_hi: []}
+    membws: dict[int, list] = {n_lo: [], n_hi: []}
     clean: dict[int, list] = {n_lo: [], n_hi: []}   # walls w/ quiet window
     waits: list[float] = []
     wait_budget = float(os.environ.get("SPARKFTS_SCALE_WAIT", "60"))
@@ -247,7 +285,7 @@ def run_pinned_scaling(src: str, warm: str, work: str,
         if have_taskset:
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         # launch gate: wait (bounded) for a quiet window — a decision
-        # made from steal/busy telemetry only, never from any wall
+        # made from steal/busy/membw telemetry only, never from a wall
         probe = _await_quiet(wait_budget)
         waits.append(probe["waited_sec"])
         s0 = _steal_snapshot()
@@ -256,10 +294,15 @@ def run_pinned_scaling(src: str, warm: str, work: str,
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
         steal = _steal_pct(s0, _steal_snapshot())
+        # bandwidth pressure DURING the sample: worst of the launch
+        # probe and a post-run probe (both independent of the walls)
+        membw = max(probe.get("membw_ms") or 0.0, _membw_probe_ms())
         is_clean = (probe["ok"]
-                    and (steal is None or steal <= SAMPLE_STEAL_DIRTY))
+                    and (steal is None or steal <= SAMPLE_STEAL_DIRTY)
+                    and membw <= MEMBW_FLOOR_MS * MEMBW_DIRTY_FACTOR)
         samples[cores].append(round(r["wall_sec"], 3))
         steals[cores].append(steal)
+        membws[cores].append(round(membw, 1))
         if is_clean:
             clean[cores].append(round(r["wall_sec"], 3))
         if cores not in best or r["wall_sec"] < best[cores]["wall_sec"]:
@@ -307,8 +350,8 @@ def run_pinned_scaling(src: str, warm: str, work: str,
     # retry pass (pre-committed, VERDICT r4 next #3): any side whose
     # window-dirty sample count exceeds its clean count gets up to
     # `retries` replacement draws, budget permitting. The trigger reads
-    # ONLY steal/busy telemetry — never a wall, never the ratio — so
-    # this extends the fixed plan without ratio-conditioning it.
+    # ONLY steal/busy/membw telemetry — never a wall, never the ratio —
+    # so this extends the fixed plan without ratio-conditioning it.
     retries = int(os.environ.get("SPARKFTS_SCALE_RETRIES", "2"))
     for cores in [c for c in (n_lo, n_hi)
                   for _ in range(retries)]:
@@ -363,6 +406,10 @@ def run_pinned_scaling(src: str, warm: str, work: str,
             "steal_max_pct": WINDOW_STEAL_MAX,
             "busy_max_pct": WINDOW_BUSY_MAX,
             "sample_steal_dirty_pct": SAMPLE_STEAL_DIRTY,
+            "membw_floor_ms": MEMBW_FLOOR_MS,
+            "membw_dirty_factor": MEMBW_DIRTY_FACTOR,
+            "membw_ms_low": membws[n_lo],
+            "membw_ms_high": membws[n_hi],
             "waits_sec": waits,
             "clean_low": len(clean[n_lo]), "clean_high": len(clean[n_hi]),
             "walls_clean_low": clean[n_lo],
