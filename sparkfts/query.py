@@ -1056,7 +1056,8 @@ class FTSIndex:
                     query_col: str = "query",
                     mode_col: str | None = None,
                     default_mode: str = "or",
-                    n_buckets: int | None = None) -> DataFrame:
+                    n_buckets: int | None = None,
+                    filter: str | Column | None = None) -> DataFrame:
         """Batch search as a JOIN: score a whole DataFrame of queries
         against the index in one distributed plan and return per-query
         top-k as a DataFrame — the surface for query-set-scale work
@@ -1104,7 +1105,16 @@ class FTSIndex:
 
         ``org=`` (routed indexes with contiguous-tenant ranges) scopes
         the WHOLE batch to one tenant: shard-pruned scan + interval
-        scoring, same semantics as ``topk(org=)``."""
+        scoring, same semantics as ``topk(org=)``.
+
+        ``filter=`` (SQL predicate over docstore columns) restricts
+        the WHOLE batch like ``topk(filter=)`` — stats stay global.
+        Plan shape: the per-group kernels emit ALL matching scores
+        (no early top-k — a restriction can invalidate any prefix),
+        the filter's (docid) set semi-joins them distributedly, and
+        the global window takes each query's top-k; exact, nothing
+        doc-scale on the driver, at the cost of score-all instead of
+        per-group truncation. Composes with ``org`` (conjunction)."""
         prefix, avgdl = self._field(field)
         if default_mode not in ("or", "and", "phrase"):
             raise ValueError(
@@ -1152,13 +1162,19 @@ class FTSIndex:
             rng_by_shard = ranges
             rng_lookup = (lambda lpdf:
                           rng_by_shard.get(int(lpdf["shard"].iloc[0])))
-        score_group = sj_score_group_factory(avgdl, self.k1, self.b, k,
-                                             method, rng_lookup)
+        # filtered batches score ALL matches per group (a restriction
+        # can invalidate any k-prefix), then semi-join the filter set
+        kg = k if filter is None else (1 << 62)
+        score_group = sj_score_group_factory(avgdl, self.k1, self.b,
+                                             kg, method, rng_lookup)
         tops = (ps.groupBy("shard", "bucket")
                 .cogroup(qs_sh.groupBy("shard", "bucket"))
                 .applyInPandas(score_group,
                                schema="qid string, docid long, "
                                       "score double"))
+        if filter is not None:
+            fdocs = self._filter_docs(filter, org).select("docid")
+            tops = tops.join(fdocs, "docid", "left_semi")
         return sj_global_topk(tops, k)
 
     def _pa_datasets(self):

@@ -1043,11 +1043,13 @@ class CombinedIndex:
                     query_col: str = "query",
                     mode_col: str | None = None,
                     default_mode: str = "or",
-                    n_buckets: int | None = None) -> DataFrame:
+                    n_buckets: int | None = None,
+                    filter=None) -> DataFrame:
         """Batch search as a join over base + deltas — the streaming
         analog of FTSIndex.search_join (same contract: a DataFrame of
         queries in, per-query (qid, rank, docid, score) top-k out,
-        or/and/phrase modes, nothing O(#queries) on the driver; see
+        or/and/phrase modes, filter= batch restriction, nothing
+        O(#queries) on the driver; see
         that docstring for the plan shape). Union-global statistics come distributedly too:
         df = SUM over generations' term_stats (one groupBy on the
         query vocab — no driver collect), N/avgdl from the handle.
@@ -1115,13 +1117,20 @@ class CombinedIndex:
                                   int(lpdf["shard"].iloc[0]))))
         ku = k
         k, _ = self._overfetch(k)
-        score_group = sj_score_group_factory(avgdl, self.k1, self.b, k,
-                                             method, rng_lookup)
+        # filtered batches score ALL matches per group (a restriction
+        # can invalidate any k-prefix), then semi-join the filter set
+        kg = k if filter is None else (1 << 62)
+        score_group = sj_score_group_factory(avgdl, self.k1, self.b,
+                                             kg, method, rng_lookup)
         tops = (ps.groupBy("sub", "shard", "bucket")
                 .cogroup(qs_k.groupBy("sub", "shard", "bucket"))
                 .applyInPandas(score_group,
                                schema="qid string, docid long, "
                                       "score double"))
+        if filter is not None:
+            fdocs = (self._union(lambda s: s._filter_docs(filter, org))
+                     .select("docid"))
+            tops = tops.join(fdocs, "docid", "left_semi")
         tdf = self._tomb_sdf()
         if tdf is not None:
             # distributed exclusion before the global top-k window —

@@ -262,3 +262,65 @@ def test_combined_facet_counts(combined):
                                 mode="or").toPandas()
     assert got["value"].tolist() == exp["value"].tolist()
     assert got["doc_count"].tolist() == exp["doc_count"].tolist()
+
+
+# ------------------------------------------------------------------ #
+# search_join(filter=): batch restriction                             #
+# ------------------------------------------------------------------ #
+
+def test_search_join_filter_matches_single_query(idx, store, spark):
+    """Filtered batch rows are rank- and score-identical to the
+    corresponding topk(filter=) / phrase_topk(filter=) calls."""
+    flt = "role = 'user'"
+    qdf = spark.createDataFrame(
+        [("a", "alpha query index", "or"),
+         ("b", "merge window", "and"),
+         ("p", "nightly index snapshot", "phrase"),
+         ("none", "zzzunseenterm", "or")],
+        "qid string, query string, mode string")
+    res = (idx.search_join(qdf, k=6, mode_col="mode", filter=flt)
+           .toPandas())
+    got = {qid: g.sort_values("rank")[["docid", "score"]]
+           .reset_index(drop=True) for qid, g in res.groupby("qid")}
+    for qid, text, mode in (("a", "alpha query index", "or"),
+                            ("b", "merge window", "and")):
+        want = idx.topk_pandas(text, k=6, mode=mode, filter=flt)
+        g = got.get(qid)
+        if want.empty:
+            assert g is None, qid
+            continue
+        assert g["docid"].tolist() == want["docid"].tolist(), qid
+        np.testing.assert_allclose(g["score"], want["score"], rtol=0,
+                                   atol=1e-9, err_msg=qid)
+    wantp = idx.phrase_topk("nightly index snapshot", k=6,
+                            filter=flt).toPandas()
+    gp = got.get("p")
+    if wantp.empty:
+        assert gp is None
+    else:
+        assert gp["docid"].tolist() == wantp["docid"].tolist()
+        np.testing.assert_allclose(gp["score"], wantp["score"],
+                                   rtol=0, atol=1e-9)
+    assert "none" not in got
+
+
+def test_combined_search_join_filter(combined, spark):
+    flt = "turn_idx >= 2"
+    qdf = spark.createDataFrame(
+        [("a", "alpha query index", "or"), ("b", "alpha index", "and")],
+        "qid string, query string, mode string")
+    res = (combined.search_join(qdf, k=5, mode_col="mode", filter=flt)
+           .toPandas())
+    got = {qid: g.sort_values("rank")[["docid", "score"]]
+           .reset_index(drop=True) for qid, g in res.groupby("qid")}
+    for qid, text, mode in (("a", "alpha query index", "or"),
+                            ("b", "alpha index", "and")):
+        want = combined.topk(text, k=5, mode=mode, filter=flt) \
+            .reset_index(drop=True)
+        g = got.get(qid)
+        if want.empty:
+            assert g is None, qid
+            continue
+        assert g["docid"].tolist() == want["docid"].tolist(), qid
+        np.testing.assert_allclose(g["score"], want["score"], rtol=0,
+                                   atol=1e-9, err_msg=qid)
