@@ -409,7 +409,14 @@ def q_facet_counts(spark, sf_dir):
     b = (idx.facet_counts(f"{T_HOT} {T_MID} {T_RARE}", by="source",
                           k=50, mode="or", filter="n_chars >= 200")
          .withColumn("facet", F.lit("source_or_flt")))
-    return a.unionByName(b).select("facet", "value", "doc_count")
+    # expression facet = the ES range/date_histogram aggs in one
+    # surface (by= takes any SQL expression over docstore columns)
+    c = (idx.facet_counts(T_MID,
+                          by="CAST(FLOOR(n_chars / 200) AS INT)",
+                          k=50, mode="or")
+         .withColumn("facet", F.lit("len_bucket")))
+    return (a.unionByName(b).unionByName(c)
+            .select("facet", "value", "doc_count"))
 
 
 def q_search_join(spark, sf_dir):
@@ -1610,10 +1617,22 @@ def _facet_counts_sql() -> str:
           FROM m_or m JOIN documents d USING (doc_id)
           WHERE d.n_chars >= 200 AND d.source IS NOT NULL
           GROUP BY d.source
+          ORDER BY doc_count DESC, value ASC LIMIT 50),
+        m_one AS (
+          SELECT DISTINCT doc_id FROM tok WHERE term = '{T_MID}'),
+        len_bucket AS (
+          SELECT 'len_bucket' AS facet,
+                 CAST(CAST(FLOOR(d.n_chars / 200.0) AS INT)
+                      AS VARCHAR) AS value,
+                 count(*) AS doc_count
+          FROM m_one m JOIN documents d USING (doc_id)
+          GROUP BY 2
           ORDER BY doc_count DESC, value ASC LIMIT 50)
         SELECT * FROM lang_and
         UNION ALL
         SELECT * FROM source_or_flt
+        UNION ALL
+        SELECT * FROM len_bucket
         ORDER BY facet, doc_count DESC, value"""
 
 

@@ -1533,12 +1533,15 @@ class FTSIndex:
                      mode: str = "and", field: str | None = None,
                      org: str | None = None,
                      filter: str | Column | None = None) -> DataFrame:
-        """Per-value document counts of docstore column ``by`` over the
-        docs matching the query — the ES terms-aggregation analog
-        (a `"aggs": {"terms": {"field": by}}` under a bool query).
-        Returns (value string, doc_count long), count desc / value asc,
-        top ``k`` facet values; docs with a NULL facet value are not
-        counted (ES default).
+        """Per-value document counts of docstore column — or SQL
+        EXPRESSION — ``by`` over the docs matching the query: the ES
+        terms-aggregation analog (`"aggs": {"terms": {"field": by}}`
+        under a bool query). An expression ``by`` buys the other ES
+        bucket aggs in one surface: `date_trunc('day', ts)` is a
+        date_histogram, `CAST(n_chars / 200 AS INT)` a range/histogram
+        agg. Returns (value string, doc_count long), count desc /
+        value asc, top ``k`` facet values; docs with a NULL facet
+        value are not counted (ES default).
 
         Matching is boolean (``mode`` and/or — unscored, like a filter
         context); ``org`` and ``filter`` restrict it exactly as in
@@ -1567,7 +1570,7 @@ class FTSIndex:
         if filter is not None:
             store = store.where(filter)
         store = store.select(
-            "shard", "docid", F.col(by).cast("string").alias("value"))
+            "shard", "docid", F.expr(by).cast("string").alias("value"))
 
         return (rows.groupBy("shard")
                 .cogroup(store.groupBy("shard"))

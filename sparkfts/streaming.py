@@ -931,7 +931,7 @@ class CombinedIndex:
             if filter is not None:
                 st = st.where(filter)
             st = st.select("shard", "docid",
-                           F.col(by).cast("string").alias("value"))
+                           F.expr(by).cast("string").alias("value"))
             if tdf is not None:   # deleted docs leave the counts too
                 st = st.join(F.broadcast(tdf), "docid", "left_anti")
             return st

@@ -324,3 +324,42 @@ def test_combined_search_join_filter(combined, spark):
         assert g["docid"].tolist() == want["docid"].tolist(), qid
         np.testing.assert_allclose(g["score"], want["score"], rtol=0,
                                    atol=1e-9, err_msg=qid)
+
+
+# ------------------------------------------------------------------ #
+# expression facets (date_histogram / range-agg analogs)              #
+# ------------------------------------------------------------------ #
+
+def test_facet_counts_expression_bucket(idx, store):
+    """by= accepts a SQL expression — integer bucketing (range agg)."""
+    got = idx.facet_counts("alpha", by="CAST(FLOOR(turn_idx / 10) AS INT)",
+                           k=20, mode="or").toPandas()
+    matched = set(idx.match_docids("alpha", mode="or")
+                  .toPandas()["docid"])
+    sub = store[store["docid"].isin(matched)]
+    vals = (sub["turn_idx"] // 10).astype(int).astype(str)
+    vc = vals.value_counts()
+    exp = (pd.DataFrame({"value": vc.index, "doc_count": vc.to_numpy()})
+           .sort_values(["doc_count", "value"],
+                        ascending=[False, True]).head(20)
+           .reset_index(drop=True))
+    assert got["value"].tolist() == exp["value"].tolist()
+    assert got["doc_count"].tolist() == exp["doc_count"].tolist()
+
+
+def test_facet_counts_expression_date_histogram(idx, store):
+    """date_trunc expression == the ES date_histogram agg."""
+    got = idx.facet_counts(
+        "alpha", by="CAST(date_trunc('day', ts) AS DATE)", k=50,
+        mode="or").toPandas()
+    matched = set(idx.match_docids("alpha", mode="or")
+                  .toPandas()["docid"])
+    sub = store[store["docid"].isin(matched)]
+    vals = pd.to_datetime(sub["ts"]).dt.strftime("%Y-%m-%d")
+    vc = vals.value_counts()
+    exp = (pd.DataFrame({"value": vc.index, "doc_count": vc.to_numpy()})
+           .sort_values(["doc_count", "value"],
+                        ascending=[False, True]).head(50)
+           .reset_index(drop=True))
+    assert got["value"].tolist() == exp["value"].tolist()
+    assert got["doc_count"].tolist() == exp["doc_count"].tolist()
