@@ -274,6 +274,7 @@ def run_pinned_scaling(src: str, warm: str, work: str,
     samples: dict[int, list] = {n_lo: [], n_hi: []}
     steals: dict[int, list] = {n_lo: [], n_hi: []}
     membws: dict[int, list] = {n_lo: [], n_hi: []}
+    membws_run: dict[int, list] = {n_lo: [], n_hi: []}
     clean: dict[int, list] = {n_lo: [], n_hi: []}   # walls w/ quiet window
     waits: list[float] = []
     wait_budget = float(os.environ.get("SPARKFTS_SCALE_WAIT", "60"))
@@ -289,13 +290,30 @@ def run_pinned_scaling(src: str, warm: str, work: str,
         probe = _await_quiet(wait_budget)
         waits.append(probe["waited_sec"])
         s0 = _steal_snapshot()
-        out = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=1800)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        # bandwidth pressure DURING the sample: the parent is idle
+        # while the pinned subprocess runs, so it polls the membw
+        # probe every ~5 s (the probe costs ~80 ms of bandwidth —
+        # negligible next to the build) — run-3 evidence showed the
+        # pressure is BURSTY mid-sample, invisible to pre/post probes
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True)
+        membw_run = 0.0
+        deadline = time.monotonic() + 1800
+        while proc.poll() is None:
+            if time.monotonic() > deadline:
+                proc.kill()
+                raise TimeoutError("scaling sample exceeded 1800s")
+            time.sleep(5.0)
+            if proc.poll() is None:
+                membw_run = max(membw_run, _membw_probe_ms())
+        stdout, _ = proc.communicate()
+        line = [l for l in stdout.splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
         steal = _steal_pct(s0, _steal_snapshot())
-        # bandwidth pressure DURING the sample: worst of the launch
-        # probe and a post-run probe (both independent of the walls)
+        # cleanliness gates on the pre/post probes only — the
+        # during-run reading includes OUR OWN build's bandwidth use
+        # (higher on the 4-CPU side by construction), so it is
+        # TELEMETRY for cross-round calibration, not a dirty trigger
         membw = max(probe.get("membw_ms") or 0.0, _membw_probe_ms())
         is_clean = (probe["ok"]
                     and (steal is None or steal <= SAMPLE_STEAL_DIRTY)
@@ -303,6 +321,7 @@ def run_pinned_scaling(src: str, warm: str, work: str,
         samples[cores].append(round(r["wall_sec"], 3))
         steals[cores].append(steal)
         membws[cores].append(round(membw, 1))
+        membws_run[cores].append(round(membw_run, 1))
         if is_clean:
             clean[cores].append(round(r["wall_sec"], 3))
         if cores not in best or r["wall_sec"] < best[cores]["wall_sec"]:
@@ -410,6 +429,8 @@ def run_pinned_scaling(src: str, warm: str, work: str,
             "membw_dirty_factor": MEMBW_DIRTY_FACTOR,
             "membw_ms_low": membws[n_lo],
             "membw_ms_high": membws[n_hi],
+            "membw_run_ms_low": membws_run[n_lo],
+            "membw_run_ms_high": membws_run[n_hi],
             "waits_sec": waits,
             "clean_low": len(clean[n_lo]), "clean_high": len(clean[n_hi]),
             "walls_clean_low": clean[n_lo],
