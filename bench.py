@@ -295,18 +295,25 @@ def run_pinned_scaling(src: str, warm: str, work: str,
         # probe every ~5 s (the probe costs ~80 ms of bandwidth —
         # negligible next to the build) — run-3 evidence showed the
         # pressure is BURSTY mid-sample, invisible to pre/post probes
-        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                                stderr=subprocess.PIPE, text=True)
-        membw_run = 0.0
-        deadline = time.monotonic() + 1800
-        while proc.poll() is None:
-            if time.monotonic() > deadline:
-                proc.kill()
-                raise TimeoutError("scaling sample exceeded 1800s")
-            time.sleep(5.0)
-            if proc.poll() is None:
-                membw_run = max(membw_run, _membw_probe_ms())
-        stdout, _ = proc.communicate()
+        # child stdout spools to a FILE (a PIPE left undrained during
+        # the poll loop deadlocks the child once it writes ~64 KiB —
+        # e.g. a Spark WARN storm); stderr we never read, so devnull
+        with tempfile.TemporaryFile(mode="w+", dir=work) as spool:
+            proc = subprocess.Popen(cmd, stdout=spool,
+                                    stderr=subprocess.DEVNULL,
+                                    text=True)
+            membw_run = 0.0
+            deadline = time.monotonic() + 1800
+            while proc.poll() is None:
+                if time.monotonic() > deadline:
+                    proc.kill()
+                    proc.wait()
+                    raise TimeoutError("scaling sample exceeded 1800s")
+                time.sleep(5.0)
+                if proc.poll() is None:
+                    membw_run = max(membw_run, _membw_probe_ms())
+            spool.seek(0)
+            stdout = spool.read()
         line = [l for l in stdout.splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
         steal = _steal_pct(s0, _steal_snapshot())

@@ -589,12 +589,15 @@ def _phrase_shard(pdf: pd.DataFrame, seq: list[str], uniq: list[str],
 def sj_normalize_queries(queries: DataFrame, qid_col: str,
                          query_col: str, mode_col: str | None,
                          default_mode: str) -> DataFrame:
-    """(qid, qtext, mode) with null text coalesced and modes lowered."""
+    """(qid, qtext, mode) with null text coalesced, modes lowered, and
+    NULL modes falling back to default_mode (a real query log has
+    missing modes; one NULL must not kill the whole batch job)."""
     return queries.select(
         F.col(qid_col).cast("string").alias("qid"),
         F.coalesce(F.col(query_col).cast("string"),
                    F.lit("")).alias("qtext"),
-        (F.lower(F.col(mode_col).cast("string")) if mode_col
+        (F.coalesce(F.lower(F.col(mode_col).cast("string")),
+                    F.lit(default_mode)) if mode_col
          else F.lit(default_mode)).alias("mode"))
 
 
@@ -662,13 +665,21 @@ def sj_make_qt_factory(q: DataFrame, cfg: TokenizerConfig, prefix: str,
 def sj_attach_idf(qt: DataFrame, stats: DataFrame, N: float) -> DataFrame:
     """idf via LEFT join on a (term, df) stats table: absent terms stay
     (df→0) so AND-mode term counts include them; their idf never scores
-    (no postings). The formula must stay bit-identical to _bm25_idf."""
+    (no postings). The formula must stay BIT-identical to _bm25_idf so
+    search_join ranks equal topk's even through exact score ties —
+    JVM Math.log and C libm disagree in the last ulp, so the log runs
+    in a pandas UDF through the same _bm25_idf the driver paths use
+    (query-vocab-sized input: cost is nil)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _idf_udf(df_col: pd.Series) -> pd.Series:
+        d = df_col.fillna(0.0).to_numpy(np.float64)
+        return pd.Series([_bm25_idf(N, float(x)) for x in d],
+                         dtype=np.float64)
+
     return (qt.join(stats, "term", "left")
-            .withColumn("idf", F.log(
-                F.lit(1.0)
-                + (F.lit(N) - F.coalesce(F.col("df"), F.lit(0.0))
-                   + F.lit(0.5))
-                / (F.coalesce(F.col("df"), F.lit(0.0)) + F.lit(0.5))))
+            .withColumn("idf", _idf_udf(F.col("df")))
             .select("qid", "mode", "term", "bucket", "qpos", "idf"))
 
 

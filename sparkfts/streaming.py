@@ -347,14 +347,19 @@ class CombinedIndex:
             raise KeyError(
                 f"docids outside every sub-index range: "
                 f"{ids[bad][:5].tolist()}")
-        fresh = ids[~np.isin(ids, self.deleted_docids())]
-        if fresh.size == 0:
-            return 0
         import pyarrow as pa
         import pyarrow.parquet as pq
         d = _tombstone_dir(self.base_root)
         os.makedirs(d, exist_ok=True)
         with _log_lock(self.base_root):
+            # the already-deleted dedup runs INSIDE the lock: two
+            # concurrent writers would otherwise both classify the
+            # same docid as fresh (deleted_docids re-reads — its cache
+            # key is the file list, which another writer may have
+            # just extended)
+            fresh = ids[~np.isin(ids, self.deleted_docids())]
+            if fresh.size == 0:
+                return 0
             n = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
             tmp = os.path.join(d, f".tmp-{n:06d}-{os.getpid()}")
             pq.write_table(pa.table({"docid": fresh}), tmp)
@@ -1739,8 +1744,17 @@ def _compact_merge_routed(spark: SparkSession, gens: list[dict],
     from .build import _write_org_ranges
     _write_org_ranges(spark, out_root, rc, ns0)
     span = int(ns0) * int(dps_new)
-    return _finalize_merge(spark, out_root, cfg, ns0, dps_new, N,
-                           fields_any, routing_json, span, t0)
+    out = _finalize_merge(spark, out_root, cfg, ns0, dps_new, N,
+                          fields_any, routing_json, span, t0)
+    # the segment table is a BUILD artifact (kernel side-load +
+    # docstore remap join) — O(gens x shards x orgs) rows that would
+    # otherwise ship inside the immutable root forever, paid by every
+    # snapshot copy. All jobs that read it have run by now. Local /
+    # posix-mounted roots clean up here; on object stores the rmtree
+    # is a no-op and the dir stays as inert scratch.
+    import shutil as _sh
+    _sh.rmtree(seg_path, ignore_errors=True)
+    return out
 
 
 def nightly_rotate(spark: SparkSession, registry, alias: str,

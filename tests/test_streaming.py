@@ -1045,22 +1045,29 @@ def test_compact_merge_routed_segment_table_never_collected(
         collected.append(len(pdf))
         return pdf
 
+    # probative-size bound from the INPUTS (the segment table itself
+    # is build scratch, deleted after the merge): one segment row per
+    # (generation, shard, org) — org_ranges rows summed over gens
+    from sparkfts.streaming import read_delta_log
+    n_seg_rows = sum(
+        spark.read.parquet(f"{r}/org_ranges").count()
+        for r in [root] + [e["root"] for e in read_delta_log(root)])
+    assert n_seg_rows >= 25 * 2, "fixture too small to be probative"
+
     monkeypatch.setattr(_DF, "collect", spy_collect)
     monkeypatch.setattr(_DF, "toPandas", spy_topandas)
     mout = str(tmp_path_factory.mktemp("cseg_merged"))
     ms = compact_merge(spark, root, mout, cfg=rcfg)
     monkeypatch.undo()
 
-    n_seg_rows = spark.read.parquet(f"{mout}/segmap").count()
-    assert n_seg_rows >= 25 * 2, "fixture too small to be probative"
     bound = rcfg.num_shards + 4      # per-shard totals + slack
     assert bound < n_seg_rows
     assert max(collected, default=0) <= bound, (
         f"driver materialized {max(collected)} rows during "
         f"compact_merge (segment table is {n_seg_rows} rows)")
-    # side-input layout the executors load: one partition dir per shard
-    for s in range(rcfg.num_shards):
-        assert _os.path.isdir(f"{mout}/segmap/shard={s}")
+    # the side-input is BUILD scratch: cleaned up after the merge so
+    # the immutable root doesn't ship an O(gens x shards x orgs) table
+    assert not _os.path.isdir(f"{mout}/segmap")
     # and the merged index still answers correctly
     idx = FTSIndex(spark, mout)
     assert ms["n_docs"] == len(base) + len(d1) + len(d2)
