@@ -1188,6 +1188,50 @@ class FTSIndex:
             tops = tops.join(fdocs, "docid", "left_semi")
         return sj_global_topk(tops, k)
 
+    def highlight(self, query: str, k: int = 10, mode: str = "or",
+                  method: str = "wand", window: int = 12,
+                  col: str = "text", field: str | None = None,
+                  org: str | None = None,
+                  filter: str | Column | None = None,
+                  local: bool = False, pre_tag: str = "<em>",
+                  post_tag: str = "</em>") -> pd.DataFrame:
+        """Highlighted search — the ES plain-highlighter analog: top-k
+        hits plus, per hit, the best ``window``-token fragment of the
+        stored ``col`` with matched terms wrapped in pre/post tags
+        (fragment scoring: most distinct query terms, then most
+        matches, then earliest — sparkfts.highlight). Returns pandas
+        (docid, score, fragment, n_matches) in rank order.
+
+        ``local=True`` serves with ZERO Spark jobs (topk_local +
+        pyarrow doc fetch); the default path uses the distributed topk
+        and composes with ``org``/``field``/``filter``. On multi-field
+        indexes the highlighted column follows the queried field
+        unless ``col`` is set explicitly. Decoration runs driver-side
+        over exactly k fetched rows — the distributed part of a
+        highlighted search is the search."""
+        from .highlight import highlight_hits
+        if field is not None and col == "text":
+            col = field
+        if local:
+            if filter is not None:
+                raise ValueError(
+                    "highlight(local=True) does not take filter= "
+                    "(predicate evaluation is a docstore scan)")
+            hits = self.topk_local(query, k, mode, method, org=org,
+                                   field=field)
+        else:
+            hits = self.topk(query, k, mode, method, org=org,
+                             field=field, filter=filter).toPandas()
+        if hits.empty:
+            return hits.assign(
+                fragment=pd.Series(dtype=object),
+                n_matches=pd.Series(dtype="int64"))
+        docs = self.fetch_docs_local(hits["docid"].tolist())
+        qterms = set(tokenize_text(query, self.tokenizer))
+        return highlight_hits(hits, docs, qterms, self.tokenizer,
+                              col=col, window=window, pre_tag=pre_tag,
+                              post_tag=post_tag)
+
     def _pa_datasets(self):
         import pyarrow.dataset as ds
         if not hasattr(self, "_pa_postings"):

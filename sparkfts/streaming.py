@@ -949,6 +949,38 @@ class CombinedIndex:
                 .orderBy(F.desc("doc_count"), F.asc("value"))
                 .limit(k))
 
+    def highlight(self, query: str, k: int = 10, mode: str = "or",
+                  method: str = "wand", window: int = 12,
+                  col: str = "text", field: str | None = None,
+                  org: str | None = None, filter=None,
+                  local: bool = False, pre_tag: str = "<em>",
+                  post_tag: str = "</em>") -> pd.DataFrame:
+        """Highlighted search over base + deltas — same contract as
+        FTSIndex.highlight (tombstoned docs never appear: topk and the
+        doc fetch both exclude them)."""
+        from .analyzer import tokenize_text
+        from .highlight import highlight_hits
+        if field is not None and col == "text":
+            col = field
+        if local:
+            if filter is not None:
+                raise ValueError(
+                    "highlight(local=True) does not take filter=")
+            hits = self.topk_local(query, k, mode, method, org=org,
+                                   field=field)
+        else:
+            hits = self.topk(query, k, mode, method, org=org,
+                             field=field, filter=filter)
+        if hits.empty:
+            return hits.assign(
+                fragment=pd.Series(dtype=object),
+                n_matches=pd.Series(dtype="int64"))
+        docs = self.fetch_docs_local(hits["docid"].tolist())
+        qterms = set(tokenize_text(query, self.tokenizer))
+        return highlight_hits(hits, docs, qterms, self.tokenizer,
+                              col=col, window=window, pre_tag=pre_tag,
+                              post_tag=post_tag)
+
     def search(self, query: str, k: int = 10, mode: str = "or",
                method: str = "wand", org: str | None = None,
                field: str | None = None) -> pd.DataFrame:
