@@ -86,6 +86,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="SQL predicate over docstore columns (ES "
                         "bool-filter analog): restrict results, BM25 "
                         "stats stay global (distributed path only)")
+    q.add_argument("--highlight", action="store_true",
+                   help="emit a highlighted fragment per hit (ES "
+                        "plain-highlighter analog; <em> tags)")
+    q.add_argument("--window", type=int, default=12,
+                   help="highlight fragment size in tokens")
 
     c = sub.add_parser("compact",
                        help="fold base + streaming deltas into a fresh "
@@ -228,7 +233,15 @@ def main(argv: list[str] | None = None) -> int:
                     p.error("--filter runs on the distributed path "
                             "(predicate evaluation is a docstore scan)")
                 kw["filter"] = args.filter
-            if args.phrase:
+            if args.highlight:
+                if args.fetch or args.phrase:
+                    p.error("--highlight replaces --fetch and covers "
+                            "term queries (phrase hits highlight "
+                            "their terms via the library API)")
+                out = idx.highlight(args.q, args.k, args.mode,
+                                    args.method, window=args.window,
+                                    local=args.local, **kw)
+            elif args.phrase:
                 if args.mode != "or" or args.method != "wand":
                     p.error("--phrase is positional-exact matching: "
                             "--mode/--method do not apply")

@@ -101,3 +101,25 @@ def test_cli_ann_build_query(spark, tmp_path, capsys):
                      "--input", src, "--query-id", "3", "--k", "5",
                      "--local")
     assert [h["vec_id"] for h in lhits] == [h["vec_id"] for h in hits]
+
+
+def test_cli_highlight_filter_delete(tr_parquet, tmp_path, capsys):
+    """r5 CLI: --highlight fragments, --filter restriction, and the
+    delete command tombstoning across base + deltas."""
+    root = str(tmp_path / "idx5")
+    _run(capsys, "build", "--input", tr_parquet, "--out", root,
+         "--num-shards", "2", "--partitions", "2")
+    rc, hl = _run(capsys, "query", "--index", root,
+                  "--q", "alpha query", "--k", "3", "--highlight",
+                  "--local")
+    assert rc == 0 and hl
+    assert all("<em>" in h["fragment"] for h in hl)
+    rc, fh = _run(capsys, "query", "--index", root,
+                  "--q", "alpha query", "--k", "3",
+                  "--filter", "role = 'user'")
+    assert rc == 0
+    rc, dels = _run(capsys, "delete", "--base", root,
+                    "--docids", str(hl[0]["docid"]))
+    assert rc == 0 and dels[0]["deleted"] == 1
+    from sparkfts.streaming import read_tombstones
+    assert read_tombstones(root).tolist() == [hl[0]["docid"]]
