@@ -1188,6 +1188,48 @@ class FTSIndex:
             tops = tops.join(fdocs, "docid", "left_semi")
         return sj_global_topk(tops, k)
 
+    def explain(self, query: str, docid: int,
+                field: str | None = None) -> pd.DataFrame:
+        """Per-term BM25 score breakdown for one document — the ES
+        `_explain` analog. Returns pandas (term, tf, dl, idf, weight)
+        for each query term PRESENT in the doc, ascending term order;
+        ``weight = idf · bm25_partial(tf, dl)`` and the left-to-right
+        accumulation ``(0 + w₁) + w₂ + …`` reproduces the doc's
+        ``topk``/``topk_local`` score BIT-for-bit (the scoring kernel
+        adds the same contributions in the same ascending-term
+        order). Absent terms contribute no row; an
+        unmatched docid yields an empty frame. Zero Spark jobs (serving
+        decoded-postings LRU)."""
+        prefix, avgdl = self._field(field)
+        terms = self._terms(query, prefix)
+        out_empty = pd.DataFrame(
+            {"term": pd.Series(dtype=object),
+             "tf": pd.Series(dtype=np.int64),
+             "dl": pd.Series(dtype=np.int64),
+             "idf": pd.Series(dtype=np.float64),
+             "weight": pd.Series(dtype=np.float64)})
+        if not terms:
+            return out_empty
+        dfs = self._local_df_counts(terms)
+        idf = {t: _bm25_idf(float(self.N), dfs.get(t, 0.0))
+               for t in terms}
+        dec = self._decoded_terms(terms)
+        rows = []
+        for t in terms:                      # ascending (sorted set)
+            d, tf, dl = dec[t]
+            i = np.searchsorted(d, docid)
+            if i < d.size and d[i] == docid:
+                w = float(idf[t] * codec.bm25_partial(
+                    np.asarray([tf[i]], dtype=np.float64),
+                    np.asarray([dl[i]], dtype=np.float64),
+                    avgdl, self.k1, self.b)[0])
+                rows.append((t, int(tf[i]), int(dl[i]),
+                             float(idf[t]), w))
+        if not rows:
+            return out_empty
+        return pd.DataFrame(rows, columns=["term", "tf", "dl", "idf",
+                                           "weight"])
+
     def highlight(self, query: str, k: int = 10, mode: str = "or",
                   method: str = "wand", window: int = 12,
                   col: str = "text", field: str | None = None,

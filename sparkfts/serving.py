@@ -40,7 +40,7 @@ _FORWARDED = frozenset({
     "match_docids", "match_docids_local",
     "search", "search_local", "search_join",
     "fetch_docs", "fetch_docs_local",
-    "possible_shards", "facet_counts", "highlight",
+    "possible_shards", "facet_counts", "highlight", "explain",
 })
 
 

@@ -949,6 +949,54 @@ class CombinedIndex:
                 .orderBy(F.desc("doc_count"), F.asc("value"))
                 .limit(k))
 
+    def explain(self, query: str, docid: int,
+                field: str | None = None) -> pd.DataFrame:
+        """Per-term BM25 breakdown over base + deltas (ES `_explain`
+        analog): the doc lives in exactly one generation, so its
+        tf/dl decode from that sub-index, while idf/avgdl are
+        UNION-global — the left-to-right weight accumulation equals
+        the doc's CombinedIndex.topk/topk_local score bit-for-bit.
+        Tombstoned docs yield an empty frame (they no longer match)."""
+        from .analyzer import tokenize_text
+        from .query import _bm25_idf
+        from . import codec as _codec
+        empty = pd.DataFrame(
+            {"term": pd.Series(dtype=object),
+             "tf": pd.Series(dtype=np.int64),
+             "dl": pd.Series(dtype=np.int64),
+             "idf": pd.Series(dtype=np.float64),
+             "weight": pd.Series(dtype=np.float64)})
+        if np.isin(np.int64(docid), self.deleted_docids()):
+            return empty
+        prefix, avgdl = self._field(field)
+        terms = sorted({prefix + t
+                        for t in tokenize_text(query, self.tokenizer)})
+        if not terms:
+            return empty
+        df_tot = {t: 0.0 for t in terms}
+        for s in self.subs:
+            for t, d in s._local_df_counts(terms).items():
+                df_tot[t] += d
+        idf = {t: _bm25_idf(float(self.N), d)
+               for t, d in df_tot.items()}
+        sub = self._sub_for(int(docid))
+        dec = sub._decoded_terms(terms)
+        rows = []
+        for t in terms:
+            d, tf, dl = dec[t]
+            i = np.searchsorted(d, docid)
+            if i < d.size and d[i] == docid:
+                w = float(idf[t] * _codec.bm25_partial(
+                    np.asarray([tf[i]], dtype=np.float64),
+                    np.asarray([dl[i]], dtype=np.float64),
+                    avgdl, self.k1, self.b)[0])
+                rows.append((t, int(tf[i]), int(dl[i]),
+                             float(idf[t]), w))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["term", "tf", "dl", "idf",
+                                           "weight"])
+
     def highlight(self, query: str, k: int = 10, mode: str = "or",
                   method: str = "wand", window: int = 12,
                   col: str = "text", field: str | None = None,

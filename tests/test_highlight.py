@@ -157,3 +157,47 @@ def test_combined_highlight(spark, tmp_path_factory):
     ci.delete_docs([dead])
     hl2 = ci.highlight("alpha query", k=5, mode="or")
     assert dead not in set(hl2["docid"])
+
+
+# ------------------------------------------------------------------ #
+# explain (ES _explain analog)                                        #
+# ------------------------------------------------------------------ #
+
+def test_explain_reproduces_topk_score_bitwise(idx):
+    hits = idx.topk_pandas("alpha query index", k=5, mode="or")
+    for _, h in hits.iterrows():
+        ex = idx.explain("alpha query index", int(h["docid"]))
+        acc = 0.0
+        for w in ex["weight"]:
+            acc = acc + w
+        assert acc == h["score"], int(h["docid"])   # bit-identical
+        assert ex["term"].tolist() == sorted(ex["term"])
+        assert (ex["tf"] >= 1).all()
+
+
+def test_explain_absent_and_unknown(idx):
+    assert idx.explain("zzzunseenterm", 0).empty
+    assert idx.explain("alpha", 10 ** 9).empty
+    assert idx.explain("...", 0).empty
+
+
+def test_combined_explain(spark, tmp_path_factory):
+    from sparkfts.streaming import CombinedIndex, make_batch_indexer
+    cfg = BuildConfig(num_shards=2, partitions=2)
+    root = str(tmp_path_factory.mktemp("ex_stream"))
+    build_index(spark,
+                spark.createDataFrame(make_transcripts(10, seed=91)),
+                root, order_cols=["conv_id", "turn_idx"], cfg=cfg)
+    make_batch_indexer(root, cfg=cfg)(
+        spark.createDataFrame(make_transcripts(4, seed=92)), batch_id=0)
+    ci = CombinedIndex(spark, root)
+    hits = ci.topk_local("alpha query", k=5, mode="or")
+    d0 = int(hits["docid"].iloc[0])
+    ex = ci.explain("alpha query", d0)
+    acc = 0.0
+    for w in ex["weight"]:
+        acc = acc + w
+    assert acc == hits["score"].iloc[0]
+    # deleted doc explains to empty
+    ci.delete_docs([d0])
+    assert ci.explain("alpha query", d0).empty
