@@ -94,9 +94,15 @@ def _decode_selected(rows: pd.DataFrame, keep_mask_per_row: list[np.ndarray],
 
 
 def _aggregate_topk(docids: np.ndarray, contribs: np.ndarray, k: int,
-                    mode: str, n_query_terms: int) -> pd.DataFrame:
+                    mode: str, n_query_terms: int,
+                    after: tuple[float, int] | None = None
+                    ) -> pd.DataFrame:
     """Group contributions by docid (fixed input order ⇒ fixed summation
-    order) and take top-k by (score desc, docid asc)."""
+    order) and take top-k by (score desc, docid asc). ``after`` =
+    (score, docid) cursor for deep pagination (the ES search_after
+    analog): keep only docs ranked STRICTLY after it — score equality
+    is exact because cursor scores come from this same fixed-order
+    pipeline."""
     if docids.size == 0:
         return pd.DataFrame({"docid": pd.Series(dtype=np.int64),
                              "score": pd.Series(dtype=np.float64)})
@@ -107,13 +113,19 @@ def _aggregate_topk(docids: np.ndarray, contribs: np.ndarray, k: int,
     if mode == "and":
         m = hits == n_query_terms
         uniq, scores = uniq[m], scores[m]
+    if after is not None:
+        s0, d0 = float(after[0]), int(after[1])
+        m = (scores < s0) | ((scores == s0) & (uniq > d0))
+        uniq, scores = uniq[m], scores[m]
     order = np.lexsort((uniq, -scores))[:k]
     return pd.DataFrame({"docid": uniq[order], "score": scores[order]})
 
 
 def _score_and_pruned(per_term: dict[str, pd.DataFrame], terms: list[str],
                       idf: dict[str, float], avgdl: float, k1: float,
-                      b: float, k: int, n_query_terms: int) -> pd.DataFrame:
+                      b: float, k: int, n_query_terms: int,
+                      after: tuple[float, int] | None = None
+                      ) -> pd.DataFrame:
     """AND-mode scoring with block-range pruning (exact): decode the
     rarest term fully; for each further term (ascending df) keep only the
     blocks whose [block_first, block_last] range intersects the current
@@ -166,14 +178,19 @@ def _score_and_pruned(per_term: dict[str, pd.DataFrame], terms: list[str],
         d, tf, dl = decoded[t]
         j = np.searchsorted(d, cand)   # cand ⊆ d by construction
         scores += idf[t] * codec.bm25_partial(tf[j], dl[j], avgdl, k1, b)
+    if after is not None:
+        s0, d0_ = float(after[0]), int(after[1])
+        m = (scores < s0) | ((scores == s0) & (cand > d0_))
+        cand, scores = cand[m], scores[m]
     order = np.lexsort((cand, -scores))[:k]
     return pd.DataFrame({"docid": cand[order], "score": scores[order]})
 
 
 def score_decoded(pt: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
                   idf: dict[str, float], avgdl: float, k1: float,
-                  b: float, k: int, mode: str,
-                  n_query_terms: int) -> pd.DataFrame:
+                  b: float, k: int, mode: str, n_query_terms: int,
+                  after: tuple[float, int] | None = None
+                  ) -> pd.DataFrame:
     """Exhaustive BM25 top-k over pre-decoded per-term postings (the
     serving-cache path): the same ascending-term concatenation feeding
     _aggregate_topk that the frame-based paths use, so results are
@@ -188,16 +205,17 @@ def score_decoded(pt: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
     if not all_d:
         return _aggregate_topk(np.empty(0, np.int64),
                                np.empty(0, np.float64), k, mode,
-                               n_query_terms)
+                               n_query_terms, after=after)
     return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
-                           k, mode, n_query_terms)
+                           k, mode, n_query_terms, after=after)
 
 
 def _score_candidates(per_term: dict[str, pd.DataFrame],
                       terms: list[str], cand: np.ndarray,
                       idf: dict[str, float], avgdl: float, k1: float,
-                      b: float, k: int, mode: str,
-                      n_query_terms: int) -> pd.DataFrame:
+                      b: float, k: int, mode: str, n_query_terms: int,
+                      after: tuple[float, int] | None = None
+                      ) -> pd.DataFrame:
     """Score ONLY the given candidate docids (sorted unique) — the
     org-scoped search path: per term, decode just the blocks whose
     [block_first, block_last] range intersects the candidate set, then
@@ -229,9 +247,9 @@ def _score_candidates(per_term: dict[str, pd.DataFrame],
     if not all_d:
         return _aggregate_topk(np.empty(0, np.int64),
                                np.empty(0, np.float64), k, mode,
-                               n_query_terms)
+                               n_query_terms, after=after)
     return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
-                           k, mode, n_query_terms)
+                           k, mode, n_query_terms, after=after)
 
 
 _QSET_EMPTY = pd.DataFrame({"qid": pd.Series(dtype="str"),
@@ -277,7 +295,9 @@ def _score_candidates_range(per_term: dict[str, pd.DataFrame],
                             terms: list[str], lo: int, hi: int,
                             idf: dict[str, float], avgdl: float,
                             k1: float, b: float, k: int, mode: str,
-                            n_query_terms: int) -> pd.DataFrame:
+                            n_query_terms: int,
+                            after: tuple[float, int] | None = None
+                            ) -> pd.DataFrame:
     """Score ONLY docids in [lo, hi] — the contiguous-tenant fast path:
     routed builds rank docs by org within each shard, so a tenant's
     candidate set is an interval and the task carries TWO ints instead
@@ -306,25 +326,28 @@ def _score_candidates_range(per_term: dict[str, pd.DataFrame],
     if not all_d:
         return _aggregate_topk(np.empty(0, np.int64),
                                np.empty(0, np.float64), k, mode,
-                               n_query_terms)
+                               n_query_terms, after=after)
     return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
-                           k, mode, n_query_terms)
+                           k, mode, n_query_terms, after=after)
 
 
 def score_range_pt(pdf: pd.DataFrame, lo: int, hi: int,
                    idf: dict[str, float], avgdl: float, k1: float,
-                   b: float, k: int, mode: str,
-                   n_query_terms: int) -> pd.DataFrame:
+                   b: float, k: int, mode: str, n_query_terms: int,
+                   after: tuple[float, int] | None = None
+                   ) -> pd.DataFrame:
     """Range-restricted scoring of one shard's dictionary rows — the
     single entry point every contiguous-tenant fast path goes through
     (FTSIndex/CombinedIndex topk, topk_many, topk_local)."""
     pt = {t: pdf[pdf["term"] == t] for t in sorted(pdf["term"].unique())}
     return _score_candidates_range(pt, list(pt), lo, hi, idf, avgdl,
-                                   k1, b, k, mode, n_query_terms)
+                                   k1, b, k, mode, n_query_terms,
+                                   after=after)
 
 
 def cand_score_group(idf: dict[str, float], avgdl: float, k1: float,
-                     b: float, k: int, mode: str, n_query_terms: int):
+                     b: float, k: int, mode: str, n_query_terms: int,
+                     after: tuple[float, int] | None = None):
     """Cogroup kernel factory: score ONLY the candidate docids arriving
     on the right side (a tenant's or a filter's docstore rows). BM25
     statistics stay GLOBAL — the ES bool-filter contract: results equal
@@ -340,7 +363,7 @@ def cand_score_group(idf: dict[str, float], avgdl: float, k1: float,
         pt = {t: lpdf[lpdf["term"] == t]
               for t in sorted(lpdf["term"].unique())}
         return _score_candidates(pt, list(pt), cand, idf, avgdl, k1, b,
-                                 k, mode, n_query_terms)
+                                 k, mode, n_query_terms, after=after)
 
     return per_group
 
@@ -390,10 +413,16 @@ def facet_count_group(mode: str, n_query_terms: int):
 
 def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
                 k1: float, b: float, k: int, mode: str,
-                n_query_terms: int, method: str = "wand") -> pd.DataFrame:
-    """Score one shard's dictionary rows (all query terms) → top-k."""
+                n_query_terms: int, method: str = "wand",
+                after: tuple[float, int] | None = None) -> pd.DataFrame:
+    """Score one shard's dictionary rows (all query terms) → top-k.
+    With ``after`` (deep-pagination cursor), OR-mode falls back to the
+    exhaustive path: WAND's θ pruning skips docs scoring below the
+    running k-th best, but a cursor page legitimately needs them."""
     terms = sorted(pdf["term"].unique())
     per_term = {t: pdf[pdf["term"] == t] for t in terms}
+    if after is not None and mode != "and":
+        method = "exact"
 
     if method == "exact":
         # exhaustive reference path: decode every posting of every term
@@ -405,13 +434,13 @@ def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
         if not all_d:
             return _aggregate_topk(np.empty(0, np.int64),
                                    np.empty(0, np.float64), k, mode,
-                                   n_query_terms)
+                                   n_query_terms, after=after)
         return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
-                               k, mode, n_query_terms)
+                               k, mode, n_query_terms, after=after)
 
     if mode == "and":
         return _score_and_pruned(per_term, terms, idf, avgdl, k1, b, k,
-                                 n_query_terms)
+                                 n_query_terms, after=after)
 
     # ---- block-max pruning (exact top-k; see module docstring) ----
     # Per term: flat arrays over all blocks of all chunk rows.
@@ -495,9 +524,9 @@ def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
         all_c.append(idf[t] * codec.bm25_partial(tf, dl, avgdl, k1, b))
     if not all_d:
         return _aggregate_topk(np.empty(0, np.int64), np.empty(0, np.float64),
-                               k, mode, n_query_terms)
+                               k, mode, n_query_terms, after=after)
     return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
-                           k, "or", n_query_terms)
+                           k, "or", n_query_terms, after=after)
 
 
 def _decode_term_rows_pos(rows: pd.DataFrame):
@@ -890,7 +919,8 @@ class FTSIndex:
     def topk(self, query: str, k: int = 10, mode: str = "or",
              method: str = "wand", org: str | None = None,
              field: str | None = None,
-             filter: str | Column | None = None) -> DataFrame:
+             filter: str | Column | None = None,
+             after: tuple[float, int] | None = None) -> DataFrame:
         """Distributed top-k: per-shard scoring via applyInPandas, driver
         merge of num_shards·k candidates. Returns (docid, score).
 
@@ -906,8 +936,19 @@ class FTSIndex:
         The predicate and the (shard, docid) projection push down to
         the docstore parquet scan; matching docids never touch the
         driver — they cogroup into the scoring kernel per shard.
-        Composes with ``org`` (conjunction) and ``field``."""
+        Composes with ``org`` (conjunction) and ``field``.
+
+        ``after`` — (score, docid) deep-pagination cursor (the ES
+        search_after analog): results rank STRICTLY after it, so page
+        N+1 is ``topk(..., after=tuple(page_N.iloc[-1]))`` with no
+        from+size over-fetch. Exact at any depth (cursor scores come
+        from this same fixed-summation pipeline, so score equality is
+        bit-reliable); OR-mode cursor pages score exhaustively (WAND's
+        θ pruning would drop below-top-k docs a deep page needs).
+        Composes with org/field/filter."""
         prefix, avgdl = self._field(field)
+        if after is not None:
+            after = (float(after[0]), int(after[1]))
         terms = self._terms(query, prefix)
         idf = self._idf_map(terms)
         empty = self.spark.createDataFrame([], "docid long, score double")
@@ -926,7 +967,7 @@ class FTSIndex:
                           .cogroup(fdocs.groupBy("shard"))
                           .applyInPandas(
                               cand_score_group(idf, avgdl, k1, b, k,
-                                               mode, nq),
+                                               mode, nq, after=after),
                               schema="docid long, score double")
                           .collect())
         elif org is not None:
@@ -940,7 +981,7 @@ class FTSIndex:
                 def per_shard_rng(pdf: pd.DataFrame) -> pd.DataFrame:
                     lo, hi = ranges[int(pdf["shard"].iloc[0])]
                     return score_range_pt(pdf, lo, hi, idf, avgdl, k1,
-                                          b, k, mode, nq)
+                                          b, k, mode, nq, after=after)
 
                 shard_tops = (rows.groupBy("shard")
                               .applyInPandas(
@@ -953,13 +994,14 @@ class FTSIndex:
                               .cogroup(orgdocs.groupBy("shard"))
                               .applyInPandas(
                                   cand_score_group(idf, avgdl, k1, b,
-                                                   k, mode, nq),
+                                                   k, mode, nq,
+                                                   after=after),
                                   schema="docid long, score double")
                               .collect())
         else:
             def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
                 return score_shard(pdf, idf, avgdl, k1, b, k, mode, nq,
-                                   method)
+                                   method, after=after)
 
             rows = self._posting_rows(terms)
             shard_tops = (rows.groupBy("shard")
@@ -978,10 +1020,12 @@ class FTSIndex:
     def topk_pandas(self, query: str, k: int = 10, mode: str = "or",
                     method: str = "wand", org: str | None = None,
                     field: str | None = None,
-                    filter: str | Column | None = None) -> pd.DataFrame:
+                    filter: str | Column | None = None,
+                    after: tuple[float, int] | None = None
+                    ) -> pd.DataFrame:
         """Driver-local result as pandas (test/bench convenience)."""
         return (self.topk(query, k, mode, method, org=org, field=field,
-                          filter=filter)
+                          filter=filter, after=after)
                 .toPandas().reset_index(drop=True))
 
     def topk_many(self, queries: dict[str, tuple[str, str]], k: int = 10,
@@ -1435,7 +1479,9 @@ class FTSIndex:
 
     def topk_local(self, query: str, k: int = 10, mode: str = "or",
                    method: str = "wand", field: str | None = None,
-                   org: str | None = None) -> pd.DataFrame:
+                   org: str | None = None,
+                   after: tuple[float, int] | None = None
+                   ) -> pd.DataFrame:
         """Low-latency single-node query path: pyarrow dataset reads with
         the same th/term pushdown (no Spark job at all) + the same numpy
         scoring kernel. Because docs live in exactly one shard, scoring
@@ -1455,8 +1501,11 @@ class FTSIndex:
         deliberate for a serving handle; the always-on reference keeps
         segments hot the same way), so ``method`` block pruning applies
         only on the org paths. One-shot cold queries that must not warm
-        a cache belong on the distributed topk()."""
+        a cache belong on the distributed topk(). ``after`` is the
+        deep-pagination cursor, same contract as topk()."""
         prefix, avgdl = self._field(field)
+        if after is not None:
+            after = (float(after[0]), int(after[1]))
         terms = self._terms(query, prefix)
         empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
@@ -1475,7 +1524,7 @@ class FTSIndex:
             idf = {t: _bm25_idf(float(self.N), dfm.get(t, 0.0))
                    for t in terms}
             return score_decoded(pt, idf, avgdl, self.k1, self.b, k,
-                                 mode, len(terms))
+                                 mode, len(terms), after=after)
         pdf = self._local_term_rows(terms)
         if org is not None:
             pdf = pdf[pdf["shard"].isin(shards)]
@@ -1496,7 +1545,7 @@ class FTSIndex:
                     lo, hi = ranges[s]
                     parts.append(score_range_pt(
                         sub, lo, hi, idf, avgdl, self.k1, self.b, k,
-                        mode, len(terms)))
+                        mode, len(terms), after=after))
                 if not parts:
                     return empty
                 return (pd.concat(parts)
@@ -1509,7 +1558,8 @@ class FTSIndex:
             pt = {t: pdf[pdf["term"] == t]
                   for t in sorted(pdf["term"].unique())}
             out = _score_candidates(pt, list(pt), cand, idf, avgdl,
-                                    self.k1, self.b, k, mode, len(terms))
+                                    self.k1, self.b, k, mode,
+                                    len(terms), after=after)
         return out.reset_index(drop=True)
 
     def match_docids(self, query: str, mode: str = "and",

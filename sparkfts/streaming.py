@@ -408,7 +408,9 @@ class CombinedIndex:
 
     def topk_local(self, query: str, k: int = 10, mode: str = "or",
                    method: str = "wand", org: str | None = None,
-                   field: str | None = None) -> pd.DataFrame:
+                   field: str | None = None,
+                   after: tuple[float, int] | None = None
+                   ) -> pd.DataFrame:
         """Low-latency base+delta query with NO Spark job (the realtime
         leg at ms latency): pyarrow dictionary reads per sub-index,
         union-global idf/avgdl, per-sub numpy scoring (docid ranges are
@@ -433,6 +435,8 @@ class CombinedIndex:
                 df_tot[t] += d
         idf = {t: math.log(1.0 + (self.N - d + 0.5) / (d + 0.5))
                for t, d in df_tot.items()}
+        if after is not None:
+            after = (float(after[0]), int(after[1]))
         ku = k
         k, tomb_post = self._overfetch(k)
         parts = []
@@ -444,7 +448,8 @@ class CombinedIndex:
                 from .query import score_decoded
                 pt = s._decoded_terms(terms)
                 parts.append(score_decoded(pt, idf, avgdl, self.k1,
-                                           self.b, k, mode, len(terms)))
+                                           self.b, k, mode, len(terms),
+                                           after=after))
                 continue
             pdf = s._local_term_rows(terms)
             ps = org_subs[i][1]
@@ -458,7 +463,7 @@ class CombinedIndex:
                     lo, hi = ranges[sh]
                     parts.append(score_range_pt(
                         sub, lo, hi, idf, avgdl, self.k1, self.b,
-                        k, mode, len(terms)))
+                        k, mode, len(terms), after=after))
                 continue
             pdf = pdf[pdf["shard"].isin(ps)]
             if pdf.empty:
@@ -470,7 +475,7 @@ class CombinedIndex:
                   for t in sorted(pdf["term"].unique())}
             parts.append(_score_candidates(
                 pt, list(pt), cand, idf, avgdl, self.k1,
-                self.b, k, mode, len(terms)))
+                self.b, k, mode, len(terms), after=after))
         if not parts:
             return empty
         return (tomb_post(pd.concat(parts)
@@ -636,7 +641,8 @@ class CombinedIndex:
 
     def topk(self, query: str, k: int = 10, mode: str = "or",
              method: str = "wand", org: str | None = None,
-             field: str | None = None, filter=None) -> pd.DataFrame:
+             field: str | None = None, filter=None,
+             after: tuple[float, int] | None = None) -> pd.DataFrame:
         """ONE Spark job over the unioned dictionaries. With ``org``
         (every generation routed): each sub's rows are pruned to ITS
         possible shards and the tenant's docids are cogrouped in per
@@ -647,7 +653,10 @@ class CombinedIndex:
         docstore columns, same contract as FTSIndex.topk): each
         generation's docstore scan evaluates the predicate and the
         matching docids cogroup into scoring per (generation, shard) —
-        stats stay union-global, composes with ``org``."""
+        stats stay union-global, composes with ``org``. ``after`` is
+        the deep-pagination cursor (FTSIndex.topk contract; composes
+        with tombstones — the k+T over-fetch counts post-cursor
+        docs)."""
         import numpy as np
         from .analyzer import tokenize_text
         from .query import _score_candidates, cand_score_group
@@ -661,6 +670,8 @@ class CombinedIndex:
         idf = self._idf(terms)
         nq = len(terms)
         k1, b = self.k1, self.b
+        if after is not None:
+            after = (float(after[0]), int(after[1]))
         ku = k                       # user-facing k
         k, tomb_post = self._overfetch(k)
 
@@ -680,7 +691,7 @@ class CombinedIndex:
                     .cogroup(parts.groupBy("sub", "shard"))
                     .applyInPandas(
                         cand_score_group(idf, avgdl, k1, b, k, mode,
-                                         nq),
+                                         nq, after=after),
                         schema="docid long, score double")
                     .toPandas())
         elif org_subs is not None:
@@ -699,7 +710,7 @@ class CombinedIndex:
                     lo, hi = rngmap[key]
                     from .query import score_range_pt
                     return score_range_pt(pdf, lo, hi, idf, avgdl, k1,
-                                          b, k, mode, nq)
+                                          b, k, mode, nq, after=after)
 
                 allp = (rows.groupBy("sub", "shard")
                         .applyInPandas(per_group_rng,
@@ -715,7 +726,8 @@ class CombinedIndex:
                     pt = {t: lpdf[lpdf["term"] == t]
                           for t in sorted(lpdf["term"].unique())}
                     return _score_candidates(pt, list(pt), cand, idf,
-                                             avgdl, k1, b, k, mode, nq)
+                                             avgdl, k1, b, k, mode, nq,
+                                             after=after)
 
                 allp = (rows.groupBy("sub", "shard")
                         .cogroup(parts.groupBy("sub", "shard"))
@@ -727,7 +739,7 @@ class CombinedIndex:
                 # block bounds are (max_tf, min_dl) pairs evaluated at
                 # query time, so WAND stays exact under the union avgdl
                 return score_shard(pdf, idf, avgdl, k1, b, k, mode, nq,
-                                   method)
+                                   method, after=after)
 
             allp = (self._union(lambda s: s._posting_rows(terms))
                     .groupBy("sub", "shard")

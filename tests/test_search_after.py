@@ -1,0 +1,145 @@
+"""Deep pagination via after= (the ES search_after analog).
+
+Contract: topk(..., after=(score, docid)) returns results ranked
+STRICTLY after the cursor — concatenating pages of size k reproduces
+the full ranking exactly (no from+size over-fetch, exact at any
+depth), on every scored surface: FTSIndex topk/topk_local (or/and,
+wand/exact, org, filter) and CombinedIndex topk/topk_local (incl.
+under tombstones)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkfts import BuildConfig, FTSIndex, build_index
+from sparkfts.fixtures import make_transcripts
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    pdf = make_transcripts(35, seed=96)
+    root = str(tmp_path_factory.mktemp("sa_idx"))
+    build_index(spark, spark.createDataFrame(pdf), root,
+                order_cols=["conv_id", "turn_idx"],
+                cfg=BuildConfig(num_shards=3, partitions=3))
+    return FTSIndex(spark, root)
+
+
+def _paginate(fn, k, max_pages=None):
+    """Concatenate pages of size k until exhausted (or max_pages —
+    distributed pages cost a Spark job each, so those tests check a
+    bounded prefix; the LOCAL path paginates exhaustively)."""
+    pages, cursor = [], None
+    while max_pages is None or len(pages) < max_pages:
+        page = fn(cursor)
+        if page.empty:
+            break
+        pages.append(page)
+        cursor = (float(page["score"].iloc[-1]),
+                  int(page["docid"].iloc[-1]))
+        if len(page) < k:
+            break
+    return (pd.concat(pages, ignore_index=True) if pages
+            else pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                               "score": pd.Series(dtype="float64")}))
+
+
+@pytest.mark.parametrize("mode,method", [("or", "wand"),
+                                         ("or", "exact"),
+                                         ("and", "wand")])
+def test_pages_reconstruct_full_ranking(idx, mode, method):
+    q = "alpha query index"
+    full = idx.topk_pandas(q, k=10 ** 6, mode=mode, method="exact")
+    got = _paginate(lambda c: idx.topk_pandas(q, k=7, mode=mode,
+                                              method=method, after=c),
+                    k=7, max_pages=4)
+    n = len(got)
+    assert got["docid"].tolist() == full["docid"].iloc[:n].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  full["score"].iloc[:n].to_numpy())
+    assert n == min(28, len(full))
+
+
+def test_pages_local_path(idx):
+    q = "alpha query"
+    full = idx.topk_local(q, k=10 ** 6, mode="or")
+    got = _paginate(lambda c: idx.topk_local(q, k=5, mode="or",
+                                             after=c), k=5)
+    assert got["docid"].tolist() == full["docid"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(),
+                                  full["score"].to_numpy())
+
+
+def test_pages_with_filter(idx):
+    q = "alpha query index"
+    flt = "role = 'user'"
+    full = idx.topk_pandas(q, k=10 ** 6, mode="or", method="exact")
+    store = idx._docstore.toPandas()
+    keep = set(store.loc[store["role"] == "user", "docid"])
+    want = full[full["docid"].isin(keep)].reset_index(drop=True)
+    got = _paginate(lambda c: idx.topk_pandas(q, k=4, mode="or",
+                                              filter=flt, after=c),
+                    k=4, max_pages=3)
+    n = len(got)
+    assert got["docid"].tolist() == want["docid"].iloc[:n].tolist()
+    assert n == min(12, len(want))
+
+
+def test_cursor_mid_tie_is_exact(idx):
+    """A cursor placed INSIDE a score tie must resume at the next
+    docid of the tie, not skip or repeat it."""
+    full = idx.topk_pandas("alpha", k=10 ** 6, mode="or",
+                           method="exact")
+    ties = full[full.duplicated("score", keep=False)]
+    if ties.empty:
+        pytest.skip("no score ties in this fixture")
+    i = int(ties.index[0])
+    cursor = (float(full["score"].iloc[i]), int(full["docid"].iloc[i]))
+    nxt = idx.topk_pandas("alpha", k=3, mode="or", after=cursor)
+    assert nxt["docid"].tolist() == full["docid"].iloc[i + 1:i + 4] \
+        .tolist()
+
+
+def test_pages_org_scoped(spark, tmp_path_factory):
+    pdf = make_transcripts(24, seed=97)
+    orgs = sorted(pdf["conv_id"].unique())
+    pdf["org"] = pdf["conv_id"].map(lambda c: f"o{orgs.index(c) % 2}")
+    root = str(tmp_path_factory.mktemp("sa_routed"))
+    build_index(spark, spark.createDataFrame(pdf), root,
+                order_cols=["conv_id", "turn_idx"],
+                cfg=BuildConfig(num_shards=4, partitions=4,
+                                routing_col="org", shards_per_org=2))
+    ridx = FTSIndex(spark, root)
+    q = "alpha query index"
+    full = ridx.topk_pandas(q, k=10 ** 6, mode="or", org="o1")
+    got = _paginate(lambda c: ridx.topk_pandas(q, k=5, mode="or",
+                                               org="o1", after=c),
+                    k=5, max_pages=3)
+    n = len(got)
+    assert got["docid"].tolist() == full["docid"].iloc[:n].tolist()
+    assert n == min(15, len(full))
+
+
+def test_combined_pages_with_deletes(spark, tmp_path_factory):
+    from sparkfts.streaming import CombinedIndex, make_batch_indexer
+    cfg = BuildConfig(num_shards=2, partitions=2)
+    root = str(tmp_path_factory.mktemp("sa_stream"))
+    build_index(spark,
+                spark.createDataFrame(make_transcripts(10, seed=98)),
+                root, order_cols=["conv_id", "turn_idx"], cfg=cfg)
+    make_batch_indexer(root, cfg=cfg)(
+        spark.createDataFrame(make_transcripts(4, seed=99)), batch_id=0)
+    ci = CombinedIndex(spark, root)
+    q = "alpha query"
+    full = ci.topk(q, k=10 ** 6, mode="or", method="exact")
+    dead = full["docid"].iloc[[1, 4]].astype(int).tolist()
+    ci.delete_docs(dead)
+    want = (full[~full["docid"].isin(dead)]
+            .reset_index(drop=True))
+    got = _paginate(lambda c: ci.topk(q, k=4, mode="or", after=c),
+                    k=4, max_pages=3)
+    n = len(got)
+    assert got["docid"].tolist() == want["docid"].iloc[:n].tolist()
+    # local path paginates EXHAUSTIVELY (zero jobs)
+    gotl = _paginate(lambda c: ci.topk_local(q, k=4, mode="or",
+                                             after=c), k=4)
+    assert gotl["docid"].tolist() == want["docid"].tolist()
