@@ -113,6 +113,31 @@ SAMPLE_STEAL_DIRTY = 1.0  # post-hoc: sample marked dirty above this
 MEMBW_FLOOR_MS = float(os.environ.get("SPARKFTS_MEMBW_FLOOR_MS", "26"))
 MEMBW_DIRTY_FACTOR = float(
     os.environ.get("SPARKFTS_MEMBW_DIRTY_FACTOR", "1.5"))
+# Persisted quiet-window floors (VERDICT r5 next #1a): the cross-round
+# minimum walls observed with ~0 steal and on-floor membw probes — the
+# best available estimates of the TRUE 1-CPU / 4-CPU walls on this box
+# (BASELINE.md round-4 fourth run set 70.7 s low; round-5 gated run set
+# 21.76 s high). A draw whose clean side-min sits > OFF_FLOOR_FACTOR x
+# its floor measured the window, not the engine — ratio_quality flags
+# it explicitly instead of publishing a silently-punished "clean" ratio.
+FLOOR_LOW_SEC = float(os.environ.get("SPARKFTS_FLOOR_LOW_SEC", "70.7"))
+FLOOR_HIGH_SEC = float(os.environ.get("SPARKFTS_FLOOR_HIGH_SEC", "21.76"))
+OFF_FLOOR_FACTOR = float(
+    os.environ.get("SPARKFTS_OFF_FLOOR_FACTOR", "1.25"))
+# Per-side DURING-RUN membw gate (VERDICT r5 next #1b): the run probe
+# includes our own build's bandwidth use, which differs by side (the
+# 4-CPU build streams ~4x harder), so gating it needs per-side floors
+# calibrated from the accumulated cross-round telemetry
+# (BENCH_r05 window.membw_run_ms: lows 29.5-33.0, highs 28.3-33.7 in
+# quiet samples; the one 50.5 ms spike sat on the sample whose wall was
+# 1.8x the high floor). Dirty above floor x factor, same retry
+# machinery as steal.
+MEMBW_RUN_FLOOR_LOW_MS = float(
+    os.environ.get("SPARKFTS_MEMBW_RUN_FLOOR_LOW_MS", "29.5"))
+MEMBW_RUN_FLOOR_HIGH_MS = float(
+    os.environ.get("SPARKFTS_MEMBW_RUN_FLOOR_HIGH_MS", "28.3"))
+MEMBW_RUN_DIRTY_FACTOR = float(
+    os.environ.get("SPARKFTS_MEMBW_RUN_DIRTY_FACTOR", "1.5"))
 _MEMBW_ARR = None
 
 
@@ -317,14 +342,20 @@ def run_pinned_scaling(src: str, warm: str, work: str,
         line = [l for l in stdout.splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
         steal = _steal_pct(s0, _steal_snapshot())
-        # cleanliness gates on the pre/post probes only — the
-        # during-run reading includes OUR OWN build's bandwidth use
-        # (higher on the 4-CPU side by construction), so it is
-        # TELEMETRY for cross-round calibration, not a dirty trigger
         membw = max(probe.get("membw_ms") or 0.0, _membw_probe_ms())
+        # during-run membw is now a GATE with per-side calibrated
+        # floors (it includes our own build's bandwidth use, which
+        # differs by side — see MEMBW_RUN_FLOOR_*). Round-5 evidence:
+        # pressure is bursty WITHIN samples, invisible to the pre/post
+        # probes; the one off-floor r5 sample carried a 50.5 ms
+        # during-run spike. The gate still never reads a wall or the
+        # ratio, so the pre-committed-plan property holds.
+        run_floor = (MEMBW_RUN_FLOOR_LOW_MS if cores == n_lo
+                     else MEMBW_RUN_FLOOR_HIGH_MS)
         is_clean = (probe["ok"]
                     and (steal is None or steal <= SAMPLE_STEAL_DIRTY)
-                    and membw <= MEMBW_FLOOR_MS * MEMBW_DIRTY_FACTOR)
+                    and membw <= MEMBW_FLOOR_MS * MEMBW_DIRTY_FACTOR
+                    and membw_run <= run_floor * MEMBW_RUN_DIRTY_FACTOR)
         samples[cores].append(round(r["wall_sec"], 3))
         steals[cores].append(steal)
         membws[cores].append(round(membw, 1))
@@ -392,6 +423,23 @@ def run_pinned_scaling(src: str, warm: str, work: str,
     import statistics
     lo, hi = best[n_lo], best[n_hi]
     speedup = lo["wall_sec"] / hi["wall_sec"]
+    # Floor-referenced ratio quality (VERDICT r5 next #1): compare each
+    # side's CLEAN min against its persisted quiet-window floor. A side
+    # whose clean min sits > OFF_FLOOR_FACTOR x floor sampled a window
+    # the launch/steal/membw gates could not see — the ratio is then
+    # explicitly marked off-floor instead of shipping as a bare "clean"
+    # sub-0.8 number. efficiency_floor is the cross-round central
+    # estimate (both sides at their floors), the number the off-floor
+    # marker says this draw failed to reproduce.
+    off = []
+    for side, floor, cl in (("low", FLOOR_LOW_SEC, clean[n_lo]),
+                            ("high", FLOOR_HIGH_SEC, clean[n_hi])):
+        if not cl:
+            off.append(f"dirty:{side}")
+        elif min(cl) > floor * OFF_FLOOR_FACTOR:
+            off.append(f"off-floor:{side}")
+    ratio_quality = "ok" if not off else ",".join(off)
+    eff_floor = round(FLOOR_LOW_SEC / FLOOR_HIGH_SEC / 4.0, 3)
     med_lo = statistics.median(samples[n_lo])
     med_hi = statistics.median(samples[n_hi])
     # Amdahl decomposition: wall = S + P/cores → the serial floor S is
@@ -448,6 +496,13 @@ def run_pinned_scaling(src: str, warm: str, work: str,
         "efficiency_clean": (
             round(min(clean[n_lo]) / min(clean[n_hi]) / 4.0, 3)
             if clean[n_lo] and clean[n_hi] else None),
+        "floors": {"low_sec": FLOOR_LOW_SEC, "high_sec": FLOOR_HIGH_SEC,
+                   "off_floor_factor": OFF_FLOOR_FACTOR,
+                   "membw_run_floor_low_ms": MEMBW_RUN_FLOOR_LOW_MS,
+                   "membw_run_floor_high_ms": MEMBW_RUN_FLOOR_HIGH_MS,
+                   "source": "BASELINE.md quiet-window ledger r4-r5"},
+        "ratio_quality": ratio_quality,
+        "efficiency_floor": eff_floor,
         "write_stage_speedup": round(post_speedup, 3),
         "write_stage_efficiency": round(post_speedup / 4.0, 3),
         "amdahl_serial_floor_sec": round(ser, 2),
@@ -594,7 +649,7 @@ def main() -> None:
         spark.stop()
 
         total = time.perf_counter() - t_all
-        print(json.dumps({
+        full = {
             "metric": "fts index build + BM25 query wall time",
             "value": round(timings["build"] + total_q, 3),
             "unit": "sec",
@@ -609,7 +664,57 @@ def main() -> None:
             "query_phases": query_phases,
             "loadavg": list(os.getloadavg()),
             "scaling": scaling,
-        }))
+        }
+        # Full detail FIRST (for logs / BASELINE.md bookkeeping) ...
+        print(json.dumps(full))
+        # ... then a COMPACT summary as the LAST line: the driver
+        # records only the final 2000 chars of stdout and parses the
+        # last JSON line — the r5 full line (~3.5 KB) lost its own head
+        # to the tail cap and parsed as null (VERDICT r5 next #8). The
+        # compact line carries the headline numbers plus the scaling
+        # verdict fields (efficiency + ratio_quality + floors), and is
+        # size-guarded: if it ever outgrows the cap, the queries dict
+        # shrinks to the headline subset before anything else is lost.
+        sc = scaling or {}
+        w = sc.get("window", {})
+        compact = {
+            "metric": full["metric"], "value": full["value"],
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": sf, "n_turns": n_turns,
+            "build_turns_per_sec": full["build_turns_per_sec"],
+            "serving_qps": serving_qps,
+            "job_floor_sec": query_phases["job_floor_sec"],
+            "scaling": ({
+                "efficiency": sc.get("efficiency"),
+                "efficiency_median": sc.get("efficiency_median"),
+                "efficiency_clean": sc.get("efficiency_clean"),
+                "ratio_quality": sc.get("ratio_quality"),
+                "efficiency_floor": sc.get("efficiency_floor"),
+                "window_quality": sc.get("window_quality"),
+                "floors": sc.get("floors", {}),
+                "samples_low": sc.get("samples_low"),
+                "samples_high": sc.get("samples_high"),
+                "clean_low": w.get("clean_low"),
+                "clean_high": w.get("clean_high"),
+                "min_clean_low": (min(w["walls_clean_low"])
+                                  if w.get("walls_clean_low") else None),
+                "min_clean_high": (min(w["walls_clean_high"])
+                                   if w.get("walls_clean_high") else None),
+                "amdahl_serial_floor_sec":
+                    sc.get("amdahl_serial_floor_sec"),
+                "amdahl_parallel_core_sec":
+                    sc.get("amdahl_parallel_core_sec"),
+            } if sc else {}),
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) > 1800:
+            keep = ("gen_data", "build", "q_hot_or", "q_mid_and",
+                    "q_rare_or", "q_phrase_and", "q_batch4")
+            compact["queries"] = {k: round(timings[k], 3)
+                                  for k in keep if k in timings}
+            line = json.dumps(compact, separators=(",", ":"))
+        print(line)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
