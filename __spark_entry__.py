@@ -356,7 +356,10 @@ BM25_VARIANTS = [
 def q_bm25_modes(spark, sf_dir):
     """Consolidates the four r1 BM25 gates (single / or_multi / and /
     exact-method) into ONE driver slot — every constituent ranking is
-    still value-checked, labeled by a variant column."""
+    still value-checked, labeled by a variant column. The ``after_p2``
+    leg (r6) value-checks search_after deep pagination: page 2 at k=10
+    via the cursor from page 1's last row must equal rows 11-20 of the
+    oracle's top-20 — the real pagination protocol, not an offset."""
     import pandas as _pd
     idx = _index_for(spark, sf_dir)
     parts = []
@@ -366,6 +369,16 @@ def q_bm25_modes(spark, sf_dir):
         pdf["rank"] = pdf.index + 1
         pdf["score_r"] = pdf["score"].round(4)
         parts.append(pdf[["variant", "rank", "docid", "score_r"]])
+    # page-2-by-cursor leg over the or_multi query
+    _, qtext, mode, method = BM25_VARIANTS[2]
+    p1 = idx.topk_pandas(qtext, k=10, mode=mode, method=method)
+    cursor = (float(p1["score"].iloc[-1]), int(p1["docid"].iloc[-1]))
+    p2 = idx.topk_pandas(qtext, k=10, mode=mode, method=method,
+                         after=cursor)
+    p2["variant"] = "after_p2"
+    p2["rank"] = p2.index + 1
+    p2["score_r"] = p2["score"].round(4)
+    parts.append(p2[["variant", "rank", "docid", "score_r"]])
     return spark.createDataFrame(
         _pd.concat(parts, ignore_index=True),
         schema="variant string, rank long, docid long, score_r double")
@@ -392,9 +405,72 @@ def q_filtered_search(spark, sf_dir):
         pdf["rank"] = pdf.index + 1
         pdf["score_r"] = pdf["score"].round(4)
         parts.append(pdf[["leg", "rank", "docid", "score_r"]])
+    # explain legs (r6): per-term BM25 weight breakdown of the en_or
+    # leg's top-3 filtered hits — the ES _explain analog, value-checked
+    # against the oracle's per-(doc, term) partials. One output row per
+    # present term, leg 'explain_<term>'; the oracle re-derives each
+    # weight independently, so sum-equals-score holds on both sides by
+    # construction.
+    leg0, qtext0, mode0, flt0 = FLT_LEGS[0]
+    top3 = idx.topk_pandas(qtext0, k=3, mode=mode0, filter=flt0)
+    for r, (docid, _s) in enumerate(zip(top3["docid"], top3["score"]),
+                                    start=1):
+        ex = idx.explain(qtext0, int(docid))
+        ex = ex.assign(leg="explain_" + ex["term"].str.slice(0, 64),
+                       rank=r, docid=int(docid),
+                       score_r=ex["weight"].round(4))
+        parts.append(ex[["leg", "rank", "docid", "score_r"]])
     return spark.createDataFrame(
         _pd.concat(parts, ignore_index=True),
         schema="leg string, rank long, docid long, score_r double")
+
+
+HL_QUERY = f"{T_HOT} {T_MID}"   # and-mode: both terms present in hits
+HL_WINDOW = 12
+
+
+def q_highlight(spark, sf_dir):
+    """Highlighted search (r6 oracle row for the r5 surface): two legs
+    over the and-mode top-10.
+
+    - ``win12``: the real anchored-window fragment scorer at
+      window=12; the value-checked columns are the TAGGED token
+      sequence (terms wrapped in <em>, extracted in order) and
+      n_matches — the oracle re-derives the best window (max distinct
+      terms, then max matches, then earliest anchor) in pure SQL over
+      token positions.
+    - ``whole``: window >= doc length, so the fragment must cover
+      token positions [first match .. end of doc]; the fragment is
+      tag-stripped and re-analyzed, which must reproduce exactly that
+      token slice — checked token-for-token against the oracle.
+    """
+    import re as _re
+    import pandas as _pd
+    from sparkfts.analyzer import tokenize_text
+    idx = _index_for(spark, sf_dir)
+    parts = []
+    for leg, window in (("win12", HL_WINDOW), ("whole", 1_000_000)):
+        h = idx.highlight(HL_QUERY, k=10, mode="and", window=window)
+        if leg == "win12":
+            info = [" ".join(_re.findall(r"<em>(.*?)</em>", f))
+                    for f in h["fragment"]]
+        else:
+            info = [" ".join(tokenize_text(
+                        f.replace("<em>", "").replace("</em>", ""),
+                        idx.tokenizer))
+                    for f in h["fragment"]]
+        parts.append(_pd.DataFrame({
+            "leg": leg,
+            "rank": range(1, len(h) + 1),
+            "docid": h["docid"].astype("int64"),
+            "score_r": h["score"].round(4),
+            "frag_info": info,
+            "n_matches": h["n_matches"].astype("int64"),
+        }))
+    return spark.createDataFrame(
+        _pd.concat(parts, ignore_index=True),
+        schema="leg string, rank long, docid long, score_r double, "
+               "frag_info string, n_matches long")
 
 
 def q_facet_counts(spark, sf_dir):
@@ -573,37 +649,32 @@ BPE_FIXED_MERGES = [
 ]
 
 
-def q_dp_bpe_encode_fixed(spark, sf_dir):
-    """Distributed BPE encode under a FIXED merge table — value-checked
-    including the full per-doc token stream (bpe_text)."""
-    from datapipe.bpe import bpe_encode
-    out = bpe_encode(_docs(spark, sf_dir), BPE_FIXED_MERGES)
-    return (out.select("doc_id",
-                       F.array_join("bpe_tokens", " ").alias("bpe_text"),
-                       F.col("n_bpe_tokens").cast("long")
-                        .alias("n_bpe_tokens"))
-               .sort("doc_id"))
-
-
 def q_dp_bpe_train_encode(spark, sf_dir):
-    """End-to-end BPE: ONE distributed word-histogram pass, driver-side
-    merge learning over the bounded histogram (deterministic
-    tie-breaks), distributed encode. Now VALUE-checked (VERDICT r4 #5):
-    the merge-learning loop is iterative and not SQL-expressible, but
-    it is a deterministic function of the corpus histogram — so the
-    oracle recomputes the histogram in DuckDB from the same parquet,
-    replays the same learn_merges, and chain-replaces the LEARNED
-    table exactly like the dp_bpe_encode_fixed oracle. Full per-doc
-    token stream (bpe_text) included in the hash."""
+    """Consolidated BPE gate (r6: two former gates in one driver slot;
+    both legs still fully value-checked, labeled by ``leg``).
+
+    - ``fixed``: distributed BPE encode under the FIXED merge table —
+      value-checked including the full per-doc token stream.
+    - ``trained``: end-to-end BPE — ONE distributed word-histogram
+      pass, driver-side merge learning over the bounded histogram
+      (deterministic tie-breaks), distributed encode. The
+      merge-learning loop is iterative and not SQL-expressible, but it
+      is a deterministic function of the corpus histogram — so the
+      oracle recomputes the histogram in DuckDB from the same parquet,
+      replays the same learn_merges, and chain-replaces the LEARNED
+      table exactly like the fixed leg's oracle."""
     from datapipe.bpe import bpe_encode, train_bpe
     docs = _docs(spark, sf_dir)
-    merges = train_bpe(docs, num_merges=30)
-    return (bpe_encode(docs, merges)
-            .select("doc_id",
+    legs = []
+    for leg, merges in (("fixed", BPE_FIXED_MERGES),
+                        ("trained", train_bpe(docs, num_merges=30))):
+        legs.append(
+            bpe_encode(docs, merges)
+            .select(F.lit(leg).alias("leg"), "doc_id",
                     F.array_join("bpe_tokens", " ").alias("bpe_text"),
                     F.col("n_bpe_tokens").cast("long")
-                     .alias("n_bpe_tokens"))
-            .sort("doc_id"))
+                     .alias("n_bpe_tokens")))
+    return legs[0].unionByName(legs[1]).sort("leg", "doc_id")
 
 
 def q_dp_clean_corpus(spark, sf_dir):
@@ -1081,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_doctype_search": q_doctype_search,
         "fts_search_join": q_search_join,
         "fts_delete_search": q_delete_search,
+        "fts_highlight": q_highlight,
         # never-driver-verified in r04 (registry overflowed the driver's
         # 50-query window) — listed right after the fts block so they
         # get oracle rows even if the registry ever overflows again
@@ -1100,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_dup_spans": q_dp_dup_spans,
         "dp_ann_scan_topk": q_dp_ann_scan_topk,
         "dp_ann_index_topk": q_dp_ann_index_topk,
+        # r6: absorbs the former dp_bpe_encode_fixed gate as its
+        # 'fixed' leg (slot freed for fts_highlight)
         "dp_bpe_train_encode": q_dp_bpe_train_encode,
         # single-operator gates
         "dp_minhash_signatures": q_dp_minhash_signatures,
@@ -1108,7 +1182,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_embedding_dups": q_dp_embedding_dups,
         "dp_pack_sequences": q_dp_pack_sequences,
         "dp_repetition": q_dp_repetition,
-        "dp_bpe_encode_fixed": q_dp_bpe_encode_fixed,
         "dp_clean_corpus": q_dp_clean_corpus,
         "dp_winnow": q_dp_winnow,
         "dp_dup_groups": q_dp_dup_groups,
@@ -1551,7 +1624,9 @@ def _mf_bm25_sql() -> str:
 def _bm25_modes_sql() -> str:
     """Consolidated oracle: one _bm25_scored leg per BM25_VARIANTS
     entry (wand/exact share the SQL — exactness of the pruned path IS
-    the claim being checked)."""
+    the claim being checked), plus the search_after page-2 leg: ranks
+    11-20 of the or_multi ranking renumbered 1-10 — pure SQL, which is
+    the point (the engine paginates by cursor, never by offset)."""
     legs = []
     for variant, qtext, mode, _method in BM25_VARIANTS:
         scored = _bm25_scored(qtext.split(), mode)
@@ -1563,6 +1638,15 @@ def _bm25_modes_sql() -> str:
           FROM ({scored} SELECT doc_id, score FROM scored)
           ORDER BY score DESC, doc_id ASC
           LIMIT 10""")
+    _, qtext, mode, _m = BM25_VARIANTS[2]
+    scored = _bm25_scored(qtext.split(), mode)
+    legs.append(f"""
+      SELECT 'after_p2' AS variant, rn - 10 AS rank, docid, score_r
+      FROM (SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                       AS rn,
+                   doc_id AS docid, round(score, 4) AS score_r
+            FROM ({scored} SELECT doc_id, score FROM scored))
+      WHERE rn BETWEEN 11 AND 20""")
     return (" UNION ALL ".join(f"SELECT * FROM ({leg})"
                                for leg in legs)
             + " ORDER BY variant, rank")
@@ -1571,7 +1655,10 @@ def _bm25_modes_sql() -> str:
 def _filtered_search_sql() -> str:
     """Filtered-search oracle: the UNRESTRICTED BM25 scores (stats over
     the whole corpus) filtered to docs satisfying the predicate — the
-    engine's bool-filter contract."""
+    engine's bool-filter contract. The explain legs (r6) re-derive each
+    per-term BM25 weight independently for the en_or leg's top-3
+    filtered hits; matching the engine's explain() rows proves the
+    score decomposition term by term, not just the sums."""
     legs = []
     for leg, qtext, mode, flt in FLT_LEGS:
         scored = _bm25_scored(qtext.split(), mode)
@@ -1586,9 +1673,107 @@ def _filtered_search_sql() -> str:
                 WHERE {flt})
           ORDER BY score DESC, doc_id ASC
           LIMIT 10""")
+    _, qtext0, _mode0, flt0 = FLT_LEGS[0]
+    tl = ", ".join(f"'{t}'" for t in sorted(set(qtext0.split())))
+    legs.append(f"""
+      {_bm25_base()},
+      w AS (
+        SELECT tf.doc_id, tf.term,
+               ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * ({K1} + 1)
+               / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))
+                   AS weight
+        FROM tf
+        JOIN dl ON dl.doc_id = tf.doc_id
+        JOIN dfreq ON dfreq.term = tf.term
+        CROSS JOIN stats s
+        WHERE tf.term IN ({tl})),
+      scored AS (SELECT doc_id, sum(weight) AS score
+                 FROM w GROUP BY doc_id),
+      t3 AS (
+        SELECT s.doc_id,
+               row_number() OVER (ORDER BY s.score DESC, s.doc_id ASC)
+                   AS rank
+        FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+        WHERE {flt0}
+        ORDER BY s.score DESC, s.doc_id ASC
+        LIMIT 3)
+      SELECT 'explain_' || w.term AS leg, t3.rank,
+             w.doc_id AS docid, round(w.weight, 4) AS score_r
+      FROM w JOIN t3 ON t3.doc_id = w.doc_id""")
     return (" UNION ALL ".join(f"SELECT * FROM ({leg})"
                                for leg in legs)
             + " ORDER BY leg, rank")
+
+
+def _highlight_sql() -> str:
+    """Highlight oracle: re-derives the fragment scorer in pure SQL.
+    Token positions come from the same split-regex tokenization every
+    other oracle uses; the best window is the anchored-window argmax
+    (anchors = matched positions; maximize distinct terms, then total
+    matches, then earliest anchor — ties resolved exactly like the
+    engine's strict-> comparison by ORDER BY ... a ASC LIMIT 1). The
+    'whole' leg checks the fragment covers [first match .. end]."""
+    terms = sorted(set(HL_QUERY.split()))
+    tl = ", ".join(f"'{t}'" for t in terms)
+    w = HL_WINDOW - 1
+    scored = _bm25_scored(terms, "and")
+    return f"""{scored},
+      top10 AS (
+        SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rank,
+               doc_id, round(score, 4) AS score_r
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10),
+      base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text),
+                                              '{TOKEN_SPLIT}'),
+                           t -> t <> '' AND length(t) <= 64) AS tl
+        FROM documents WHERE doc_id IN (SELECT doc_id FROM top10)),
+      tokpos AS (
+        SELECT doc_id, i - 1 AS idx, tl[i] AS term
+        FROM base, UNNEST(generate_series(1, len(tl))) AS g(i)),
+      matched AS (
+        SELECT doc_id, idx, term FROM tokpos WHERE term IN ({tl})),
+      anchors AS (
+        SELECT a.doc_id, a.idx AS a_idx,
+               count(DISTINCT m.term) AS nd, count(*) AS nt
+        FROM matched a JOIN matched m
+          ON m.doc_id = a.doc_id
+         AND m.idx BETWEEN a.idx AND a.idx + {w}
+        GROUP BY a.doc_id, a.idx),
+      best AS (
+        SELECT doc_id, a_idx, nt FROM (
+          SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY nd DESC, nt DESC, a_idx ASC) AS rn
+          FROM anchors) WHERE rn = 1),
+      win12 AS (
+        SELECT b.doc_id,
+               string_agg(m.term, ' ' ORDER BY m.idx) AS frag_info,
+               b.nt AS n_matches
+        FROM best b JOIN matched m
+          ON m.doc_id = b.doc_id
+         AND m.idx BETWEEN b.a_idx AND b.a_idx + {w}
+        GROUP BY b.doc_id, b.nt),
+      firstm AS (
+        SELECT doc_id, min(idx) AS i0, count(*) AS n_matches
+        FROM matched GROUP BY doc_id),
+      whole AS (
+        SELECT t.doc_id,
+               string_agg(t.term, ' ' ORDER BY t.idx) AS frag_info,
+               f.n_matches
+        FROM tokpos t JOIN firstm f
+          ON f.doc_id = t.doc_id AND t.idx >= f.i0
+        GROUP BY t.doc_id, f.n_matches)
+      SELECT 'win12' AS leg, r.rank, r.doc_id AS docid, r.score_r,
+             w.frag_info, w.n_matches
+      FROM top10 r JOIN win12 w ON w.doc_id = r.doc_id
+      UNION ALL
+      SELECT 'whole' AS leg, r.rank, r.doc_id AS docid, r.score_r,
+             w.frag_info, w.n_matches
+      FROM top10 r JOIN whole w ON w.doc_id = r.doc_id
+      ORDER BY leg, rank"""
 
 
 def _facet_counts_sql() -> str:
@@ -1740,7 +1925,12 @@ def _bpe_train_oracle_sql(num_merges: int = 30) -> str:
     finally:
         con.close()
     merges = learn_merges([(w, int(n)) for w, n in hist], num_merges)
-    return _bpe_encode_fixed_sql(merges)
+    return f"""
+        SELECT 'fixed' AS leg, * FROM ({_bpe_encode_fixed_sql()})
+        UNION ALL
+        SELECT 'trained' AS leg, *
+        FROM ({_bpe_encode_fixed_sql(merges)})
+        ORDER BY leg, doc_id"""
 
 
 def _lsh_topk_sql(dim: int = 64, n_planes: int = 16,
@@ -1984,6 +2174,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_doctype_search": _typed_bm25_sql([T_HOT, T_MID], "or"),
         "fts_search_join": _search_join_sql(),
         "fts_delete_search": _delete_search_sql(),
+        "fts_highlight": _highlight_sql(),
         "dp_exact_dedup": """
             WITH g AS (
               SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
@@ -2105,7 +2296,6 @@ def oracle_sql() -> dict[str, str]:
             FROM ({_dup_spans_sql()}) s
             JOIN ({_strip_dup_spans_sql()}) t USING (doc_id)
             ORDER BY s.doc_id""",
-        "dp_bpe_encode_fixed": _bpe_encode_fixed_sql(),
         "dp_bpe_train_encode": _bpe_train_oracle_sql(),
         "dp_clean_corpus": _clean_corpus_sql(),
         "dp_quality_lang": f"""
