@@ -154,6 +154,28 @@ def varint_decode_at(b: np.ndarray, ends: np.ndarray, count: int,
     return vals, int(sel[-1]) + 1
 
 
+def encode_docid_set(docids: np.ndarray) -> bytes:
+    """Delta+varint-encode a docid SET (deduped and sorted here) —
+    the compact wire format for per-shard candidate sets flowing into
+    cogroup scoring kernels (search_join's filter restriction).
+    ~1-2 bytes per docid for dense shard-local sets vs 8 raw."""
+    d = np.unique(np.asarray(docids, dtype=np.int64))
+    if d.size == 0:
+        return b""
+    deltas = np.empty(d.shape[0], dtype=np.int64)
+    deltas[0] = d[0]
+    np.subtract(d[1:], d[:-1], out=deltas[1:])
+    return varint_encode(deltas)
+
+
+def decode_docid_set(blob: bytes | np.ndarray) -> np.ndarray:
+    """Inverse of encode_docid_set → sorted unique int64 docids."""
+    if blob is None or len(blob) == 0:
+        return np.empty(0, dtype=np.int64)
+    deltas, _ = varint_decode(blob)
+    return np.cumsum(deltas.astype(np.int64))
+
+
 def bm25_partial(tf: np.ndarray, dl: np.ndarray, avgdl: float,
                  k1: float = K1, b: float = B) -> np.ndarray:
     """The per-posting BM25 term saturation factor (idf excluded)."""

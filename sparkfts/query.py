@@ -93,16 +93,32 @@ def _decode_selected(rows: pd.DataFrame, keep_mask_per_row: list[np.ndarray],
     return np.concatenate(d), np.concatenate(t), np.concatenate(l)
 
 
+def _drop_excl(docids: np.ndarray,
+               excl: np.ndarray | None) -> np.ndarray | None:
+    """Boolean keep-mask over ``docids`` dropping members of ``excl``
+    (sorted tombstoned docids), or None when nothing to drop — the
+    kernel-side delete exclusion (VERDICT r5 #4): deletes fall out
+    BEFORE top-k truncation, so per-group output is k rows, not k+T."""
+    if excl is None or excl.size == 0 or docids.size == 0:
+        return None
+    p = np.searchsorted(excl, docids)
+    hit = p < excl.shape[0]
+    hit[hit] = excl[p[hit]] == docids[hit]
+    return ~hit if hit.any() else None
+
+
 def _aggregate_topk(docids: np.ndarray, contribs: np.ndarray, k: int,
                     mode: str, n_query_terms: int,
-                    after: tuple[float, int] | None = None
-                    ) -> pd.DataFrame:
+                    after: tuple[float, int] | None = None,
+                    excl: np.ndarray | None = None) -> pd.DataFrame:
     """Group contributions by docid (fixed input order ⇒ fixed summation
     order) and take top-k by (score desc, docid asc). ``after`` =
     (score, docid) cursor for deep pagination (the ES search_after
     analog): keep only docs ranked STRICTLY after it — score equality
     is exact because cursor scores come from this same fixed-order
-    pipeline."""
+    pipeline. ``excl`` (sorted tombstoned docids) drops deleted docs
+    after aggregation but BEFORE truncation — exact, since every
+    contribution was already summed."""
     if docids.size == 0:
         return pd.DataFrame({"docid": pd.Series(dtype=np.int64),
                              "score": pd.Series(dtype=np.float64)})
@@ -112,6 +128,9 @@ def _aggregate_topk(docids: np.ndarray, contribs: np.ndarray, k: int,
     hits = np.bincount(inv, minlength=uniq.shape[0])
     if mode == "and":
         m = hits == n_query_terms
+        uniq, scores = uniq[m], scores[m]
+    m = _drop_excl(uniq, excl)
+    if m is not None:
         uniq, scores = uniq[m], scores[m]
     if after is not None:
         s0, d0 = float(after[0]), int(after[1])
@@ -124,8 +143,8 @@ def _aggregate_topk(docids: np.ndarray, contribs: np.ndarray, k: int,
 def _score_and_pruned(per_term: dict[str, pd.DataFrame], terms: list[str],
                       idf: dict[str, float], avgdl: float, k1: float,
                       b: float, k: int, n_query_terms: int,
-                      after: tuple[float, int] | None = None
-                      ) -> pd.DataFrame:
+                      after: tuple[float, int] | None = None,
+                      excl: np.ndarray | None = None) -> pd.DataFrame:
     """AND-mode scoring with block-range pruning (exact): decode the
     rarest term fully; for each further term (ascending df) keep only the
     blocks whose [block_first, block_last] range intersects the current
@@ -146,6 +165,9 @@ def _score_and_pruned(per_term: dict[str, pd.DataFrame], terms: list[str],
     d0, tf0, dl0 = _decode_term_rows(per_term[rare])
     decoded[rare] = (d0, tf0, dl0)
     cand = d0
+    m0 = _drop_excl(cand, excl)
+    if m0 is not None:
+        cand = cand[m0]     # deletes out before any block pruning work
     for t in by_rarity[1:]:
         if cand.size == 0:
             return empty
@@ -189,8 +211,8 @@ def _score_and_pruned(per_term: dict[str, pd.DataFrame], terms: list[str],
 def score_decoded(pt: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
                   idf: dict[str, float], avgdl: float, k1: float,
                   b: float, k: int, mode: str, n_query_terms: int,
-                  after: tuple[float, int] | None = None
-                  ) -> pd.DataFrame:
+                  after: tuple[float, int] | None = None,
+                  excl: np.ndarray | None = None) -> pd.DataFrame:
     """Exhaustive BM25 top-k over pre-decoded per-term postings (the
     serving-cache path): the same ascending-term concatenation feeding
     _aggregate_topk that the frame-based paths use, so results are
@@ -207,21 +229,25 @@ def score_decoded(pt: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
                                np.empty(0, np.float64), k, mode,
                                n_query_terms, after=after)
     return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
-                           k, mode, n_query_terms, after=after)
+                           k, mode, n_query_terms, after=after,
+                           excl=excl)
 
 
 def _score_candidates(per_term: dict[str, pd.DataFrame],
                       terms: list[str], cand: np.ndarray,
                       idf: dict[str, float], avgdl: float, k1: float,
                       b: float, k: int, mode: str, n_query_terms: int,
-                      after: tuple[float, int] | None = None
-                      ) -> pd.DataFrame:
+                      after: tuple[float, int] | None = None,
+                      excl: np.ndarray | None = None) -> pd.DataFrame:
     """Score ONLY the given candidate docids (sorted unique) — the
     org-scoped search path: per term, decode just the blocks whose
     [block_first, block_last] range intersects the candidate set, then
     restrict postings to candidates. Summation order (ascending term,
     concatenated) matches the exhaustive path, so scores are
     bit-identical to unrestricted scoring filtered to the candidates."""
+    me = _drop_excl(cand, excl)
+    if me is not None:
+        cand = cand[me]     # deletes out of the candidate set up front
     all_d, all_c = [], []
     for t in sorted(terms):
         rows = _order_rows(per_term[t])
@@ -260,13 +286,14 @@ _QSET_EMPTY = pd.DataFrame({"qid": pd.Series(dtype="str"),
 def score_query_set(pdf: pd.DataFrame, cand, qterms: dict[str, list[str]],
                     modes: dict[str, str], idf: dict[str, float],
                     avgdl: float, k1: float, b: float, k: int,
-                    method: str, rng: tuple[int, int] | None = None
-                    ) -> pd.DataFrame:
+                    method: str, rng: tuple[int, int] | None = None,
+                    excl: np.ndarray | None = None) -> pd.DataFrame:
     """Score a whole query SET against one shard's dictionary rows in
     one pass (shared by FTSIndex.topk_many and CombinedIndex.topk_many).
     ``cand`` (sorted unique docids) or ``rng`` ([lo, hi] interval — the
     contiguous-tenant fast path) restricts scoring to a tenant's docs;
-    neither = unrestricted."""
+    neither = unrestricted. ``excl`` (sorted tombstoned docids) is
+    excluded in-kernel before each query's top-k truncation."""
     outs = []
     for qid, terms in qterms.items():
         if not terms:
@@ -276,15 +303,16 @@ def score_query_set(pdf: pd.DataFrame, cand, qterms: dict[str, list[str]],
             continue
         if rng is not None:
             out = score_range_pt(sub, rng[0], rng[1], idf, avgdl, k1, b,
-                                 k, modes[qid], len(terms))
+                                 k, modes[qid], len(terms), excl=excl)
         elif cand is None:
             out = score_shard(sub, idf, avgdl, k1, b, k,
-                              modes[qid], len(terms), method)
+                              modes[qid], len(terms), method, excl=excl)
         else:
             pt = {t: sub[sub["term"] == t]
                   for t in sorted(sub["term"].unique())}
             out = _score_candidates(pt, list(pt), cand, idf, avgdl,
-                                    k1, b, k, modes[qid], len(terms))
+                                    k1, b, k, modes[qid], len(terms),
+                                    excl=excl)
         outs.append(out.assign(qid=qid))
     if not outs:
         return _QSET_EMPTY
@@ -296,7 +324,8 @@ def _score_candidates_range(per_term: dict[str, pd.DataFrame],
                             idf: dict[str, float], avgdl: float,
                             k1: float, b: float, k: int, mode: str,
                             n_query_terms: int,
-                            after: tuple[float, int] | None = None
+                            after: tuple[float, int] | None = None,
+                            excl: np.ndarray | None = None
                             ) -> pd.DataFrame:
     """Score ONLY docids in [lo, hi] — the contiguous-tenant fast path:
     routed builds rank docs by org within each shard, so a tenant's
@@ -328,32 +357,35 @@ def _score_candidates_range(per_term: dict[str, pd.DataFrame],
                                np.empty(0, np.float64), k, mode,
                                n_query_terms, after=after)
     return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
-                           k, mode, n_query_terms, after=after)
+                           k, mode, n_query_terms, after=after,
+                           excl=excl)
 
 
 def score_range_pt(pdf: pd.DataFrame, lo: int, hi: int,
                    idf: dict[str, float], avgdl: float, k1: float,
                    b: float, k: int, mode: str, n_query_terms: int,
-                   after: tuple[float, int] | None = None
-                   ) -> pd.DataFrame:
+                   after: tuple[float, int] | None = None,
+                   excl: np.ndarray | None = None) -> pd.DataFrame:
     """Range-restricted scoring of one shard's dictionary rows — the
     single entry point every contiguous-tenant fast path goes through
     (FTSIndex/CombinedIndex topk, topk_many, topk_local)."""
     pt = {t: pdf[pdf["term"] == t] for t in sorted(pdf["term"].unique())}
     return _score_candidates_range(pt, list(pt), lo, hi, idf, avgdl,
                                    k1, b, k, mode, n_query_terms,
-                                   after=after)
+                                   after=after, excl=excl)
 
 
 def cand_score_group(idf: dict[str, float], avgdl: float, k1: float,
                      b: float, k: int, mode: str, n_query_terms: int,
-                     after: tuple[float, int] | None = None):
+                     after: tuple[float, int] | None = None,
+                     excl: np.ndarray | None = None):
     """Cogroup kernel factory: score ONLY the candidate docids arriving
     on the right side (a tenant's or a filter's docstore rows). BM25
     statistics stay GLOBAL — the ES bool-filter contract: results equal
     the unrestricted ranking filtered to the candidates. Shared by the
     org docid-set and metadata-filter paths of FTSIndex/CombinedIndex
-    topk."""
+    topk. ``excl`` (sorted tombstoned docids) leaves the candidate set
+    before scoring, so each group returns k rows, not k+T."""
 
     def per_group(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if lpdf.empty or rpdf.empty:
@@ -363,19 +395,22 @@ def cand_score_group(idf: dict[str, float], avgdl: float, k1: float,
         pt = {t: lpdf[lpdf["term"] == t]
               for t in sorted(lpdf["term"].unique())}
         return _score_candidates(pt, list(pt), cand, idf, avgdl, k1, b,
-                                 k, mode, n_query_terms, after=after)
+                                 k, mode, n_query_terms, after=after,
+                                 excl=excl)
 
     return per_group
 
 
-def facet_count_group(mode: str, n_query_terms: int):
+def facet_count_group(mode: str, n_query_terms: int,
+                      excl: np.ndarray | None = None):
     """Cogroup kernel factory for facet counting: left = one shard's
     dictionary rows for the query terms, right = that shard's docstore
     slice projected to (docid, value). Emits PARTIAL (value, cnt) rows
     — callers sum them with one small shuffle. Matching is boolean
     (and/or); docs whose facet value is NULL are not counted (the ES
-    terms-agg default). Shared by FTSIndex.facet_counts and
-    CombinedIndex.facet_counts."""
+    terms-agg default). ``excl`` (sorted tombstoned docids) leaves the
+    match set before counting — exact counts with no post-correction.
+    Shared by FTSIndex.facet_counts and CombinedIndex.facet_counts."""
 
     def per_group(lpdf: pd.DataFrame,
                   rpdf: pd.DataFrame) -> pd.DataFrame:
@@ -398,6 +433,9 @@ def facet_count_group(mode: str, n_query_terms: int):
         else:
             res = (np.unique(np.concatenate(union))
                    if union else np.empty(0, dtype=np.int64))
+        me = _drop_excl(res, excl)
+        if me is not None:
+            res = res[me]
         if res.size == 0:
             return out_empty
         hit = rpdf[np.isin(rpdf["docid"].to_numpy(np.int64), res,
@@ -414,11 +452,16 @@ def facet_count_group(mode: str, n_query_terms: int):
 def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
                 k1: float, b: float, k: int, mode: str,
                 n_query_terms: int, method: str = "wand",
-                after: tuple[float, int] | None = None) -> pd.DataFrame:
+                after: tuple[float, int] | None = None,
+                excl: np.ndarray | None = None) -> pd.DataFrame:
     """Score one shard's dictionary rows (all query terms) → top-k.
     With ``after`` (deep-pagination cursor), OR-mode falls back to the
     exhaustive path: WAND's θ pruning skips docs scoring below the
-    running k-th best, but a cursor page legitimately needs them."""
+    running k-th best, but a cursor page legitimately needs them.
+    ``excl`` (sorted tombstoned docids) is excluded before truncation
+    in every branch; on the WAND path it is also dropped from the
+    θ-seed so a high-scoring deleted doc can never inflate θ above a
+    live doc's score (θ stays a lower bound on the k-th SURVIVOR)."""
     terms = sorted(pdf["term"].unique())
     per_term = {t: pdf[pdf["term"] == t] for t in terms}
     if after is not None and mode != "and":
@@ -436,11 +479,12 @@ def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
                                    np.empty(0, np.float64), k, mode,
                                    n_query_terms, after=after)
         return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
-                               k, mode, n_query_terms, after=after)
+                               k, mode, n_query_terms, after=after,
+                               excl=excl)
 
     if mode == "and":
         return _score_and_pruned(per_term, terms, idf, avgdl, k1, b, k,
-                                 n_query_terms, after=after)
+                                 n_query_terms, after=after, excl=excl)
 
     # ---- block-max pruning (exact top-k; see module docstring) ----
     # Per term: flat arrays over all blocks of all chunk rows.
@@ -476,6 +520,9 @@ def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
         seed_c.append(idf[t] * codec.bm25_partial(tf, dl, avgdl, k1, b))
     sd = np.concatenate(seed_d) if seed_d else np.empty(0, np.int64)
     sc = np.concatenate(seed_c) if seed_c else np.empty(0, np.float64)
+    ms = _drop_excl(sd, excl)
+    if ms is not None:
+        sd, sc = sd[ms], sc[ms]
     if sd.size:
         uniq, inv = np.unique(sd, return_inverse=True)
         part = np.zeros(uniq.shape[0])
@@ -526,7 +573,7 @@ def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
         return _aggregate_topk(np.empty(0, np.int64), np.empty(0, np.float64),
                                k, mode, n_query_terms, after=after)
     return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
-                           k, "or", n_query_terms, after=after)
+                           k, "or", n_query_terms, after=after, excl=excl)
 
 
 def _decode_term_rows_pos(rows: pd.DataFrame):
@@ -547,11 +594,13 @@ def _decode_term_rows_pos(rows: pd.DataFrame):
 def _phrase_shard(pdf: pd.DataFrame, seq: list[str], uniq: list[str],
                   idf: dict[str, float], avgdl: float, k1: float, b: float,
                   k: int, org_cand: np.ndarray | None = None,
-                  org_range: tuple[int, int] | None = None) -> pd.DataFrame:
+                  org_range: tuple[int, int] | None = None,
+                  excl: np.ndarray | None = None) -> pd.DataFrame:
     """One shard's phrase matching + BM25 ranking (see phrase_topk).
     ``org_cand`` (sorted docids) or ``org_range`` ([lo, hi] interval —
     the contiguous-tenant fast path) restricts matching to a tenant's
-    docs before any position work."""
+    docs before any position work; ``excl`` (sorted tombstoned docids)
+    leaves the candidate set before it too."""
     out_empty = pd.DataFrame({"docid": pd.Series(dtype=np.int64),
                               "score": pd.Series(dtype=np.float64)})
     per_term = {}
@@ -570,6 +619,10 @@ def _phrase_shard(pdf: pd.DataFrame, seq: list[str], uniq: list[str],
         cand = np.intersect1d(cand, org_cand, assume_unique=True)
     if org_range is not None and cand is not None:
         cand = cand[(cand >= org_range[0]) & (cand <= org_range[1])]
+    if cand is not None:
+        me = _drop_excl(cand, excl)
+        if me is not None:
+            cand = cand[me]
     if cand is None or cand.size == 0:
         return out_empty
     # Vectorized adjacency over flat position arrays (no per-doc Python
@@ -712,8 +765,59 @@ def sj_attach_idf(qt: DataFrame, stats: DataFrame, N: float) -> DataFrame:
             .select("qid", "mode", "term", "bucket", "qpos", "idf"))
 
 
+# Sentinel dictionary term for candidate-set side-channel rows: real
+# terms are "<prefix><analyzer token>" and neither part can contain a
+# NUL, so this can never collide with an indexed term.
+SJ_CAND_TERM = "\x00__cand__"
+
+
+def sj_cand_rows(fdocs: DataFrame, keys: list[str],
+                 buckets: DataFrame, excl: np.ndarray | None = None
+                 ) -> DataFrame:
+    """Filter-candidate side-channel for search_join(filter=): one
+    POSTING_SCHEMA-shaped sentinel row per (group keys × query bucket)
+    whose ``blob`` is the group's delta+varint-encoded matching docid
+    set — unioned into the postings side of the cogroup so the scoring
+    kernel restricts (and truncates to k) INSIDE the group instead of
+    emitting postings-scale rows into a semi-join (VERDICT r5 #3). The
+    per-bucket replication is the cost: |matches| × ~1.5 B × B buckets
+    on the wire, vs |matches| × |matching queries| full rows before.
+    ``excl`` (sorted tombstoned docids) is dropped from the set at
+    encode time, so deleted docs never reach the kernels at all."""
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["docid"].to_numpy(np.int64)
+        if excl is not None and excl.size:
+            d = d[~np.isin(d, excl)]
+        row = {c: [pdf[c].iloc[0]] for c in keys}
+        row["blob"] = [codec.encode_docid_set(d)]
+        return pd.DataFrame(row)
+
+    blobs = fdocs.groupBy(*keys).applyInPandas(
+        enc, schema=", ".join(f"{c} int" for c in keys) + ", blob binary")
+    return (blobs.crossJoin(F.broadcast(buckets))
+            .select(*keys,
+                    F.lit(SJ_CAND_TERM).alias("term"),
+                    F.lit(0).cast("long").alias("th"),
+                    F.lit(0).cast("int").alias("chunk"),
+                    F.lit(0).cast("long").alias("df"),
+                    F.lit(0).cast("long").alias("cf"),
+                    F.col("blob"),
+                    F.array().cast("array<long>").alias("block_first"),
+                    F.array().cast("array<long>").alias("block_last"),
+                    F.array().cast("array<long>").alias("block_off"),
+                    F.array().cast("array<int>").alias("block_n"),
+                    F.array().cast("array<long>").alias("block_max_tf"),
+                    F.array().cast("array<long>").alias("block_min_dl"),
+                    F.length("blob").cast("long").alias("nbytes"),
+                    F.lit(0).cast("long").alias("enc_us"),
+                    F.col("bucket")))
+
+
 def sj_score_group_factory(avgdl: float, k1: float, b: float, k: int,
-                           method: str, rng_lookup=None):
+                           method: str, rng_lookup=None,
+                           filtered: bool = False,
+                           excl: np.ndarray | None = None):
     """Cogroup kernel: rebuild the per-bucket qterms/modes/idf dicts
     from the query side; or/and queries score in one score_query_set
     pass, phrase queries each rebuild their token sequence from qpos
@@ -721,7 +825,13 @@ def sj_score_group_factory(avgdl: float, k1: float, b: float, k: int,
     kernel phrase_topk uses, so ranks/scores match it). ``rng_lookup``
     (org-scoped paths) maps the postings pdf to the tenant's docid
     interval for this group — None result means the tenant has no docs
-    here and the group is skipped."""
+    here and the group is skipped. ``filtered``: the postings side
+    carries one SJ_CAND_TERM sentinel row (sj_cand_rows) whose blob is
+    this group's candidate docid set; scoring restricts to it in the
+    kernel so per-group output truncates to k (exact: BM25 stats stay
+    global, so results equal the unrestricted ranking filtered to the
+    candidates). A filtered group with no sentinel has no matching
+    docs in this shard — skipped."""
 
     def score_group(lpdf: pd.DataFrame,
                     rpdf: pd.DataFrame) -> pd.DataFrame:
@@ -730,11 +840,25 @@ def sj_score_group_factory(avgdl: float, k1: float, b: float, k: int,
         bad = set(rpdf["mode"].unique()) - {"or", "and", "phrase"}
         if bad:
             raise ValueError(f"search_join: bad mode(s) {bad}")
+        cand = None
+        if filtered:
+            sent = (lpdf["term"] == SJ_CAND_TERM).to_numpy()
+            if not sent.any():
+                return _QSET_EMPTY
+            cand = codec.decode_docid_set(
+                lpdf.loc[sent, "blob"].iloc[0])
+            lpdf = lpdf[~sent]
+            if cand.size == 0 or lpdf.empty:
+                return _QSET_EMPTY
         rng = None
         if rng_lookup is not None:
             rng = rng_lookup(lpdf)
             if rng is None:
                 return _QSET_EMPTY
+        if cand is not None:
+            # org composition already folded into the candidate set by
+            # _filter_docs(filter, org); cand drives the restriction
+            rng = None
         ph = rpdf[rpdf["mode"] == "phrase"]
         nb = rpdf[rpdf["mode"] != "phrase"]
         outs = []
@@ -743,9 +867,9 @@ def sj_score_group_factory(avgdl: float, k1: float, b: float, k: int,
                       for qid, g in nb.groupby("qid")}
             modes = dict(zip(nb["qid"], nb["mode"]))
             idf = dict(zip(nb["term"], nb["idf"]))
-            outs.append(score_query_set(lpdf, None, qterms, modes, idf,
+            outs.append(score_query_set(lpdf, cand, qterms, modes, idf,
                                         avgdl, k1, b, k, method,
-                                        rng=rng))
+                                        rng=rng, excl=excl))
         for qid, g in ph.groupby("qid"):
             seq: list[str] = [""] * int(sum(len(p) for p in g["qpos"]))
             for term, ps_ in zip(g["term"], g["qpos"]):
@@ -753,7 +877,8 @@ def sj_score_group_factory(avgdl: float, k1: float, b: float, k: int,
                     seq[int(p)] = term
             idf_q = dict(zip(g["term"], g["idf"]))
             out = _phrase_shard(lpdf, seq, sorted(idf_q), idf_q, avgdl,
-                                k1, b, k, org_range=rng)
+                                k1, b, k, org_cand=cand, org_range=rng,
+                                excl=excl)
             if not out.empty:
                 outs.append(out.assign(qid=qid))
         if not outs:
@@ -1164,12 +1289,14 @@ class FTSIndex:
 
         ``filter=`` (SQL predicate over docstore columns) restricts
         the WHOLE batch like ``topk(filter=)`` — stats stay global.
-        Plan shape: the per-group kernels emit ALL matching scores
-        (no early top-k — a restriction can invalidate any prefix),
-        the filter's (docid) set semi-joins them distributedly, and
-        the global window takes each query's top-k; exact, nothing
-        doc-scale on the driver, at the cost of score-all instead of
-        per-group truncation. Composes with ``org`` (conjunction)."""
+        Plan shape: the filter's per-shard docid set is delta+varint
+        encoded into ONE sentinel row per (shard, bucket) riding the
+        postings side of the cogroup (sj_cand_rows), the kernels score
+        only those candidates and truncate to k per query in-group,
+        and the global window merges — per-group output is
+        O(k · queries in bucket), never postings-scale; nothing
+        doc-scale on the driver. Composes with ``org``
+        (conjunction)."""
         prefix, avgdl = self._field(field)
         if default_mode not in ("or", "and", "phrase"):
             raise ValueError(
@@ -1217,19 +1344,22 @@ class FTSIndex:
             rng_by_shard = ranges
             rng_lookup = (lambda lpdf:
                           rng_by_shard.get(int(lpdf["shard"].iloc[0])))
-        # filtered batches score ALL matches per group (a restriction
-        # can invalidate any k-prefix), then semi-join the filter set
-        kg = k if filter is None else (1 << 62)
+        if filter is not None:
+            # candidate side-channel: the filter's per-shard docid set
+            # rides the postings side as one sentinel row per (shard,
+            # bucket), so kernels restrict and truncate to k IN-GROUP —
+            # per-group output is O(k · queries), never postings-scale
+            fdocs = self._filter_docs(filter, org)
+            buckets = make_qt().select("bucket").distinct()
+            ps = ps.unionByName(sj_cand_rows(fdocs, ["shard"], buckets))
         score_group = sj_score_group_factory(avgdl, self.k1, self.b,
-                                             kg, method, rng_lookup)
+                                             k, method, rng_lookup,
+                                             filtered=filter is not None)
         tops = (ps.groupBy("shard", "bucket")
                 .cogroup(qs_sh.groupBy("shard", "bucket"))
                 .applyInPandas(score_group,
                                schema="qid string, docid long, "
                                       "score double"))
-        if filter is not None:
-            fdocs = self._filter_docs(filter, org).select("docid")
-            tops = tops.join(fdocs, "docid", "left_semi")
         return sj_global_topk(tops, k)
 
     def explain(self, query: str, docid: int,

@@ -379,16 +379,24 @@ class CombinedIndex:
             self._tomb_key = key
         return self._tomb_val
 
-    def _overfetch(self, k: int):
-        """(k_eff, post) for exact top-k under tombstones: kernels
-        fetch k + T per group (T = tombstone count) and ``post`` drops
-        deleted rows then heads the user's k. Exactness: for any doc d
-        in the true filtered top-k, the docs outranking d within its
-        group are deleted (≤ T) or survivors outranking d globally
-        (< k), so d sits within the group's top (k + T)."""
+    def _excl(self) -> np.ndarray | None:
+        """Sorted tombstoned docids for the kernels' ``excl`` param, or
+        None when there are no deletes. Every scoring kernel drops
+        these BEFORE its top-k truncation (query._drop_excl), so
+        per-group output is k rows — the old k+T over-fetch (fetch
+        k + tombstone-count per group, post-filter on the driver) is
+        gone; a large delete batch no longer inflates the rows every
+        group ships (VERDICT r5 #4)."""
+        tomb = self.deleted_docids()
+        return tomb if tomb.size else None
+
+    def _tomb_filter(self):
+        """Driver-side row filter for non-truncating surfaces (full
+        match sets, docstore fetch): drops tombstoned docids from a
+        (docid, ...) frame. Exact regardless of order — no k anywhere."""
         tomb = self.deleted_docids()
         if tomb.size == 0:
-            return k, lambda pdf: pdf
+            return lambda pdf: pdf
 
         def post(pdf: pd.DataFrame) -> pd.DataFrame:
             if pdf.empty:
@@ -396,15 +404,7 @@ class CombinedIndex:
             keep = ~np.isin(pdf["docid"].to_numpy(np.int64), tomb)
             return pdf[keep]
 
-        return k + int(tomb.size), post
-
-    def _tomb_sdf(self):
-        """Tombstones as a (broadcastable) Spark DataFrame, or None."""
-        tomb = self.deleted_docids()
-        if tomb.size == 0:
-            return None
-        return self.spark.createDataFrame(
-            pd.DataFrame({"docid": tomb}), schema="docid long")
+        return post
 
     def topk_local(self, query: str, k: int = 10, mode: str = "or",
                    method: str = "wand", org: str | None = None,
@@ -437,8 +437,7 @@ class CombinedIndex:
                for t, d in df_tot.items()}
         if after is not None:
             after = (float(after[0]), int(after[1]))
-        ku = k
-        k, tomb_post = self._overfetch(k)
+        excl = self._excl()
         parts = []
         for i, s in enumerate(self.subs):
             if org_subs is None:
@@ -449,7 +448,7 @@ class CombinedIndex:
                 pt = s._decoded_terms(terms)
                 parts.append(score_decoded(pt, idf, avgdl, self.k1,
                                            self.b, k, mode, len(terms),
-                                           after=after))
+                                           after=after, excl=excl))
                 continue
             pdf = s._local_term_rows(terms)
             ps = org_subs[i][1]
@@ -463,7 +462,7 @@ class CombinedIndex:
                     lo, hi = ranges[sh]
                     parts.append(score_range_pt(
                         sub, lo, hi, idf, avgdl, self.k1, self.b,
-                        k, mode, len(terms), after=after))
+                        k, mode, len(terms), after=after, excl=excl))
                 continue
             pdf = pdf[pdf["shard"].isin(ps)]
             if pdf.empty:
@@ -475,13 +474,13 @@ class CombinedIndex:
                   for t in sorted(pdf["term"].unique())}
             parts.append(_score_candidates(
                 pt, list(pt), cand, idf, avgdl, self.k1,
-                self.b, k, mode, len(terms), after=after))
+                self.b, k, mode, len(terms), after=after, excl=excl))
         if not parts:
             return empty
-        return (tomb_post(pd.concat(parts)
-                          .sort_values(["score", "docid"],
-                                       ascending=[False, True]))
-                .head(ku).reset_index(drop=True))
+        return (pd.concat(parts)
+                .sort_values(["score", "docid"],
+                             ascending=[False, True])
+                .head(k).reset_index(drop=True))
 
     def match_docids_local(self, query: str, mode: str = "and",
                            field: str | None = None,
@@ -501,8 +500,7 @@ class CombinedIndex:
                         for t in tokenize_text(query, self.tokenizer)})
         parts = [s._match_docids_local_terms(terms, mode, org)
                  for s in self.subs]
-        _, tomb_post = self._overfetch(0)
-        out = tomb_post(pd.concat(parts, ignore_index=True))
+        out = self._tomb_filter()(pd.concat(parts, ignore_index=True))
         return (out.sort_values("docid").reset_index(drop=True)
                 if not out.empty else out)
 
@@ -528,8 +526,7 @@ class CombinedIndex:
             for t, d in s._local_df_counts(uniq).items():
                 df_tot[t] += d
         idf = {t: _bm25_idf(float(self.N), d) for t, d in df_tot.items()}
-        ku = k
-        k, tomb_post = self._overfetch(k)
+        excl = self._excl()
         parts = []
         for i, s in enumerate(self.subs):
             pdf = s._local_term_rows(uniq)
@@ -544,7 +541,7 @@ class CombinedIndex:
                             continue
                         parts.append(_phrase_shard(
                             sub, seq, uniq, idf, avgdl, self.k1,
-                            self.b, k, org_range=ranges[sh]))
+                            self.b, k, org_range=ranges[sh], excl=excl))
                     continue
                 ps = org_subs[i][1]
                 pdf = pdf[pdf["shard"].isin(ps)]
@@ -555,16 +552,16 @@ class CombinedIndex:
                     continue
                 parts.append(_phrase_shard(pdf, seq, uniq, idf, avgdl,
                                            self.k1, self.b, k,
-                                           org_cand=cand))
+                                           org_cand=cand, excl=excl))
                 continue
             parts.append(_phrase_shard(pdf, seq, uniq, idf, avgdl,
-                                       self.k1, self.b, k))
+                                       self.k1, self.b, k, excl=excl))
         if not parts:
             return empty
-        return (tomb_post(pd.concat(parts)
-                          .sort_values(["score", "docid"],
-                                       ascending=[False, True]))
-                .head(ku).reset_index(drop=True))
+        return (pd.concat(parts)
+                .sort_values(["score", "docid"],
+                             ascending=[False, True])
+                .head(k).reset_index(drop=True))
 
     def _fetch_parts(self, docids, local: bool) -> list[pd.DataFrame]:
         tomb = self.deleted_docids()
@@ -655,8 +652,8 @@ class CombinedIndex:
         matching docids cogroup into scoring per (generation, shard) —
         stats stay union-global, composes with ``org``. ``after`` is
         the deep-pagination cursor (FTSIndex.topk contract; composes
-        with tombstones — the k+T over-fetch counts post-cursor
-        docs)."""
+        with tombstones — deletes are excluded IN the kernels before
+        truncation, so groups return k rows, not k+T)."""
         import numpy as np
         from .analyzer import tokenize_text
         from .query import _score_candidates, cand_score_group
@@ -672,8 +669,7 @@ class CombinedIndex:
         k1, b = self.k1, self.b
         if after is not None:
             after = (float(after[0]), int(after[1]))
-        ku = k                       # user-facing k
-        k, tomb_post = self._overfetch(k)
+        excl = self._excl()
 
         if filter is not None:
             if org is not None and org_subs is not None and not org_subs:
@@ -691,7 +687,7 @@ class CombinedIndex:
                     .cogroup(parts.groupBy("sub", "shard"))
                     .applyInPandas(
                         cand_score_group(idf, avgdl, k1, b, k, mode,
-                                         nq, after=after),
+                                         nq, after=after, excl=excl),
                         schema="docid long, score double")
                     .toPandas())
         elif org_subs is not None:
@@ -710,7 +706,8 @@ class CombinedIndex:
                     lo, hi = rngmap[key]
                     from .query import score_range_pt
                     return score_range_pt(pdf, lo, hi, idf, avgdl, k1,
-                                          b, k, mode, nq, after=after)
+                                          b, k, mode, nq, after=after,
+                                          excl=excl)
 
                 allp = (rows.groupBy("sub", "shard")
                         .applyInPandas(per_group_rng,
@@ -727,7 +724,7 @@ class CombinedIndex:
                           for t in sorted(lpdf["term"].unique())}
                     return _score_candidates(pt, list(pt), cand, idf,
                                              avgdl, k1, b, k, mode, nq,
-                                             after=after)
+                                             after=after, excl=excl)
 
                 allp = (rows.groupBy("sub", "shard")
                         .cogroup(parts.groupBy("sub", "shard"))
@@ -739,7 +736,7 @@ class CombinedIndex:
                 # block bounds are (max_tf, min_dl) pairs evaluated at
                 # query time, so WAND stays exact under the union avgdl
                 return score_shard(pdf, idf, avgdl, k1, b, k, mode, nq,
-                                   method, after=after)
+                                   method, after=after, excl=excl)
 
             allp = (self._union(lambda s: s._posting_rows(terms))
                     .groupBy("sub", "shard")
@@ -749,9 +746,9 @@ class CombinedIndex:
         if allp.empty:
             return pd.DataFrame({"docid": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
-        return (tomb_post(allp.sort_values(["score", "docid"],
-                                           ascending=[False, True]))
-                .head(ku).reset_index(drop=True))
+        return (allp.sort_values(["score", "docid"],
+                                 ascending=[False, True])
+                .head(k).reset_index(drop=True))
 
     def phrase_topk(self, query: str, k: int = 10,
                     field: str | None = None,
@@ -775,8 +772,7 @@ class CombinedIndex:
         uniq = sorted(set(seq))
         idf = self._idf(uniq)
         k1, b = self.k1, self.b
-        ku = k
-        k, tomb_post = self._overfetch(k)
+        excl = self._excl()
         schema = "docid long, score double"
 
         if org_subs is not None:
@@ -790,7 +786,8 @@ class CombinedIndex:
                     key = (int(pdf["sub"].iloc[0]),
                            int(pdf["shard"].iloc[0]))
                     return _phrase_shard(pdf, seq, uniq, idf, avgdl,
-                                         k1, b, k, org_range=rngmap[key])
+                                         k1, b, k, org_range=rngmap[key],
+                                         excl=excl)
 
                 allp = (rows.groupBy("sub", "shard")
                         .applyInPandas(per_group_rng, schema=schema)
@@ -805,7 +802,8 @@ class CombinedIndex:
                              "score": pd.Series(dtype=np.float64)})
                     cand = np.sort(rpdf["docid"].to_numpy(np.int64))
                     return _phrase_shard(lpdf, seq, uniq, idf, avgdl,
-                                         k1, b, k, org_cand=cand)
+                                         k1, b, k, org_cand=cand,
+                                         excl=excl)
 
                 allp = (rows.groupBy("sub", "shard")
                         .cogroup(parts.groupBy("sub", "shard"))
@@ -813,7 +811,8 @@ class CombinedIndex:
                         .toPandas())
         else:
             def per_group(pdf):
-                return _phrase_shard(pdf, seq, uniq, idf, avgdl, k1, b, k)
+                return _phrase_shard(pdf, seq, uniq, idf, avgdl, k1, b,
+                                     k, excl=excl)
 
             allp = (self._union(lambda s: s._posting_rows(uniq))
                     .groupBy("sub", "shard")
@@ -821,9 +820,9 @@ class CombinedIndex:
                     .toPandas())
         if allp.empty:
             return empty
-        return (tomb_post(allp.sort_values(["score", "docid"],
-                                           ascending=[False, True]))
-                .head(ku).reset_index(drop=True))
+        return (allp.sort_values(["score", "docid"],
+                                 ascending=[False, True])
+                .head(k).reset_index(drop=True))
 
     def match_docids(self, query: str, mode: str = "and",
                      field: str | None = None,
@@ -902,8 +901,7 @@ class CombinedIndex:
                    .applyInPandas(lambda pdf: _match(pdf),
                                   schema="docid long")
                    .toPandas())
-        _, tomb_post = self._overfetch(0)
-        out = tomb_post(out)
+        out = self._tomb_filter()(out)
         return (out.sort_values("docid").reset_index(drop=True)
                 if not out.empty else out)
 
@@ -937,8 +935,6 @@ class CombinedIndex:
                             .isin(s.possible_shards(org)))
             return r
 
-        tdf = self._tomb_sdf()
-
         def mk_store(s: FTSIndex):
             st = s._docstore
             if org is not None:
@@ -947,15 +943,15 @@ class CombinedIndex:
                       .where(F.col(s.routing_col) == org))
             if filter is not None:
                 st = st.where(filter)
-            st = st.select("shard", "docid",
-                           F.expr(by).cast("string").alias("value"))
-            if tdf is not None:   # deleted docs leave the counts too
-                st = st.join(F.broadcast(tdf), "docid", "left_anti")
-            return st
+            return st.select("shard", "docid",
+                             F.expr(by).cast("string").alias("value"))
 
+        # deleted docs leave the counts IN the kernel (excl=) — no
+        # broadcast anti-join stage on the docstore side
         return (self._union(mk_rows).groupBy("sub", "shard")
                 .cogroup(self._union(mk_store).groupBy("sub", "shard"))
-                .applyInPandas(facet_count_group(mode, nq),
+                .applyInPandas(facet_count_group(mode, nq,
+                                                 excl=self._excl()),
                                schema="value string, cnt long")
                 .groupBy("value").agg(F.sum("cnt").alias("doc_count"))
                 .orderBy(F.desc("doc_count"), F.asc("value"))
@@ -1080,8 +1076,7 @@ class CombinedIndex:
         idf = self._idf(all_terms)
         modes = {qid: m for qid, (_, m) in queries.items()}
         k1, b = self.k1, self.b
-        ku = k
-        k, tomb_post = self._overfetch(k)
+        excl = self._excl()
         out_schema = "qid string, docid long, score double"
 
         if org_subs is not None:
@@ -1095,7 +1090,8 @@ class CombinedIndex:
                                int(pdf["shard"].iloc[0]))
                         return score_query_set(pdf, None, qterms, modes,
                                                idf, avgdl, k1, b, k,
-                                               method, rng=rngmap[key])
+                                               method, rng=rngmap[key],
+                                               excl=excl)
 
                     tops = (rows.groupBy("sub", "shard")
                             .applyInPandas(per_group_rng,
@@ -1109,7 +1105,8 @@ class CombinedIndex:
                         return _QSET_EMPTY
                     cand = np.sort(rpdf["docid"].to_numpy(np.int64))
                     return score_query_set(lpdf, cand, qterms, modes,
-                                           idf, avgdl, k1, b, k, method)
+                                           idf, avgdl, k1, b, k, method,
+                                           excl=excl)
 
                 tops = (rows.groupBy("sub", "shard")
                         .cogroup(parts.groupBy("sub", "shard"))
@@ -1118,7 +1115,8 @@ class CombinedIndex:
         else:
             def per_group(pdf):
                 return score_query_set(pdf, None, qterms, modes, idf,
-                                       avgdl, k1, b, k, method)
+                                       avgdl, k1, b, k, method,
+                                       excl=excl)
 
             tops = (self._union(lambda s: s._posting_rows(all_terms))
                     .groupBy("sub", "shard")
@@ -1127,10 +1125,10 @@ class CombinedIndex:
                     .toPandas())
         out = {}
         for qid in queries:
-            sub = tomb_post(tops[tops["qid"] == qid])
+            sub = tops[tops["qid"] == qid]
             out[qid] = (sub.sort_values(["score", "docid"],
                                         ascending=[False, True])
-                        .head(ku)[["docid", "score"]]
+                        .head(k)[["docid", "score"]]
                         .reset_index(drop=True))
         return out
 
@@ -1155,7 +1153,7 @@ class CombinedIndex:
         one global window. ``org=`` requires every generation routed
         WITH contiguous-tenant ranges (the rngmap is O(subs × shards)
         in the kernel closure)."""
-        from .query import (sj_attach_idf, sj_global_topk,
+        from .query import (sj_attach_idf, sj_cand_rows, sj_global_topk,
                             sj_make_qt_factory, sj_normalize_queries,
                             sj_score_group_factory)
         prefix, avgdl = self._field(field)
@@ -1212,28 +1210,34 @@ class CombinedIndex:
             rng_lookup = (lambda lpdf:
                           rm.get((int(lpdf["sub"].iloc[0]),
                                   int(lpdf["shard"].iloc[0]))))
-        ku = k
-        k, _ = self._overfetch(k)
-        # filtered batches score ALL matches per group (a restriction
-        # can invalidate any k-prefix), then semi-join the filter set
-        kg = k if filter is None else (1 << 62)
+        excl = self._excl()
+        if filter is not None:
+            # candidate side-channel (see FTSIndex.search_join): the
+            # filter's per-(sub, shard) docid set rides the postings
+            # side as sentinel rows; kernels restrict and truncate to
+            # k in-group. Tombstones are dropped from the candidate
+            # sets at encode time too, so the kernels never see them.
+            fps = None
+            for i, s in enumerate(self.subs):
+                if i not in shards_of:
+                    continue
+                fd = (s._filter_docs(filter, org)
+                      .withColumn("sub", F.lit(i)))
+                fps = fd if fps is None else fps.unionByName(fd)
+            buckets = make_qt().select("bucket").distinct()
+            ps = ps.unionByName(
+                sj_cand_rows(fps, ["sub", "shard"], buckets,
+                             excl=self.deleted_docids()))
         score_group = sj_score_group_factory(avgdl, self.k1, self.b,
-                                             kg, method, rng_lookup)
+                                             k, method, rng_lookup,
+                                             filtered=filter is not None,
+                                             excl=excl)
         tops = (ps.groupBy("sub", "shard", "bucket")
                 .cogroup(qs_k.groupBy("sub", "shard", "bucket"))
                 .applyInPandas(score_group,
                                schema="qid string, docid long, "
                                       "score double"))
-        if filter is not None:
-            fdocs = (self._union(lambda s: s._filter_docs(filter, org))
-                     .select("docid"))
-            tops = tops.join(fdocs, "docid", "left_semi")
-        tdf = self._tomb_sdf()
-        if tdf is not None:
-            # distributed exclusion before the global top-k window —
-            # the over-fetched per-group tops guarantee exactness
-            tops = tops.join(F.broadcast(tdf), "docid", "left_anti")
-        return sj_global_topk(tops, ku)
+        return sj_global_topk(tops, k)
 
 
 def compact(spark: SparkSession, base_root: str, out_root: str,

@@ -137,3 +137,17 @@ def test_batch_encoder_byte_identical_to_per_segment():
         assert np.array_equal(dd, d[sl]) and np.array_equal(tt, tf[sl])
         assert np.array_equal(pp, pos[psl])
         off += sz
+
+
+def test_docid_set_roundtrip():
+    """encode_docid_set/decode_docid_set: sorted-unique round trip,
+    dedup + sort on encode, empty-set handling."""
+    import numpy as np
+    from sparkfts import codec
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 5, 1000):
+        d = rng.integers(0, 10**12, size=n)
+        got = codec.decode_docid_set(codec.encode_docid_set(d))
+        np.testing.assert_array_equal(got, np.unique(d.astype(np.int64)))
+    assert codec.decode_docid_set(b"").size == 0
+    assert codec.decode_docid_set(None).size == 0

@@ -7,8 +7,9 @@ Contract under test:
   fetch_docs/fetch_docs_local/search_local);
 - surviving docs keep their EXACT pre-delete scores (stats stay stale
   until compaction — deleted docs still count in N/avgdl/df);
-- results equal the pre-delete ranking with deleted rows dropped
-  (the k+T over-fetch is exact, not approximate);
+- results equal the pre-delete ranking with deleted rows dropped —
+  exclusion happens INSIDE the scoring kernels before top-k
+  truncation, so groups return k rows even under huge delete batches;
 - compact() physically drops tombstoned docs with FRESH stats;
 - compact_merge() refuses pending tombstones; nightly_rotate
   falls back to the rebuild path;
@@ -280,3 +281,71 @@ def test_nightly_rotate_falls_back_to_rebuild(env, spark,
                          cfg=env["cfg"], merge=True)
     idx = FTSIndex(spark, res["root"])
     assert idx.N == env["ci"].N - len(env["dead"])
+
+
+def test_kernel_output_bounded_under_large_tombstone_batch(env):
+    """VERDICT r5 #4: deletes are excluded INSIDE the scoring kernels,
+    before top-k truncation — a group returns k rows (not k+T) even
+    under a >=10^4 tombstone batch, on every kernel branch (exact,
+    WAND, and-pruned, candidates), and the survivors equal the
+    exhaustive ranking minus the tombstones."""
+    from sparkfts.query import (_bm25_idf, _score_candidates,
+                                score_shard)
+    ci = env["ci"]
+    base = ci.subs[0]
+    terms = sorted({t for t in Q_OR.split()})
+    pdf = base._local_term_rows(terms)
+    pdf = pdf[pdf["shard"] == int(pdf["shard"].iloc[0])]
+    dfs = base._local_df_counts(terms)
+    idf = {t: _bm25_idf(float(ci.N), dfs.get(t, 0.0)) for t in terms}
+    full = score_shard(pdf, idf, ci.avgdl, ci.k1, ci.b, 10 ** 6,
+                       "or", len(terms), "exact")
+    assert len(full) > 3, "fixture: need matches beyond k"
+    # 10^4+ tombstones: every matching doc except the last 3, plus
+    # filler ids that never match (the realistic big-batch shape)
+    keep_tail = full["docid"].to_numpy(np.int64)[-3:]
+    dead = full["docid"].to_numpy(np.int64)[:-3]
+    filler = np.arange(10 ** 9, 10 ** 9 + 10 ** 4, dtype=np.int64)
+    excl = np.unique(np.concatenate([dead, filler]))
+    assert excl.size >= 10 ** 4
+    k = 5
+    for method, mode in (("exact", "or"), ("wand", "or"),
+                         ("wand", "and")):
+        out = score_shard(pdf, idf, ci.avgdl, ci.k1, ci.b, k,
+                          mode, len(terms), method, excl=excl)
+        assert len(out) <= k, f"{method}/{mode}: {len(out)} rows > k"
+        assert not np.isin(out["docid"].to_numpy(np.int64),
+                           excl).any(), f"{method}/{mode}"
+        if mode == "or":
+            assert set(out["docid"]) <= set(keep_tail.tolist())
+    # candidates branch (org/filter paths)
+    cand = np.sort(full["docid"].to_numpy(np.int64))
+    pt = {t: pdf[pdf["term"] == t]
+          for t in sorted(pdf["term"].unique())}
+    out = _score_candidates(pt, list(pt), cand, idf, ci.avgdl, ci.k1,
+                            ci.b, k, "or", len(terms), excl=excl)
+    assert len(out) <= k and len(out) == min(k, 3)
+    assert not np.isin(out["docid"].to_numpy(np.int64), excl).any()
+
+
+def test_wand_theta_not_inflated_by_deleted_top_docs(env):
+    """Deleting the entire visible top of a query must not let WAND's
+    theta-seed prune live docs: wand == exact on the survivor set."""
+    from sparkfts.query import _bm25_idf, score_shard
+    ci = env["ci"]
+    base = ci.subs[0]
+    terms = sorted({t for t in Q_OR.split()})
+    pdf = base._local_term_rows(terms)
+    pdf = pdf[pdf["shard"] == int(pdf["shard"].iloc[0])]
+    dfs = base._local_df_counts(terms)
+    idf = {t: _bm25_idf(float(ci.N), dfs.get(t, 0.0)) for t in terms}
+    full = score_shard(pdf, idf, ci.avgdl, ci.k1, ci.b, 10 ** 6,
+                       "or", len(terms), "exact")
+    excl = np.sort(full["docid"].to_numpy(np.int64)[:len(full) // 2])
+    w = score_shard(pdf, idf, ci.avgdl, ci.k1, ci.b, 4, "or",
+                    len(terms), "wand", excl=excl)
+    e = score_shard(pdf, idf, ci.avgdl, ci.k1, ci.b, 4, "or",
+                    len(terms), "exact", excl=excl)
+    assert w["docid"].tolist() == e["docid"].tolist()
+    np.testing.assert_allclose(w["score"], e["score"], rtol=0,
+                               atol=1e-12)
