@@ -989,8 +989,8 @@ DEL_PRED = "doc_id % 23 = 5"          # deterministic tombstone set
 def _delete_ci(spark, sf_dir):
     """Base+delta like _stream_union_ci but on its OWN root, with the
     DEL_PRED docs tombstoned (delete_docs is idempotent, so cached
-    re-runs are safe). The shared stream root stays tombstone-free —
-    compact_merge refuses pending deletes by design."""
+    re-runs are safe). The shared stream root stays tombstone-free so
+    its gates observe a delete-free corpus."""
     from sparkfts import BuildConfig, build_index
     from sparkfts.streaming import (CombinedIndex, make_batch_indexer,
                                     read_delta_log)
@@ -1017,13 +1017,48 @@ def _delete_ci(spark, sf_dir):
     return ci
 
 
+def _delete_routed_ci(spark, sf_dir):
+    """ROUTED base+delta with the same DEL_PRED docs tombstoned — the
+    fixture for the routed merge-fold leg (r6, VERDICT r5 #5): orgs
+    are doc_id % 5, deterministic, present in both generations."""
+    from sparkfts import BuildConfig, build_index
+    from sparkfts.streaming import (CombinedIndex, make_batch_indexer,
+                                    read_delta_log)
+    from sparkfts.storage import manifest_exists
+    key = f"{os.path.abspath(sf_dir)}#delroutstream"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    root = _gate_root(sf_dir, "delroutstream")
+    docs = _docs(spark, sf_dir).withColumn(
+        "org", F.concat(F.lit("org"), (F.col("doc_id") % 5)))
+    cfg = BuildConfig(num_shards=4, partitions=4,
+                      routing_col="org", shards_per_org=2)
+    if not manifest_exists(root):
+        build_index(spark, docs.where("doc_id < 300"), root,
+                    text_col="text", order_cols=["doc_id"], cfg=cfg)
+    if not read_delta_log(root):
+        make_batch_indexer(root, text_col="text",
+                           order_cols=["doc_id"], cfg=cfg)(
+            docs.where("doc_id >= 300"), batch_id=0)
+    ci = CombinedIndex(spark, root)
+    dead = sorted({int(r["docid"]) for s in ci.subs
+                   for r in s._docstore.where(DEL_PRED)
+                   .select("docid").collect()})
+    ci.delete_docs(dead)
+    _INDEX_CACHE[key] = ci
+    return ci
+
+
 def q_delete_search(spark, sf_dir):
-    """Deletes / tombstones (r5, the Lucene live-docs analog). Two legs:
-    'live' — base+delta with DEL_PRED docs tombstoned; hits exclude
-    them but scores use STALE union stats (deleted docs still count in
-    N/avgdl/df, exactly Lucene-before-merge); 'compacted' — after
-    compact() physically drops them, scores use FRESH subset stats.
-    Hits map back to the user's doc_id (docids are generation-local)."""
+    """Deletes / tombstones (r5, the Lucene live-docs analog). Four
+    legs: 'live' — base+delta with DEL_PRED docs tombstoned; hits
+    exclude them but scores use STALE union stats (deleted docs still
+    count in N/avgdl/df, exactly Lucene-before-merge); 'compacted' —
+    after compact() physically drops them, scores use FRESH subset
+    stats; 'merged' — compact_merge's in-kernel fold, same result;
+    'routed_merged' (r6) — the routed org-segment merge-fold, same
+    result again. Hits map back to the user's doc_id (docids are
+    generation-local)."""
     import pandas as _pd
     from sparkfts import BuildConfig, FTSIndex
     from sparkfts.storage import manifest_exists
@@ -1079,6 +1114,30 @@ def q_delete_search(spark, sf_dir):
     o3["rank"] = o3.index + 1
     o3["score_r"] = o3["score"].round(4)
     parts.append(o3[["leg", "rank", "doc_id", "score_r"]])
+
+    # routed merge-fold leg (r6, VERDICT r5 #5): a ROUTED base+delta
+    # with the same tombstones keeps the postings-bytes merge path —
+    # per-(gen, shard, org) segments shrink, survivors re-rank densely
+    # within their org block. BM25 is routing-invariant, so the oracle
+    # is the same fresh-survivor-stats SQL as the plain merged leg.
+    cir = _delete_routed_ci(spark, sf_dir)
+    rroot = _gate_root(sf_dir, "delroutmerged")
+    if not manifest_exists(rroot):
+        compact_merge(spark, cir.base_root, rroot,
+                      cfg=BuildConfig(num_shards=4, partitions=4,
+                                      routing_col="org",
+                                      shards_per_org=2))
+    idx4 = FTSIndex(spark, rroot)
+    h4 = idx4.topk_pandas(qtext, k=10, mode="or")
+    d4 = idx4.fetch_docs(h4["docid"].tolist()).toPandas()
+    o4 = h4.merge(d4[["docid", "doc_id"]], on="docid")
+    o4 = (o4.sort_values(["score", "doc_id"],
+                         ascending=[False, True])
+          .reset_index(drop=True))
+    o4["leg"] = "routed_merged"
+    o4["rank"] = o4.index + 1
+    o4["score_r"] = o4["score"].round(4)
+    parts.append(o4[["leg", "rank", "doc_id", "score_r"]])
     return spark.createDataFrame(
         _pd.concat(parts, ignore_index=True),
         schema="leg string, rank long, doc_id long, score_r double")
@@ -1822,10 +1881,12 @@ def _facet_counts_sql() -> str:
 
 
 def _delete_search_sql() -> str:
-    """Deletes oracle, two legs: 'live' = STALE-stats BM25 (whole
-    corpus incl. deleted docs) restricted to survivors — the
-    Lucene-before-merge contract; 'compacted' = FRESH-stats BM25 over
-    the surviving subset only (own N/df/avgdl)."""
+    """Deletes oracle: 'live' = STALE-stats BM25 (whole corpus incl.
+    deleted docs) restricted to survivors — the Lucene-before-merge
+    contract; 'compacted' / 'merged' / 'routed_merged' = FRESH-stats
+    BM25 over the surviving subset only (own N/df/avgdl) — the three
+    physical drop paths (rebuild, plain merge-fold, routed merge-fold)
+    are document-identical, so they share one oracle construction."""
     terms = [T_HOT, T_MID, T_RARE]
     live_scored = _bm25_scored(terms, "or")
     sub_scored = _bm25_scored(terms, "or").replace("documents",
@@ -1855,6 +1916,14 @@ def _delete_search_sql() -> str:
         UNION ALL
         SELECT * FROM (
           SELECT 'merged' AS leg,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                     AS rank,
+                 doc_id, round(score, 4) AS score_r
+          FROM ({sub_scored} SELECT doc_id, score FROM scored)
+          ORDER BY score DESC, doc_id ASC LIMIT 10)
+        UNION ALL
+        SELECT * FROM (
+          SELECT 'routed_merged' AS leg,
                  row_number() OVER (ORDER BY score DESC, doc_id ASC)
                      AS rank,
                  doc_id, round(score, 4) AS score_r

@@ -11,8 +11,9 @@ Contract under test:
   exclusion happens INSIDE the scoring kernels before top-k
   truncation, so groups return k rows even under huge delete batches;
 - compact() physically drops tombstoned docs with FRESH stats;
-- compact_merge() refuses pending tombstones; nightly_rotate
-  falls back to the rebuild path;
+- compact_merge() folds pending tombstones in BOTH plain and routed
+  modes (document-identical to the rebuild), so nightly_rotate keeps
+  the postings-bytes merge path;
 - unknown docids raise; re-deleting returns 0; a fresh handle
   observes deletes made through another handle.
 """
@@ -250,9 +251,16 @@ def test_compact_merge_folds_tombstones(env, spark, tmp_path_factory):
                                   "turn_idx"]].to_numpy()))), (q, mode)
 
 
-def test_compact_merge_refuses_routed_tombstones(spark,
-                                                 tmp_path_factory):
-    from sparkfts.streaming import CombinedIndex, compact_merge
+def test_compact_merge_folds_routed_tombstones(spark,
+                                               tmp_path_factory):
+    """ROUTED generations merge-fold deletes too (r6, VERDICT r5 #5):
+    each (gen, shard, org) segment shrinks by its delete count,
+    survivors re-rank densely within their segment, org blocks stay
+    contiguous (org_ranges regenerate), and the result is
+    document-identical to the compact() rebuild — globally AND
+    org-scoped."""
+    from sparkfts.streaming import (CombinedIndex, compact,
+                                    compact_merge, make_batch_indexer)
     pdf = make_transcripts(10, seed=95)
     orgs = sorted(pdf["conv_id"].unique())
     pdf["org"] = pdf["conv_id"].map(lambda c: f"o{orgs.index(c) % 2}")
@@ -261,16 +269,61 @@ def test_compact_merge_refuses_routed_tombstones(spark,
                       routing_col="org", shards_per_org=2)
     build_index(spark, spark.createDataFrame(pdf), root,
                 order_cols=["conv_id", "turn_idx"], cfg=cfg)
+    dpdf = make_transcripts(4, seed=96)
+    dorgs = sorted(dpdf["conv_id"].unique())
+    dpdf["org"] = dpdf["conv_id"].map(
+        lambda c: f"o{dorgs.index(c) % 2}")
+    make_batch_indexer(root, cfg=cfg)(
+        spark.createDataFrame(dpdf), batch_id=0)
     ci = CombinedIndex(spark, root)
-    some = int(ci.subs[0]._docstore.limit(1).collect()[0]["docid"])
-    ci.delete_docs([some])
-    out = str(tmp_path_factory.mktemp("del_routed_out"))
-    with pytest.raises(ValueError, match="tombstones"):
-        compact_merge(spark, root, out, cfg=cfg)
+    # tombstone top-visible docs from BOTH generations + one org's hit
+    full = ci.topk(Q_OR, k=10 ** 6, mode="or", method="exact")
+    base_docs = ci.subs[0]._docstore.select("docid").toPandas()
+    delta_docs = ci.subs[1]._docstore.select("docid").toPandas()
+    dead = {int(full["docid"].iloc[0]), int(full["docid"].iloc[2]),
+            int(base_docs["docid"].iloc[3]),
+            int(delta_docs["docid"].iloc[1])}
+    ci.delete_docs(sorted(dead))
+    n_live = ci.N - len(dead)
+
+    out = str(tmp_path_factory.mktemp("del_routed_merge"))
+    compact_merge(spark, root, out, cfg=cfg)
+    idx = FTSIndex(spark, out)
+    assert idx.N == n_live
+    assert os.path.isdir(os.path.join(out, "org_ranges")), \
+        "routed fold must keep the contiguous-tenant layout"
+    # identity: no tombstoned (conv_id, turn_idx) survived
+    old = pd.concat([s._docstore.toPandas() for s in ci.subs],
+                    ignore_index=True)
+    dead_keys = set(map(tuple, old[old["docid"].isin(sorted(dead))]
+                        [["conv_id", "turn_idx"]].to_numpy()))
+    store = idx._docstore.toPandas()
+    assert len(store) == n_live
+    got_keys = set(map(tuple, store[["conv_id", "turn_idx"]]
+                       .to_numpy()))
+    assert not (dead_keys & got_keys)
+    # rebuild-oracle parity (identity-matched scores), incl. org-scoped
+    rroot = str(tmp_path_factory.mktemp("del_routed_rb"))
+    compact(spark, root, rroot, order_cols=["conv_id", "turn_idx"],
+            cfg=cfg)
+    ridx = FTSIndex(spark, rroot)
+
+    def keyset(ix, q, mode, org=None):
+        h = ix.topk_pandas(q, k=10, mode=mode, org=org)
+        dd = ix.fetch_docs(h["docid"].tolist()).toPandas()
+        m = h.merge(dd[["docid", "conv_id", "turn_idx"]], on="docid")
+        return sorted((round(s, 9), c, int(t)) for s, c, t in
+                      zip(m["score"], m["conv_id"], m["turn_idx"]))
+
+    for q, mode in ((Q_OR, "or"), (Q_AND, "and")):
+        assert keyset(idx, q, mode) == keyset(ridx, q, mode), (q, mode)
+        for o in ("o0", "o1"):
+            assert keyset(idx, q, mode, org=o) \
+                == keyset(ridx, q, mode, org=o), (q, mode, o)
 
 
-def test_nightly_rotate_falls_back_to_rebuild(env, spark,
-                                              tmp_path_factory):
+def test_nightly_rotate_merges_with_tombstones(env, spark,
+                                               tmp_path_factory):
     from sparkfts.rotation import RotationRegistry
     from sparkfts.streaming import nightly_rotate
     reg_dir = str(tmp_path_factory.mktemp("del_reg"))
