@@ -59,12 +59,25 @@ def _order_rows(rows: pd.DataFrame) -> pd.DataFrame:
     return rows.sort_values(cols, kind="stable")
 
 
+# Block-decode telemetry (test/diagnostic only — plain dict increments,
+# no locking): lets tests prove a pruned path decoded FEWER blocks than
+# the exhaustive one, e.g. cursor-aware WAND on deep pages.
+DECODE_COUNTERS = {"blocks": 0}
+
+
+def reset_decode_counters() -> None:
+    DECODE_COUNTERS["blocks"] = 0
+
+
 def _decode_term_rows(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode all chunks of one term → concatenated (docids, tfs, dls)
     in globally ascending docid order (see _order_rows)."""
-    parts = [codec.decode_postings(r.blob, np.asarray(r.block_off),
-                                   np.asarray(r.block_n))
-             for r in _order_rows(rows).itertuples()]
+    parts = []
+    for r in _order_rows(rows).itertuples():
+        DECODE_COUNTERS["blocks"] += len(r.block_n)
+        parts.append(codec.decode_postings(r.blob,
+                                           np.asarray(r.block_off),
+                                           np.asarray(r.block_n)))
     return (np.concatenate([p[0] for p in parts]),
             np.concatenate([p[1] for p in parts]),
             np.concatenate([p[2] for p in parts]))
@@ -79,6 +92,7 @@ def _decode_selected(rows: pd.DataFrame, keep_mask_per_row: list[np.ndarray],
         sel = np.flatnonzero(keep)
         if sel.size == 0:
             continue
+        DECODE_COUNTERS["blocks"] += int(sel.size)
         offs = np.asarray(r.block_off)
         ns = np.asarray(r.block_n)
         buf = np.frombuffer(r.blob, dtype=np.uint8)
@@ -449,15 +463,147 @@ def facet_count_group(mode: str, n_query_terms: int,
     return per_group
 
 
+def _score_or_wand_after(per_term: dict[str, pd.DataFrame],
+                         terms: list[str], idf: dict[str, float],
+                         avgdl: float, k1: float, b: float, k: int,
+                         n_query_terms: int, after: tuple[float, int],
+                         excl: np.ndarray | None = None
+                         ) -> pd.DataFrame:
+    """Cursor-aware block-max pruning for OR-mode deep pagination
+    (exact; VERDICT r5 #6). The plain WAND seed is unsound here: a
+    seed doc's PARTIAL sum can sit under the cursor score while its
+    full score exceeds it, so a θ taken from partials could prune
+    genuinely qualifying docs. Instead, θ comes only from seed docs
+    the decode PROVES complete — a doc is complete when, for every
+    query term, it lies outside all UNDECODED block ranges (block
+    [first, last] metadata, no extra decode), so its partial IS its
+    full score. θ = k-th best complete score ranking strictly after
+    the cursor — a valid lower bound on the page's k-th score — then
+    the standard upper-bound sweep prunes blocks exactly as the
+    first-page path does. Deep pages decode the seed plus only the
+    blocks whose ub-sum clears θ, instead of every posting."""
+    s0, d0 = float(after[0]), int(after[1])
+    tinfo = {}
+    for t in terms:
+        rows = _order_rows(per_term[t])
+        firsts = np.concatenate([np.asarray(r.block_first)
+                                 for r in rows.itertuples()])
+        lasts = np.concatenate([np.asarray(r.block_last)
+                                for r in rows.itertuples()])
+        maxtf = np.concatenate([np.asarray(r.block_max_tf)
+                                for r in rows.itertuples()])
+        mindl = np.concatenate([np.asarray(r.block_min_dl)
+                                for r in rows.itertuples()])
+        ub = idf[t] * codec.bm25_partial(maxtf, mindl, avgdl, k1, b)
+        row_sizes = [len(r.block_n) for r in rows.itertuples()]
+        tinfo[t] = (rows, firsts, lasts, ub, row_sizes)
+
+    # seed: decode each term's top-m blocks by ub, tracking which
+    # blocks stayed undecoded (their ranges decide completeness)
+    m_seed = max(1, -(-k // codec.BLOCK)) + 1
+    seed_d, seed_c, undec = [], [], {}
+    for t in terms:
+        rows, firsts, lasts, ub, row_sizes = tinfo[t]
+        top = np.argsort(-ub)[:m_seed]
+        keep = np.zeros(ub.shape[0], dtype=bool)
+        keep[top] = True
+        masks, pos = [], 0
+        for sz in row_sizes:
+            masks.append(keep[pos:pos + sz]); pos += sz
+        d, tf, dl = _decode_selected(rows, masks)
+        seed_d.append(d)
+        seed_c.append(idf[t] * codec.bm25_partial(tf, dl, avgdl, k1, b))
+        uf, ul = firsts[~keep], lasts[~keep]
+        o = np.argsort(ul, kind="stable")
+        undec[t] = (uf[o], ul[o])
+    sd = np.concatenate(seed_d) if seed_d else np.empty(0, np.int64)
+    sc = np.concatenate(seed_c) if seed_c else np.empty(0, np.float64)
+    ms = _drop_excl(sd, excl)
+    if ms is not None:
+        sd, sc = sd[ms], sc[ms]
+    theta = 0.0
+    if sd.size:
+        uniq, inv = np.unique(sd, return_inverse=True)
+        part = np.zeros(uniq.shape[0])
+        np.add.at(part, inv, sc)      # ascending-term order: bit-exact
+        complete = np.ones(uniq.shape[0], dtype=bool)
+        for t in terms:
+            uf, ul = undec[t]
+            if uf.size == 0:
+                continue
+            # doc stabbed by an undecoded block [f, l] → its partial
+            # may be missing this term's contribution → not complete.
+            # Undecoded ranges can overlap only across chunk rows of
+            # the same term; checking the first candidate interval is
+            # sound because block ranges of ONE term never nest (docids
+            # strictly increase across a term's ordered blocks).
+            j = np.searchsorted(ul, uniq)
+            hit = j < ul.shape[0]
+            hit[hit] = uf[j[hit]] <= uniq[hit]
+            complete &= ~hit
+        qual = complete & ((part < s0) | ((part == s0) & (uniq > d0)))
+        qs_ = part[qual]
+        if qs_.shape[0] >= k:
+            theta = float(np.sort(qs_)[-k])
+
+    # sweep: identical upper-bound machinery to the first-page path
+    pts, deltas = [], []
+    for t in terms:
+        _, firsts, lasts, ub, _ = tinfo[t]
+        pts.append(firsts); deltas.append(ub)
+        pts.append(lasts + 1); deltas.append(-ub)
+    xs = np.concatenate(pts)
+    ds_ = np.concatenate(deltas)
+    order = np.argsort(xs, kind="stable")
+    xs, ds_ = xs[order], ds_[order]
+    bounds = np.unique(xs)
+    seg_ub = np.add.reduceat(ds_, np.searchsorted(xs, bounds,
+                                                  side="left"))
+    seg_ub = np.cumsum(seg_ub)
+    live = (seg_ub >= theta if theta > 0
+            else np.ones_like(seg_ub, dtype=bool))
+    starts = bounds[live]
+    nxt = np.append(bounds[1:], np.iinfo(np.int64).max)
+    ends = nxt[live]
+
+    all_d, all_c = [], []
+    for t in terms:
+        rows, firsts, lasts, ub, row_sizes = tinfo[t]
+        ii = np.searchsorted(ends, firsts, side="right")
+        keep = ((ii < starts.shape[0])
+                & (starts[np.minimum(ii, starts.shape[0] - 1)]
+                   <= lasts))
+        masks, pos = [], 0
+        for sz in row_sizes:
+            masks.append(keep[pos:pos + sz]); pos += sz
+        d, tf, dl = _decode_selected(rows, masks)
+        if d.size:
+            jj = np.searchsorted(ends, d, side="right")
+            inlive = ((jj < starts.shape[0])
+                      & (starts[np.minimum(jj, starts.shape[0] - 1)]
+                         <= d))
+            d, tf, dl = d[inlive], tf[inlive], dl[inlive]
+        all_d.append(d)
+        all_c.append(idf[t] * codec.bm25_partial(tf, dl, avgdl, k1, b))
+    if not all_d:
+        return _aggregate_topk(np.empty(0, np.int64),
+                               np.empty(0, np.float64), k, "or",
+                               n_query_terms, after=after)
+    return _aggregate_topk(np.concatenate(all_d),
+                           np.concatenate(all_c), k, "or",
+                           n_query_terms, after=after, excl=excl)
+
+
 def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
                 k1: float, b: float, k: int, mode: str,
                 n_query_terms: int, method: str = "wand",
                 after: tuple[float, int] | None = None,
                 excl: np.ndarray | None = None) -> pd.DataFrame:
     """Score one shard's dictionary rows (all query terms) → top-k.
-    With ``after`` (deep-pagination cursor), OR-mode falls back to the
-    exhaustive path: WAND's θ pruning skips docs scoring below the
-    running k-th best, but a cursor page legitimately needs them.
+    With ``after`` (deep-pagination cursor), OR-mode WAND switches to
+    the cursor-aware pruned path (_score_or_wand_after, r6): exact at
+    any depth, pruning via a θ seeded from docs the seed decode proves
+    COMPLETE (method='exact' keeps the exhaustive reference behavior).
     ``excl`` (sorted tombstoned docids) is excluded before truncation
     in every branch; on the WAND path it is also dropped from the
     θ-seed so a high-scoring deleted doc can never inflate θ above a
@@ -465,6 +611,10 @@ def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
     terms = sorted(pdf["term"].unique())
     per_term = {t: pdf[pdf["term"] == t] for t in terms}
     if after is not None and mode != "and":
+        if method == "wand":
+            return _score_or_wand_after(per_term, terms, idf, avgdl,
+                                        k1, b, k, n_query_terms,
+                                        after, excl)
         method = "exact"
 
     if method == "exact":
@@ -927,9 +1077,22 @@ class FTSIndex:
         self.routing_col = _json.loads(rt)["col"] if rt else None
         self.shards_per_org = _json.loads(rt)["k"] if rt else None
         fj = st.get("fields") or ""
-        # multi-field index: {field name: that field's avgdl}
-        self.fields: dict[str, float] | None = (
-            _json.loads(fj) if fj else None)
+        # multi-field index: {field name: that field's avgdl}. New-form
+        # rows (built with field_doc_counts — the type→field doc-type
+        # mapping) store {"avgdl": …, "n": …} per field: n opts the
+        # field into its OWN document count for idf, making field
+        # scoring BM25-identical to a dedicated per-type index. Legacy
+        # float values keep the documented index-global-N behavior.
+        self.fields: dict[str, float] | None = None
+        self._field_n: dict[str, float] = {}
+        if fj:
+            self.fields = {}
+            for name, v in _json.loads(fj).items():
+                if isinstance(v, dict):
+                    self.fields[name] = float(v["avgdl"])
+                    self._field_n[name] = float(v["n"])
+                else:
+                    self.fields[name] = float(v)
         # one file-index per handle: re-creating the read per query would
         # re-list the directory tree every time
         self._postings = spark.read.parquet(storage.path(root, "postings"))
@@ -951,16 +1114,26 @@ class FTSIndex:
                 f"{sorted(self.fields)}")
         return f"{field}:", float(self.fields[field])
 
+    def _fieldN(self, field: str | None) -> float:
+        """Document count for idf: the field's own n when the index
+        stores per-field doc counts (type→field mapping), else the
+        index-global N (classic and legacy multi-field builds)."""
+        if field is not None and field in self._field_n:
+            return self._field_n[field]
+        return float(self.N)
+
     def _terms(self, query: str, prefix: str = "") -> list[str]:
         return sorted({prefix + t
                        for t in tokenize_text(query, self.tokenizer)})
 
-    def _idf_map(self, terms: list[str]) -> dict[str, float]:
+    def _idf_map(self, terms: list[str],
+                 N: float | None = None) -> dict[str, float]:
         if not terms:
             return {}
         rows = self._term_stats.where(F.col("term").isin(terms)).collect()
         dfm = {r["term"]: float(r["df"]) for r in rows}
-        return {t: _bm25_idf(float(self.N), dfm.get(t, 0.0)) for t in terms}
+        n = float(self.N) if N is None else float(N)
+        return {t: _bm25_idf(n, dfm.get(t, 0.0)) for t in terms}
 
     def _posting_rows(self, terms: list[str]) -> DataFrame:
         """Dictionary lookup: pushdown filter on `th` = md5-based int64
@@ -1075,7 +1248,7 @@ class FTSIndex:
         if after is not None:
             after = (float(after[0]), int(after[1]))
         terms = self._terms(query, prefix)
-        idf = self._idf_map(terms)
+        idf = self._idf_map(terms, N=self._fieldN(field))
         empty = self.spark.createDataFrame([], "docid long, score double")
         if not terms:
             return empty
@@ -1173,7 +1346,7 @@ class FTSIndex:
             return {qid: pd.DataFrame({"docid": pd.Series(dtype="int64"),
                                        "score": pd.Series(dtype="float64")})
                     for qid in queries}
-        idf = self._idf_map(all_terms)
+        idf = self._idf_map(all_terms, N=self._fieldN(field))
         k1, b = self.k1, self.b
         modes = {qid: m for qid, (_, m) in queries.items()}
         out_schema = "qid string, docid long, score double"
@@ -1310,7 +1483,7 @@ class FTSIndex:
         make_qt = sj_make_qt_factory(q, self.tokenizer, prefix, B)
         qs = sj_attach_idf(make_qt(),
                            self._term_stats.select("term", "df"),
-                           float(self.N))
+                           self._fieldN(field))
         ranges = None
         if org is not None:
             if self.routing_col is None:
@@ -1385,7 +1558,7 @@ class FTSIndex:
         if not terms:
             return out_empty
         dfs = self._local_df_counts(terms)
-        idf = {t: _bm25_idf(float(self.N), dfs.get(t, 0.0))
+        idf = {t: _bm25_idf(self._fieldN(field), dfs.get(t, 0.0))
                for t in terms}
         dec = self._decoded_terms(terms)
         rows = []
@@ -1651,7 +1824,7 @@ class FTSIndex:
             # so results are bit-identical to the cold path
             pt = self._decoded_terms(terms)
             dfm = self._local_df_counts(terms)
-            idf = {t: _bm25_idf(float(self.N), dfm.get(t, 0.0))
+            idf = {t: _bm25_idf(self._fieldN(field), dfm.get(t, 0.0))
                    for t in terms}
             return score_decoded(pt, idf, avgdl, self.k1, self.b, k,
                                  mode, len(terms), after=after)
@@ -1661,7 +1834,8 @@ class FTSIndex:
         if pdf.empty:
             return empty
         dfm = self._local_df_counts(terms)
-        idf = {t: _bm25_idf(float(self.N), dfm.get(t, 0.0)) for t in terms}
+        idf = {t: _bm25_idf(self._fieldN(field), dfm.get(t, 0.0))
+               for t in terms}
         if org is not None:
             ranges = self._org_ranges(org)
             if ranges is not None:
@@ -1881,7 +2055,7 @@ class FTSIndex:
         if not seq:
             return empty
         uniq = sorted(set(seq))
-        idf = self._idf_map(uniq)
+        idf = self._idf_map(uniq, N=self._fieldN(field))
         k1, b = self.k1, self.b
 
         if filter is not None:
@@ -2043,7 +2217,7 @@ class FTSIndex:
         if pdf.empty:
             return empty
         dfm = self._local_df_counts(uniq)
-        idf = {t: _bm25_idf(float(self.N), dfm.get(t, 0.0))
+        idf = {t: _bm25_idf(self._fieldN(field), dfm.get(t, 0.0))
                for t in uniq}
         if org is not None:
             ranges = self._org_ranges(org)

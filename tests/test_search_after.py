@@ -143,3 +143,67 @@ def test_combined_pages_with_deletes(spark, tmp_path_factory):
     gotl = _paginate(lambda c: ci.topk_local(q, k=4, mode="or",
                                              after=c), k=4)
     assert gotl["docid"].tolist() == want["docid"].tolist()
+
+
+def test_or_wand_after_prunes_blocks():
+    """VERDICT r5 #6: OR-mode cursor pages prune via cursor-aware WAND
+    (theta from seed docs PROVEN complete) instead of decoding every
+    posting. Synthetic one-term postings with a strong tf spread (the
+    60 hot docs share the first block, 79 more blocks are all tf=1):
+    the page-2 theta sits far above the flat tail's block upper bounds,
+    so the pruned path must decode a small fraction of the exhaustive
+    path's blocks while staying rank- and score-identical."""
+    from sparkfts import codec
+    from sparkfts import query as Q
+    n = 128 * 80
+    docids = np.arange(n, dtype=np.int64)
+    tf = np.ones(n, np.int64)
+    tf[:60] = 60 - np.arange(60)          # 60..1, strictly decreasing
+    dl = np.full(n, 40, np.int64)
+    enc = codec.encode_postings(docids, tf, dl)
+    lpdf = pd.DataFrame([{**enc, "term": "t", "shard": 0, "chunk": 0}])
+    idf = {"t": 1.0}
+    full = Q.score_shard(lpdf, idf, 40.0, 1.2, 0.75, 10 ** 6,
+                         "or", 1, "exact")
+    k = 5
+    cur = (float(full["score"].iloc[k - 1]),
+           int(full["docid"].iloc[k - 1]))   # cursor at end of page 1
+
+    Q.reset_decode_counters()
+    e = Q.score_shard(lpdf, idf, 40.0, 1.2, 0.75, k, "or", 1,
+                      "exact", after=cur)
+    exact_blocks = Q.DECODE_COUNTERS["blocks"]
+    Q.reset_decode_counters()
+    w = Q.score_shard(lpdf, idf, 40.0, 1.2, 0.75, k, "or", 1,
+                      "wand", after=cur)
+    wand_blocks = Q.DECODE_COUNTERS["blocks"]
+
+    assert w["docid"].tolist() == e["docid"].tolist()
+    np.testing.assert_allclose(w["score"], e["score"], rtol=0, atol=0)
+    assert exact_blocks == 80
+    assert wand_blocks <= exact_blocks // 4, \
+        f"no pruning: wand={wand_blocks} exact={exact_blocks}"
+
+
+def test_or_wand_after_multiterm_parity(spark, tmp_path_factory):
+    """Multi-term cursor pages through the pruned path stay exact at
+    every depth (theta may degrade to 0 when seed completeness fails
+    on sparse terms — never wrong, just unpruned)."""
+    pdf = make_transcripts(150, seed=97)
+    root = str(tmp_path_factory.mktemp("sa_prune"))
+    build_index(spark, spark.createDataFrame(pdf),
+                root, order_cols=["conv_id", "turn_idx"],
+                cfg=BuildConfig(num_shards=1, partitions=2))
+    idx = FTSIndex(spark, root)
+    ps = idx._postings.toPandas()
+    hot2 = ps.groupby("term")["df"].sum().sort_values().index[-2:]
+    q2 = " ".join(hot2)
+    full2 = idx.topk_pandas(q2, k=10 ** 6, mode="or", method="exact")
+    got = _paginate(lambda c: idx.topk_pandas(q2, k=7, mode="or",
+                                              method="wand", after=c),
+                    k=7, max_pages=5)
+    n = len(got)
+    assert got["docid"].tolist() == full2["docid"].head(n).tolist()
+    np.testing.assert_allclose(got["score"],
+                               full2["score"].head(n), rtol=0,
+                               atol=1e-9)
