@@ -461,12 +461,24 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
                 cfg: BuildConfig = BuildConfig(),
                 resume: bool = False,
                 docid_offset: int = 0,
+                field_doc_counts: dict[str, int] | None = None,
                 _only_shards: list[int] | None = None) -> dict:
     """Build (or resume) the full index under ``out_dir``.
 
     Either ``docid_col`` (pre-existing unique int64 ids) or ``order_cols``
     (stable ordering for rank-based assignment, e.g.
     ["conv_id", "turn_idx"]) must be given. Returns a summary dict.
+
+    ``field_doc_counts`` (multi-field builds; the type→field doc-type
+    mapping): per-field document counts — how many docs the field is
+    RESPONSIBLE for, which only the caller can know (a field empty
+    because the doc belongs to another type is indistinguishable from
+    genuinely empty text once pivoted; doctype.type_doc_counts computes
+    them). When given, the stats json stores per-field
+    {avgdl: field tokens / n_f, n: n_f} instead of the legacy
+    index-global-N form, and field-scoped queries score with the
+    field's OWN N and avgdl — BM25-identical to a dedicated per-type
+    index (the type→index mapping).
     ``_only_shards`` is a test hook simulating a partial (killed) build.
 
     Job structure (the serial floor between parallel stages is what caps
@@ -718,9 +730,22 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
         frows = (narrow
                  .withColumn("fld", F.split("term", ":").getItem(0))
                  .groupBy("fld").agg(F.sum("cf").alias("cf")).collect())
-        fields_json = _json.dumps(
-            {r["fld"]: (float(r["cf"]) / N if N else 0.0)
-             for r in frows})
+        if field_doc_counts is not None:
+            if set(field_doc_counts) != set(cfg.fields):
+                raise ValueError(
+                    "field_doc_counts keys must match cfg.fields "
+                    f"exactly: {sorted(field_doc_counts)} vs "
+                    f"{sorted(cfg.fields)}")
+            fcf = {r["fld"]: float(r["cf"]) for r in frows}
+            fields_json = _json.dumps(
+                {fld: {"avgdl": (fcf.get(fld, 0.0) / nf if nf
+                                 else 0.0),
+                       "n": int(nf)}
+                 for fld, nf in field_doc_counts.items()})
+        else:
+            fields_json = _json.dumps(
+                {r["fld"]: (float(r["cf"]) / N if N else 0.0)
+                 for r in frows})
     narrow.unpersist()
     # avgdl = total tokens / N == sum(cf)/N -- no separate doc-length
     # pass anywhere in the build

@@ -257,9 +257,27 @@ class CombinedIndex:
         if field is None or field not in names:
             raise ValueError(
                 f"multi-field index: pick field= from {names}")
+        if all(field in s._field_n for s in self.subs):
+            # per-field doc counts in EVERY generation (type→field
+            # mapping): union avgdl over the field's OWN docs —
+            # Σ tokens_f / Σ n_f, what a monolithic per-type index
+            # computes
+            nf = sum(s._field_n[field] for s in self.subs)
+            avg = (sum(s._field_n[field] * float(s.fields[field])
+                       for s in self.subs) / nf if nf else 0.0)
+            return f"{field}:", avg
         avg = (sum(s.N * float(s.fields.get(field, 0.0))
                    for s in self.subs) / self.N if self.N else 0.0)
         return f"{field}:", avg
+
+    def _fieldN(self, field: str | None) -> float:
+        """Union document count for idf: Σ per-generation field n when
+        EVERY generation stores it (type→field mapping), else the
+        union-global N (classic / legacy multi-field)."""
+        if field is not None and \
+                all(field in s._field_n for s in self.subs):
+            return float(sum(s._field_n[field] for s in self.subs))
+        return float(self.N)
 
     def _org_range_map(self, org_subs, org: str):
         """{(sub ordinal, shard): [lo, hi]} when EVERY generation has an
@@ -433,7 +451,8 @@ class CombinedIndex:
         for s in self.subs:
             for t, d in s._local_df_counts(terms).items():
                 df_tot[t] += d
-        idf = {t: math.log(1.0 + (self.N - d + 0.5) / (d + 0.5))
+        nf = self._fieldN(field)
+        idf = {t: math.log(1.0 + (nf - d + 0.5) / (d + 0.5))
                for t, d in df_tot.items()}
         if after is not None:
             after = (float(after[0]), int(after[1]))
@@ -525,7 +544,8 @@ class CombinedIndex:
         for s in self.subs:
             for t, d in s._local_df_counts(uniq).items():
                 df_tot[t] += d
-        idf = {t: _bm25_idf(float(self.N), d) for t, d in df_tot.items()}
+        idf = {t: _bm25_idf(self._fieldN(field), d)
+               for t, d in df_tot.items()}
         excl = self._excl()
         parts = []
         for i, s in enumerate(self.subs):
@@ -624,8 +644,10 @@ class CombinedIndex:
             out = out.unionByName(d)
         return out
 
-    def _idf(self, terms: list[str]) -> dict[str, float]:
-        """Union-global document frequencies in ONE job."""
+    def _idf(self, terms: list[str],
+             N: float | None = None) -> dict[str, float]:
+        """Union-global document frequencies in ONE job. ``N``
+        overrides the doc count (per-field n, type→field mapping)."""
         rows = (self._union(lambda s: s._term_stats
                             .where(F.col("term").isin(terms))
                             .select("term", "df"))
@@ -633,7 +655,8 @@ class CombinedIndex:
         df_tot = {t: 0.0 for t in terms}
         for r in rows:
             df_tot[r["term"]] = float(r["df"])
-        return {t: math.log(1.0 + (self.N - d + 0.5) / (d + 0.5))
+        n = float(self.N) if N is None else float(N)
+        return {t: math.log(1.0 + (n - d + 0.5) / (d + 0.5))
                 for t, d in df_tot.items()}
 
     def topk(self, query: str, k: int = 10, mode: str = "or",
@@ -664,7 +687,7 @@ class CombinedIndex:
         if not terms:
             return pd.DataFrame({"docid": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
-        idf = self._idf(terms)
+        idf = self._idf(terms, N=self._fieldN(field))
         nq = len(terms)
         k1, b = self.k1, self.b
         if after is not None:
@@ -770,7 +793,7 @@ class CombinedIndex:
         if not seq:
             return empty
         uniq = sorted(set(seq))
-        idf = self._idf(uniq)
+        idf = self._idf(uniq, N=self._fieldN(field))
         k1, b = self.k1, self.b
         excl = self._excl()
         schema = "docid long, score double"
@@ -985,7 +1008,7 @@ class CombinedIndex:
         for s in self.subs:
             for t, d in s._local_df_counts(terms).items():
                 df_tot[t] += d
-        idf = {t: _bm25_idf(float(self.N), d)
+        idf = {t: _bm25_idf(self._fieldN(field), d)
                for t, d in df_tot.items()}
         sub = self._sub_for(int(docid))
         dec = sub._decoded_terms(terms)
@@ -1073,7 +1096,7 @@ class CombinedIndex:
             return {qid: pd.DataFrame({"docid": pd.Series(dtype="int64"),
                                        "score": pd.Series(dtype="float64")})
                     for qid in queries}
-        idf = self._idf(all_terms)
+        idf = self._idf(all_terms, N=self._fieldN(field))
         modes = {qid: m for qid, (_, m) in queries.items()}
         k1, b = self.k1, self.b
         excl = self._excl()
@@ -1169,7 +1192,7 @@ class CombinedIndex:
         stats = (self._union(lambda s: s._term_stats
                              .select("term", "df"))
                  .groupBy("term").agg(F.sum("df").alias("df")))
-        qs = sj_attach_idf(make_qt(), stats, float(self.N))
+        qs = sj_attach_idf(make_qt(), stats, self._fieldN(field))
         rngmap = None
         if org is not None:
             org_subs = self._org_subs(org)

@@ -121,3 +121,48 @@ def test_type_to_field_mapping(spark, typed, tmp_path_factory):
         docs = idx.fetch_docs_local(hits["docid"].tolist())
         for _, r in docs.iterrows():
             assert bytype[(r["conv_id"], int(r["turn_idx"]))] == t
+
+
+def test_type_to_field_per_type_stats_equal_mapping_1(
+        spark, typed, tmp_path_factory):
+    """Mapping 2 WITH per-type doc counts (r6, VERDICT r5 #7): building
+    with field_doc_counts=type_doc_counts(df) stores each type's own N,
+    so field-scoped queries score with per-type idf AND avgdl — docid
+    identity and SCORES equal mapping 1's dedicated per-type index on
+    the same two-type corpus, on both the distributed and local
+    paths."""
+    import numpy as np
+    from sparkfts.doctype import type_doc_counts
+    pdf, base, _ = typed
+    sdf = spark.createDataFrame(pdf)
+    df, cols = pivot_types(sdf, type_col="doctype")
+    counts = type_doc_counts(sdf, type_col="doctype")
+    assert set(counts) == {"t_chat", "t_email"}
+    assert sum(counts.values()) == len(pdf)
+    root = str(tmp_path_factory.mktemp("typed_fields_n"))
+    cfg = BuildConfig(num_shards=2, partitions=2,
+                      fields={c: TokenizerConfig() for c in cols})
+    build_index(spark, df, root, order_cols=["conv_id", "turn_idx"],
+                cfg=cfg, field_doc_counts=counts)
+    idx = FTSIndex(spark, root)
+    ti = TypedIndex(spark, base)
+    key = lambda d: list(zip(d["conv_id"], d["turn_idx"].astype(int)))
+    for t, c in [("chat", "t_chat"), ("email", "t_email")]:
+        for q, mode in [("alpha query index", "or"), ("shard", "or"),
+                        ("merge window", "and")]:
+            got = idx.topk_local(q, k=8, mode=mode, field=c)
+            want = ti.topk_local(q, k=8, mode=mode, doctype=t)
+            assert got.empty == want.empty, (t, q, mode)
+            if got.empty:
+                continue
+            gd = idx.fetch_docs_local(got["docid"].tolist())
+            wd = ti.index(t).fetch_docs_local(want["docid"].tolist())
+            assert key(gd) == key(wd), (t, q, mode)
+            np.testing.assert_allclose(got["score"], want["score"],
+                                       rtol=0, atol=1e-9,
+                                       err_msg=f"{t}/{q}/{mode}")
+            # distributed path agrees with the local one
+            dist = idx.topk(q, k=8, mode=mode, field=c).toPandas()
+            assert dist["docid"].tolist() == got["docid"].tolist()
+            np.testing.assert_allclose(dist["score"], got["score"],
+                                       rtol=0, atol=1e-9)
