@@ -9,7 +9,9 @@ and checkpoint-resumable builds with per-shard lineage manifests.
 """
 from .analyzer import TokenizerConfig, tokenize_series, tokenize_text
 from .build import BuildConfig, assign_docids, build_index, build_many
-from .doctype import TypedIndex, build_typed, pivot_types
+from .classic import classic_topk, classic_topk_local
+from .doctype import TypedIndex, build_typed, pivot_types, type_doc_counts
+from .es_routing import EsRoutingStrategyV1
 from .query import FTSIndex
 from .rotation import AliasWatch, IndexVersion, RotationRegistry
 from .serving import ServingIndex
@@ -19,8 +21,9 @@ from .streaming import (CombinedIndex, compact, make_batch_indexer,
 __all__ = [
     "TokenizerConfig", "tokenize_series", "tokenize_text",
     "BuildConfig", "assign_docids", "build_index", "build_many",
-    "TypedIndex", "build_typed", "pivot_types",
-    "FTSIndex",
+    "TypedIndex", "build_typed", "pivot_types", "type_doc_counts",
+    "FTSIndex", "classic_topk", "classic_topk_local",
+    "EsRoutingStrategyV1",
     "AliasWatch", "IndexVersion", "RotationRegistry", "ServingIndex",
     "CombinedIndex", "compact", "make_batch_indexer", "nightly_rotate",
 ]
