@@ -91,6 +91,16 @@ def main(argv: list[str] | None = None) -> int:
                         "plain-highlighter analog; <em> tags)")
     q.add_argument("--window", type=int, default=12,
                    help="highlight fragment size in tokens")
+    q.add_argument("--after", default=None, metavar="SCORE,DOCID",
+                   help="deep-pagination cursor (ES search_after "
+                        "analog): results rank STRICTLY after it; "
+                        "pass the last row of the previous page")
+    q.add_argument("--similarity", choices=["bm25", "classic"],
+                   default="bm25",
+                   help="scoring model: bm25 (engine default) or the "
+                        "ES 1.x classic Lucene TF/IDF (sqrt-tf, "
+                        "squared idf, coord/queryNorm, byte315 norms) "
+                        "on the same index artifacts")
 
     c = sub.add_parser("compact",
                        help="fold base + streaming deltas into a fresh "
@@ -192,12 +202,40 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--docids", required=True,
                     help="comma-separated docids")
 
+    er = sub.add_parser("es-route",
+                        help="bit-exact ES 1.x V1 routing strings "
+                             "(shard-layout parity with a live "
+                             "cluster built by the reference)")
+    er.add_argument("--org", required=True)
+    er.add_argument("--conv", default=None,
+                    help="doc key; omit with --possible")
+    er.add_argument("--num-shards", type=int, required=True)
+    er.add_argument("--shards-per-org", type=int, required=True)
+    er.add_argument("--possible", action="store_true",
+                    help="print the org's full routing-string set "
+                         "(getPossibleRoutingHashes analog)")
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
         from .fixtures import write_transcripts_parquet
         n = write_transcripts_parquet(args.out, args.n_convs, args.seed)
         print(json.dumps({"rows": n, "out": args.out}))
+        return 0
+
+    if args.cmd == "es-route":
+        from .es_routing import EsRoutingStrategyV1
+        st = EsRoutingStrategyV1(args.num_shards, args.shards_per_org)
+        if args.possible:
+            print(json.dumps(
+                {"org": args.org,
+                 "routing": st.possible_routing_hashes(args.org)}))
+        else:
+            if not args.conv:
+                p.error("es-route needs --conv (or --possible)")
+            print(json.dumps(
+                {"org": args.org, "conv": args.conv,
+                 "routing": st.routing_hash(args.org, args.conv)}))
         return 0
 
     from .session import get_spark
@@ -228,6 +266,34 @@ def main(argv: list[str] | None = None) -> int:
             from .query import FTSIndex
             idx = FTSIndex(spark, args.index)
             kw = {"org": args.org, "field": args.field}
+            after = None
+            if args.after:
+                try:
+                    s_, d_ = args.after.split(",")
+                    after = (float(s_), int(d_))
+                except ValueError:
+                    p.error("--after expects SCORE,DOCID (the last "
+                            "row of the previous page)")
+            if args.similarity == "classic":
+                if (args.phrase or args.highlight or args.filter
+                        or args.org or args.field or after):
+                    p.error("--similarity classic covers plain or/and "
+                            "term queries (compose other dimensions "
+                            "via the library API)")
+                from .classic import classic_topk, classic_topk_local
+                out = (classic_topk_local(idx, args.q, args.k,
+                                          args.mode)
+                       if args.local
+                       else classic_topk(idx, args.q, args.k,
+                                         args.mode))
+                for row in out.to_dict("records"):
+                    print(json.dumps(row, default=str))
+                return 0
+            if after is not None:
+                if args.phrase or args.highlight:
+                    p.error("--after applies to scored term queries "
+                            "(not --phrase/--highlight)")
+                kw["after"] = after
             if args.filter:
                 if args.local:
                     p.error("--filter runs on the distributed path "

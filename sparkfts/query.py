@@ -2265,10 +2265,14 @@ class FTSIndex:
 
     def search_local(self, query: str, k: int = 10, mode: str = "or",
                      method: str = "wand", field: str | None = None,
-                     org: str | None = None) -> pd.DataFrame:
+                     org: str | None = None,
+                     after: tuple[float, int] | None = None
+                     ) -> pd.DataFrame:
         """Full search (top-k + doc fetch) with zero Spark jobs — the
-        latency-parity answer to the reference's always-on ES cluster."""
-        hits = self.topk_local(query, k, mode, method, field=field, org=org)
+        latency-parity answer to the reference's always-on ES cluster.
+        ``after`` pages it (ES search_after analog)."""
+        hits = self.topk_local(query, k, mode, method, field=field,
+                               org=org, after=after)
         if hits.empty:
             return hits
         docs = self.fetch_docs_local(hits["docid"].tolist())
@@ -2289,11 +2293,12 @@ class FTSIndex:
     def search(self, query: str, k: int = 10, mode: str = "or",
                method: str = "wand", field: str | None = None,
                org: str | None = None,
-               filter: str | Column | None = None) -> DataFrame:
+               filter: str | Column | None = None,
+               after: tuple[float, int] | None = None) -> DataFrame:
         """topk + doc-store join: the full 'search' the restored ES
-        cluster would serve."""
+        cluster would serve. ``after`` pages it (search_after)."""
         hits = self.topk(query, k, mode, method, org=org, field=field,
-                         filter=filter)
+                         filter=filter, after=after)
         docs = self.fetch_docs([r["docid"] for r in hits.collect()])
         return (hits.join(F.broadcast(docs).drop("shard"), "docid")
                     .sort(F.desc("score"), F.asc("docid")))

@@ -121,7 +121,10 @@ def test_fixed_oracle_sql_matches_encoder_on_adversarial_words():
     con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
     for i, w in enumerate(words):
         con.execute("INSERT INTO documents VALUES (?, ?)", [i, w])
-    got = con.execute(m.oracle_sql()["dp_bpe_encode_fixed"]).fetchall()
+    # the fixed-merge oracle now rides the consolidated
+    # dp_bpe_train_encode gate as its 'fixed' leg — use the builder
+    # directly (same SQL the gate's fixed leg wraps)
+    got = con.execute(m._bpe_encode_fixed_sql()).fetchall()
     for (doc_id, bpe_text, n), w in zip(sorted(got), words):
         py = _encode_word(w, m.BPE_FIXED_MERGES)
         assert bpe_text == " ".join(py), (w, bpe_text, py)
