@@ -1328,16 +1328,20 @@ class FTSIndex:
 
     def topk_many(self, queries: dict[str, tuple[str, str]], k: int = 10,
                   method: str = "wand", field: str | None = None,
-                  org: str | None = None) -> dict[str, pd.DataFrame]:
+                  org: str | None = None,
+                  filter: str | Column | None = None
+                  ) -> dict[str, pd.DataFrame]:
         """Batched top-k: score MANY queries in ONE Spark job — the
         fixed per-job latency (~1-2s at small scale) is paid once for
         the whole query set instead of per query. ``queries`` maps
         query-id → (query text, mode); each result is rank-identical to
         the corresponding ``topk`` call (same kernels per (query, shard)
         group). The dictionary read fetches the UNION of all query
-        terms' rows once. ``field``/``org`` apply to the whole batch
-        (same semantics as topk: field-scoped stats on multi-field
-        indexes; tenant-pruned candidate scoring on routed indexes)."""
+        terms' rows once. ``field``/``org``/``filter`` apply to the
+        whole batch (same semantics as topk: field-scoped stats on
+        multi-field indexes; tenant-pruned candidate scoring on routed
+        indexes; bool-filter restriction with global stats — the
+        matching docids cogroup in per shard, r6)."""
         prefix, avgdl = self._field(field)
         qterms = {qid: self._terms(q, prefix)
                   for qid, (q, _) in queries.items()}
@@ -1356,7 +1360,29 @@ class FTSIndex:
             return score_query_set(pdf, cand, qterms, modes, idf, avgdl,
                                    k1, b, k, method)
 
-        if org is not None:
+        if filter is not None:
+            # bool-filter batch: matching (shard, docid) cogroup in —
+            # the cand path of score_query_set, so per-group output
+            # truncates to k per query; composes with org (conjoined
+            # inside _filter_docs)
+            rows = self._posting_rows(all_terms)
+            if org is not None:
+                rows = rows.where(
+                    F.col("shard").isin(self.possible_shards(org)))
+            fd = self._filter_docs(filter, org)
+
+            def per_shard_flt(lpdf: pd.DataFrame,
+                              rpdf: pd.DataFrame) -> pd.DataFrame:
+                if lpdf.empty or rpdf.empty:
+                    return _QSET_EMPTY
+                cand = np.unique(rpdf["docid"].to_numpy(np.int64))
+                return _score_queries(lpdf, cand)
+
+            tops = (rows.groupBy("shard")
+                    .cogroup(fd.groupBy("shard"))
+                    .applyInPandas(per_shard_flt, schema=out_schema)
+                    .toPandas())
+        elif org is not None:
             ranges = self._org_ranges(org)
             if ranges is not None:
                 tops = _QSET_EMPTY

@@ -1078,11 +1078,15 @@ class CombinedIndex:
 
     def topk_many(self, queries: dict[str, tuple[str, str]], k: int = 10,
                   method: str = "wand", field: str | None = None,
-                  org: str | None = None) -> dict[str, pd.DataFrame]:
+                  org: str | None = None,
+                  filter=None) -> dict[str, pd.DataFrame]:
         """Batched base+delta top-k: the WHOLE query set in ONE Spark
         job over the unioned dictionaries (the streaming analog of
         FTSIndex.topk_many), each result rank-identical to the
-        corresponding CombinedIndex.topk call."""
+        corresponding CombinedIndex.topk call. ``filter`` restricts
+        the whole batch like topk(filter=) — each generation's
+        matching docids cogroup in per (generation, shard), stats stay
+        union-global (r6)."""
         import numpy as np
         from .analyzer import tokenize_text
         from .query import _QSET_EMPTY, score_query_set
@@ -1102,7 +1106,33 @@ class CombinedIndex:
         excl = self._excl()
         out_schema = "qid string, docid long, score double"
 
-        if org_subs is not None:
+        if filter is not None:
+            # bool-filter batch (r6): per-(generation, shard) cogroup
+            # with that generation's matching docids — composes with
+            # org (conjoined inside each _filter_docs)
+            def mk_rows(s: FTSIndex):
+                r = s._posting_rows(all_terms)
+                if org is not None:
+                    r = r.where(F.col("shard")
+                                .isin(s.possible_shards(org)))
+                return r
+
+            def per_group_flt(lpdf: pd.DataFrame,
+                              rpdf: pd.DataFrame) -> pd.DataFrame:
+                if lpdf.empty or rpdf.empty:
+                    return _QSET_EMPTY
+                cand = np.unique(rpdf["docid"].to_numpy(np.int64))
+                return score_query_set(lpdf, cand, qterms, modes, idf,
+                                       avgdl, k1, b, k, method,
+                                       excl=excl)
+
+            tops = (self._union(mk_rows).groupBy("sub", "shard")
+                    .cogroup(self._union(
+                        lambda s: s._filter_docs(filter, org))
+                        .groupBy("sub", "shard"))
+                    .applyInPandas(per_group_flt, schema=out_schema)
+                    .toPandas())
+        elif org_subs is not None:
             rngmap = self._org_range_map(org_subs, org)
             if rngmap is not None:
                 rows = self._org_rows_pruned(org_subs, all_terms, rngmap)

@@ -363,3 +363,39 @@ def test_facet_counts_expression_date_histogram(idx, store):
            .reset_index(drop=True))
     assert got["value"].tolist() == exp["value"].tolist()
     assert got["doc_count"].tolist() == exp["doc_count"].tolist()
+
+
+# ------------------------------------------------------------------ #
+# topk_many(filter=): batched bool-filter restriction (r6)            #
+# ------------------------------------------------------------------ #
+
+def test_topk_many_filter_matches_single_query(idx, spark):
+    """Batched filtered top-k equals the per-query topk(filter=) calls
+    — rank AND score — on the FTSIndex handle."""
+    flt = "role = 'user'"
+    qs = {"a": ("alpha query index", "or"),
+          "b": ("merge window", "and"),
+          "none": ("zzzunseenterm", "or")}
+    got = idx.topk_many(qs, k=6, filter=flt)
+    for qid, (q, mode) in qs.items():
+        want = idx.topk_pandas(q, k=6, mode=mode, filter=flt)
+        g = got[qid]
+        assert g["docid"].tolist() == want["docid"].tolist(), qid
+        np.testing.assert_allclose(g["score"], want["score"], rtol=0,
+                                   atol=1e-9, err_msg=qid)
+
+
+def test_combined_topk_many_filter(combined, spark):
+    """Streaming twin: batched filtered top-k over base + deltas
+    equals per-query CombinedIndex.topk(filter=)."""
+    flt = "turn_idx >= 2"
+    qs = {"a": ("alpha query index", "or"),
+          "b": ("alpha index", "and")}
+    got = combined.topk_many(qs, k=5, filter=flt)
+    for qid, (q, mode) in qs.items():
+        want = combined.topk(q, k=5, mode=mode, filter=flt) \
+            .reset_index(drop=True)
+        g = got[qid]
+        assert g["docid"].tolist() == want["docid"].tolist(), qid
+        np.testing.assert_allclose(g["score"], want["score"], rtol=0,
+                                   atol=1e-9, err_msg=qid)
