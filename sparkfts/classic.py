@@ -90,7 +90,9 @@ def classic_idf(N: float, df: float | np.ndarray) -> float | np.ndarray:
 
 def _score_decoded_classic(pt: dict, idf: dict[str, float],
                            k: int, mode: str, n_query_terms: int,
-                           query_norm: float) -> pd.DataFrame:
+                           query_norm: float,
+                           excl: np.ndarray | None = None
+                           ) -> pd.DataFrame:
     """Exhaustive classic scoring over pre-decoded per-term postings:
     fixed ascending-term accumulation, coord and queryNorm applied
     after the sum (matching Lucene's BooleanScorer composition)."""
@@ -116,6 +118,11 @@ def _score_decoded_classic(pt: dict, idf: dict[str, float],
     if mode == "and":
         m = hits == n_query_terms
         uniq, scores, hits = uniq[m], scores[m], hits[m]
+    if excl is not None and excl.size and uniq.size:
+        p = np.searchsorted(excl, uniq)
+        hit = p < excl.shape[0]
+        hit[hit] = excl[p[hit]] == uniq[hit]
+        uniq, scores, hits = uniq[~hit], scores[~hit], hits[~hit]
     if uniq.size == 0:
         return empty
     scores = scores * (hits.astype(np.float64) / n_query_terms) \
@@ -138,14 +145,45 @@ def _classic_weights(idx, query: str):
 
 def classic_topk_local(idx, query: str, k: int = 10,
                        mode: str = "or") -> pd.DataFrame:
-    """Zero-Spark-job classic-similarity top-k on an FTSIndex (serving
-    decoded-postings LRU — the same cache topk_local uses)."""
+    """Zero-Spark-job classic-similarity top-k on an FTSIndex OR a
+    CombinedIndex (serving decoded-postings LRU — the same cache
+    topk_local uses). CombinedIndex: df/N are union-global, per-sub
+    decoded postings merge exactly (disjoint docid spaces), and
+    tombstoned docs drop before truncation."""
     if mode not in ("or", "and"):
         raise ValueError(f"mode {mode!r}: or|and")
+    empty = pd.DataFrame({"docid": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
+    if hasattr(idx, "subs"):           # CombinedIndex
+        from .analyzer import tokenize_text
+        terms = sorted({t for t in tokenize_text(query, idx.tokenizer)})
+        if not terms:
+            return empty
+        df_tot = {t: 0.0 for t in terms}
+        for s in idx.subs:
+            for t, d in s._local_df_counts(terms).items():
+                df_tot[t] += d
+        idf = {t: float(classic_idf(float(idx.N), d))
+               for t, d in df_tot.items()}
+        ssw = sum(w * w for w in idf.values())
+        qn = 1.0 / np.sqrt(ssw) if ssw > 0 else 0.0
+        pt: dict = {}
+        for s in idx.subs:
+            for t, (d, tf, dl) in s._decoded_terms(terms).items():
+                if t in pt:
+                    p0 = pt[t]
+                    pt[t] = (np.concatenate([p0[0], d]),
+                             np.concatenate([p0[1], tf]),
+                             np.concatenate([p0[2], dl]))
+                else:
+                    pt[t] = (d, tf, dl)
+        tomb = idx.deleted_docids()
+        return _score_decoded_classic(pt, idf, k, mode, len(terms),
+                                      qn, excl=tomb if tomb.size
+                                      else None)
     terms, idf, qn = _classic_weights(idx, query)
     if not terms:
-        return pd.DataFrame({"docid": pd.Series(dtype=np.int64),
-                             "score": pd.Series(dtype=np.float64)})
+        return empty
     pt = idx._decoded_terms(terms)
     return _score_decoded_classic(pt, idf, k, mode, len(terms), qn)
 

@@ -127,3 +127,59 @@ def test_classic_differs_from_bm25_but_same_artifacts(cidx):
     bm = cidx.topk_local(q, k=10**6, mode="or")
     assert set(cl["docid"]) == set(bm["docid"])
     assert not np.allclose(np.sort(cl["score"]), np.sort(bm["score"]))
+
+
+def test_classic_combined_union_equals_monolith(spark,
+                                                tmp_path_factory):
+    """CombinedIndex classic scoring: union-global df/N over base +
+    delta equals a monolithic rebuild of the same corpus (modulo docid
+    identity, compared via (conv_id, turn_idx)); tombstoned docs
+    vanish with stale-stats scores intact."""
+    from sparkfts.streaming import CombinedIndex, make_batch_indexer
+    pdf_a = make_transcripts(10, seed=78)
+    pdf_b = make_transcripts(4, seed=79)
+    cfg = BuildConfig(num_shards=2, partitions=2)
+    root = str(tmp_path_factory.mktemp("classic_stream"))
+    build_index(spark, spark.createDataFrame(pdf_a), root,
+                order_cols=["conv_id", "turn_idx"], cfg=cfg)
+    make_batch_indexer(root, cfg=cfg)(
+        spark.createDataFrame(pdf_b), batch_id=0)
+    ci = CombinedIndex(spark, root)
+    mono_root = str(tmp_path_factory.mktemp("classic_mono"))
+    import pandas as pd
+    build_index(spark,
+                spark.createDataFrame(pd.concat([pdf_a, pdf_b],
+                                                ignore_index=True)),
+                mono_root, order_cols=["conv_id", "turn_idx"], cfg=cfg)
+    from sparkfts import FTSIndex
+    mono = FTSIndex(spark, mono_root)
+
+    def keyed(ix, hits):
+        if hits.empty:
+            return []
+        docs = ix.fetch_docs_local(hits["docid"].tolist())
+        m = hits.merge(docs[["docid", "conv_id", "turn_idx"]],
+                       on="docid")
+        return sorted((round(s, 9), c, int(t)) for s, c, t in
+                      zip(m["score"], m["conv_id"], m["turn_idx"]))
+
+    checked = 0
+    for q, mode in [("alpha query index", "or"), ("alpha index", "and"),
+                    ("shard", "or")]:
+        a = classic_topk_local(ci, q, k=8, mode=mode)
+        b = classic_topk_local(mono, q, k=8, mode=mode)
+        assert keyed(ci, a) == keyed(mono, b), (q, mode)
+        checked += 0 if a.empty else 1
+    assert checked >= 2, "fixture too sparse to exercise the union"
+
+    # delete the top hit: it vanishes, survivors keep stale scores
+    top = classic_topk_local(ci, "alpha query index", k=3)
+    if not top.empty:
+        before = classic_topk_local(ci, "alpha query index", k=10**6)
+        dead = int(top["docid"].iloc[0])
+        ci.delete_docs([dead])
+        after = classic_topk_local(ci, "alpha query index", k=10**6)
+        want = before[before["docid"] != dead].reset_index(drop=True)
+        assert after["docid"].tolist() == want["docid"].tolist()
+        np.testing.assert_allclose(after["score"], want["score"],
+                                   rtol=0, atol=0)
