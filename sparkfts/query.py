@@ -477,9 +477,13 @@ def _score_or_wand_after(per_term: dict[str, pd.DataFrame],
     the decode PROVES complete — a doc is complete when, for every
     query term, it lies outside all UNDECODED block ranges (block
     [first, last] metadata, no extra decode), so its partial IS its
-    full score. θ = k-th best complete score ranking strictly after
-    the cursor — a valid lower bound on the page's k-th score — then
-    the standard upper-bound sweep prunes blocks exactly as the
+    full score. Multi-term queries rarely finish complete in one
+    round (a sparse term's undecoded blocks span wide docid ranges),
+    so a SECOND bounded round decodes exactly the blocks that stab
+    the highest-partial incomplete docs (≤ 4k of them), completing
+    them. θ = k-th best complete score ranking strictly after the
+    cursor — a valid lower bound on the page's k-th score — then the
+    standard upper-bound sweep prunes blocks exactly as the
     first-page path does. Deep pages decode the seed plus only the
     blocks whose ub-sum clears θ, instead of every posting."""
     s0, d0 = float(after[0]), int(after[1])
@@ -498,49 +502,91 @@ def _score_or_wand_after(per_term: dict[str, pd.DataFrame],
         row_sizes = [len(r.block_n) for r in rows.itertuples()]
         tinfo[t] = (rows, firsts, lasts, ub, row_sizes)
 
-    # seed: decode each term's top-m blocks by ub, tracking which
-    # blocks stayed undecoded (their ranges decide completeness)
-    m_seed = max(1, -(-k // codec.BLOCK)) + 1
-    seed_d, seed_c, undec = [], [], {}
-    for t in terms:
+    dec_d: dict[str, list] = {t: [] for t in terms}
+    dec_c: dict[str, list] = {t: [] for t in terms}
+    undec: dict[str, np.ndarray] = {}
+
+    def decode_marked(t: str, keep: np.ndarray) -> None:
         rows, firsts, lasts, ub, row_sizes = tinfo[t]
-        top = np.argsort(-ub)[:m_seed]
-        keep = np.zeros(ub.shape[0], dtype=bool)
-        keep[top] = True
         masks, pos = [], 0
         for sz in row_sizes:
             masks.append(keep[pos:pos + sz]); pos += sz
         d, tf, dl = _decode_selected(rows, masks)
-        seed_d.append(d)
-        seed_c.append(idf[t] * codec.bm25_partial(tf, dl, avgdl, k1, b))
-        uf, ul = firsts[~keep], lasts[~keep]
-        o = np.argsort(ul, kind="stable")
-        undec[t] = (uf[o], ul[o])
-    sd = np.concatenate(seed_d) if seed_d else np.empty(0, np.int64)
-    sc = np.concatenate(seed_c) if seed_c else np.empty(0, np.float64)
-    ms = _drop_excl(sd, excl)
-    if ms is not None:
-        sd, sc = sd[ms], sc[ms]
-    theta = 0.0
-    if sd.size:
+        dec_d[t].append(d)
+        dec_c[t].append(idf[t] * codec.bm25_partial(tf, dl, avgdl,
+                                                    k1, b))
+        undec[t] = undec[t] & ~keep if t in undec else ~keep
+
+    def aggregate():
+        ds = [a for t in terms for a in dec_d[t]]   # ascending-term
+        cs = [a for t in terms for a in dec_c[t]]
+        sd = np.concatenate(ds) if ds else np.empty(0, np.int64)
+        sc = np.concatenate(cs) if cs else np.empty(0, np.float64)
+        m = _drop_excl(sd, excl)
+        if m is not None:
+            sd, sc = sd[m], sc[m]
+        if sd.size == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.float64))
         uniq, inv = np.unique(sd, return_inverse=True)
         part = np.zeros(uniq.shape[0])
-        np.add.at(part, inv, sc)      # ascending-term order: bit-exact
+        np.add.at(part, inv, sc)    # ascending-term order: bit-exact
+        return uniq, part
+
+    def completeness(uniq: np.ndarray) -> np.ndarray:
         complete = np.ones(uniq.shape[0], dtype=bool)
         for t in terms:
-            uf, ul = undec[t]
-            if uf.size == 0:
+            um = undec[t]
+            if not um.any():
                 continue
-            # doc stabbed by an undecoded block [f, l] → its partial
-            # may be missing this term's contribution → not complete.
-            # Undecoded ranges can overlap only across chunk rows of
-            # the same term; checking the first candidate interval is
-            # sound because block ranges of ONE term never nest (docids
-            # strictly increase across a term's ordered blocks).
+            _, firsts, lasts, _, _ = tinfo[t]
+            uf, ul = firsts[um], lasts[um]
+            # block ranges of one term are disjoint and ascending
+            # (docids strictly increase across its ordered blocks), so
+            # a single searchsorted candidate decides the stab
             j = np.searchsorted(ul, uniq)
             hit = j < ul.shape[0]
             hit[hit] = uf[j[hit]] <= uniq[hit]
             complete &= ~hit
+        return complete
+
+    # round 1: decode each term's top-m blocks by ub
+    m_seed = max(1, -(-k // codec.BLOCK)) + 1
+    for t in terms:
+        ub = tinfo[t][3]
+        top = np.argsort(-ub)[:m_seed]
+        keep = np.zeros(ub.shape[0], dtype=bool)
+        keep[top] = True
+        decode_marked(t, keep)
+    uniq, part = aggregate()
+    complete = completeness(uniq)
+
+    # round 2 (bounded): complete the ≤4k highest-partial incomplete
+    # docs by decoding exactly the blocks that stab them
+    inc = ~complete
+    if inc.any():
+        docs2 = uniq[inc]
+        order = np.argsort(-part[inc])[:4 * k]
+        docs2 = np.sort(docs2[order])
+        for t in terms:
+            um = undec[t]
+            if not um.any():
+                continue
+            _, firsts, lasts, _, _ = tinfo[t]
+            uidx = np.flatnonzero(um)
+            uf, ul = firsts[uidx], lasts[uidx]
+            j = np.searchsorted(ul, docs2)
+            ok = j < ul.shape[0]
+            ok[ok] = uf[j[ok]] <= docs2[ok]
+            if not ok.any():
+                continue
+            keep = np.zeros(um.shape[0], dtype=bool)
+            keep[uidx[np.unique(j[ok])]] = True
+            decode_marked(t, keep)
+        uniq, part = aggregate()
+        complete = completeness(uniq)
+
+    theta = 0.0
+    if uniq.size:
         qual = complete & ((part < s0) | ((part == s0) & (uniq > d0)))
         qs_ = part[qual]
         if qs_.shape[0] >= k:

@@ -207,3 +207,54 @@ def test_or_wand_after_multiterm_parity(spark, tmp_path_factory):
     np.testing.assert_allclose(got["score"],
                                full2["score"].head(n), rtol=0,
                                atol=1e-9)
+
+
+def test_or_wand_after_prunes_blocks_multiterm():
+    """r6 second seed round: on a multi-term query, docs decoded under
+    one term are usually INCOMPLETE after round 1 (another term's
+    undecoded block ranges stab them). The bounded round 2 decodes
+    exactly the stabbing blocks, completing the high-partial docs, so
+    theta engages and deep pages prune — while staying rank- and
+    score-identical to the exhaustive path."""
+    from sparkfts import codec
+    from sparkfts import query as Q
+    n = 128 * 80
+    ids_a = np.arange(n, dtype=np.int64)
+    tf_a = np.ones(n, np.int64)
+    tf_a[:60] = 60 - np.arange(60)
+    dl = np.full(n, 40, np.int64)
+    enc_a = codec.encode_postings(ids_a, tf_a, dl)
+    ids_b = np.arange(0, n, 10, dtype=np.int64)   # sparse: 8 blocks
+    tf_b = np.ones(ids_b.shape[0], np.int64)
+    tf_b[:6] = 40 - 5 * np.arange(6)              # hot head too
+    enc_b = codec.encode_postings(ids_b, tf_b,
+                                  np.full(ids_b.shape[0], 40,
+                                          np.int64))
+    lpdf = pd.DataFrame([
+        {**enc_a, "term": "a", "shard": 0, "chunk": 0},
+        {**enc_b, "term": "b", "shard": 0, "chunk": 0},
+    ])
+    # b's weight is small so the flat tail's interval upper bound
+    # (ub_a(tf=1) + ub_b(tf=1), b's blocks blanket the docid space)
+    # sits BELOW the theta of the head docs — the regime where deep
+    # pages can prune at all
+    idf = {"a": 1.0, "b": 0.3}
+    full = Q.score_shard(lpdf, idf, 40.0, 1.2, 0.75, 10 ** 6,
+                         "or", 2, "exact")
+    k = 5
+    cur = (float(full["score"].iloc[k - 1]),
+           int(full["docid"].iloc[k - 1]))
+
+    Q.reset_decode_counters()
+    e = Q.score_shard(lpdf, idf, 40.0, 1.2, 0.75, k, "or", 2,
+                      "exact", after=cur)
+    exact_blocks = Q.DECODE_COUNTERS["blocks"]
+    Q.reset_decode_counters()
+    w = Q.score_shard(lpdf, idf, 40.0, 1.2, 0.75, k, "or", 2,
+                      "wand", after=cur)
+    wand_blocks = Q.DECODE_COUNTERS["blocks"]
+
+    assert w["docid"].tolist() == e["docid"].tolist()
+    np.testing.assert_allclose(w["score"], e["score"], rtol=0, atol=0)
+    assert wand_blocks < exact_blocks // 2, \
+        f"no multi-term pruning: wand={wand_blocks} exact={exact_blocks}"
