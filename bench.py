@@ -116,12 +116,13 @@ MEMBW_DIRTY_FACTOR = float(
 # Persisted quiet-window floors (VERDICT r5 next #1a): the cross-round
 # minimum walls observed with ~0 steal and on-floor membw probes — the
 # best available estimates of the TRUE 1-CPU / 4-CPU walls on this box
-# (BASELINE.md round-4 fourth run set 70.7 s low; round-5 gated run set
-# 21.76 s high). A draw whose clean side-min sits > OFF_FLOOR_FACTOR x
-# its floor measured the window, not the engine — ratio_quality flags
-# it explicitly instead of publishing a silently-punished "clean" ratio.
-FLOOR_LOW_SEC = float(os.environ.get("SPARKFTS_FLOOR_LOW_SEC", "70.7"))
-FLOOR_HIGH_SEC = float(os.environ.get("SPARKFTS_FLOOR_HIGH_SEC", "21.76"))
+# (BASELINE.md round-6 run 3 — an all-samples-clean window — set both:
+# 67.33 s low / 19.08 s high, tightening the r4/r5 values 70.7/21.76).
+# A draw whose clean side-min sits > OFF_FLOOR_FACTOR x its floor
+# measured the window, not the engine — ratio_quality flags it
+# explicitly instead of publishing a silently-punished "clean" ratio.
+FLOOR_LOW_SEC = float(os.environ.get("SPARKFTS_FLOOR_LOW_SEC", "67.33"))
+FLOOR_HIGH_SEC = float(os.environ.get("SPARKFTS_FLOOR_HIGH_SEC", "19.08"))
 OFF_FLOOR_FACTOR = float(
     os.environ.get("SPARKFTS_OFF_FLOOR_FACTOR", "1.25"))
 # Per-side DURING-RUN membw gate (VERDICT r5 next #1b): the run probe
