@@ -300,11 +300,11 @@ def main(argv: list[str] | None = None) -> int:
                             "(predicate evaluation is a docstore scan)")
                 kw["filter"] = args.filter
             if args.highlight:
-                if args.fetch or args.phrase:
-                    p.error("--highlight replaces --fetch and covers "
-                            "term queries (phrase hits highlight "
-                            "their terms via the library API)")
-                out = idx.highlight(args.q, args.k, args.mode,
+                if args.fetch:
+                    p.error("--highlight replaces --fetch (it returns "
+                            "the fragment instead of the full doc)")
+                mode = "phrase" if args.phrase else args.mode
+                out = idx.highlight(args.q, args.k, mode,
                                     args.method, window=args.window,
                                     local=args.local, **kw)
             elif args.phrase:

@@ -1669,11 +1669,26 @@ class FTSIndex:
         indexes the highlighted column follows the queried field
         unless ``col`` is set explicitly. Decoration runs driver-side
         over exactly k fetched rows — the distributed part of a
-        highlighted search is the search."""
+        highlighted search is the search.
+
+        ``mode="phrase"`` (r6) highlights exact-phrase hits: ranking
+        comes from phrase_topk[_local], fragments still tag every
+        occurrence of the phrase's terms (the ES plain-highlighter
+        convention — it is term-based even under phrase queries)."""
         from .highlight import highlight_hits
         if field is not None and col == "text":
             col = field
-        if local:
+        if mode == "phrase":
+            if filter is not None:
+                hits = self.phrase_topk(query, k, org=org, field=field,
+                                        filter=filter).toPandas()
+            elif local:
+                hits = self.phrase_topk_local(query, k, org=org,
+                                              field=field)
+            else:
+                hits = self.phrase_topk(query, k, org=org,
+                                        field=field).toPandas()
+        elif local:
             if filter is not None:
                 raise ValueError(
                     "highlight(local=True) does not take filter= "

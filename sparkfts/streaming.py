@@ -1036,12 +1036,22 @@ class CombinedIndex:
                   post_tag: str = "</em>") -> pd.DataFrame:
         """Highlighted search over base + deltas — same contract as
         FTSIndex.highlight (tombstoned docs never appear: topk and the
-        doc fetch both exclude them)."""
+        doc fetch both exclude them), incl. ``mode="phrase"`` (r6)."""
         from .analyzer import tokenize_text
         from .highlight import highlight_hits
         if field is not None and col == "text":
             col = field
-        if local:
+        if mode == "phrase":
+            if filter is not None:
+                raise ValueError(
+                    "CombinedIndex phrase highlight does not take "
+                    "filter= (phrase_topk has no filter leg here)")
+            hits = (self.phrase_topk_local(query, k, org=org,
+                                           field=field)
+                    if local
+                    else self.phrase_topk(query, k, org=org,
+                                          field=field))
+        elif local:
             if filter is not None:
                 raise ValueError(
                     "highlight(local=True) does not take filter=")

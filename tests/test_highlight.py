@@ -201,3 +201,30 @@ def test_combined_explain(spark, tmp_path_factory):
     # deleted doc explains to empty
     ci.delete_docs([d0])
     assert ci.explain("alpha query", d0).empty
+
+
+def test_highlight_phrase_mode(idx):
+    """mode='phrase' (r6): ranking equals phrase_topk, fragments tag
+    the phrase's terms, local == distributed."""
+    q = None
+    store = idx._docstore.select("text").toPandas()
+    # find a 2-token phrase that actually occurs
+    for t in store["text"]:
+        toks = tokenize_text(t or "", idx.tokenizer)
+        if len(toks) >= 2:
+            q = f"{toks[0]} {toks[1]}"
+            break
+    assert q is not None
+    want = idx.phrase_topk_local(q, k=5)
+    got = idx.highlight(q, k=5, mode="phrase", local=True)
+    if want.empty:
+        assert got.empty
+        return
+    assert got["docid"].tolist() == want["docid"].tolist()
+    np.testing.assert_allclose(got["score"], want["score"], rtol=0,
+                               atol=1e-12)
+    for f in got["fragment"]:
+        assert "<em>" in f
+    dist = idx.highlight(q, k=5, mode="phrase", local=False)
+    assert dist["docid"].tolist() == got["docid"].tolist()
+    assert dist["fragment"].tolist() == got["fragment"].tolist()
