@@ -258,3 +258,39 @@ def test_or_wand_after_prunes_blocks_multiterm():
     np.testing.assert_allclose(w["score"], e["score"], rtol=0, atol=0)
     assert wand_blocks < exact_blocks // 2, \
         f"no multi-term pruning: wand={wand_blocks} exact={exact_blocks}"
+
+
+def test_cursor_doc_deleted_between_pages(spark, tmp_path_factory):
+    """The cursor doc itself gets tombstoned between page 1 and page 2:
+    the cursor stays valid (strict-after comparison needs only the
+    (score, docid) pair, not the doc's liveness), and page 2 equals the
+    survivor ranking after the cursor — no skip, no duplicate."""
+    from sparkfts.streaming import CombinedIndex, make_batch_indexer
+    cfg = BuildConfig(num_shards=2, partitions=2)
+    root = str(tmp_path_factory.mktemp("sa_curdel"))
+    build_index(spark,
+                spark.createDataFrame(make_transcripts(10, seed=101)),
+                root, order_cols=["conv_id", "turn_idx"], cfg=cfg)
+    make_batch_indexer(root, cfg=cfg)(
+        spark.createDataFrame(make_transcripts(3, seed=102)),
+        batch_id=0)
+    ci = CombinedIndex(spark, root)
+    q = "alpha query"
+    full = ci.topk(q, k=10 ** 6, mode="or", method="exact")
+    assert len(full) > 8
+    p1 = ci.topk_local(q, k=4, mode="or")
+    cursor = (float(p1["score"].iloc[-1]), int(p1["docid"].iloc[-1]))
+    ci.delete_docs([int(p1["docid"].iloc[-1])])   # kill the cursor doc
+    p2l = ci.topk_local(q, k=4, mode="or", after=cursor)
+    p2d = ci.topk(q, k=4, mode="or", after=cursor) \
+        .reset_index(drop=True)
+    want = full.iloc[4:8].reset_index(drop=True)   # scores are stale,
+    # so the survivor ranking after the cursor is exactly rows 5..8 of
+    # the pre-delete full ranking (the deleted doc was rank 4 == the
+    # cursor itself, which strict-after already excludes)
+    assert p2l["docid"].tolist() == want["docid"].tolist()
+    np.testing.assert_allclose(p2l["score"], want["score"], rtol=0,
+                               atol=1e-12)
+    assert p2d["docid"].tolist() == p2l["docid"].tolist()
+    np.testing.assert_allclose(p2d["score"], p2l["score"], rtol=0,
+                               atol=1e-9)
