@@ -379,6 +379,15 @@ def q_bm25_modes(spark, sf_dir):
     p2["rank"] = p2.index + 1
     p2["score_r"] = p2["score"].round(4)
     parts.append(p2[["variant", "rank", "docid", "score_r"]])
+    # minimum_should_match leg (r6): the or_multi query restricted to
+    # docs matching >= 2 of its distinct terms — the ES DSL's middle
+    # ground between or (1) and and (all); pure HAVING in the oracle
+    pm = idx.topk_pandas(qtext, k=10, mode=mode, method=method,
+                         min_should_match=2)
+    pm["variant"] = "msm2"
+    pm["rank"] = pm.index + 1
+    pm["score_r"] = pm["score"].round(4)
+    parts.append(pm[["variant", "rank", "docid", "score_r"]])
     return spark.createDataFrame(
         _pd.concat(parts, ignore_index=True),
         schema="variant string, rank long, docid long, score_r double")
@@ -1278,10 +1287,13 @@ _TOKS = _toks_sql()
 _BM25_BASE = _bm25_base()
 
 
-def _bm25_scored(terms: list[str], mode: str, col: str = "text") -> str:
+def _bm25_scored(terms: list[str], mode: str, col: str = "text",
+                 min_count: int | None = None) -> str:
     tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
     having = (f"HAVING count(*) = {len(set(terms))}"
-              if mode == "and" else "")
+              if mode == "and" else
+              (f"HAVING count(*) >= {int(min_count)}"
+               if min_count else ""))
     return f"""{_bm25_base(col)},
   scored AS (
     SELECT tf.doc_id,
@@ -1706,6 +1718,15 @@ def _bm25_modes_sql() -> str:
                    doc_id AS docid, round(score, 4) AS score_r
             FROM ({scored} SELECT doc_id, score FROM scored))
       WHERE rn BETWEEN 11 AND 20""")
+    msm_scored = _bm25_scored(qtext.split(), mode, min_count=2)
+    legs.append(f"""
+      SELECT 'msm2' AS variant,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                 AS rank,
+             doc_id AS docid, round(score, 4) AS score_r
+      FROM ({msm_scored} SELECT doc_id, score FROM scored)
+      ORDER BY score DESC, doc_id ASC
+      LIMIT 10""")
     return (" UNION ALL ".join(f"SELECT * FROM ({leg})"
                                for leg in legs)
             + " ORDER BY variant, rank")

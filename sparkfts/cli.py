@@ -95,6 +95,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="deep-pagination cursor (ES search_after "
                         "analog): results rank STRICTLY after it; "
                         "pass the last row of the previous page")
+    q.add_argument("--min-should-match", type=int, default=None,
+                   help="OR-mode match-count floor (the ES "
+                        "minimum_should_match analog): keep docs "
+                        "matching at least this many distinct terms")
     q.add_argument("--similarity", choices=["bm25", "classic"],
                    default="bm25",
                    help="scoring model: bm25 (engine default) or the "
@@ -276,7 +280,8 @@ def main(argv: list[str] | None = None) -> int:
                             "row of the previous page)")
             if args.similarity == "classic":
                 if (args.phrase or args.highlight or args.filter
-                        or args.org or args.field or after):
+                        or args.org or args.field or after
+                        or args.min_should_match):
                     p.error("--similarity classic covers plain or/and "
                             "term queries (compose other dimensions "
                             "via the library API)")
@@ -294,6 +299,11 @@ def main(argv: list[str] | None = None) -> int:
                     p.error("--after applies to scored term queries "
                             "(not --phrase/--highlight)")
                 kw["after"] = after
+            if args.min_should_match is not None:
+                if args.phrase or args.highlight or args.fetch:
+                    p.error("--min-should-match applies to plain "
+                            "scored term queries")
+                kw["min_should_match"] = args.min_should_match
             if args.filter:
                 if args.local:
                     p.error("--filter runs on the distributed path "

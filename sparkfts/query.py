@@ -124,7 +124,8 @@ def _drop_excl(docids: np.ndarray,
 def _aggregate_topk(docids: np.ndarray, contribs: np.ndarray, k: int,
                     mode: str, n_query_terms: int,
                     after: tuple[float, int] | None = None,
-                    excl: np.ndarray | None = None) -> pd.DataFrame:
+                    excl: np.ndarray | None = None,
+                    min_hits: int | None = None) -> pd.DataFrame:
     """Group contributions by docid (fixed input order ⇒ fixed summation
     order) and take top-k by (score desc, docid asc). ``after`` =
     (score, docid) cursor for deep pagination (the ES search_after
@@ -132,7 +133,10 @@ def _aggregate_topk(docids: np.ndarray, contribs: np.ndarray, k: int,
     is exact because cursor scores come from this same fixed-order
     pipeline. ``excl`` (sorted tombstoned docids) drops deleted docs
     after aggregation but BEFORE truncation — exact, since every
-    contribution was already summed."""
+    contribution was already summed. ``min_hits`` (OR-mode; the ES
+    minimum_should_match analog) keeps docs matching at least that
+    many distinct query terms — "and" is min_hits == n_query_terms,
+    "or" is 1; intermediate values are the DSL's middle ground."""
     if docids.size == 0:
         return pd.DataFrame({"docid": pd.Series(dtype=np.int64),
                              "score": pd.Series(dtype=np.float64)})
@@ -142,6 +146,9 @@ def _aggregate_topk(docids: np.ndarray, contribs: np.ndarray, k: int,
     hits = np.bincount(inv, minlength=uniq.shape[0])
     if mode == "and":
         m = hits == n_query_terms
+        uniq, scores = uniq[m], scores[m]
+    elif min_hits is not None and min_hits > 1:
+        m = hits >= min_hits
         uniq, scores = uniq[m], scores[m]
     m = _drop_excl(uniq, excl)
     if m is not None:
@@ -226,7 +233,8 @@ def score_decoded(pt: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
                   idf: dict[str, float], avgdl: float, k1: float,
                   b: float, k: int, mode: str, n_query_terms: int,
                   after: tuple[float, int] | None = None,
-                  excl: np.ndarray | None = None) -> pd.DataFrame:
+                  excl: np.ndarray | None = None,
+                  min_hits: int | None = None) -> pd.DataFrame:
     """Exhaustive BM25 top-k over pre-decoded per-term postings (the
     serving-cache path): the same ascending-term concatenation feeding
     _aggregate_topk that the frame-based paths use, so results are
@@ -244,7 +252,7 @@ def score_decoded(pt: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
                                n_query_terms, after=after)
     return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
                            k, mode, n_query_terms, after=after,
-                           excl=excl)
+                           excl=excl, min_hits=min_hits)
 
 
 def _score_candidates(per_term: dict[str, pd.DataFrame],
@@ -252,7 +260,8 @@ def _score_candidates(per_term: dict[str, pd.DataFrame],
                       idf: dict[str, float], avgdl: float, k1: float,
                       b: float, k: int, mode: str, n_query_terms: int,
                       after: tuple[float, int] | None = None,
-                      excl: np.ndarray | None = None) -> pd.DataFrame:
+                      excl: np.ndarray | None = None,
+                      min_hits: int | None = None) -> pd.DataFrame:
     """Score ONLY the given candidate docids (sorted unique) — the
     org-scoped search path: per term, decode just the blocks whose
     [block_first, block_last] range intersects the candidate set, then
@@ -289,7 +298,22 @@ def _score_candidates(per_term: dict[str, pd.DataFrame],
                                np.empty(0, np.float64), k, mode,
                                n_query_terms, after=after)
     return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
-                           k, mode, n_query_terms, after=after)
+                           k, mode, n_query_terms, after=after,
+                           min_hits=min_hits)
+
+
+def _check_msm(min_should_match, mode: str) -> int | None:
+    """Validate the ES minimum_should_match analog: OR-mode only
+    (AND already requires every term), positive int."""
+    if min_should_match is None:
+        return None
+    if mode != "or":
+        raise ValueError("min_should_match applies to mode='or' "
+                         "(AND already requires every term)")
+    m = int(min_should_match)
+    if m < 1:
+        raise ValueError(f"min_should_match must be >= 1, got {m}")
+    return m
 
 
 _QSET_EMPTY = pd.DataFrame({"qid": pd.Series(dtype="str"),
@@ -339,7 +363,8 @@ def _score_candidates_range(per_term: dict[str, pd.DataFrame],
                             k1: float, b: float, k: int, mode: str,
                             n_query_terms: int,
                             after: tuple[float, int] | None = None,
-                            excl: np.ndarray | None = None
+                            excl: np.ndarray | None = None,
+                            min_hits: int | None = None
                             ) -> pd.DataFrame:
     """Score ONLY docids in [lo, hi] — the contiguous-tenant fast path:
     routed builds rank docs by org within each shard, so a tenant's
@@ -372,27 +397,30 @@ def _score_candidates_range(per_term: dict[str, pd.DataFrame],
                                n_query_terms, after=after)
     return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
                            k, mode, n_query_terms, after=after,
-                           excl=excl)
+                           excl=excl, min_hits=min_hits)
 
 
 def score_range_pt(pdf: pd.DataFrame, lo: int, hi: int,
                    idf: dict[str, float], avgdl: float, k1: float,
                    b: float, k: int, mode: str, n_query_terms: int,
                    after: tuple[float, int] | None = None,
-                   excl: np.ndarray | None = None) -> pd.DataFrame:
+                   excl: np.ndarray | None = None,
+                   min_hits: int | None = None) -> pd.DataFrame:
     """Range-restricted scoring of one shard's dictionary rows — the
     single entry point every contiguous-tenant fast path goes through
     (FTSIndex/CombinedIndex topk, topk_many, topk_local)."""
     pt = {t: pdf[pdf["term"] == t] for t in sorted(pdf["term"].unique())}
     return _score_candidates_range(pt, list(pt), lo, hi, idf, avgdl,
                                    k1, b, k, mode, n_query_terms,
-                                   after=after, excl=excl)
+                                   after=after, excl=excl,
+                                   min_hits=min_hits)
 
 
 def cand_score_group(idf: dict[str, float], avgdl: float, k1: float,
                      b: float, k: int, mode: str, n_query_terms: int,
                      after: tuple[float, int] | None = None,
-                     excl: np.ndarray | None = None):
+                     excl: np.ndarray | None = None,
+                     min_hits: int | None = None):
     """Cogroup kernel factory: score ONLY the candidate docids arriving
     on the right side (a tenant's or a filter's docstore rows). BM25
     statistics stay GLOBAL — the ES bool-filter contract: results equal
@@ -410,7 +438,7 @@ def cand_score_group(idf: dict[str, float], avgdl: float, k1: float,
               for t in sorted(lpdf["term"].unique())}
         return _score_candidates(pt, list(pt), cand, idf, avgdl, k1, b,
                                  k, mode, n_query_terms, after=after,
-                                 excl=excl)
+                                 excl=excl, min_hits=min_hits)
 
     return per_group
 
@@ -467,8 +495,8 @@ def _score_or_wand_after(per_term: dict[str, pd.DataFrame],
                          terms: list[str], idf: dict[str, float],
                          avgdl: float, k1: float, b: float, k: int,
                          n_query_terms: int, after: tuple[float, int],
-                         excl: np.ndarray | None = None
-                         ) -> pd.DataFrame:
+                         excl: np.ndarray | None = None,
+                         min_hits: int | None = None) -> pd.DataFrame:
     """Cursor-aware block-max pruning for OR-mode deep pagination
     (exact; VERDICT r5 #6). The plain WAND seed is unsound here: a
     seed doc's PARTIAL sum can sit under the cursor score while its
@@ -526,11 +554,12 @@ def _score_or_wand_after(per_term: dict[str, pd.DataFrame],
         if m is not None:
             sd, sc = sd[m], sc[m]
         if sd.size == 0:
-            return (np.empty(0, np.int64), np.empty(0, np.float64))
+            return (np.empty(0, np.int64), np.empty(0, np.float64),
+                    np.empty(0, np.int64))
         uniq, inv = np.unique(sd, return_inverse=True)
         part = np.zeros(uniq.shape[0])
         np.add.at(part, inv, sc)    # ascending-term order: bit-exact
-        return uniq, part
+        return uniq, part, np.bincount(inv, minlength=uniq.shape[0])
 
     def completeness(uniq: np.ndarray) -> np.ndarray:
         complete = np.ones(uniq.shape[0], dtype=bool)
@@ -557,7 +586,7 @@ def _score_or_wand_after(per_term: dict[str, pd.DataFrame],
         keep = np.zeros(ub.shape[0], dtype=bool)
         keep[top] = True
         decode_marked(t, keep)
-    uniq, part = aggregate()
+    uniq, part, nhits = aggregate()
     complete = completeness(uniq)
 
     # round 2 (bounded): complete the ≤4k highest-partial incomplete
@@ -582,12 +611,16 @@ def _score_or_wand_after(per_term: dict[str, pd.DataFrame],
             keep = np.zeros(um.shape[0], dtype=bool)
             keep[uidx[np.unique(j[ok])]] = True
             decode_marked(t, keep)
-        uniq, part = aggregate()
+        uniq, part, nhits = aggregate()
         complete = completeness(uniq)
 
     theta = 0.0
     if uniq.size:
         qual = complete & ((part < s0) | ((part == s0) & (uniq > d0)))
+        if min_hits is not None and min_hits > 1:
+            # a COMPLETE doc's hit count is exact, so the msm test is
+            # exact for the theta pool
+            qual &= nhits >= min_hits
         qs_ = part[qual]
         if qs_.shape[0] >= k:
             theta = float(np.sort(qs_)[-k])
@@ -637,14 +670,16 @@ def _score_or_wand_after(per_term: dict[str, pd.DataFrame],
                                n_query_terms, after=after)
     return _aggregate_topk(np.concatenate(all_d),
                            np.concatenate(all_c), k, "or",
-                           n_query_terms, after=after, excl=excl)
+                           n_query_terms, after=after, excl=excl,
+                           min_hits=min_hits)
 
 
 def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
                 k1: float, b: float, k: int, mode: str,
                 n_query_terms: int, method: str = "wand",
                 after: tuple[float, int] | None = None,
-                excl: np.ndarray | None = None) -> pd.DataFrame:
+                excl: np.ndarray | None = None,
+                min_hits: int | None = None) -> pd.DataFrame:
     """Score one shard's dictionary rows (all query terms) → top-k.
     With ``after`` (deep-pagination cursor), OR-mode WAND switches to
     the cursor-aware pruned path (_score_or_wand_after, r6): exact at
@@ -660,7 +695,7 @@ def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
         if method == "wand":
             return _score_or_wand_after(per_term, terms, idf, avgdl,
                                         k1, b, k, n_query_terms,
-                                        after, excl)
+                                        after, excl, min_hits=min_hits)
         method = "exact"
 
     if method == "exact":
@@ -676,7 +711,7 @@ def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
                                    n_query_terms, after=after)
         return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
                                k, mode, n_query_terms, after=after,
-                               excl=excl)
+                               excl=excl, min_hits=min_hits)
 
     if mode == "and":
         return _score_and_pruned(per_term, terms, idf, avgdl, k1, b, k,
@@ -723,6 +758,12 @@ def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
         uniq, inv = np.unique(sd, return_inverse=True)
         part = np.zeros(uniq.shape[0])
         np.add.at(part, inv, sc)
+        if min_hits is not None and min_hits > 1:
+            # seed hit counts UNDERESTIMATE true hits, so requiring
+            # >= min_hits here only shrinks the theta pool — theta
+            # stays a valid lower bound on the k-th qualifying score
+            h = np.bincount(inv, minlength=uniq.shape[0])
+            part = part[h >= min_hits]
         theta = float(np.sort(part)[-k]) if part.shape[0] >= k else 0.0
     else:
         theta = 0.0
@@ -769,7 +810,8 @@ def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
         return _aggregate_topk(np.empty(0, np.int64), np.empty(0, np.float64),
                                k, mode, n_query_terms, after=after)
     return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
-                           k, "or", n_query_terms, after=after, excl=excl)
+                           k, "or", n_query_terms, after=after, excl=excl,
+                           min_hits=min_hits)
 
 
 def _decode_term_rows_pos(rows: pd.DataFrame):
@@ -1264,7 +1306,8 @@ class FTSIndex:
              method: str = "wand", org: str | None = None,
              field: str | None = None,
              filter: str | Column | None = None,
-             after: tuple[float, int] | None = None) -> DataFrame:
+             after: tuple[float, int] | None = None,
+             min_should_match: int | None = None) -> DataFrame:
         """Distributed top-k: per-shard scoring via applyInPandas, driver
         merge of num_shards·k candidates. Returns (docid, score).
 
@@ -1287,10 +1330,15 @@ class FTSIndex:
         N+1 is ``topk(..., after=tuple(page_N.iloc[-1]))`` with no
         from+size over-fetch. Exact at any depth (cursor scores come
         from this same fixed-summation pipeline, so score equality is
-        bit-reliable); OR-mode cursor pages score exhaustively (WAND's
-        θ pruning would drop below-top-k docs a deep page needs).
-        Composes with org/field/filter."""
+        bit-reliable; since r6 OR-mode cursor pages prune via the
+        cursor-aware WAND). Composes with org/field/filter.
+
+        ``min_should_match`` (OR mode; the ES minimum_should_match
+        analog): keep only docs matching at least that many distinct
+        query terms — "or" is 1, "and" is all; this is the DSL's
+        middle ground. Composes with everything above."""
         prefix, avgdl = self._field(field)
+        mh = _check_msm(min_should_match, mode)
         if after is not None:
             after = (float(after[0]), int(after[1]))
         terms = self._terms(query, prefix)
@@ -1311,7 +1359,8 @@ class FTSIndex:
                           .cogroup(fdocs.groupBy("shard"))
                           .applyInPandas(
                               cand_score_group(idf, avgdl, k1, b, k,
-                                               mode, nq, after=after),
+                                               mode, nq, after=after,
+                                               min_hits=mh),
                               schema="docid long, score double")
                           .collect())
         elif org is not None:
@@ -1325,7 +1374,8 @@ class FTSIndex:
                 def per_shard_rng(pdf: pd.DataFrame) -> pd.DataFrame:
                     lo, hi = ranges[int(pdf["shard"].iloc[0])]
                     return score_range_pt(pdf, lo, hi, idf, avgdl, k1,
-                                          b, k, mode, nq, after=after)
+                                          b, k, mode, nq, after=after,
+                                          min_hits=mh)
 
                 shard_tops = (rows.groupBy("shard")
                               .applyInPandas(
@@ -1339,13 +1389,14 @@ class FTSIndex:
                               .applyInPandas(
                                   cand_score_group(idf, avgdl, k1, b,
                                                    k, mode, nq,
-                                                   after=after),
+                                                   after=after,
+                                                   min_hits=mh),
                                   schema="docid long, score double")
                               .collect())
         else:
             def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
                 return score_shard(pdf, idf, avgdl, k1, b, k, mode, nq,
-                                   method, after=after)
+                                   method, after=after, min_hits=mh)
 
             rows = self._posting_rows(terms)
             shard_tops = (rows.groupBy("shard")
@@ -1365,11 +1416,13 @@ class FTSIndex:
                     method: str = "wand", org: str | None = None,
                     field: str | None = None,
                     filter: str | Column | None = None,
-                    after: tuple[float, int] | None = None
+                    after: tuple[float, int] | None = None,
+                    min_should_match: int | None = None
                     ) -> pd.DataFrame:
         """Driver-local result as pandas (test/bench convenience)."""
         return (self.topk(query, k, mode, method, org=org, field=field,
-                          filter=filter, after=after)
+                          filter=filter, after=after,
+                          min_should_match=min_should_match)
                 .toPandas().reset_index(drop=True))
 
     def topk_many(self, queries: dict[str, tuple[str, str]], k: int = 10,
@@ -1870,7 +1923,8 @@ class FTSIndex:
     def topk_local(self, query: str, k: int = 10, mode: str = "or",
                    method: str = "wand", field: str | None = None,
                    org: str | None = None,
-                   after: tuple[float, int] | None = None
+                   after: tuple[float, int] | None = None,
+                   min_should_match: int | None = None
                    ) -> pd.DataFrame:
         """Low-latency single-node query path: pyarrow dataset reads with
         the same th/term pushdown (no Spark job at all) + the same numpy
@@ -1892,8 +1946,10 @@ class FTSIndex:
         segments hot the same way), so ``method`` block pruning applies
         only on the org paths. One-shot cold queries that must not warm
         a cache belong on the distributed topk(). ``after`` is the
-        deep-pagination cursor, same contract as topk()."""
+        deep-pagination cursor, ``min_should_match`` the OR-mode
+        match-count floor — same contracts as topk()."""
         prefix, avgdl = self._field(field)
+        mh = _check_msm(min_should_match, mode)
         if after is not None:
             after = (float(after[0]), int(after[1]))
         terms = self._terms(query, prefix)
@@ -1914,7 +1970,8 @@ class FTSIndex:
             idf = {t: _bm25_idf(self._fieldN(field), dfm.get(t, 0.0))
                    for t in terms}
             return score_decoded(pt, idf, avgdl, self.k1, self.b, k,
-                                 mode, len(terms), after=after)
+                                 mode, len(terms), after=after,
+                                 min_hits=mh)
         pdf = self._local_term_rows(terms)
         if org is not None:
             pdf = pdf[pdf["shard"].isin(shards)]
@@ -1936,7 +1993,7 @@ class FTSIndex:
                     lo, hi = ranges[s]
                     parts.append(score_range_pt(
                         sub, lo, hi, idf, avgdl, self.k1, self.b, k,
-                        mode, len(terms), after=after))
+                        mode, len(terms), after=after, min_hits=mh))
                 if not parts:
                     return empty
                 return (pd.concat(parts)
@@ -1950,7 +2007,8 @@ class FTSIndex:
                   for t in sorted(pdf["term"].unique())}
             out = _score_candidates(pt, list(pt), cand, idf, avgdl,
                                     self.k1, self.b, k, mode,
-                                    len(terms), after=after)
+                                    len(terms), after=after,
+                                    min_hits=mh)
         return out.reset_index(drop=True)
 
     def match_docids(self, query: str, mode: str = "and",

@@ -427,7 +427,8 @@ class CombinedIndex:
     def topk_local(self, query: str, k: int = 10, mode: str = "or",
                    method: str = "wand", org: str | None = None,
                    field: str | None = None,
-                   after: tuple[float, int] | None = None
+                   after: tuple[float, int] | None = None,
+                   min_should_match: int | None = None
                    ) -> pd.DataFrame:
         """Low-latency base+delta query with NO Spark job (the realtime
         leg at ms latency): pyarrow dictionary reads per sub-index,
@@ -456,6 +457,8 @@ class CombinedIndex:
                for t, d in df_tot.items()}
         if after is not None:
             after = (float(after[0]), int(after[1]))
+        from .query import _check_msm
+        mh = _check_msm(min_should_match, mode)
         excl = self._excl()
         parts = []
         for i, s in enumerate(self.subs):
@@ -467,7 +470,8 @@ class CombinedIndex:
                 pt = s._decoded_terms(terms)
                 parts.append(score_decoded(pt, idf, avgdl, self.k1,
                                            self.b, k, mode, len(terms),
-                                           after=after, excl=excl))
+                                           after=after, excl=excl,
+                                           min_hits=mh))
                 continue
             pdf = s._local_term_rows(terms)
             ps = org_subs[i][1]
@@ -481,7 +485,8 @@ class CombinedIndex:
                     lo, hi = ranges[sh]
                     parts.append(score_range_pt(
                         sub, lo, hi, idf, avgdl, self.k1, self.b,
-                        k, mode, len(terms), after=after, excl=excl))
+                        k, mode, len(terms), after=after, excl=excl,
+                        min_hits=mh))
                 continue
             pdf = pdf[pdf["shard"].isin(ps)]
             if pdf.empty:
@@ -493,7 +498,8 @@ class CombinedIndex:
                   for t in sorted(pdf["term"].unique())}
             parts.append(_score_candidates(
                 pt, list(pt), cand, idf, avgdl, self.k1,
-                self.b, k, mode, len(terms), after=after, excl=excl))
+                self.b, k, mode, len(terms), after=after, excl=excl,
+                min_hits=mh))
         if not parts:
             return empty
         return (pd.concat(parts)
@@ -662,7 +668,8 @@ class CombinedIndex:
     def topk(self, query: str, k: int = 10, mode: str = "or",
              method: str = "wand", org: str | None = None,
              field: str | None = None, filter=None,
-             after: tuple[float, int] | None = None) -> pd.DataFrame:
+             after: tuple[float, int] | None = None,
+             min_should_match: int | None = None) -> pd.DataFrame:
         """ONE Spark job over the unioned dictionaries. With ``org``
         (every generation routed): each sub's rows are pruned to ITS
         possible shards and the tenant's docids are cogrouped in per
@@ -679,7 +686,9 @@ class CombinedIndex:
         truncation, so groups return k rows, not k+T)."""
         import numpy as np
         from .analyzer import tokenize_text
-        from .query import _score_candidates, cand_score_group
+        from .query import (_check_msm, _score_candidates,
+                            cand_score_group)
+        mh = _check_msm(min_should_match, mode)
         org_subs = self._org_subs(org) if org is not None else None
         prefix, avgdl = self._field(field)
         terms = sorted({prefix + t
@@ -710,7 +719,8 @@ class CombinedIndex:
                     .cogroup(parts.groupBy("sub", "shard"))
                     .applyInPandas(
                         cand_score_group(idf, avgdl, k1, b, k, mode,
-                                         nq, after=after, excl=excl),
+                                         nq, after=after, excl=excl,
+                                         min_hits=mh),
                         schema="docid long, score double")
                     .toPandas())
         elif org_subs is not None:
@@ -730,7 +740,7 @@ class CombinedIndex:
                     from .query import score_range_pt
                     return score_range_pt(pdf, lo, hi, idf, avgdl, k1,
                                           b, k, mode, nq, after=after,
-                                          excl=excl)
+                                          excl=excl, min_hits=mh)
 
                 allp = (rows.groupBy("sub", "shard")
                         .applyInPandas(per_group_rng,
@@ -747,7 +757,8 @@ class CombinedIndex:
                           for t in sorted(lpdf["term"].unique())}
                     return _score_candidates(pt, list(pt), cand, idf,
                                              avgdl, k1, b, k, mode, nq,
-                                             after=after, excl=excl)
+                                             after=after, excl=excl,
+                                             min_hits=mh)
 
                 allp = (rows.groupBy("sub", "shard")
                         .cogroup(parts.groupBy("sub", "shard"))
@@ -759,7 +770,8 @@ class CombinedIndex:
                 # block bounds are (max_tf, min_dl) pairs evaluated at
                 # query time, so WAND stays exact under the union avgdl
                 return score_shard(pdf, idf, avgdl, k1, b, k, mode, nq,
-                                   method, after=after, excl=excl)
+                                   method, after=after, excl=excl,
+                                   min_hits=mh)
 
             allp = (self._union(lambda s: s._posting_rows(terms))
                     .groupBy("sub", "shard")

@@ -211,3 +211,65 @@ def test_local_fetch_and_search_no_spark_job(spark, index, oracle):
     dist = index.search(q, k=5).toPandas()
     assert sr["docid"].tolist() == dist["docid"].tolist()
     assert "text" in sr.columns and len(sr) == len(dist)
+
+
+def test_min_should_match(spark, tmp_path_factory):
+    """minimum_should_match (r6, the ES DSL analog): OR-mode results
+    restricted to docs matching >= m distinct query terms; scores
+    unchanged (same BM25 sums). m=1 == or; m=n_terms == and. Exact on
+    wand AND exact methods, distributed AND local paths, and under a
+    deep-pagination cursor."""
+    import numpy as np
+    from sparkfts import BuildConfig, FTSIndex, build_index
+    from sparkfts.fixtures import make_transcripts
+    pdf = make_transcripts(25, seed=103)
+    root = str(tmp_path_factory.mktemp("msm_idx"))
+    build_index(spark, spark.createDataFrame(pdf), root,
+                order_cols=["conv_id", "turn_idx"],
+                cfg=BuildConfig(num_shards=2, partitions=2))
+    idx = FTSIndex(spark, root)
+    q = "alpha query index"
+    full = idx.topk_pandas(q, k=10 ** 6, mode="or", method="exact")
+    # brute reference: per-doc matched-term counts from the postings
+    ps = idx._postings.toPandas()
+    from sparkfts import codec as C
+    terms = sorted(set(q.split()))
+    counts = {}
+    for t in terms:
+        rows = ps[ps["term"] == t]
+        for r in rows.itertuples():
+            d, _, _ = C.decode_postings(r.blob, np.asarray(r.block_off),
+                                        np.asarray(r.block_n))
+            for x in d:
+                counts[int(x)] = counts.get(int(x), 0) + 1
+    for m in (1, 2, 3):
+        want = full[full["docid"].map(
+            lambda d: counts.get(int(d), 0) >= m)].reset_index(drop=True)
+        for method in ("wand", "exact"):
+            got = idx.topk_pandas(q, k=10 ** 6, mode="or",
+                                  method=method, min_should_match=m)
+            assert got["docid"].tolist() == want["docid"].tolist(), \
+                (m, method)
+            np.testing.assert_allclose(got["score"], want["score"],
+                                       rtol=0, atol=1e-12)
+        loc = idx.topk_local(q, k=10 ** 6, mode="or",
+                             min_should_match=m)
+        assert loc["docid"].tolist() == want["docid"].tolist(), m
+    # m == n_terms equals AND
+    want_and = idx.topk_pandas(q, k=20, mode="and")
+    got_and = idx.topk_pandas(q, k=20, mode="or",
+                              min_should_match=len(terms))
+    assert got_and["docid"].tolist() == want_and["docid"].tolist()
+    np.testing.assert_allclose(got_and["score"], want_and["score"],
+                               rtol=0, atol=1e-12)
+    # composes with the cursor (page 2 under msm=2)
+    m2 = idx.topk_pandas(q, k=10 ** 6, mode="or", min_should_match=2)
+    if len(m2) > 6:
+        cur = (float(m2["score"].iloc[3]), int(m2["docid"].iloc[3]))
+        p2 = idx.topk_pandas(q, k=3, mode="or", min_should_match=2,
+                             after=cur)
+        assert p2["docid"].tolist() == m2["docid"].iloc[4:7].tolist()
+    # validation
+    import pytest as _pt
+    with _pt.raises(ValueError, match="min_should_match"):
+        idx.topk_pandas(q, k=5, mode="and", min_should_match=2)
