@@ -325,7 +325,8 @@ def score_query_set(pdf: pd.DataFrame, cand, qterms: dict[str, list[str]],
                     modes: dict[str, str], idf: dict[str, float],
                     avgdl: float, k1: float, b: float, k: int,
                     method: str, rng: tuple[int, int] | None = None,
-                    excl: np.ndarray | None = None) -> pd.DataFrame:
+                    excl: np.ndarray | None = None,
+                    min_hits: int | None = None) -> pd.DataFrame:
     """Score a whole query SET against one shard's dictionary rows in
     one pass (shared by FTSIndex.topk_many and CombinedIndex.topk_many).
     ``cand`` (sorted unique docids) or ``rng`` ([lo, hi] interval — the
@@ -339,18 +340,21 @@ def score_query_set(pdf: pd.DataFrame, cand, qterms: dict[str, list[str]],
         sub = pdf[pdf["term"].isin(terms)]
         if sub.empty:
             continue
+        mh = min_hits if modes[qid] == "or" else None
         if rng is not None:
             out = score_range_pt(sub, rng[0], rng[1], idf, avgdl, k1, b,
-                                 k, modes[qid], len(terms), excl=excl)
+                                 k, modes[qid], len(terms), excl=excl,
+                                 min_hits=mh)
         elif cand is None:
             out = score_shard(sub, idf, avgdl, k1, b, k,
-                              modes[qid], len(terms), method, excl=excl)
+                              modes[qid], len(terms), method, excl=excl,
+                              min_hits=mh)
         else:
             pt = {t: sub[sub["term"] == t]
                   for t in sorted(sub["term"].unique())}
             out = _score_candidates(pt, list(pt), cand, idf, avgdl,
                                     k1, b, k, modes[qid], len(terms),
-                                    excl=excl)
+                                    excl=excl, min_hits=mh)
         outs.append(out.assign(qid=qid))
     if not outs:
         return _QSET_EMPTY
@@ -1055,7 +1059,8 @@ def sj_cand_rows(fdocs: DataFrame, keys: list[str],
 def sj_score_group_factory(avgdl: float, k1: float, b: float, k: int,
                            method: str, rng_lookup=None,
                            filtered: bool = False,
-                           excl: np.ndarray | None = None):
+                           excl: np.ndarray | None = None,
+                           min_hits: int | None = None):
     """Cogroup kernel: rebuild the per-bucket qterms/modes/idf dicts
     from the query side; or/and queries score in one score_query_set
     pass, phrase queries each rebuild their token sequence from qpos
@@ -1107,7 +1112,8 @@ def sj_score_group_factory(avgdl: float, k1: float, b: float, k: int,
             idf = dict(zip(nb["term"], nb["idf"]))
             outs.append(score_query_set(lpdf, cand, qterms, modes, idf,
                                         avgdl, k1, b, k, method,
-                                        rng=rng, excl=excl))
+                                        rng=rng, excl=excl,
+                                        min_hits=min_hits))
         for qid, g in ph.groupby("qid"):
             seq: list[str] = [""] * int(sum(len(p) for p in g["qpos"]))
             for term, ps_ in zip(g["term"], g["qpos"]):
@@ -1428,7 +1434,8 @@ class FTSIndex:
     def topk_many(self, queries: dict[str, tuple[str, str]], k: int = 10,
                   method: str = "wand", field: str | None = None,
                   org: str | None = None,
-                  filter: str | Column | None = None
+                  filter: str | Column | None = None,
+                  min_should_match: int | None = None
                   ) -> dict[str, pd.DataFrame]:
         """Batched top-k: score MANY queries in ONE Spark job — the
         fixed per-job latency (~1-2s at small scale) is paid once for
@@ -1452,12 +1459,14 @@ class FTSIndex:
         idf = self._idf_map(all_terms, N=self._fieldN(field))
         k1, b = self.k1, self.b
         modes = {qid: m for qid, (_, m) in queries.items()}
+        mh = (None if min_should_match is None
+              else _check_msm(min_should_match, "or"))
         out_schema = "qid string, docid long, score double"
 
         def _score_queries(pdf: pd.DataFrame,
                            cand: np.ndarray | None) -> pd.DataFrame:
             return score_query_set(pdf, cand, qterms, modes, idf, avgdl,
-                                   k1, b, k, method)
+                                   k1, b, k, method, min_hits=mh)
 
         if filter is not None:
             # bool-filter batch: matching (shard, docid) cogroup in —
@@ -1493,7 +1502,8 @@ class FTSIndex:
                         rng = ranges[int(pdf["shard"].iloc[0])]
                         return score_query_set(pdf, None, qterms, modes,
                                                idf, avgdl, k1, b, k,
-                                               method, rng=rng)
+                                               method, rng=rng,
+                                               min_hits=mh)
 
                     tops = (rows.groupBy("shard")
                             .applyInPandas(per_shard_rng,
@@ -1535,7 +1545,8 @@ class FTSIndex:
                     mode_col: str | None = None,
                     default_mode: str = "or",
                     n_buckets: int | None = None,
-                    filter: str | Column | None = None) -> DataFrame:
+                    filter: str | Column | None = None,
+                    min_should_match: int | None = None) -> DataFrame:
         """Batch search as a JOIN: score a whole DataFrame of queries
         against the index in one distributed plan and return per-query
         top-k as a DataFrame — the surface for query-set-scale work
@@ -1650,9 +1661,11 @@ class FTSIndex:
             fdocs = self._filter_docs(filter, org)
             buckets = make_qt().select("bucket").distinct()
             ps = ps.unionByName(sj_cand_rows(fdocs, ["shard"], buckets))
-        score_group = sj_score_group_factory(avgdl, self.k1, self.b,
-                                             k, method, rng_lookup,
-                                             filtered=filter is not None)
+        score_group = sj_score_group_factory(
+            avgdl, self.k1, self.b, k, method, rng_lookup,
+            filtered=filter is not None,
+            min_hits=(None if min_should_match is None
+                      else _check_msm(min_should_match, "or")))
         tops = (ps.groupBy("shard", "bucket")
                 .cogroup(qs_sh.groupBy("shard", "bucket"))
                 .applyInPandas(score_group,

@@ -1100,8 +1100,9 @@ class CombinedIndex:
 
     def topk_many(self, queries: dict[str, tuple[str, str]], k: int = 10,
                   method: str = "wand", field: str | None = None,
-                  org: str | None = None,
-                  filter=None) -> dict[str, pd.DataFrame]:
+                  org: str | None = None, filter=None,
+                  min_should_match: int | None = None
+                  ) -> dict[str, pd.DataFrame]:
         """Batched base+delta top-k: the WHOLE query set in ONE Spark
         job over the unioned dictionaries (the streaming analog of
         FTSIndex.topk_many), each result rank-identical to the
@@ -1126,6 +1127,9 @@ class CombinedIndex:
         modes = {qid: m for qid, (_, m) in queries.items()}
         k1, b = self.k1, self.b
         excl = self._excl()
+        from .query import _check_msm
+        mh = (None if min_should_match is None
+              else _check_msm(min_should_match, "or"))
         out_schema = "qid string, docid long, score double"
 
         if filter is not None:
@@ -1146,7 +1150,7 @@ class CombinedIndex:
                 cand = np.unique(rpdf["docid"].to_numpy(np.int64))
                 return score_query_set(lpdf, cand, qterms, modes, idf,
                                        avgdl, k1, b, k, method,
-                                       excl=excl)
+                                       excl=excl, min_hits=mh)
 
             tops = (self._union(mk_rows).groupBy("sub", "shard")
                     .cogroup(self._union(
@@ -1166,7 +1170,7 @@ class CombinedIndex:
                         return score_query_set(pdf, None, qterms, modes,
                                                idf, avgdl, k1, b, k,
                                                method, rng=rngmap[key],
-                                               excl=excl)
+                                               excl=excl, min_hits=mh)
 
                     tops = (rows.groupBy("sub", "shard")
                             .applyInPandas(per_group_rng,
@@ -1181,7 +1185,7 @@ class CombinedIndex:
                     cand = np.sort(rpdf["docid"].to_numpy(np.int64))
                     return score_query_set(lpdf, cand, qterms, modes,
                                            idf, avgdl, k1, b, k, method,
-                                           excl=excl)
+                                           excl=excl, min_hits=mh)
 
                 tops = (rows.groupBy("sub", "shard")
                         .cogroup(parts.groupBy("sub", "shard"))
@@ -1191,7 +1195,7 @@ class CombinedIndex:
             def per_group(pdf):
                 return score_query_set(pdf, None, qterms, modes, idf,
                                        avgdl, k1, b, k, method,
-                                       excl=excl)
+                                       excl=excl, min_hits=mh)
 
             tops = (self._union(lambda s: s._posting_rows(all_terms))
                     .groupBy("sub", "shard")
@@ -1213,8 +1217,8 @@ class CombinedIndex:
                     query_col: str = "query",
                     mode_col: str | None = None,
                     default_mode: str = "or",
-                    n_buckets: int | None = None,
-                    filter=None) -> DataFrame:
+                    n_buckets: int | None = None, filter=None,
+                    min_should_match: int | None = None) -> DataFrame:
         """Batch search as a join over base + deltas — the streaming
         analog of FTSIndex.search_join (same contract: a DataFrame of
         queries in, per-query (qid, rank, docid, score) top-k out,
@@ -1303,10 +1307,12 @@ class CombinedIndex:
             ps = ps.unionByName(
                 sj_cand_rows(fps, ["sub", "shard"], buckets,
                              excl=self.deleted_docids()))
-        score_group = sj_score_group_factory(avgdl, self.k1, self.b,
-                                             k, method, rng_lookup,
-                                             filtered=filter is not None,
-                                             excl=excl)
+        from .query import _check_msm
+        score_group = sj_score_group_factory(
+            avgdl, self.k1, self.b, k, method, rng_lookup,
+            filtered=filter is not None, excl=excl,
+            min_hits=(None if min_should_match is None
+                      else _check_msm(min_should_match, "or")))
         tops = (ps.groupBy("sub", "shard", "bucket")
                 .cogroup(qs_k.groupBy("sub", "shard", "bucket"))
                 .applyInPandas(score_group,

@@ -273,3 +273,47 @@ def test_min_should_match(spark, tmp_path_factory):
     import pytest as _pt
     with _pt.raises(ValueError, match="min_should_match"):
         idx.topk_pandas(q, k=5, mode="and", min_should_match=2)
+
+
+def test_min_should_match_batch_surfaces(spark, tmp_path_factory):
+    """min_should_match on the batch surfaces: topk_many and
+    search_join results equal the per-query topk(min_should_match=m)
+    calls (phrase/and rows in a mixed batch are unaffected)."""
+    import numpy as np
+    from sparkfts import BuildConfig, FTSIndex, build_index
+    from sparkfts.fixtures import make_transcripts
+    pdf = make_transcripts(20, seed=104)
+    root = str(tmp_path_factory.mktemp("msm_batch"))
+    build_index(spark, spark.createDataFrame(pdf), root,
+                order_cols=["conv_id", "turn_idx"],
+                cfg=BuildConfig(num_shards=2, partitions=2))
+    idx = FTSIndex(spark, root)
+    qs = {"a": ("alpha query index", "or"),
+          "b": ("merge window shard", "or"),
+          "c": ("alpha index", "and")}
+    got = idx.topk_many(qs, k=6, min_should_match=2)
+    for qid, (q, mode) in qs.items():
+        want = idx.topk_pandas(
+            q, k=6, mode=mode,
+            min_should_match=2 if mode == "or" else None)
+        assert got[qid]["docid"].tolist() == want["docid"].tolist(), qid
+        np.testing.assert_allclose(got[qid]["score"], want["score"],
+                                   rtol=0, atol=1e-9, err_msg=qid)
+    qdf = spark.createDataFrame(
+        [(qid, q, m) for qid, (q, m) in qs.items()],
+        "qid string, query string, mode string")
+    res = (idx.search_join(qdf, k=6, mode_col="mode",
+                           min_should_match=2).toPandas())
+    sj = {qid: g.sort_values("rank")[["docid", "score"]]
+          .reset_index(drop=True) for qid, g in res.groupby("qid")}
+    for qid, (q, mode) in qs.items():
+        want = idx.topk_pandas(
+            q, k=6, mode=mode,
+            min_should_match=2 if mode == "or" else None)
+        g = sj.get(qid)
+        if want.empty:
+            assert g is None, qid
+            continue
+        assert g["docid"].tolist() == want["docid"].tolist(), qid
+        np.testing.assert_allclose(g["score"], want["score"], rtol=0,
+                                   atol=1e-9, err_msg=qid)
