@@ -40,13 +40,48 @@ class BM25Oracle:
         d = float(self.df.get(term, 0))
         return float(np.log(1.0 + (self.N - d + 0.5) / (d + 0.5)))
 
+    def expand(self, pattern: str, kind: str = "prefix",
+               fuzziness: int = 2, prefix_length: int = 0) -> list[str]:
+        """Brute-force dictionary expansion for multi-term queries —
+        deliberately independent of the engine's range-scan expansion:
+        a full vocabulary scan with startswith / fnmatch / a pure-DP
+        Levenshtein."""
+        import fnmatch
+        from functools import lru_cache
+        p = pattern.lower()
+        vocab = sorted(self.df.index)
+        if kind == "prefix":
+            return [t for t in vocab if t.startswith(p)]
+        if kind == "wildcard":
+            return [t for t in vocab if fnmatch.fnmatchcase(t, p)]
+
+        def lev(a: str, b: str) -> int:
+            @lru_cache(maxsize=None)
+            def d(i: int, j: int) -> int:
+                if i == 0:
+                    return j
+                if j == 0:
+                    return i
+                return min(d(i - 1, j) + 1, d(i, j - 1) + 1,
+                           d(i - 1, j - 1) + (a[i - 1] != b[j - 1]))
+            return d(len(a), len(b))
+        pre = p[:max(0, int(prefix_length))]
+        return [t for t in vocab
+                if t.startswith(pre) and lev(p, t) <= int(fuzziness)]
+
     def topk(self, query: str, k: int = 10, mode: str = "or") -> pd.DataFrame:
         """Top-k (docid, score), score desc, ties by docid asc.
 
         mode='or': sum over matched terms; mode='and': doc must contain
         every distinct query term.
         """
-        terms = sorted(set(tokenize_text(query, self.cfg)))
+        return self.topk_terms(sorted(set(tokenize_text(query, self.cfg))),
+                               k, mode)
+
+    def topk_terms(self, terms: list[str], k: int = 10,
+                   mode: str = "or") -> pd.DataFrame:
+        """topk over pre-analyzed terms (the multi-term-query oracle:
+        score an explicit OR of expanded terms)."""
         if not terms:
             return pd.DataFrame({"docid": pd.Series(dtype=np.int64),
                                  "score": pd.Series(dtype=np.float64)})

@@ -33,13 +33,14 @@ from __future__ import annotations
 
 import math
 import os
+import re
 from typing import Iterable
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from . import codec, storage
+from . import codec, multiterm, storage
 from .analyzer import (TokenizerConfig, jvm_tokens, tokenize_series,
                        tokenize_text)
 
@@ -1313,7 +1314,8 @@ class FTSIndex:
              field: str | None = None,
              filter: str | Column | None = None,
              after: tuple[float, int] | None = None,
-             min_should_match: int | None = None) -> DataFrame:
+             min_should_match: int | None = None,
+             raw_terms: list[str] | None = None) -> DataFrame:
         """Distributed top-k: per-shard scoring via applyInPandas, driver
         merge of num_shards·k candidates. Returns (docid, score).
 
@@ -1342,12 +1344,18 @@ class FTSIndex:
         ``min_should_match`` (OR mode; the ES minimum_should_match
         analog): keep only docs matching at least that many distinct
         query terms — "or" is 1, "and" is all; this is the DSL's
-        middle ground. Composes with everything above."""
+        middle ground. Composes with everything above.
+
+        ``raw_terms`` — pre-analyzed, field-prefixed dictionary terms
+        replacing the analyzer pass on ``query`` (the multi-term-query
+        extension point: pattern_topk feeds expanded prefix/wildcard/
+        fuzzy terms here so they ride every scoring surface)."""
         prefix, avgdl = self._field(field)
         mh = _check_msm(min_should_match, mode)
         if after is not None:
             after = (float(after[0]), int(after[1]))
-        terms = self._terms(query, prefix)
+        terms = (sorted(set(raw_terms)) if raw_terms is not None
+                 else self._terms(query, prefix))
         idf = self._idf_map(terms, N=self._fieldN(field))
         empty = self.spark.createDataFrame([], "docid long, score double")
         if not terms:
@@ -1430,6 +1438,171 @@ class FTSIndex:
                           filter=filter, after=after,
                           min_should_match=min_should_match)
                 .toPandas().reset_index(drop=True))
+
+    # -- multi-term queries: prefix / wildcard / fuzzy ---------------
+    def expand_terms(self, pattern: str, kind: str = "prefix",
+                     field: str | None = None,
+                     max_expansions: int = multiterm.MAX_EXPANSIONS,
+                     fuzziness: int = 2, prefix_length: int = 0,
+                     distributed: bool = False) -> list[str]:
+        """Dictionary expansion of a prefix/wildcard/fuzzy pattern —
+        the ES multi-term-query rewrite step (served by the restored
+        cluster via the delegation point BaseESReducer.java:154; the
+        DSL semantics are public Lucene). The dictionary (term_stats)
+        is term-sorted parquet, so the literal prefix becomes a PUSHED
+        range filter (``term >= lo AND term < hi`` → row-group
+        pruning); wildcard adds an anchored-regex verify, fuzzy a
+        pushed length window + exact Levenshtein verify
+        (JVM ``levenshtein`` distributed, numpy Wagner-Fischer local).
+
+        ``distributed=True`` scans via Spark (the 100-TB dictionary
+        path — only the <= max_expansions matching terms are
+        collected); default is the driver-side pyarrow scan (serving).
+        Returns field-prefixed terms, capped deterministically by
+        (df DESC, term ASC) — Lucene's top_terms_N selection."""
+        multiterm.validate_kind(kind)
+        fp, _ = self._field(field)
+        cand = self._expand_candidates(pattern, kind, fp=fp,
+                                       max_expansions=max_expansions,
+                                       fuzziness=fuzziness,
+                                       prefix_length=prefix_length,
+                                       distributed=distributed)
+        return multiterm.select_expansions(
+            [t for t, _ in cand], [d for _, d in cand],
+            int(max_expansions))
+
+    def _expand_candidates(self, pattern: str, kind: str, fp: str = "",
+                           max_expansions: int =
+                           multiterm.MAX_EXPANSIONS,
+                           fuzziness: int = 2, prefix_length: int = 0,
+                           distributed: bool = False
+                           ) -> list[tuple[str, float]]:
+        """(prefixed term, df) candidates for one index segment —
+        CombinedIndex sums dfs across generations before the cap. The
+        per-segment cap keeps the collect bounded; ``fp`` is the
+        ALREADY-VALIDATED field prefix (a field with zero tokens in one
+        generation is absent from that generation's stats, so per-sub
+        validation would wrongly raise — same contract as
+        _match_docids_local_terms)."""
+        p = pattern.lower()
+        lit, _ = multiterm.pattern_bounds(p, kind, fuzziness,
+                                          prefix_length)
+        lo = fp + lit
+        hi = multiterm.prefix_upper_bound(lo) if lo else None
+        if kind == "fuzzy":
+            d = int(fuzziness)
+            lmin = len(fp) + max(0, len(p) - d)
+            lmax = len(fp) + len(p) + d
+        if distributed:
+            sdf = self._term_stats.select("term", "df")
+            if lo:
+                sdf = sdf.where(F.col("term") >= lo)
+            if hi is not None:
+                sdf = sdf.where(F.col("term") < hi)
+            if kind == "wildcard":
+                sdf = sdf.where(F.col("term").rlike(
+                    multiterm.wildcard_regex(fp + p)))
+            elif kind == "fuzzy":
+                sdf = (sdf.where(F.length("term").between(lmin, lmax))
+                       # shared-prefix lemma: lev(fp+t, fp+q) == lev(t, q)
+                       .where(F.levenshtein(F.col("term"),
+                                            F.lit(fp + p)) <= d))
+            rows = (sdf.orderBy(F.desc("df"), F.asc("term"))
+                    .limit(int(max_expansions)).collect())
+            return [(r["term"], float(r["df"])) for r in rows]
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+        _, tsds = self._pa_datasets()
+        flt = None
+        if lo:
+            flt = ds.field("term") >= lo
+        if hi is not None:
+            f2 = ds.field("term") < hi
+            flt = f2 if flt is None else (flt & f2)
+        if kind == "fuzzy":
+            f3 = ((pc.utf8_length(ds.field("term")) >= lmin)
+                  & (pc.utf8_length(ds.field("term")) <= lmax))
+            flt = f3 if flt is None else (flt & f3)
+        t = tsds.to_table(filter=flt, columns=["term", "df"])
+        terms = np.asarray(t.column("term").to_pylist(), dtype=np.str_)
+        dfs = t.column("df").to_numpy()
+        if kind == "wildcard" and len(terms):
+            rx = re.compile(multiterm.wildcard_regex(fp + p))
+            keep = np.fromiter((rx.match(x) is not None for x in terms),
+                               dtype=bool, count=len(terms))
+            terms, dfs = terms[keep], dfs[keep]
+        elif kind == "fuzzy" and len(terms):
+            bare = (np.asarray([x[len(fp):] for x in terms.tolist()],
+                               dtype=np.str_) if fp else terms)
+            keep = multiterm.levenshtein_batch(p, bare) <= int(fuzziness)
+            terms, dfs = terms[keep], dfs[keep]
+        pairs = sorted(zip(terms.tolist(),
+                           [float(x) for x in dfs.tolist()]),
+                       key=lambda td: (-td[1], td[0]))
+        return pairs[:int(max_expansions)]
+
+    def pattern_topk(self, pattern: str, kind: str = "prefix",
+                     k: int = 10, method: str = "wand",
+                     org: str | None = None, field: str | None = None,
+                     filter: str | Column | None = None,
+                     after: tuple[float, int] | None = None,
+                     rewrite: str = "scoring_boolean",
+                     max_expansions: int = multiterm.MAX_EXPANSIONS,
+                     fuzziness: int = 2,
+                     prefix_length: int = 0) -> DataFrame:
+        """Distributed prefix/wildcard/fuzzy top-k. Expansion runs as a
+        pushed Spark dictionary scan; the expanded terms then ride the
+        UNCHANGED scoring pipeline (per-term idf, WAND pruning, org/
+        filter/cursor composition), so results equal an explicit OR of
+        the matching terms (rewrite=scoring_boolean). With
+        rewrite=constant_score every matching doc scores 1.0 and top-k
+        is the first k docids (the ES 1.x prefix/wildcard default)."""
+        terms = self.expand_terms(pattern, kind, field=field,
+                                  max_expansions=max_expansions,
+                                  fuzziness=fuzziness,
+                                  prefix_length=prefix_length,
+                                  distributed=True)
+        if rewrite == "constant_score":
+            m = self.match_docids("", mode="or", field=field, org=org,
+                                  filter=filter, raw_terms=terms)
+            return (m.orderBy("docid").limit(k)
+                    .select("docid",
+                            F.lit(1.0).cast("double").alias("score")))
+        if rewrite != "scoring_boolean":
+            raise ValueError(
+                "rewrite must be scoring_boolean|constant_score")
+        return self.topk("", k=k, mode="or", method=method, org=org,
+                         field=field, filter=filter, after=after,
+                         raw_terms=terms)
+
+    def pattern_topk_local(self, pattern: str, kind: str = "prefix",
+                           k: int = 10, method: str = "wand",
+                           org: str | None = None,
+                           field: str | None = None,
+                           after: tuple[float, int] | None = None,
+                           rewrite: str = "scoring_boolean",
+                           max_expansions: int =
+                           multiterm.MAX_EXPANSIONS,
+                           fuzziness: int = 2,
+                           prefix_length: int = 0) -> pd.DataFrame:
+        """Serving twin of pattern_topk: pyarrow dictionary range scan
+        + the zero-job local scoring kernels. Rank-identical to
+        pattern_topk (same expansion rule, same kernels)."""
+        terms = self.expand_terms(pattern, kind, field=field,
+                                  max_expansions=max_expansions,
+                                  fuzziness=fuzziness,
+                                  prefix_length=prefix_length)
+        if rewrite == "constant_score":
+            m = self._match_docids_local_terms(terms, "or", org)
+            out = m.head(k).reset_index(drop=True)
+            out["score"] = 1.0
+            return out
+        if rewrite != "scoring_boolean":
+            raise ValueError(
+                "rewrite must be scoring_boolean|constant_score")
+        return self.topk_local("", k=k, mode="or", method=method,
+                               field=field, org=org, after=after,
+                               raw_terms=terms)
 
     def topk_many(self, queries: dict[str, tuple[str, str]], k: int = 10,
                   method: str = "wand", field: str | None = None,
@@ -1937,7 +2110,8 @@ class FTSIndex:
                    method: str = "wand", field: str | None = None,
                    org: str | None = None,
                    after: tuple[float, int] | None = None,
-                   min_should_match: int | None = None
+                   min_should_match: int | None = None,
+                   raw_terms: list[str] | None = None
                    ) -> pd.DataFrame:
         """Low-latency single-node query path: pyarrow dataset reads with
         the same th/term pushdown (no Spark job at all) + the same numpy
@@ -1965,7 +2139,8 @@ class FTSIndex:
         mh = _check_msm(min_should_match, mode)
         if after is not None:
             after = (float(after[0]), int(after[1]))
-        terms = self._terms(query, prefix)
+        terms = (sorted(set(raw_terms)) if raw_terms is not None
+                 else self._terms(query, prefix))
         empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
         if org is not None:
@@ -2027,15 +2202,18 @@ class FTSIndex:
     def match_docids(self, query: str, mode: str = "and",
                      field: str | None = None,
                      org: str | None = None,
-                     filter: str | Column | None = None) -> DataFrame:
+                     filter: str | Column | None = None,
+                     raw_terms: list[str] | None = None) -> DataFrame:
         """Boolean match without scoring (B7): docids containing all
         (and) / any (or) query terms, sorted ascending. With ``org``
         (routed indexes): shard-pruned read + restriction to the
         tenant's docids. With ``filter`` (SQL predicate over docstore
         columns): restriction to docs satisfying it — composes with
-        ``org`` as a conjunction."""
+        ``org`` as a conjunction. ``raw_terms`` replaces the analyzer
+        pass (multi-term constant_score feed)."""
         prefix, _ = self._field(field)
-        terms = self._terms(query, prefix)
+        terms = (sorted(set(raw_terms)) if raw_terms is not None
+                 else self._terms(query, prefix))
         if not terms:
             return self.spark.createDataFrame([], "docid long")
         nq = len(terms)

@@ -428,7 +428,8 @@ class CombinedIndex:
                    method: str = "wand", org: str | None = None,
                    field: str | None = None,
                    after: tuple[float, int] | None = None,
-                   min_should_match: int | None = None
+                   min_should_match: int | None = None,
+                   raw_terms: list[str] | None = None
                    ) -> pd.DataFrame:
         """Low-latency base+delta query with NO Spark job (the realtime
         leg at ms latency): pyarrow dictionary reads per sub-index,
@@ -442,8 +443,10 @@ class CombinedIndex:
         from .query import _score_candidates, score_range_pt
         org_subs = self._org_subs(org) if org is not None else None
         prefix, avgdl = self._field(field)
-        terms = sorted({prefix + t
-                        for t in tokenize_text(query, self.tokenizer)})
+        terms = (sorted(set(raw_terms)) if raw_terms is not None
+                 else sorted({prefix + t
+                              for t in tokenize_text(query,
+                                                     self.tokenizer)}))
         empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
         if not terms:
@@ -509,7 +512,9 @@ class CombinedIndex:
 
     def match_docids_local(self, query: str, mode: str = "and",
                            field: str | None = None,
-                           org: str | None = None) -> pd.DataFrame:
+                           org: str | None = None,
+                           raw_terms: list[str] | None = None
+                           ) -> pd.DataFrame:
         """Boolean match over base + deltas with ZERO Spark jobs: docs
         live in exactly one generation, so per-sub local matches union
         exactly (no stats involved). Serving twin of match_docids.
@@ -521,8 +526,10 @@ class CombinedIndex:
         if org is not None:
             self._org_subs(org)        # every generation must be routed
         prefix, _ = self._field(field)
-        terms = sorted({prefix + t
-                        for t in tokenize_text(query, self.tokenizer)})
+        terms = (sorted(set(raw_terms)) if raw_terms is not None
+                 else sorted({prefix + t
+                              for t in tokenize_text(query,
+                                                     self.tokenizer)}))
         parts = [s._match_docids_local_terms(terms, mode, org)
                  for s in self.subs]
         out = self._tomb_filter()(pd.concat(parts, ignore_index=True))
@@ -669,7 +676,8 @@ class CombinedIndex:
              method: str = "wand", org: str | None = None,
              field: str | None = None, filter=None,
              after: tuple[float, int] | None = None,
-             min_should_match: int | None = None) -> pd.DataFrame:
+             min_should_match: int | None = None,
+             raw_terms: list[str] | None = None) -> pd.DataFrame:
         """ONE Spark job over the unioned dictionaries. With ``org``
         (every generation routed): each sub's rows are pruned to ITS
         possible shards and the tenant's docids are cogrouped in per
@@ -691,8 +699,10 @@ class CombinedIndex:
         mh = _check_msm(min_should_match, mode)
         org_subs = self._org_subs(org) if org is not None else None
         prefix, avgdl = self._field(field)
-        terms = sorted({prefix + t
-                        for t in tokenize_text(query, self.tokenizer)})
+        terms = (sorted(set(raw_terms)) if raw_terms is not None
+                 else sorted({prefix + t
+                              for t in tokenize_text(query,
+                                                     self.tokenizer)}))
         if not terms:
             return pd.DataFrame({"docid": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
@@ -785,6 +795,91 @@ class CombinedIndex:
                                  ascending=[False, True])
                 .head(k).reset_index(drop=True))
 
+    # -- multi-term queries: prefix / wildcard / fuzzy ---------------
+    def expand_terms(self, pattern: str, kind: str = "prefix",
+                     field: str | None = None,
+                     max_expansions: int | None = None,
+                     fuzziness: int = 2, prefix_length: int = 0,
+                     distributed: bool = False) -> list[str]:
+        """Dictionary expansion over base + deltas: per-generation
+        pushed range scans, dfs SUMMED across generations before the
+        deterministic (df DESC, term ASC) cap — so the expansion equals
+        what a monolithic rebuild of all generations would produce
+        (up to per-generation pre-caps, which only bind past
+        max_expansions candidate terms per segment)."""
+        from . import multiterm
+        if max_expansions is None:
+            max_expansions = multiterm.MAX_EXPANSIONS
+        fp, _ = self._field(field)      # union-field validation
+        agg: dict[str, float] = {}
+        for s in self.subs:
+            for t, d in s._expand_candidates(
+                    pattern, kind, fp=fp, max_expansions=max_expansions,
+                    fuzziness=fuzziness, prefix_length=prefix_length,
+                    distributed=distributed):
+                agg[t] = agg.get(t, 0.0) + d
+        return multiterm.select_expansions(
+            list(agg), [agg[t] for t in agg], int(max_expansions))
+
+    def pattern_topk(self, pattern: str, kind: str = "prefix",
+                     k: int = 10, method: str = "wand",
+                     org: str | None = None, field: str | None = None,
+                     filter=None,
+                     after: tuple[float, int] | None = None,
+                     rewrite: str = "scoring_boolean",
+                     max_expansions: int | None = None,
+                     fuzziness: int = 2,
+                     prefix_length: int = 0) -> pd.DataFrame:
+        """Distributed prefix/wildcard/fuzzy top-k over base + deltas:
+        union-summed expansion, then the expanded terms ride the
+        unchanged union scoring pipeline (union-global idf, tombstones
+        excluded in-kernel)."""
+        terms = self.expand_terms(pattern, kind, field=field,
+                                  max_expansions=max_expansions,
+                                  fuzziness=fuzziness,
+                                  prefix_length=prefix_length,
+                                  distributed=True)
+        if rewrite == "constant_score":
+            m = self.match_docids("", mode="or", field=field, org=org,
+                                  raw_terms=terms)
+            out = m.head(k).reset_index(drop=True)
+            out["score"] = 1.0
+            return out
+        if rewrite != "scoring_boolean":
+            raise ValueError(
+                "rewrite must be scoring_boolean|constant_score")
+        return self.topk("", k=k, mode="or", method=method, org=org,
+                         field=field, filter=filter, after=after,
+                         raw_terms=terms)
+
+    def pattern_topk_local(self, pattern: str, kind: str = "prefix",
+                           k: int = 10, method: str = "wand",
+                           org: str | None = None,
+                           field: str | None = None,
+                           after: tuple[float, int] | None = None,
+                           rewrite: str = "scoring_boolean",
+                           max_expansions: int | None = None,
+                           fuzziness: int = 2,
+                           prefix_length: int = 0) -> pd.DataFrame:
+        """Zero-job serving twin of pattern_topk (pyarrow per-sub range
+        scans + local kernels), rank-identical to it."""
+        terms = self.expand_terms(pattern, kind, field=field,
+                                  max_expansions=max_expansions,
+                                  fuzziness=fuzziness,
+                                  prefix_length=prefix_length)
+        if rewrite == "constant_score":
+            m = self.match_docids_local("", mode="or", field=field,
+                                        org=org, raw_terms=terms)
+            out = m.head(k).reset_index(drop=True)
+            out["score"] = 1.0
+            return out
+        if rewrite != "scoring_boolean":
+            raise ValueError(
+                "rewrite must be scoring_boolean|constant_score")
+        return self.topk_local("", k=k, mode="or", method=method,
+                               org=org, field=field, after=after,
+                               raw_terms=terms)
+
     def phrase_topk(self, query: str, k: int = 10,
                     field: str | None = None,
                     org: str | None = None) -> pd.DataFrame:
@@ -861,7 +956,8 @@ class CombinedIndex:
 
     def match_docids(self, query: str, mode: str = "and",
                      field: str | None = None,
-                     org: str | None = None) -> pd.DataFrame:
+                     org: str | None = None,
+                     raw_terms: list[str] | None = None) -> pd.DataFrame:
         """Boolean match over base + deltas (B7): docids containing all
         (and) / any (or) query terms, ascending. Docid spaces are
         disjoint across generations, so per-(sub, shard) results union
@@ -874,8 +970,10 @@ class CombinedIndex:
         from .query import _decode_term_rows
         org_subs = self._org_subs(org) if org is not None else None
         prefix, _ = self._field(field)
-        terms = sorted({prefix + t
-                        for t in tokenize_text(query, self.tokenizer)})
+        terms = (sorted(set(raw_terms)) if raw_terms is not None
+                 else sorted({prefix + t
+                              for t in tokenize_text(query,
+                                                     self.tokenizer)}))
         empty = pd.DataFrame({"docid": pd.Series(dtype="int64")})
         if not terms:
             return empty
