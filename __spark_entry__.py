@@ -434,6 +434,62 @@ def q_filtered_search(spark, sf_dir):
         schema="leg string, rank long, docid long, score_r double")
 
 
+PFX = "s"            # prefix → scan slow small sort spark stream
+WC_PAT = "s*a*"      # wildcard → scan small spark stream
+FZ_Q, FZ_D = "part", 2   # fuzzy → fast part sort spark
+
+
+def q_prefix_search(spark, sf_dir):
+    """Multi-term queries (r7, VERDICT r6 next #1-2): prefix, wildcard
+    and fuzzy (edit distance <= 2) term queries. Expansion is a PUSHED
+    RANGE SCAN over the term-sorted dictionary (+ regex / JVM
+    levenshtein verify); the expanded terms then ride the unchanged
+    scoring kernels with per-term idf (rewrite=scoring_boolean), so
+    the oracle is plain BM25 with a term PREDICATE (LIKE /
+    levenshtein) instead of an IN list. Legs: distributed + zero-job
+    local + CombinedIndex base+delta (docids mapped back to doc_id),
+    constant_score (ES 1.x prefix default: every match scores 1.0,
+    first k docids), and a capped expansion (max_expansions=2 keeps
+    the top-df terms — Lucene top_terms_N — derived independently by
+    the oracle from its own dfreq)."""
+    import pandas as _pd
+    idx = _index_for(spark, sf_dir)
+    parts = []
+
+    def add(leg, pdf):
+        pdf = pdf.reset_index(drop=True)
+        pdf["leg"] = leg
+        pdf["rank"] = pdf.index + 1
+        pdf["score_r"] = pdf["score"].round(4)
+        parts.append(pdf[["leg", "rank", "docid", "score_r"]])
+
+    add("prefix_dist", idx.pattern_topk(PFX, "prefix", k=10).toPandas())
+    add("prefix_local", idx.pattern_topk_local(PFX, "prefix", k=10))
+    add("wildcard", idx.pattern_topk(WC_PAT, "wildcard",
+                                     k=10).toPandas())
+    add("fuzzy", idx.pattern_topk(FZ_Q, "fuzzy", k=10,
+                                  fuzziness=FZ_D).toPandas())
+    add("cap2", idx.pattern_topk(PFX, "prefix", k=10,
+                                 max_expansions=2).toPandas())
+    cs = idx.pattern_topk(PFX, "prefix", k=10,
+                          rewrite="constant_score").toPandas()
+    add("const", cs)
+    # CombinedIndex leg: base+delta generations, union-summed
+    # expansion + union-global idf; generation-local docids map back
+    # to the user's doc_id and re-rank (score desc, doc_id asc)
+    ci = _stream_union_ci(spark, sf_dir)
+    hits = ci.pattern_topk(PFX, "prefix", k=10)
+    docs = ci.fetch_docs(hits["docid"].tolist())
+    out = (hits.merge(docs[["docid", "doc_id"]], on="docid")
+           .sort_values(["score", "doc_id"], ascending=[False, True])
+           .reset_index(drop=True))
+    out["docid"] = out["doc_id"]
+    add("combined", out[["docid", "score"]])
+    return spark.createDataFrame(
+        _pd.concat(parts, ignore_index=True),
+        schema="leg string, rank long, docid long, score_r double")
+
+
 HL_QUERY = f"{T_HOT} {T_MID}"   # and-mode: both terms present in hits
 HL_WINDOW = 12
 
@@ -546,14 +602,29 @@ def q_dp_exact_dedup(spark, sf_dir):
     return groups.join(kept, "doc_id").sort("doc_id")
 
 
-def q_dp_minhash_signatures(spark, sf_dir):
-    from datapipe.dedup import minhash_signatures
-    return minhash_signatures(_docs(spark, sf_dir)).sort("doc_id")
-
-
-def q_dp_minhash_lsh_pairs(spark, sf_dir):
-    from datapipe.dedup import minhash_lsh_pairs
-    return minhash_lsh_pairs(_docs(spark, sf_dir)).sort("a", "b")
+def q_dp_minhash(spark, sf_dir):
+    """MinHash signatures + LSH candidate pairs in ONE gate (registry
+    consolidation to admit fts_prefix_search under the 50-slot cap,
+    r7): the per-doc signature matrix unpivoted to rows
+    (leg='sig', a=doc_id, b=component index, v=minhash value) unioned
+    with the banded candidate pairs (leg='pair', a, b, v='') — every
+    value of both operators is still checked."""
+    from datapipe.dedup import (NUM_HASHES, minhash_lsh_pairs,
+                                minhash_signatures)
+    docs = _docs(spark, sf_dir)
+    sig = minhash_signatures(docs)
+    comps = F.array(*[F.struct(F.lit(i).alias("i"),
+                               F.col(f"mh_{i}").alias("v"))
+                      for i in range(NUM_HASHES)])
+    sig_long = (sig.select("doc_id", F.explode(comps).alias("e"))
+                .select(F.lit("sig").alias("leg"),
+                        F.col("doc_id").alias("a"),
+                        F.col("e.i").cast("long").alias("b"),
+                        F.col("e.v").alias("v")))
+    pairs = (minhash_lsh_pairs(docs)
+             .select(F.lit("pair").alias("leg"), "a", "b",
+                     F.lit("").alias("v")))
+    return sig_long.unionByName(pairs).sort("leg", "a", "b")
 
 
 def q_dp_jaccard_pairs(spark, sf_dir):
@@ -1221,6 +1292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_search_join": q_search_join,
         "fts_delete_search": q_delete_search,
         "fts_highlight": q_highlight,
+        # r7: multi-term queries (prefix/wildcard/fuzzy); slot freed by
+        # consolidating the two minhash gates into dp_minhash
+        "fts_prefix_search": q_prefix_search,
         # never-driver-verified in r04 (registry overflowed the driver's
         # 50-query window) — listed right after the fts block so they
         # get oracle rows even if the registry ever overflows again
@@ -1243,9 +1317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6: absorbs the former dp_bpe_encode_fixed gate as its
         # 'fixed' leg (slot freed for fts_highlight)
         "dp_bpe_train_encode": q_dp_bpe_train_encode,
-        # single-operator gates
-        "dp_minhash_signatures": q_dp_minhash_signatures,
-        "dp_minhash_lsh_pairs": q_dp_minhash_lsh_pairs,
+        # single-operator gates (dp_minhash consolidates the former
+        # signatures + lsh_pairs gates, r7)
+        "dp_minhash": q_dp_minhash,
         "dp_jaccard_pairs": q_dp_jaccard_pairs,
         "dp_embedding_dups": q_dp_embedding_dups,
         "dp_pack_sequences": q_dp_pack_sequences,
@@ -1369,6 +1443,9 @@ _MH_COLS = ",\n".join(
 _MH_SIG = f"""
   sig AS (SELECT doc_id, {_MH_COLS} FROM dtok GROUP BY doc_id)
 """
+
+_MH_UNPIVOT = " UNION ALL ".join(
+    f"SELECT doc_id, {i} AS i, mh_{i} AS v FROM sig" for i in range(12))
 
 _BANDS = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_id, md5(mh_{3*b} || '|' || mh_{3*b+1} || '|' "
@@ -1901,6 +1978,59 @@ def _facet_counts_sql() -> str:
         ORDER BY facet, doc_count DESC, value"""
 
 
+def _pattern_scored(cond: str) -> str:
+    """_bm25_scored with a term PREDICATE (LIKE / levenshtein) instead
+    of an IN list — the multi-term-query oracle: every term matching
+    the predicate contributes its own idf-weighted BM25 partial
+    (rewrite=scoring_boolean semantics)."""
+    return f"""{_bm25_base()},
+  scored AS (
+    SELECT tf.doc_id,
+           sum(ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * ({K1} + 1)
+               / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS score
+    FROM tf
+    JOIN dl ON dl.doc_id = tf.doc_id
+    JOIN dfreq ON dfreq.term = tf.term
+    CROSS JOIN stats s
+    WHERE {cond}
+    GROUP BY tf.doc_id
+  )"""
+
+
+def _prefix_search_sql() -> str:
+    like_p = f"tf.term LIKE '{PFX}%'"
+    like_w = ("tf.term LIKE '"
+              + WC_PAT.replace("*", "%").replace("?", "_") + "'")
+    fz = f"levenshtein(tf.term, '{FZ_Q}') <= {FZ_D}"
+    # capped expansion: the oracle derives the top-2-by-(df desc, term)
+    # terms from its own dfreq — independent of the engine's dictionary
+    cap = (f"tf.term IN (SELECT term FROM dfreq WHERE term LIKE "
+           f"'{PFX}%' ORDER BY df DESC, term ASC LIMIT 2)")
+    legs = []
+    for leg, cond in [("prefix_dist", like_p), ("prefix_local", like_p),
+                      ("wildcard", like_w), ("fuzzy", fz),
+                      ("cap2", cap), ("combined", like_p)]:
+        legs.append(f"""
+          SELECT '{leg}' AS leg,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                     AS rank,
+                 doc_id AS docid, round(score, 4) AS score_r
+          FROM ({_pattern_scored(cond)}
+                SELECT doc_id, score FROM scored)
+          ORDER BY score DESC, doc_id ASC LIMIT 10""")
+    legs.append(f"""
+          SELECT 'const' AS leg,
+                 row_number() OVER (ORDER BY doc_id ASC) AS rank,
+                 doc_id AS docid, 1.0 AS score_r
+          FROM (WITH {_toks_sql()}
+                SELECT DISTINCT doc_id FROM tok
+                WHERE term LIKE '{PFX}%')
+          ORDER BY doc_id ASC LIMIT 10""")
+    return " UNION ALL ".join(f"SELECT * FROM ({leg})"
+                              for leg in legs)
+
+
 def _delete_search_sql() -> str:
     """Deletes oracle: 'live' = STALE-stats BM25 (whole corpus incl.
     deleted docs) restricted to survivors — the Lucene-before-merge
@@ -2265,6 +2395,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_search_join": _search_join_sql(),
         "fts_delete_search": _delete_search_sql(),
         "fts_highlight": _highlight_sql(),
+        "fts_prefix_search": _prefix_search_sql(),
         "dp_exact_dedup": """
             WITH g AS (
               SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
@@ -2273,17 +2404,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.doc_id, g.content_hash, g.group_size, d.text, d.lang
             FROM g JOIN documents d USING (doc_id)
             ORDER BY g.doc_id""",
-        "dp_minhash_signatures": f"""
-            WITH {_DP_TOK}, {_MH_SIG}
-            SELECT * FROM sig ORDER BY doc_id""",
-        "dp_minhash_lsh_pairs": f"""
+        "dp_minhash": f"""
             WITH {_DP_TOK}, {_MH_SIG},
             bands AS ({_BANDS})
-            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            SELECT 'sig' AS leg, doc_id AS a, i::BIGINT AS b, v
+            FROM ({_MH_UNPIVOT})
+            UNION ALL
+            SELECT DISTINCT 'pair' AS leg, l.doc_id AS a,
+                   r.doc_id AS b, '' AS v
             FROM bands l JOIN bands r
               ON l.band_id = r.band_id AND l.band_hash = r.band_hash
              AND l.doc_id < r.doc_id
-            ORDER BY a, b""",
+            ORDER BY leg, a, b""",
         "dp_jaccard_pairs": f"""
             WITH {_DP_TOK},
             sizes AS (SELECT doc_id, count(*) AS sz FROM dtok GROUP BY 1),

@@ -105,6 +105,26 @@ def main(argv: list[str] | None = None) -> int:
                         "ES 1.x classic Lucene TF/IDF (sqrt-tf, "
                         "squared idf, coord/queryNorm, byte315 norms) "
                         "on the same index artifacts")
+    q.add_argument("--kind",
+                   choices=["match", "prefix", "wildcard", "fuzzy"],
+                   default="match",
+                   help="term-query kind: match (analyzed, default) "
+                        "or a multi-term pattern — prefix, wildcard "
+                        "(* and ?), fuzzy (Levenshtein)")
+    q.add_argument("--fuzziness", type=int, default=2,
+                   help="fuzzy edit-distance bound (default 2)")
+    q.add_argument("--prefix-length", type=int, default=0,
+                   help="fuzzy: exact-match prefix length (prunes the "
+                        "dictionary scan to one range)")
+    q.add_argument("--max-expansions", type=int, default=None,
+                   help="multi-term expansion cap (top-df terms kept; "
+                        "default 1024)")
+    q.add_argument("--rewrite",
+                   choices=["scoring_boolean", "constant_score"],
+                   default="scoring_boolean",
+                   help="multi-term rewrite: per-term-idf OR scoring "
+                        "(default) or constant 1.0 per matching doc "
+                        "(the ES 1.x prefix/wildcard default)")
 
     c = sub.add_parser("compact",
                        help="fold base + streaming deltas into a fresh "
@@ -281,7 +301,8 @@ def main(argv: list[str] | None = None) -> int:
             if args.similarity == "classic":
                 if (args.phrase or args.highlight or args.filter
                         or args.org or args.field or after
-                        or args.min_should_match):
+                        or args.min_should_match
+                        or args.kind != "match"):
                     p.error("--similarity classic covers plain or/and "
                             "term queries (compose other dimensions "
                             "via the library API)")
@@ -309,6 +330,38 @@ def main(argv: list[str] | None = None) -> int:
                     p.error("--filter runs on the distributed path "
                             "(predicate evaluation is a docstore scan)")
                 kw["filter"] = args.filter
+            if args.kind != "match":
+                if args.phrase or args.highlight or args.fetch \
+                        or args.min_should_match is not None \
+                        or args.mode != "or":
+                    p.error("--kind prefix/wildcard/fuzzy is a scored "
+                            "OR over the expanded terms: --phrase/"
+                            "--highlight/--fetch/--min-should-match/"
+                            "--mode and do not apply")
+                from .multiterm import MAX_EXPANSIONS
+                mt = dict(kind=args.kind, k=args.k,
+                          method=args.method, rewrite=args.rewrite,
+                          fuzziness=args.fuzziness,
+                          prefix_length=args.prefix_length,
+                          max_expansions=(args.max_expansions
+                                          or MAX_EXPANSIONS),
+                          org=args.org, field=args.field)
+                if after is not None:
+                    if args.rewrite == "constant_score":
+                        p.error("--after applies to scored rewrites")
+                    mt["after"] = after
+                if args.local:
+                    out = idx.pattern_topk_local(args.q, **mt)
+                else:
+                    out = idx.pattern_topk(args.q, filter=args.filter,
+                                           **mt)
+                rows = (out.collect() if hasattr(out, "collect")
+                        else out.to_dict("records"))
+                for row in rows:
+                    print(json.dumps(
+                        row.asDict() if hasattr(row, "asDict")
+                        else row, default=str))
+                return 0
             if args.highlight:
                 if args.fetch:
                     p.error("--highlight replaces --fetch (it returns "
