@@ -538,26 +538,56 @@ def q_highlight(spark, sf_dir):
                "frag_info string, n_matches long")
 
 
+_STATS_STACK = ("stack(6, 'count', CAST(doc_count AS DOUBLE), "
+                "'mcount', CAST(metric_count AS DOUBLE), "
+                "'min', `min`, 'max', `max`, 'sum', `sum`, "
+                "'avg', `avg`) AS (stat, v)")
+
+
 def q_facet_counts(spark, sf_dir):
-    """Facet counts (r5, the ES terms-aggregation analog): per-value
-    doc counts of a docstore column over the query's boolean matches —
-    per-shard partial counts, one small shuffle to sum, top-k on
-    counts. Second leg composes a metadata filter."""
+    """Facet aggregations (r5 counts + r7 metric stats, the ES
+    terms-agg and nested stats/min/max/sum/avg aggs): per-shard
+    partial aggregates, one small shuffle to combine, top-k on counts.
+    Long output shape (facet, value, stat, v_r): count legs emit one
+    'count' row per bucket; metrics legs emit count/mcount/min/max/
+    sum/avg rows per bucket — all value-checked. 'stats_combined'
+    runs the same stats agg through CombinedIndex (base + delta
+    generations, partials combined across generations)."""
     idx = _index_for(spark, sf_dir)
-    a = (idx.facet_counts(f"{T_HOT} {T_MID}", by="lang", k=50,
-                          mode="and")
-         .withColumn("facet", F.lit("lang_and")))
-    b = (idx.facet_counts(f"{T_HOT} {T_MID} {T_RARE}", by="source",
-                          k=50, mode="or", filter="n_chars >= 200")
-         .withColumn("facet", F.lit("source_or_flt")))
+    legs = []
+
+    def cnt_leg(name, df):
+        legs.append(df.select(
+            F.lit(name).alias("facet"), "value",
+            F.lit("count").alias("stat"),
+            F.col("doc_count").cast("double").alias("v_r")))
+
+    def stats_leg(name, df):
+        legs.append(df.select("value", F.expr(_STATS_STACK))
+                    .select(F.lit(name).alias("facet"), "value",
+                            "stat", F.round("v", 4).alias("v_r")))
+
+    cnt_leg("lang_and", idx.facet_counts(f"{T_HOT} {T_MID}", by="lang",
+                                         k=50, mode="and"))
+    cnt_leg("source_or_flt",
+            idx.facet_counts(f"{T_HOT} {T_MID} {T_RARE}", by="source",
+                             k=50, mode="or", filter="n_chars >= 200"))
     # expression facet = the ES range/date_histogram aggs in one
     # surface (by= takes any SQL expression over docstore columns)
-    c = (idx.facet_counts(T_MID,
-                          by="CAST(FLOOR(n_chars / 200) AS INT)",
-                          k=50, mode="or")
-         .withColumn("facet", F.lit("len_bucket")))
-    return (a.unionByName(b).unionByName(c)
-            .select("facet", "value", "doc_count"))
+    cnt_leg("len_bucket",
+            idx.facet_counts(T_MID, by="CAST(FLOOR(n_chars / 200) "
+                                        "AS INT)", k=50, mode="or"))
+    stats_leg("stats_lang",
+              idx.facet_metrics(f"{T_HOT} {T_MID}", by="lang",
+                                metric="n_chars", k=50, mode="and"))
+    ci = _stream_union_ci(spark, sf_dir)
+    stats_leg("stats_combined",
+              ci.facet_metrics(f"{T_HOT} {T_MID}", by="lang",
+                               metric="n_chars", k=50, mode="and"))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.sort("facet", "value", "stat")
 
 
 def q_search_join(spark, sf_dir):
@@ -1934,9 +1964,20 @@ def _highlight_sql() -> str:
 
 
 def _facet_counts_sql() -> str:
-    """Facet-count oracle: boolean match (AND = all distinct terms,
-    OR = any) joined to the documents metadata, grouped by the facet
-    column, NULL values uncounted, (count desc, value asc) top-50."""
+    """Facet oracle, long shape (facet, value, stat, v_r): boolean
+    match (AND = all distinct terms, OR = any) joined to the documents
+    metadata, grouped by the facet column, NULL values unbucketed,
+    (count desc, value asc) top-50. Count legs emit one 'count' row
+    per bucket; stats legs unpivot count/mcount/min/max/sum/avg —
+    the stats_combined leg is the SAME aggregation (a base+delta union
+    over the whole corpus equals the corpus)."""
+    stats_unpivot = " UNION ALL ".join(
+        f"SELECT value, '{st}' AS stat, round({ex}, 4) AS v_r "
+        f"FROM stats_base"
+        for st, ex in [("count", "cnt::DOUBLE"),
+                       ("mcount", "mcnt::DOUBLE"),
+                       ("min", "mn::DOUBLE"), ("max", "mx::DOUBLE"),
+                       ("sum", "sm::DOUBLE"), ("avg", "av")])
     return f"""
         WITH {_TOKS},
         m_and AS (
@@ -1948,34 +1989,49 @@ def _facet_counts_sql() -> str:
           WHERE term IN ('{T_HOT}', '{T_MID}', '{T_RARE}')),
         lang_and AS (
           SELECT 'lang_and' AS facet, d.lang AS value,
-                 count(*) AS doc_count
+                 'count' AS stat, count(*)::DOUBLE AS v_r
           FROM m_and m JOIN documents d USING (doc_id)
           WHERE d.lang IS NOT NULL
           GROUP BY d.lang
-          ORDER BY doc_count DESC, value ASC LIMIT 50),
+          ORDER BY count(*) DESC, value ASC LIMIT 50),
         source_or_flt AS (
           SELECT 'source_or_flt' AS facet, d.source AS value,
-                 count(*) AS doc_count
+                 'count' AS stat, count(*)::DOUBLE AS v_r
           FROM m_or m JOIN documents d USING (doc_id)
           WHERE d.n_chars >= 200 AND d.source IS NOT NULL
           GROUP BY d.source
-          ORDER BY doc_count DESC, value ASC LIMIT 50),
+          ORDER BY count(*) DESC, value ASC LIMIT 50),
         m_one AS (
           SELECT DISTINCT doc_id FROM tok WHERE term = '{T_MID}'),
         len_bucket AS (
           SELECT 'len_bucket' AS facet,
                  CAST(CAST(FLOOR(d.n_chars / 200.0) AS INT)
                       AS VARCHAR) AS value,
-                 count(*) AS doc_count
+                 'count' AS stat, count(*)::DOUBLE AS v_r
           FROM m_one m JOIN documents d USING (doc_id)
           GROUP BY 2
-          ORDER BY doc_count DESC, value ASC LIMIT 50)
+          ORDER BY count(*) DESC, value ASC LIMIT 50),
+        stats_base AS (
+          SELECT d.lang AS value, count(*) AS cnt,
+                 count(d.n_chars) AS mcnt, min(d.n_chars) AS mn,
+                 max(d.n_chars) AS mx, sum(d.n_chars) AS sm,
+                 avg(d.n_chars) AS av
+          FROM m_and m JOIN documents d USING (doc_id)
+          WHERE d.lang IS NOT NULL
+          GROUP BY d.lang
+          ORDER BY count(*) DESC, value ASC LIMIT 50),
+        stats_long AS ({stats_unpivot})
         SELECT * FROM lang_and
         UNION ALL
         SELECT * FROM source_or_flt
         UNION ALL
         SELECT * FROM len_bucket
-        ORDER BY facet, doc_count DESC, value"""
+        UNION ALL
+        SELECT 'stats_lang' AS facet, value, stat, v_r FROM stats_long
+        UNION ALL
+        SELECT 'stats_combined' AS facet, value, stat, v_r
+        FROM stats_long
+        ORDER BY facet, value, stat"""
 
 
 def _pattern_scored(cond: str) -> str:

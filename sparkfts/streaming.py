@@ -1090,6 +1090,58 @@ class CombinedIndex:
                 .orderBy(F.desc("doc_count"), F.asc("value"))
                 .limit(k))
 
+    def facet_metrics(self, query: str, by: str, metric: str,
+                      k: int = 20, mode: str = "and",
+                      field: str | None = None,
+                      org: str | None = None, filter=None) -> DataFrame:
+        """Per-bucket metric stats over base + deltas in ONE Spark job
+        — the streaming twin of FTSIndex.facet_metrics (same contract).
+        Per-(generation, shard) partial stats combine across
+        generations in one small shuffle; tombstoned docs leave the
+        buckets IN the kernel (excl=)."""
+        from .analyzer import tokenize_text
+        from .query import _facet_metrics_finalize, facet_stats_group
+        prefix, _ = self._field(field)
+        terms = sorted({prefix + t
+                        for t in tokenize_text(query, self.tokenizer)})
+        empty = self.spark.createDataFrame(
+            [], "value string, doc_count long, metric_count long, "
+                "min double, max double, sum double, avg double")
+        if not terms:
+            return empty
+        if org is not None and not self._org_subs(org):
+            return empty
+        nq = len(terms)
+
+        def mk_rows(s: FTSIndex):
+            r = s._posting_rows(terms)
+            if org is not None:
+                r = r.where(F.col("shard")
+                            .isin(s.possible_shards(org)))
+            return r
+
+        def mk_store(s: FTSIndex):
+            st = s._docstore
+            if org is not None:
+                st = (st.where(F.col("shard")
+                               .isin(s.possible_shards(org)))
+                      .where(F.col(s.routing_col) == org))
+            if filter is not None:
+                st = st.where(filter)
+            return st.select(
+                "shard", "docid",
+                F.expr(by).cast("string").alias("value"),
+                F.expr(metric).cast("double").alias("metric"))
+
+        part = (self._union(mk_rows).groupBy("sub", "shard")
+                .cogroup(self._union(mk_store).groupBy("sub", "shard"))
+                .applyInPandas(facet_stats_group(mode, nq,
+                                                 excl=self._excl()),
+                               schema="value string, cnt long, "
+                                      "mcnt long, mn double, "
+                                      "mx double, sm double"))
+        return _facet_metrics_finalize(part, k)
+
     def explain(self, query: str, docid: int,
                 field: str | None = None) -> pd.DataFrame:
         """Per-term BM25 breakdown over base + deltas (ES `_explain`

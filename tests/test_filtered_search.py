@@ -399,3 +399,71 @@ def test_combined_topk_many_filter(combined, spark):
         assert g["docid"].tolist() == want["docid"].tolist(), qid
         np.testing.assert_allclose(g["score"], want["score"], rtol=0,
                                    atol=1e-9, err_msg=qid)
+
+
+def _metrics_expected(idx, store, query, by, metric, mode, k,
+                      pyf=None):
+    matched = set(idx.match_docids(query, mode=mode)
+                  .toPandas()["docid"])
+    sub = store[store["docid"].isin(matched)]
+    if pyf is not None:
+        sub = sub[pyf(sub)]
+    sub = sub[sub[by].notna()]
+    g = sub.assign(value=sub[by].astype(str)).groupby("value")
+    exp = g.agg(doc_count=("docid", "size"),
+                metric_count=(metric, "count"),
+                min=(metric, "min"), max=(metric, "max"),
+                sum=(metric, "sum")).reset_index()
+    exp["avg"] = exp["sum"] / exp["metric_count"]
+    return (exp.sort_values(["doc_count", "value"],
+                            ascending=[False, True]).head(k)
+            .reset_index(drop=True))
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_facet_metrics_match_pandas(idx, store, mode):
+    """facet_metrics (r7, the ES stats agg under a terms bucket):
+    per-bucket count/metric_count/min/max/sum/avg equal a pandas
+    recompute; avg exact (combined sums, never averaged averages)."""
+    got = idx.facet_metrics("alpha query", by="role",
+                            metric="turn_idx", k=10,
+                            mode=mode).toPandas()
+    exp = _metrics_expected(idx, store, "alpha query", "role",
+                            "turn_idx", mode, 10)
+    assert got["value"].tolist() == exp["value"].tolist()
+    for c in ["doc_count", "metric_count"]:
+        assert got[c].tolist() == exp[c].tolist()
+    for c in ["min", "max", "sum", "avg"]:
+        np.testing.assert_allclose(got[c], exp[c], rtol=0, atol=1e-9)
+
+
+def test_facet_metrics_filter_and_expression(idx, store):
+    """filter= composes; metric may be a SQL expression."""
+    got = idx.facet_metrics("alpha query", by="role",
+                            metric="turn_idx * 2", k=10, mode="or",
+                            filter="turn_idx >= 5").toPandas()
+    sub = store.assign(m2=store["turn_idx"] * 2)
+    exp = _metrics_expected(idx, sub, "alpha query", "role", "m2",
+                            "or", 10, pyf=lambda s: s["turn_idx"] >= 5)
+    assert got["value"].tolist() == exp["value"].tolist()
+    np.testing.assert_allclose(got["sum"], exp["sum"], atol=1e-9)
+    np.testing.assert_allclose(got["avg"], exp["avg"], atol=1e-9)
+
+
+def test_facet_metrics_null_metric_handling(idx, store):
+    """A bucket whose docs all lack the metric (tool NULL off tool
+    turns) keeps its doc_count but reports NULL stats; buckets with
+    partial coverage count only present values."""
+    got = idx.facet_metrics("alpha", by="role",
+                            metric="LENGTH(tool)", k=20,
+                            mode="or").toPandas()
+    sub = store.assign(mlen=store["tool"].str.len().astype("float"))
+    exp = _metrics_expected(idx, sub, "alpha", "role", "mlen",
+                            "or", 20)
+    assert got["value"].tolist() == exp["value"].tolist()
+    assert got["metric_count"].tolist() == exp["metric_count"].tolist()
+    for g_row, e_row in zip(got.itertuples(), exp.itertuples()):
+        if e_row.metric_count == 0:
+            assert pd.isna(g_row.min) and pd.isna(g_row.avg)
+        else:
+            assert abs(g_row.sum - e_row.sum) < 1e-9
