@@ -327,13 +327,16 @@ def score_query_set(pdf: pd.DataFrame, cand, qterms: dict[str, list[str]],
                     avgdl: float, k1: float, b: float, k: int,
                     method: str, rng: tuple[int, int] | None = None,
                     excl: np.ndarray | None = None,
-                    min_hits: int | None = None) -> pd.DataFrame:
+                    min_hits: int | None = None,
+                    after: dict | None = None) -> pd.DataFrame:
     """Score a whole query SET against one shard's dictionary rows in
     one pass (shared by FTSIndex.topk_many and CombinedIndex.topk_many).
     ``cand`` (sorted unique docids) or ``rng`` ([lo, hi] interval — the
     contiguous-tenant fast path) restricts scoring to a tenant's docs;
     neither = unrestricted. ``excl`` (sorted tombstoned docids) is
-    excluded in-kernel before each query's top-k truncation."""
+    excluded in-kernel before each query's top-k truncation. ``after``
+    maps qid → (score, docid) pagination cursor (r7): that query's
+    results rank strictly after it, same contract as topk(after=)."""
     outs = []
     for qid, terms in qterms.items():
         if not terms:
@@ -342,20 +345,21 @@ def score_query_set(pdf: pd.DataFrame, cand, qterms: dict[str, list[str]],
         if sub.empty:
             continue
         mh = min_hits if modes[qid] == "or" else None
+        af = after.get(qid) if after else None
         if rng is not None:
             out = score_range_pt(sub, rng[0], rng[1], idf, avgdl, k1, b,
                                  k, modes[qid], len(terms), excl=excl,
-                                 min_hits=mh)
+                                 min_hits=mh, after=af)
         elif cand is None:
             out = score_shard(sub, idf, avgdl, k1, b, k,
                               modes[qid], len(terms), method, excl=excl,
-                              min_hits=mh)
+                              min_hits=mh, after=af)
         else:
             pt = {t: sub[sub["term"] == t]
                   for t in sorted(sub["term"].unique())}
             out = _score_candidates(pt, list(pt), cand, idf, avgdl,
                                     k1, b, k, modes[qid], len(terms),
-                                    excl=excl, min_hits=mh)
+                                    excl=excl, min_hits=mh, after=af)
         outs.append(out.assign(qid=qid))
     if not outs:
         return _QSET_EMPTY
@@ -999,17 +1003,26 @@ def _phrase_shard(pdf: pd.DataFrame, seq: list[str], uniq: list[str],
 
 def sj_normalize_queries(queries: DataFrame, qid_col: str,
                          query_col: str, mode_col: str | None,
-                         default_mode: str) -> DataFrame:
-    """(qid, qtext, mode) with null text coalesced, modes lowered, and
-    NULL modes falling back to default_mode (a real query log has
-    missing modes; one NULL must not kill the whole batch job)."""
+                         default_mode: str,
+                         after_cols: tuple[str, str] | None = None
+                         ) -> DataFrame:
+    """(qid, qtext, mode, a_s, a_d) with null text coalesced, modes
+    lowered, and NULL modes falling back to default_mode (a real query
+    log has missing modes; one NULL must not kill the whole batch
+    job). ``after_cols`` names per-query (score, docid) pagination
+    cursor columns (r7) — NULL cursor = page 1; absent = all page 1."""
+    a_s = (F.col(after_cols[0]).cast("double") if after_cols
+           else F.lit(None).cast("double"))
+    a_d = (F.col(after_cols[1]).cast("long") if after_cols
+           else F.lit(None).cast("long"))
     return queries.select(
         F.col(qid_col).cast("string").alias("qid"),
         F.coalesce(F.col(query_col).cast("string"),
                    F.lit("")).alias("qtext"),
         (F.coalesce(F.lower(F.col(mode_col).cast("string")),
                     F.lit(default_mode)) if mode_col
-         else F.lit(default_mode)).alias("mode"))
+         else F.lit(default_mode)).alias("mode"),
+        a_s.alias("a_s"), a_d.alias("a_d"))
 
 
 def sj_make_qt_factory(q: DataFrame, cfg: TokenizerConfig, prefix: str,
@@ -1040,35 +1053,46 @@ def sj_make_qt_factory(q: DataFrame, cfg: TokenizerConfig, prefix: str,
                         lambda v: v.isNotNull()
                     ).cast("array<int>").alias("qpos")))
             qt = (q.withColumn("_toks", toks)
-                  .select("qid", "mode", F.explode(pairs).alias("p"))
-                  .select("qid", "mode", F.col("p.tok").alias("tok"),
+                  .select("qid", "mode", "a_s", "a_d",
+                          F.explode(pairs).alias("p"))
+                  .select("qid", "mode", "a_s", "a_d",
+                          F.col("p.tok").alias("tok"),
                           F.col("p.qpos").alias("qpos")))
         else:
             def tok_pd(it):
                 for pdf in it:
                     tl = tokenize_series(pdf["qtext"], cfg)
                     qids, mds, tks, qps = [], [], [], []
-                    for qid, md, t in zip(pdf["qid"], pdf["mode"], tl):
+                    ass, ads = [], []
+                    for qid, md, asv, adv, t in zip(
+                            pdf["qid"], pdf["mode"], pdf["a_s"],
+                            pdf["a_d"], tl):
                         posmap: dict[str, list[int]] = {}
                         for i, tok in enumerate(t):
                             posmap.setdefault(tok, []).append(i)
                         for tok, ps_ in posmap.items():
                             qids.append(qid); mds.append(md)
                             tks.append(tok); qps.append(ps_)
+                            ass.append(asv); ads.append(adv)
                     yield pd.DataFrame({"qid": qids, "mode": mds,
+                                        "a_s": pd.Series(
+                                            ass, dtype="float64"),
+                                        "a_d": pd.Series(
+                                            ads, dtype="Int64"),
                                         "tok": tks, "qpos": qps})
 
             # one input row per qid → within-query posmap already
             # dedups; nothing to drop across partitions
             qt = q.mapInPandas(
-                tok_pd, schema="qid string, mode string, tok string, "
-                               "qpos array<int>")
+                tok_pd, schema="qid string, mode string, a_s double, "
+                               "a_d long, tok string, qpos array<int>")
         return (qt.withColumn("term", F.concat(F.lit(prefix),
                                                F.col("tok")))
                 .withColumn("bucket",
                             F.pmod(F.xxhash64("qid"),
                                    F.lit(B)).cast("int"))
-                .select("qid", "mode", "term", "bucket", "qpos"))
+                .select("qid", "mode", "term", "bucket", "qpos",
+                        "a_s", "a_d"))
 
     return make_qt
 
@@ -1091,7 +1115,8 @@ def sj_attach_idf(qt: DataFrame, stats: DataFrame, N: float) -> DataFrame:
 
     return (qt.join(stats, "term", "left")
             .withColumn("idf", _idf_udf(F.col("df")))
-            .select("qid", "mode", "term", "bucket", "qpos", "idf"))
+            .select("qid", "mode", "term", "bucket", "qpos", "idf",
+                    "a_s", "a_d"))
 
 
 # Sentinel dictionary term for candidate-set side-channel rows: real
@@ -1191,16 +1216,28 @@ def sj_score_group_factory(avgdl: float, k1: float, b: float, k: int,
             rng = None
         ph = rpdf[rpdf["mode"] == "phrase"]
         nb = rpdf[rpdf["mode"] != "phrase"]
+        if "a_s" in ph.columns and ph["a_s"].notna().any():
+            raise ValueError(
+                "search_join: pagination cursors apply to or/and "
+                "queries, not phrase mode")
         outs = []
         if not nb.empty:
             qterms = {qid: sorted(g["term"].unique())
                       for qid, g in nb.groupby("qid")}
             modes = dict(zip(nb["qid"], nb["mode"]))
             idf = dict(zip(nb["term"], nb["idf"]))
+            after = None
+            if "a_s" in nb.columns:
+                cur = nb[nb["a_s"].notna()]
+                if len(cur):
+                    after = {qid: (float(g["a_s"].iloc[0]),
+                                   int(g["a_d"].iloc[0]))
+                             for qid, g in cur.groupby("qid")}
             outs.append(score_query_set(lpdf, cand, qterms, modes, idf,
                                         avgdl, k1, b, k, method,
                                         rng=rng, excl=excl,
-                                        min_hits=min_hits))
+                                        min_hits=min_hits,
+                                        after=after))
         for qid, g in ph.groupby("qid"):
             seq: list[str] = [""] * int(sum(len(p) for p in g["qpos"]))
             for term, ps_ in zip(g["term"], g["qpos"]):
@@ -1694,7 +1731,8 @@ class FTSIndex:
                   method: str = "wand", field: str | None = None,
                   org: str | None = None,
                   filter: str | Column | None = None,
-                  min_should_match: int | None = None
+                  min_should_match: int | None = None,
+                  after: dict[str, tuple[float, int]] | None = None
                   ) -> dict[str, pd.DataFrame]:
         """Batched top-k: score MANY queries in ONE Spark job — the
         fixed per-job latency (~1-2s at small scale) is paid once for
@@ -1706,8 +1744,16 @@ class FTSIndex:
         whole batch (same semantics as topk: field-scoped stats on
         multi-field indexes; tenant-pruned candidate scoring on routed
         indexes; bool-filter restriction with global stats — the
-        matching docids cogroup in per shard, r6)."""
+        matching docids cogroup in per shard, r6).
+
+        ``after`` (r7) maps qid → (score, docid) pagination cursor:
+        that query's page ranks strictly after it (same contract as
+        topk(after=); queries absent from the dict start at page 1) —
+        batch deep-exports page WITHOUT re-ranking from page 1."""
         prefix, avgdl = self._field(field)
+        if after is not None:
+            after = {qid: (float(s), int(d))
+                     for qid, (s, d) in after.items()}
         qterms = {qid: self._terms(q, prefix)
                   for qid, (q, _) in queries.items()}
         all_terms = sorted({t for ts in qterms.values() for t in ts})
@@ -1725,7 +1771,8 @@ class FTSIndex:
         def _score_queries(pdf: pd.DataFrame,
                            cand: np.ndarray | None) -> pd.DataFrame:
             return score_query_set(pdf, cand, qterms, modes, idf, avgdl,
-                                   k1, b, k, method, min_hits=mh)
+                                   k1, b, k, method, min_hits=mh,
+                                   after=after)
 
         if filter is not None:
             # bool-filter batch: matching (shard, docid) cogroup in —
@@ -1762,7 +1809,7 @@ class FTSIndex:
                         return score_query_set(pdf, None, qterms, modes,
                                                idf, avgdl, k1, b, k,
                                                method, rng=rng,
-                                               min_hits=mh)
+                                               min_hits=mh, after=after)
 
                     tops = (rows.groupBy("shard")
                             .applyInPandas(per_shard_rng,
@@ -1805,7 +1852,9 @@ class FTSIndex:
                     default_mode: str = "or",
                     n_buckets: int | None = None,
                     filter: str | Column | None = None,
-                    min_should_match: int | None = None) -> DataFrame:
+                    min_should_match: int | None = None,
+                    after_cols: tuple[str, str] | None = None
+                    ) -> DataFrame:
         """Batch search as a JOIN: score a whole DataFrame of queries
         against the index in one distributed plan and return per-query
         top-k as a DataFrame — the surface for query-set-scale work
@@ -1864,7 +1913,14 @@ class FTSIndex:
         and the global window merges — per-group output is
         O(k · queries in bucket), never postings-scale; nothing
         doc-scale on the driver. Composes with ``org``
-        (conjunction)."""
+        (conjunction).
+
+        ``after_cols=(score_col, docid_col)`` (r7) names per-query
+        pagination-cursor columns in ``queries``: a non-NULL cursor
+        makes that query's rows rank strictly after it (NULL = page
+        1) — batch deep-exports page per query without re-ranking
+        from page 1. The cursor rides the query rows into the
+        kernels, so the plan shape is unchanged. or/and modes only."""
         prefix, avgdl = self._field(field)
         if default_mode not in ("or", "and", "phrase"):
             raise ValueError(
@@ -1874,7 +1930,7 @@ class FTSIndex:
                                        "32"))
         spark = self.spark
         q = sj_normalize_queries(queries, qid_col, query_col, mode_col,
-                                 default_mode)
+                                 default_mode, after_cols=after_cols)
         make_qt = sj_make_qt_factory(q, self.tokenizer, prefix, B)
         qs = sj_attach_idf(make_qt(),
                            self._term_stats.select("term", "df"),

@@ -1251,7 +1251,8 @@ class CombinedIndex:
     def topk_many(self, queries: dict[str, tuple[str, str]], k: int = 10,
                   method: str = "wand", field: str | None = None,
                   org: str | None = None, filter=None,
-                  min_should_match: int | None = None
+                  min_should_match: int | None = None,
+                  after: dict[str, tuple[float, int]] | None = None
                   ) -> dict[str, pd.DataFrame]:
         """Batched base+delta top-k: the WHOLE query set in ONE Spark
         job over the unioned dictionaries (the streaming analog of
@@ -1259,10 +1260,15 @@ class CombinedIndex:
         corresponding CombinedIndex.topk call. ``filter`` restricts
         the whole batch like topk(filter=) — each generation's
         matching docids cogroup in per (generation, shard), stats stay
-        union-global (r6)."""
+        union-global (r6). ``after`` maps qid → (score, docid)
+        pagination cursor, per-query, same contract as topk(after=)
+        (r7)."""
         import numpy as np
         from .analyzer import tokenize_text
         from .query import _QSET_EMPTY, score_query_set
+        if after is not None:
+            after = {qid: (float(sc), int(d))
+                     for qid, (sc, d) in after.items()}
         org_subs = self._org_subs(org) if org is not None else None
         prefix, avgdl = self._field(field)
         qterms = {qid: sorted({prefix + t for t in
@@ -1300,7 +1306,8 @@ class CombinedIndex:
                 cand = np.unique(rpdf["docid"].to_numpy(np.int64))
                 return score_query_set(lpdf, cand, qterms, modes, idf,
                                        avgdl, k1, b, k, method,
-                                       excl=excl, min_hits=mh)
+                                       excl=excl, min_hits=mh,
+                                       after=after)
 
             tops = (self._union(mk_rows).groupBy("sub", "shard")
                     .cogroup(self._union(
@@ -1320,7 +1327,8 @@ class CombinedIndex:
                         return score_query_set(pdf, None, qterms, modes,
                                                idf, avgdl, k1, b, k,
                                                method, rng=rngmap[key],
-                                               excl=excl, min_hits=mh)
+                                               excl=excl, min_hits=mh,
+                                               after=after)
 
                     tops = (rows.groupBy("sub", "shard")
                             .applyInPandas(per_group_rng,
@@ -1335,7 +1343,8 @@ class CombinedIndex:
                     cand = np.sort(rpdf["docid"].to_numpy(np.int64))
                     return score_query_set(lpdf, cand, qterms, modes,
                                            idf, avgdl, k1, b, k, method,
-                                           excl=excl, min_hits=mh)
+                                           excl=excl, min_hits=mh,
+                                           after=after)
 
                 tops = (rows.groupBy("sub", "shard")
                         .cogroup(parts.groupBy("sub", "shard"))
@@ -1345,7 +1354,8 @@ class CombinedIndex:
             def per_group(pdf):
                 return score_query_set(pdf, None, qterms, modes, idf,
                                        avgdl, k1, b, k, method,
-                                       excl=excl, min_hits=mh)
+                                       excl=excl, min_hits=mh,
+                                       after=after)
 
             tops = (self._union(lambda s: s._posting_rows(all_terms))
                     .groupBy("sub", "shard")
@@ -1368,7 +1378,9 @@ class CombinedIndex:
                     mode_col: str | None = None,
                     default_mode: str = "or",
                     n_buckets: int | None = None, filter=None,
-                    min_should_match: int | None = None) -> DataFrame:
+                    min_should_match: int | None = None,
+                    after_cols: tuple[str, str] | None = None
+                    ) -> DataFrame:
         """Batch search as a join over base + deltas — the streaming
         analog of FTSIndex.search_join (same contract: a DataFrame of
         queries in, per-query (qid, rank, docid, score) top-k out,
@@ -1381,7 +1393,9 @@ class CombinedIndex:
         per-(sub, shard, bucket) group results merge exactly in the
         one global window. ``org=`` requires every generation routed
         WITH contiguous-tenant ranges (the rngmap is O(subs × shards)
-        in the kernel closure)."""
+        in the kernel closure). ``after_cols`` names per-query
+        pagination-cursor columns (FTSIndex.search_join contract,
+        r7)."""
         from .query import (sj_attach_idf, sj_cand_rows, sj_global_topk,
                             sj_make_qt_factory, sj_normalize_queries,
                             sj_score_group_factory)
@@ -1393,7 +1407,7 @@ class CombinedIndex:
                 or self.spark.conf.get("spark.sql.shuffle.partitions",
                                        "32"))
         q = sj_normalize_queries(queries, qid_col, query_col, mode_col,
-                                 default_mode)
+                                 default_mode, after_cols=after_cols)
         make_qt = sj_make_qt_factory(q, self.tokenizer, prefix, B)
         stats = (self._union(lambda s: s._term_stats
                              .select("term", "df"))

@@ -393,3 +393,86 @@ def test_filtered_kernel_skips_group_without_candidates(spark, idx):
     kern = sj_score_group_factory(idx.avgdl, idx.k1, idx.b, 5,
                                   "wand", None, filtered=True)
     assert kern(lpdf, rpdf).empty
+
+
+def test_search_join_after_cols_pages(spark, idx):
+    """Per-query pagination cursors (r7): page 2 by cursor equals rows
+    k+1..2k of the unrestricted ranking, per query, with NULL cursors
+    starting at page 1."""
+    k = 5
+    p1 = {qid: idx.topk_pandas(text, k=k, mode=mode)
+          for qid, text, mode in QUERIES if mode != "phrase"}
+    rows = []
+    for qid, text, mode in QUERIES:
+        h = p1[qid]
+        if len(h):
+            rows.append((qid, text, mode,
+                         float(h["score"].iloc[-1]),
+                         int(h["docid"].iloc[-1])))
+        else:
+            rows.append((qid, text, mode, None, None))
+    qdf = spark.createDataFrame(
+        rows, "qid string, query string, mode string, "
+              "cur_score double, cur_docid long")
+    got = _got_map(idx.search_join(
+        qdf, k=k, mode_col="mode",
+        after_cols=("cur_score", "cur_docid")).toPandas())
+    for qid, text, mode in QUERIES:
+        h = p1[qid]
+        if len(h):
+            want = idx.topk_pandas(
+                text, k=k, mode=mode,
+                after=(float(h["score"].iloc[-1]),
+                       int(h["docid"].iloc[-1])))
+        else:
+            want = h
+        g = got.get(qid)
+        if want.empty:
+            assert g is None, qid
+            continue
+        assert g["docid"].tolist() == want["docid"].tolist(), qid
+        np.testing.assert_allclose(g["score"], want["score"],
+                                   rtol=0, atol=0)
+
+
+def test_search_join_after_rejects_phrase_cursor(spark, idx):
+    qdf = spark.createDataFrame(
+        [("p1", "alpha query", "phrase", 1.0, 3)],
+        "qid string, query string, mode string, "
+        "cur_score double, cur_docid long")
+    with pytest.raises(Exception, match="phrase"):
+        idx.search_join(qdf, k=3, mode_col="mode",
+                        after_cols=("cur_score", "cur_docid")).toPandas()
+
+
+def test_topk_many_after_pages(idx):
+    """topk_many(after=): per-qid cursors; absent qids stay page 1."""
+    k = 5
+    qs = {qid: (text, mode) for qid, text, mode in QUERIES[:4]}
+    p1 = idx.topk_many(qs, k=k)
+    cursors = {qid: (float(h["score"].iloc[-1]),
+                     int(h["docid"].iloc[-1]))
+               for qid, h in p1.items() if len(h) == k and qid != "q_one"}
+    p2 = idx.topk_many(qs, k=k, after=cursors)
+    for qid, (text, mode) in qs.items():
+        if qid in cursors:
+            want = idx.topk_pandas(text, k=k, mode=mode,
+                                   after=cursors[qid])
+        else:
+            want = idx.topk_pandas(text, k=k, mode=mode)
+        assert p2[qid]["docid"].tolist() == want["docid"].tolist(), qid
+        np.testing.assert_allclose(p2[qid]["score"], want["score"],
+                                   rtol=0, atol=0)
+
+
+def test_combined_topk_many_after(spark, combined):
+    ci = combined
+    qs = {"a": ("alpha query index", "or"), "b": ("merge window", "and")}
+    p1 = ci.topk_many(qs, k=4)
+    cur = {qid: (float(h["score"].iloc[-1]), int(h["docid"].iloc[-1]))
+           for qid, h in p1.items() if len(h)}
+    p2 = ci.topk_many(qs, k=4, after=cur)
+    for qid, (text, mode) in qs.items():
+        want = ci.topk(text, k=4, mode=mode,
+                       after=cur.get(qid))
+        assert p2[qid]["docid"].tolist() == want["docid"].tolist(), qid
