@@ -437,6 +437,7 @@ def q_filtered_search(spark, sf_dir):
 PFX = "s"            # prefix → scan slow small sort spark stream
 WC_PAT = "s*a*"      # wildcard → scan small spark stream
 FZ_Q, FZ_D = "part", 2   # fuzzy → fast part sort spark
+RX_PAT = "s[ck]an|slo."  # regexp → scan slow (common re/Java/RE2 dialect)
 
 
 def q_prefix_search(spark, sf_dir):
@@ -469,6 +470,7 @@ def q_prefix_search(spark, sf_dir):
                                      k=10).toPandas())
     add("fuzzy", idx.pattern_topk(FZ_Q, "fuzzy", k=10,
                                   fuzziness=FZ_D).toPandas())
+    add("regexp", idx.pattern_topk(RX_PAT, "regexp", k=10).toPandas())
     add("cap2", idx.pattern_topk(PFX, "prefix", k=10,
                                  max_expansions=2).toPandas())
     cs = idx.pattern_topk(PFX, "prefix", k=10,
@@ -2239,6 +2241,7 @@ def _prefix_search_sql() -> str:
     like_w = ("tf.term LIKE '"
               + WC_PAT.replace("*", "%").replace("?", "_") + "'")
     fz = f"levenshtein(tf.term, '{FZ_Q}') <= {FZ_D}"
+    rxc = f"regexp_full_match(tf.term, '{RX_PAT}')"
     # capped expansion: the oracle derives the top-2-by-(df desc, term)
     # terms from its own dfreq — independent of the engine's dictionary
     cap = (f"tf.term IN (SELECT term FROM dfreq WHERE term LIKE "
@@ -2246,6 +2249,7 @@ def _prefix_search_sql() -> str:
     legs = []
     for leg, cond in [("prefix_dist", like_p), ("prefix_local", like_p),
                       ("wildcard", like_w), ("fuzzy", fz),
+                      ("regexp", rxc),
                       ("cap2", cap), ("combined", like_p)]:
         legs.append(f"""
           SELECT '{leg}' AS leg,

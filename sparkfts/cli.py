@@ -106,11 +106,13 @@ def main(argv: list[str] | None = None) -> int:
                         "squared idf, coord/queryNorm, byte315 norms) "
                         "on the same index artifacts")
     q.add_argument("--kind",
-                   choices=["match", "prefix", "wildcard", "fuzzy"],
+                   choices=["match", "prefix", "wildcard", "fuzzy",
+                            "regexp"],
                    default="match",
                    help="term-query kind: match (analyzed, default) "
                         "or a multi-term pattern — prefix, wildcard "
-                        "(* and ?), fuzzy (Levenshtein)")
+                        "(* and ?), fuzzy (Levenshtein), regexp "
+                        "(full-term match)")
     q.add_argument("--fuzziness", type=int, default=2,
                    help="fuzzy edit-distance bound (default 2)")
     q.add_argument("--prefix-length", type=int, default=0,
@@ -334,7 +336,7 @@ def main(argv: list[str] | None = None) -> int:
                 if args.phrase or args.highlight or args.fetch \
                         or args.min_should_match is not None \
                         or args.mode != "or":
-                    p.error("--kind prefix/wildcard/fuzzy is a scored "
+                    p.error("--kind prefix/wildcard/fuzzy/regexp is a scored "
                             "OR over the expanded terms: --phrase/"
                             "--highlight/--fetch/--min-should-match/"
                             "--mode and do not apply")

@@ -16,6 +16,12 @@ itself) is term-sorted parquet, so expansion is a PUSHED RANGE SCAN:
   (``|len(term) - len(q)| <= d``) + optional ``prefix_length`` range
   scan, then exact edit-distance verify (JVM ``levenshtein`` on the
   distributed path, a vectorized numpy Wagner-Fischer locally).
+- regexp (ES ``regexp`` query; Lucene semantics: the pattern must
+  match the WHOLE term, no anchors needed) → range scan on the
+  pattern's literal prefix (the same extraction Lucene's RegexpQuery
+  does on its automaton) + anchored full-match verify. Patterns use
+  the common Python-``re`` / Java / RE2 dialect subset (alternation,
+  classes, quantifiers) — not Lucene's own operator set.
 
 Rewrite semantics (public Lucene MultiTermQuery rewrites):
 
@@ -126,10 +132,52 @@ def levenshtein_batch(q: str, terms) -> np.ndarray:
     return prev[np.arange(n), tl]
 
 
+_RX_META = frozenset(".?*+()[]{}|\\^$")
+
+
+def regex_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix every match of ``pattern`` must start
+    with — the pushed range-scan key (Lucene's RegexpQuery extracts
+    the same common prefix from its automaton). Conservative: a wrong
+    (too-long) prefix would silently drop matching terms from the
+    range scan, so when in doubt return a shorter prefix ('' = full
+    dictionary scan; the anchored verify still guarantees
+    correctness). Rules:
+
+    - any ``|`` in the pattern voids the prefix (deciding whether it
+      is top-level needs a full parse; ``a(b|c)`` merely loses the
+      'a' pushdown, it stays correct),
+    - ``?``/``*``/``{`` quantify the previous char as OPTIONAL → drop
+      it and stop; ``+`` keeps it (one-or-more) and stops,
+    - any other metacharacter (``. ( [ \\ ^ $``...) stops the scan.
+    """
+    if "|" in pattern:
+        return ""
+    lit: list[str] = []
+    for c in pattern:
+        if c in "?*{":
+            if lit:
+                lit.pop()
+            break
+        if c == "+":
+            break
+        if c in _RX_META:
+            break
+        lit.append(c)
+    return "".join(lit)
+
+
+def escape_literal(s: str) -> str:
+    """Regex-escape a literal (field prefix) portably across Python
+    ``re``, Java, and RE2: alnum stays, everything else backslashed."""
+    return "".join(c if (c.isalnum() and c.isascii()) else "\\" + c
+                   for c in s)
+
+
 def validate_kind(kind: str) -> None:
-    if kind not in ("prefix", "wildcard", "fuzzy"):
+    if kind not in ("prefix", "wildcard", "fuzzy", "regexp"):
         raise ValueError(
-            f"kind must be prefix|wildcard|fuzzy, got {kind!r}")
+            f"kind must be prefix|wildcard|fuzzy|regexp, got {kind!r}")
 
 
 def pattern_bounds(pattern: str, kind: str, fuzziness: int = 2,
@@ -144,6 +192,8 @@ def pattern_bounds(pattern: str, kind: str, fuzziness: int = 2,
         lit = p
     elif kind == "wildcard":
         lit = literal_prefix(p)
+    elif kind == "regexp":
+        lit = regex_literal_prefix(p)
     else:
         lit = p[:max(0, int(prefix_length))]
     return lit, prefix_upper_bound(lit)

@@ -47,6 +47,7 @@ class BM25Oracle:
         a full vocabulary scan with startswith / fnmatch / a pure-DP
         Levenshtein."""
         import fnmatch
+        import re
         from functools import lru_cache
         p = pattern.lower()
         vocab = sorted(self.df.index)
@@ -54,6 +55,9 @@ class BM25Oracle:
             return [t for t in vocab if t.startswith(p)]
         if kind == "wildcard":
             return [t for t in vocab if fnmatch.fnmatchcase(t, p)]
+        if kind == "regexp":
+            rx = re.compile(p)
+            return [t for t in vocab if rx.fullmatch(t)]
 
         def lev(a: str, b: str) -> int:
             @lru_cache(maxsize=None)

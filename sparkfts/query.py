@@ -1612,6 +1612,11 @@ class FTSIndex:
                                           prefix_length)
         lo = fp + lit
         hi = multiterm.prefix_upper_bound(lo) if lo else None
+        if kind == "regexp":
+            # validate early, build the anchored full-term form once
+            re.compile(p)
+            full_rx = ("^" + multiterm.escape_literal(fp)
+                       + "(?:" + p + ")$")
         if kind == "fuzzy":
             d = int(fuzziness)
             lmin = len(fp) + max(0, len(p) - d)
@@ -1625,6 +1630,8 @@ class FTSIndex:
             if kind == "wildcard":
                 sdf = sdf.where(F.col("term").rlike(
                     multiterm.wildcard_regex(fp + p)))
+            elif kind == "regexp":
+                sdf = sdf.where(F.col("term").rlike(full_rx))
             elif kind == "fuzzy":
                 sdf = (sdf.where(F.length("term").between(lmin, lmax))
                        # shared-prefix lemma: lev(fp+t, fp+q) == lev(t, q)
@@ -1651,6 +1658,11 @@ class FTSIndex:
         dfs = t.column("df").to_numpy()
         if kind == "wildcard" and len(terms):
             rx = re.compile(multiterm.wildcard_regex(fp + p))
+            keep = np.fromiter((rx.match(x) is not None for x in terms),
+                               dtype=bool, count=len(terms))
+            terms, dfs = terms[keep], dfs[keep]
+        elif kind == "regexp" and len(terms):
+            rx = re.compile(full_rx)
             keep = np.fromiter((rx.match(x) is not None for x in terms),
                                dtype=bool, count=len(terms))
             terms, dfs = terms[keep], dfs[keep]

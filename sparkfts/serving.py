@@ -40,7 +40,9 @@ _FORWARDED = frozenset({
     "match_docids", "match_docids_local",
     "search", "search_local", "search_join",
     "fetch_docs", "fetch_docs_local",
-    "possible_shards", "facet_counts", "highlight", "explain",
+    "possible_shards", "facet_counts", "facet_metrics",
+    "highlight", "explain",
+    "expand_terms", "pattern_topk", "pattern_topk_local",
 })
 
 

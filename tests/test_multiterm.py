@@ -132,7 +132,7 @@ def test_pattern_topk_cursor_pagination(index, oracle):
 
 def test_bad_kind_and_rewrite_raise(index):
     with pytest.raises(ValueError):
-        index.expand_terms("x", "regexp")
+        index.expand_terms("x", "glob")
     with pytest.raises(ValueError):
         index.pattern_topk("x", "prefix", rewrite="top_terms_7")
     with pytest.raises(ValueError):
@@ -202,3 +202,55 @@ def test_combined_pattern_respects_tombstones(combined):
         from sparkfts.streaming import _tombstone_dir
         for f in glob.glob(os.path.join(_tombstone_dir(ci.base_root), "*")):
             os.remove(f)
+
+
+def test_regex_literal_prefix_is_sound():
+    """The pushed range-scan key must be a prefix of EVERY match —
+    quantifiers make the previous char optional, alternation voids it."""
+    from sparkfts.multiterm import regex_literal_prefix as rlp
+    assert rlp("scan") == "scan"          # pure literal
+    assert rlp("c.*nt") == "c"
+    assert rlp("sc?an") == "s"            # 'c' optional
+    assert rlp("sc*an") == "s"
+    assert rlp("sc{0,2}an") == "s"
+    assert rlp("zz+q") == "zz"            # one-or-more keeps the char
+    assert rlp("sc?an|in.*") == ""        # top-level alternation
+    assert rlp("a(b|c)d") == ""           # conservative on any '|'
+    assert rlp("ab\\.c") == "ab"          # escape stops the scan
+    assert rlp("re(build)?") == "re"
+    # soundness property against the stdlib engine on a toy vocab
+    import re
+    vocab = ["san", "scan", "scccan", "in", "int", "zzq", "zzzq",
+             "abc", "ab.c", "rebuild", "re"]
+    for pat in ["scan", "c.*nt", "sc?an", "sc*an", "sc{0,2}an",
+                "zz+q", "sc?an|in.*", "a(b|c)d", "ab\\.c",
+                "re(build)?", "s[ck]an|slo."]:
+        p = rlp(pat)
+        rx = re.compile(pat)
+        for t in vocab:
+            if rx.fullmatch(t):
+                assert t.startswith(p), (pat, p, t)
+
+
+def test_regexp_kind(index, oracle):
+    """kind='regexp' (ES regexp query; Lucene whole-term semantics):
+    literal-prefix pushed range scan + anchored full-match verify,
+    identical expansion local/distributed and rank-identical scoring."""
+    for pat in ["re(build|sume)", "c.*nt", "sc?an|in.*", "zz+q"]:
+        exp = oracle.expand(pat, "regexp")
+        assert index.expand_terms(pat, "regexp") == exp, pat
+        assert index.expand_terms(pat, "regexp",
+                                  distributed=True) == exp, pat
+    exp_terms = oracle.expand("re(build|sume)", "regexp")
+    assert exp_terms  # non-degenerate
+    want = oracle.topk_terms(exp_terms, k=10)
+    _check_rank_identical(
+        index.pattern_topk("re(build|sume)", "regexp", k=10).toPandas(),
+        want)
+    _check_rank_identical(
+        index.pattern_topk_local("re(build|sume)", "regexp", k=10),
+        want)
+    # invalid regex raises at expansion time, loudly
+    import re as _re
+    with pytest.raises(_re.error):
+        index.expand_terms("re(", "regexp")

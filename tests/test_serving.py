@@ -146,3 +146,21 @@ def test_serving_index_errors(spark, tmp_path):
         srv.topk_local("alpha")
     with pytest.raises(AttributeError, match="ServingIndex"):
         srv.topk_locl  # noqa: B018 — typo'd surface must not resolve
+
+
+def test_serving_forwards_r7_surfaces(spark, two_generations, tmp_path):
+    """pattern_topk[_local] / expand_terms / facet_metrics reach the
+    underlying handle through the facade."""
+    root_a, _ = two_generations
+    reg = RotationRegistry(str(tmp_path))
+    reg.swap("conversations", reg.register(_version(root_a, "r7")))
+    srv = ServingIndex(spark, reg, "conversations")
+    exp = srv.expand_terms("re", "prefix")
+    assert exp == srv.handle().expand_terms("re", "prefix")
+    got = srv.pattern_topk_local("re", "prefix", k=3)
+    want = srv.handle().pattern_topk_local("re", "prefix", k=3)
+    assert got["docid"].tolist() == want["docid"].tolist()
+    fm = srv.facet_metrics("alpha query", by="role",
+                           metric="turn_idx", k=5, mode="or").toPandas()
+    assert list(fm.columns) == ["value", "doc_count", "metric_count",
+                                "min", "max", "sum", "avg"]
