@@ -398,6 +398,15 @@ FLT_LEGS = [
     ("long_and", f"{T_MID} {T_MID2}", "and", "n_chars >= 300"),
 ]
 
+# bool.must_not legs (r7): (leg, query, mode, must_not, filter|None).
+# Negation is pure exclusion — survivor scores equal the unrestricted
+# ranking's; the negated terms' postings fold into the same in-kernel
+# exclusion set tombstones use.
+MN_LEGS = [
+    ("mustnot_or", f"{T_MID} {T_RARE}", "or", T_HOT, None),
+    ("mustnot_flt", f"{T_HOT} {T_MID}", "or", T_MID2, "lang = 'en'"),
+]
+
 
 def q_filtered_search(spark, sf_dir):
     """Filtered BM25 (r5, the ES bool-filter analog): a SQL predicate
@@ -410,6 +419,13 @@ def q_filtered_search(spark, sf_dir):
     parts = []
     for leg, qtext, mode, flt in FLT_LEGS:
         pdf = idx.topk_pandas(qtext, k=10, mode=mode, filter=flt)
+        pdf["leg"] = leg
+        pdf["rank"] = pdf.index + 1
+        pdf["score_r"] = pdf["score"].round(4)
+        parts.append(pdf[["leg", "rank", "docid", "score_r"]])
+    for leg, qtext, mode, neg, flt in MN_LEGS:
+        pdf = idx.topk_pandas(qtext, k=10, mode=mode, must_not=neg,
+                              filter=flt)
         pdf["leg"] = leg
         pdf["rank"] = pdf.index + 1
         pdf["score_r"] = pdf["score"].round(4)
@@ -1945,6 +1961,21 @@ def _filtered_search_sql() -> str:
                 SELECT s.doc_id, s.score FROM scored s
                 JOIN documents d ON d.doc_id = s.doc_id
                 WHERE {flt})
+          ORDER BY score DESC, doc_id ASC
+          LIMIT 10""")
+    for leg, qtext, mode, neg, flt in MN_LEGS:
+        scored = _bm25_scored(qtext.split(), mode)
+        fj = (f"JOIN documents d ON d.doc_id = s.doc_id WHERE {flt}"
+              if flt else "")
+        legs.append(f"""
+          SELECT '{leg}' AS leg,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                     AS rank,
+                 doc_id AS docid, round(score, 4) AS score_r
+          FROM ({scored}
+                SELECT s.doc_id, s.score FROM scored s {fj}
+                {"AND" if flt else "WHERE"} s.doc_id NOT IN
+                    (SELECT doc_id FROM tf WHERE term = '{neg}'))
           ORDER BY score DESC, doc_id ASC
           LIMIT 10""")
     _, qtext0, _mode0, flt0 = FLT_LEGS[0]

@@ -95,6 +95,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="deep-pagination cursor (ES search_after "
                         "analog): results rank STRICTLY after it; "
                         "pass the last row of the previous page")
+    q.add_argument("--must-not", default=None, metavar="TEXT",
+                   help="negative terms (ES bool.must_not analog): "
+                        "exclude docs containing ANY of these "
+                        "analyzed terms; survivor scores unchanged")
     q.add_argument("--min-should-match", type=int, default=None,
                    help="OR-mode match-count floor (the ES "
                         "minimum_should_match analog): keep docs "
@@ -303,7 +307,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.similarity == "classic":
                 if (args.phrase or args.highlight or args.filter
                         or args.org or args.field or after
-                        or args.min_should_match
+                        or args.min_should_match or args.must_not
                         or args.kind != "match"):
                     p.error("--similarity classic covers plain or/and "
                             "term queries (compose other dimensions "
@@ -332,6 +336,12 @@ def main(argv: list[str] | None = None) -> int:
                     p.error("--filter runs on the distributed path "
                             "(predicate evaluation is a docstore scan)")
                 kw["filter"] = args.filter
+            if args.must_not:
+                if args.phrase or args.highlight \
+                        or args.kind != "match":
+                    p.error("--must-not applies to plain scored term "
+                            "queries (with or without --fetch)")
+                kw["must_not"] = args.must_not
             if args.kind != "match":
                 if args.phrase or args.highlight or args.fetch \
                         or args.min_should_match is not None \

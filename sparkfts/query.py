@@ -122,6 +122,50 @@ def _drop_excl(docids: np.ndarray,
     return ~hit if hit.any() else None
 
 
+_EMPTY_TOPK = pd.DataFrame({"docid": pd.Series(dtype=np.int64),
+                            "score": pd.Series(dtype=np.float64)})
+
+
+def fold_neg_terms(pdf: pd.DataFrame, neg_terms,
+                   excl: np.ndarray | None
+                   ) -> tuple[pd.DataFrame, np.ndarray | None]:
+    """Split one group's dictionary rows into (positive rows, widened
+    exclusion set) — the ES ``bool.must_not`` kernel fold. Negative
+    terms contribute ZERO score (the ES contract: must_not is a pure
+    filter); their postings decode to docids only and merge into the
+    sorted ``excl`` array every scoring kernel already honors for
+    tombstones, so negation rides WAND, cursors, filters, org pruning
+    and min_should_match with no new code path. Sound per group
+    because the index is document-partitioned: ALL of a doc's postings
+    (every term) live in its one (generation, shard) group, so a
+    group-local exclusion set is complete for that group's docs."""
+    if not neg_terms:
+        return pdf, excl
+    isneg = pdf["term"].isin(neg_terms)
+    if not isneg.any():
+        return pdf, excl
+    neg = pdf[isneg]
+    docs = [_decode_term_rows(neg[neg["term"] == t])[0]
+            for t in sorted(neg["term"].unique())]
+    nd = np.unique(np.concatenate(docs))
+    if excl is not None and excl.size:
+        nd = np.union1d(nd, excl)
+    return pdf[~isneg], nd
+
+
+def merge_excl_docids(excl: np.ndarray | None,
+                      arrays) -> np.ndarray | None:
+    """Union pre-decoded docid arrays (the serving-cache must_not
+    path) into the sorted exclusion set."""
+    arrays = [a for a in arrays if a.size]
+    if not arrays:
+        return excl
+    nd = np.unique(np.concatenate(arrays))
+    if excl is not None and excl.size:
+        nd = np.union1d(nd, excl)
+    return nd
+
+
 def _aggregate_topk(docids: np.ndarray, contribs: np.ndarray, k: int,
                     mode: str, n_query_terms: int,
                     after: tuple[float, int] | None = None,
@@ -429,25 +473,32 @@ def cand_score_group(idf: dict[str, float], avgdl: float, k1: float,
                      b: float, k: int, mode: str, n_query_terms: int,
                      after: tuple[float, int] | None = None,
                      excl: np.ndarray | None = None,
-                     min_hits: int | None = None):
+                     min_hits: int | None = None,
+                     neg_terms: frozenset | None = None):
     """Cogroup kernel factory: score ONLY the candidate docids arriving
     on the right side (a tenant's or a filter's docstore rows). BM25
     statistics stay GLOBAL — the ES bool-filter contract: results equal
     the unrestricted ranking filtered to the candidates. Shared by the
     org docid-set and metadata-filter paths of FTSIndex/CombinedIndex
     topk. ``excl`` (sorted tombstoned docids) leaves the candidate set
-    before scoring, so each group returns k rows, not k+T."""
+    before scoring, so each group returns k rows, not k+T. ``neg_terms``
+    (ES bool.must_not) arrive as extra dictionary rows on the left and
+    fold into the exclusion set (fold_neg_terms)."""
 
     def per_group(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"docid": pd.Series(dtype=np.int64),
+                              "score": pd.Series(dtype=np.float64)})
         if lpdf.empty or rpdf.empty:
-            return pd.DataFrame({"docid": pd.Series(dtype=np.int64),
-                                 "score": pd.Series(dtype=np.float64)})
+            return empty
+        lpdf, ex = fold_neg_terms(lpdf, neg_terms, excl)
+        if lpdf.empty:
+            return empty
         cand = np.unique(rpdf["docid"].to_numpy(np.int64))
         pt = {t: lpdf[lpdf["term"] == t]
               for t in sorted(lpdf["term"].unique())}
         return _score_candidates(pt, list(pt), cand, idf, avgdl, k1, b,
                                  k, mode, n_query_terms, after=after,
-                                 excl=excl, min_hits=min_hits)
+                                 excl=ex, min_hits=min_hits)
 
     return per_group
 
@@ -1438,7 +1489,8 @@ class FTSIndex:
              filter: str | Column | None = None,
              after: tuple[float, int] | None = None,
              min_should_match: int | None = None,
-             raw_terms: list[str] | None = None) -> DataFrame:
+             raw_terms: list[str] | None = None,
+             must_not: str | None = None) -> DataFrame:
         """Distributed top-k: per-shard scoring via applyInPandas, driver
         merge of num_shards·k candidates. Returns (docid, score).
 
@@ -1472,22 +1524,42 @@ class FTSIndex:
         ``raw_terms`` — pre-analyzed, field-prefixed dictionary terms
         replacing the analyzer pass on ``query`` (the multi-term-query
         extension point: pattern_topk feeds expanded prefix/wildcard/
-        fuzzy terms here so they ride every scoring surface)."""
+        fuzzy terms here so they ride every scoring surface).
+
+        ``must_not`` — analyzed like ``query``; docs containing ANY of
+        its terms are excluded (the ES bool.must_not contract: pure
+        exclusion, zero score contribution, scores of survivors
+        unchanged). The negative terms' postings ride the SAME pushed
+        dictionary scan and per-shard exchange as the positive terms
+        (no extra job) and fold into the kernel exclusion set the
+        tombstone machinery already honors. Requires a non-empty
+        positive query (a pure-negation match-all belongs on
+        ``filter=``/the docstore scan, not the dictionary)."""
         prefix, avgdl = self._field(field)
         mh = _check_msm(min_should_match, mode)
         if after is not None:
             after = (float(after[0]), int(after[1]))
         terms = (sorted(set(raw_terms)) if raw_terms is not None
                  else self._terms(query, prefix))
+        neg = self._terms(must_not, prefix) if must_not else []
+        if must_not and not neg:
+            raise ValueError("must_not analyzed to zero terms")
+        if neg and not terms:
+            raise ValueError(
+                "must_not requires a non-empty positive query; a "
+                "pure-negation match-all is a docstore predicate — "
+                "use filter= / match_docids")
         idf = self._idf_map(terms, N=self._fieldN(field))
         empty = self.spark.createDataFrame([], "docid long, score double")
         if not terms:
             return empty
         nq = len(terms)
         k1, b = self.k1, self.b
+        allt = sorted(set(terms) | set(neg))
+        negs = frozenset(neg)
 
         if filter is not None:
-            rows = self._posting_rows(terms)
+            rows = self._posting_rows(allt)
             if org is not None:
                 rows = rows.where(
                     F.col("shard").isin(self.possible_shards(org)))
@@ -1497,7 +1569,8 @@ class FTSIndex:
                           .applyInPandas(
                               cand_score_group(idf, avgdl, k1, b, k,
                                                mode, nq, after=after,
-                                               min_hits=mh),
+                                               min_hits=mh,
+                                               neg_terms=negs),
                               schema="docid long, score double")
                           .collect())
         elif org is not None:
@@ -1505,14 +1578,17 @@ class FTSIndex:
             if ranges is not None:
                 if not ranges:
                     return empty          # unknown tenant
-                rows = (self._posting_rows(terms)
+                rows = (self._posting_rows(allt)
                         .where(F.col("shard").isin(sorted(ranges))))
 
                 def per_shard_rng(pdf: pd.DataFrame) -> pd.DataFrame:
                     lo, hi = ranges[int(pdf["shard"].iloc[0])]
+                    pdf, ex = fold_neg_terms(pdf, negs, None)
+                    if pdf.empty:
+                        return _EMPTY_TOPK.copy()
                     return score_range_pt(pdf, lo, hi, idf, avgdl, k1,
                                           b, k, mode, nq, after=after,
-                                          min_hits=mh)
+                                          min_hits=mh, excl=ex)
 
                 shard_tops = (rows.groupBy("shard")
                               .applyInPandas(
@@ -1520,22 +1596,27 @@ class FTSIndex:
                                   schema="docid long, score double")
                               .collect())
             else:
-                rows, orgdocs = self._org_rows_docs(terms, org)
+                rows, orgdocs = self._org_rows_docs(allt, org)
                 shard_tops = (rows.groupBy("shard")
                               .cogroup(orgdocs.groupBy("shard"))
                               .applyInPandas(
                                   cand_score_group(idf, avgdl, k1, b,
                                                    k, mode, nq,
                                                    after=after,
-                                                   min_hits=mh),
+                                                   min_hits=mh,
+                                                   neg_terms=negs),
                                   schema="docid long, score double")
                               .collect())
         else:
             def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf, ex = fold_neg_terms(pdf, negs, None)
+                if pdf.empty:
+                    return _EMPTY_TOPK.copy()
                 return score_shard(pdf, idf, avgdl, k1, b, k, mode, nq,
-                                   method, after=after, min_hits=mh)
+                                   method, after=after, min_hits=mh,
+                                   excl=ex)
 
-            rows = self._posting_rows(terms)
+            rows = self._posting_rows(allt)
             shard_tops = (rows.groupBy("shard")
                           .applyInPandas(per_shard,
                                          schema="docid long, score double")
@@ -1554,10 +1635,12 @@ class FTSIndex:
                     field: str | None = None,
                     filter: str | Column | None = None,
                     after: tuple[float, int] | None = None,
-                    min_should_match: int | None = None
+                    min_should_match: int | None = None,
+                    must_not: str | None = None
                     ) -> pd.DataFrame:
         """Driver-local result as pandas (test/bench convenience)."""
         return (self.topk(query, k, mode, method, org=org, field=field,
+                          must_not=must_not,
                           filter=filter, after=after,
                           min_should_match=min_should_match)
                 .toPandas().reset_index(drop=True))
@@ -2265,7 +2348,8 @@ class FTSIndex:
                    org: str | None = None,
                    after: tuple[float, int] | None = None,
                    min_should_match: int | None = None,
-                   raw_terms: list[str] | None = None
+                   raw_terms: list[str] | None = None,
+                   must_not: str | None = None
                    ) -> pd.DataFrame:
         """Low-latency single-node query path: pyarrow dataset reads with
         the same th/term pushdown (no Spark job at all) + the same numpy
@@ -2288,13 +2372,23 @@ class FTSIndex:
         only on the org paths. One-shot cold queries that must not warm
         a cache belong on the distributed topk(). ``after`` is the
         deep-pagination cursor, ``min_should_match`` the OR-mode
-        match-count floor — same contracts as topk()."""
+        match-count floor, ``must_not`` the bool-negation exclusion —
+        same contracts as topk()."""
         prefix, avgdl = self._field(field)
         mh = _check_msm(min_should_match, mode)
         if after is not None:
             after = (float(after[0]), int(after[1]))
         terms = (sorted(set(raw_terms)) if raw_terms is not None
                  else self._terms(query, prefix))
+        neg = self._terms(must_not, prefix) if must_not else []
+        if must_not and not neg:
+            raise ValueError("must_not analyzed to zero terms")
+        if neg and not terms:
+            raise ValueError(
+                "must_not requires a non-empty positive query; a "
+                "pure-negation match-all is a docstore predicate — "
+                "use filter= / match_docids")
+        negs = frozenset(neg)
         empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
         if org is not None:
@@ -2308,15 +2402,20 @@ class FTSIndex:
             # feeding _aggregate_topk that every exhaustive path uses,
             # so results are bit-identical to the cold path
             pt = self._decoded_terms(terms)
+            ex = (merge_excl_docids(
+                None, [d for d, _, _ in
+                       self._decoded_terms(neg).values()])
+                if neg else None)
             dfm = self._local_df_counts(terms)
             idf = {t: _bm25_idf(self._fieldN(field), dfm.get(t, 0.0))
                    for t in terms}
             return score_decoded(pt, idf, avgdl, self.k1, self.b, k,
                                  mode, len(terms), after=after,
-                                 min_hits=mh)
-        pdf = self._local_term_rows(terms)
+                                 min_hits=mh, excl=ex)
+        pdf = self._local_term_rows(sorted(set(terms) | negs))
         if org is not None:
             pdf = pdf[pdf["shard"].isin(shards)]
+        pdf, ex = fold_neg_terms(pdf, negs, None)
         if pdf.empty:
             return empty
         dfm = self._local_df_counts(terms)
@@ -2335,7 +2434,8 @@ class FTSIndex:
                     lo, hi = ranges[s]
                     parts.append(score_range_pt(
                         sub, lo, hi, idf, avgdl, self.k1, self.b, k,
-                        mode, len(terms), after=after, min_hits=mh))
+                        mode, len(terms), after=after, min_hits=mh,
+                        excl=ex))
                 if not parts:
                     return empty
                 return (pd.concat(parts)
@@ -2350,7 +2450,7 @@ class FTSIndex:
             out = _score_candidates(pt, list(pt), cand, idf, avgdl,
                                     self.k1, self.b, k, mode,
                                     len(terms), after=after,
-                                    min_hits=mh)
+                                    min_hits=mh, excl=ex)
         return out.reset_index(drop=True)
 
     def match_docids(self, query: str, mode: str = "and",
@@ -2805,13 +2905,15 @@ class FTSIndex:
     def search_local(self, query: str, k: int = 10, mode: str = "or",
                      method: str = "wand", field: str | None = None,
                      org: str | None = None,
-                     after: tuple[float, int] | None = None
+                     after: tuple[float, int] | None = None,
+                     must_not: str | None = None
                      ) -> pd.DataFrame:
         """Full search (top-k + doc fetch) with zero Spark jobs — the
         latency-parity answer to the reference's always-on ES cluster.
-        ``after`` pages it (ES search_after analog)."""
+        ``after`` pages it (ES search_after analog); ``must_not``
+        excludes docs containing any of its terms (bool.must_not)."""
         hits = self.topk_local(query, k, mode, method, field=field,
-                               org=org, after=after)
+                               org=org, after=after, must_not=must_not)
         if hits.empty:
             return hits
         docs = self.fetch_docs_local(hits["docid"].tolist())
@@ -2833,11 +2935,14 @@ class FTSIndex:
                method: str = "wand", field: str | None = None,
                org: str | None = None,
                filter: str | Column | None = None,
-               after: tuple[float, int] | None = None) -> DataFrame:
+               after: tuple[float, int] | None = None,
+               must_not: str | None = None) -> DataFrame:
         """topk + doc-store join: the full 'search' the restored ES
-        cluster would serve. ``after`` pages it (search_after)."""
+        cluster would serve. ``after`` pages it (search_after);
+        ``must_not`` excludes docs containing any of its terms
+        (bool.must_not, topk contract)."""
         hits = self.topk(query, k, mode, method, org=org, field=field,
-                         filter=filter, after=after)
+                         filter=filter, after=after, must_not=must_not)
         docs = self.fetch_docs([r["docid"] for r in hits.collect()])
         return (hits.join(F.broadcast(docs).drop("shard"), "docid")
                     .sort(F.desc("score"), F.asc("docid")))

@@ -429,7 +429,8 @@ class CombinedIndex:
                    field: str | None = None,
                    after: tuple[float, int] | None = None,
                    min_should_match: int | None = None,
-                   raw_terms: list[str] | None = None
+                   raw_terms: list[str] | None = None,
+                   must_not: str | None = None
                    ) -> pd.DataFrame:
         """Low-latency base+delta query with NO Spark job (the realtime
         leg at ms latency): pyarrow dictionary reads per sub-index,
@@ -440,13 +441,25 @@ class CombinedIndex:
         restriction, stats still union-global."""
         import numpy as np
         from .analyzer import tokenize_text
-        from .query import _score_candidates, score_range_pt
+        from .query import (_score_candidates, score_range_pt,
+                            fold_neg_terms, merge_excl_docids)
         org_subs = self._org_subs(org) if org is not None else None
         prefix, avgdl = self._field(field)
         terms = (sorted(set(raw_terms)) if raw_terms is not None
                  else sorted({prefix + t
                               for t in tokenize_text(query,
                                                      self.tokenizer)}))
+        neg = (sorted({prefix + t
+                       for t in tokenize_text(must_not, self.tokenizer)})
+               if must_not else [])
+        if must_not and not neg:
+            raise ValueError("must_not analyzed to zero terms")
+        if neg and not terms:
+            raise ValueError(
+                "must_not requires a non-empty positive query; a "
+                "pure-negation match-all is a docstore predicate — "
+                "use filter= / match_docids")
+        negs = frozenset(neg)
         empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
         if not terms:
@@ -471,12 +484,19 @@ class CombinedIndex:
                 # per-sub results merge exactly (disjoint docid ranges)
                 from .query import score_decoded
                 pt = s._decoded_terms(terms)
+                ex = (merge_excl_docids(
+                    excl, [d for d, _, _ in
+                           s._decoded_terms(neg).values()])
+                    if neg else excl)
                 parts.append(score_decoded(pt, idf, avgdl, self.k1,
                                            self.b, k, mode, len(terms),
-                                           after=after, excl=excl,
+                                           after=after, excl=ex,
                                            min_hits=mh))
                 continue
-            pdf = s._local_term_rows(terms)
+            pdf = s._local_term_rows(sorted(set(terms) | negs))
+            pdf, ex = fold_neg_terms(pdf, negs, excl)
+            if pdf.empty:
+                continue
             ps = org_subs[i][1]
             ranges = s._org_ranges(org)
             if ranges is not None:
@@ -488,7 +508,7 @@ class CombinedIndex:
                     lo, hi = ranges[sh]
                     parts.append(score_range_pt(
                         sub, lo, hi, idf, avgdl, self.k1, self.b,
-                        k, mode, len(terms), after=after, excl=excl,
+                        k, mode, len(terms), after=after, excl=ex,
                         min_hits=mh))
                 continue
             pdf = pdf[pdf["shard"].isin(ps)]
@@ -501,7 +521,7 @@ class CombinedIndex:
                   for t in sorted(pdf["term"].unique())}
             parts.append(_score_candidates(
                 pt, list(pt), cand, idf, avgdl, self.k1,
-                self.b, k, mode, len(terms), after=after, excl=excl,
+                self.b, k, mode, len(terms), after=after, excl=ex,
                 min_hits=mh))
         if not parts:
             return empty
@@ -635,12 +655,14 @@ class CombinedIndex:
 
     def search_local(self, query: str, k: int = 10, mode: str = "or",
                      method: str = "wand", org: str | None = None,
-                     field: str | None = None) -> pd.DataFrame:
+                     field: str | None = None,
+                     must_not: str | None = None) -> pd.DataFrame:
         """Full base+delta search (top-k + doc content) with zero Spark
         jobs — the complete ms-latency answer to the reference's
-        always-on realtime cluster."""
+        always-on realtime cluster. ``must_not`` excludes docs
+        containing any of its terms (bool.must_not)."""
         hits = self.topk_local(query, k, mode, method, org=org,
-                               field=field)
+                               field=field, must_not=must_not)
         if hits.empty:
             return hits
         docs = self.fetch_docs_local(hits["docid"].tolist())
@@ -677,7 +699,8 @@ class CombinedIndex:
              field: str | None = None, filter=None,
              after: tuple[float, int] | None = None,
              min_should_match: int | None = None,
-             raw_terms: list[str] | None = None) -> pd.DataFrame:
+             raw_terms: list[str] | None = None,
+             must_not: str | None = None) -> pd.DataFrame:
         """ONE Spark job over the unioned dictionaries. With ``org``
         (every generation routed): each sub's rows are pruned to ITS
         possible shards and the tenant's docids are cogrouped in per
@@ -695,7 +718,8 @@ class CombinedIndex:
         import numpy as np
         from .analyzer import tokenize_text
         from .query import (_check_msm, _score_candidates,
-                            cand_score_group)
+                            cand_score_group, fold_neg_terms,
+                            _EMPTY_TOPK)
         mh = _check_msm(min_should_match, mode)
         org_subs = self._org_subs(org) if org is not None else None
         prefix, avgdl = self._field(field)
@@ -703,6 +727,16 @@ class CombinedIndex:
                  else sorted({prefix + t
                               for t in tokenize_text(query,
                                                      self.tokenizer)}))
+        neg = (sorted({prefix + t
+                       for t in tokenize_text(must_not, self.tokenizer)})
+               if must_not else [])
+        if must_not and not neg:
+            raise ValueError("must_not analyzed to zero terms")
+        if neg and not terms:
+            raise ValueError(
+                "must_not requires a non-empty positive query; a "
+                "pure-negation match-all is a docstore predicate — "
+                "use filter= / match_docids")
         if not terms:
             return pd.DataFrame({"docid": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
@@ -712,6 +746,8 @@ class CombinedIndex:
         if after is not None:
             after = (float(after[0]), int(after[1]))
         excl = self._excl()
+        allt = sorted(set(terms) | set(neg))
+        negs = frozenset(neg)
 
         if filter is not None:
             if org is not None and org_subs is not None and not org_subs:
@@ -719,9 +755,9 @@ class CombinedIndex:
                     {"docid": pd.Series(dtype="int64"),
                      "score": pd.Series(dtype="float64")})
 
-            rows = self._union(lambda s: s._posting_rows(terms)
+            rows = self._union(lambda s: s._posting_rows(allt)
                                if org is None else
-                               s._posting_rows(terms).where(
+                               s._posting_rows(allt).where(
                                    F.col("shard").isin(
                                        s.possible_shards(org))))
             parts = self._union(lambda s: s._filter_docs(filter, org))
@@ -730,7 +766,7 @@ class CombinedIndex:
                     .applyInPandas(
                         cand_score_group(idf, avgdl, k1, b, k, mode,
                                          nq, after=after, excl=excl,
-                                         min_hits=mh),
+                                         min_hits=mh, neg_terms=negs),
                         schema="docid long, score double")
                     .toPandas())
         elif org_subs is not None:
@@ -739,7 +775,7 @@ class CombinedIndex:
                  "score": pd.Series(dtype=np.float64)})
             rngmap = self._org_range_map(org_subs, org)
             if rngmap is not None:
-                rows = self._org_rows_pruned(org_subs, terms, rngmap)
+                rows = self._org_rows_pruned(org_subs, allt, rngmap)
                 if rows is None:
                     return empty_pd      # unknown tenant everywhere
 
@@ -748,26 +784,32 @@ class CombinedIndex:
                            int(pdf["shard"].iloc[0]))
                     lo, hi = rngmap[key]
                     from .query import score_range_pt
+                    pdf, ex = fold_neg_terms(pdf, negs, excl)
+                    if pdf.empty:
+                        return _EMPTY_TOPK.copy()
                     return score_range_pt(pdf, lo, hi, idf, avgdl, k1,
                                           b, k, mode, nq, after=after,
-                                          excl=excl, min_hits=mh)
+                                          excl=ex, min_hits=mh)
 
                 allp = (rows.groupBy("sub", "shard")
                         .applyInPandas(per_group_rng,
                                        schema="docid long, score double")
                         .toPandas())
             else:
-                rows, parts = self._org_union(org_subs, terms, org)
+                rows, parts = self._org_union(org_subs, allt, org)
 
                 def per_group_org(lpdf, rpdf):
                     if lpdf.empty or rpdf.empty:
+                        return empty_pd
+                    lpdf, ex = fold_neg_terms(lpdf, negs, excl)
+                    if lpdf.empty:
                         return empty_pd
                     cand = np.sort(rpdf["docid"].to_numpy(np.int64))
                     pt = {t: lpdf[lpdf["term"] == t]
                           for t in sorted(lpdf["term"].unique())}
                     return _score_candidates(pt, list(pt), cand, idf,
                                              avgdl, k1, b, k, mode, nq,
-                                             after=after, excl=excl,
+                                             after=after, excl=ex,
                                              min_hits=mh)
 
                 allp = (rows.groupBy("sub", "shard")
@@ -779,11 +821,14 @@ class CombinedIndex:
             def per_group(pdf):
                 # block bounds are (max_tf, min_dl) pairs evaluated at
                 # query time, so WAND stays exact under the union avgdl
+                pdf, ex = fold_neg_terms(pdf, negs, excl)
+                if pdf.empty:
+                    return _EMPTY_TOPK.copy()
                 return score_shard(pdf, idf, avgdl, k1, b, k, mode, nq,
-                                   method, after=after, excl=excl,
+                                   method, after=after, excl=ex,
                                    min_hits=mh)
 
-            allp = (self._union(lambda s: s._posting_rows(terms))
+            allp = (self._union(lambda s: s._posting_rows(allt))
                     .groupBy("sub", "shard")
                     .applyInPandas(per_group,
                                    schema="docid long, score double")
@@ -1234,12 +1279,15 @@ class CombinedIndex:
 
     def search(self, query: str, k: int = 10, mode: str = "or",
                method: str = "wand", org: str | None = None,
-               field: str | None = None) -> pd.DataFrame:
+               field: str | None = None,
+               must_not: str | None = None) -> pd.DataFrame:
         """Distributed full search over base + deltas (top-k + doc
         content): the Spark-job twin of search_local, mirroring
         FTSIndex.search — topk over the unioned dictionaries, then a
-        geometry-aware pruned fetch from each owning generation."""
-        hits = self.topk(query, k, mode, method, org=org, field=field)
+        geometry-aware pruned fetch from each owning generation.
+        ``must_not`` excludes docs containing any of its terms."""
+        hits = self.topk(query, k, mode, method, org=org, field=field,
+                         must_not=must_not)
         if hits.empty:
             return hits
         docs = self.fetch_docs(hits["docid"].tolist())
