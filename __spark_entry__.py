@@ -229,15 +229,32 @@ def q_phrase_match(spark, sf_dir):
             .select("docid").sort("docid"))
 
 
+PP_QUERY = f"{T_HOT} s"   # fixed 'batch' + prefix 's' (6 completions)
+
+
 def q_phrase_top10(spark, sf_dir):
-    """Phrase match + BM25 ranking of the phrase's terms."""
+    """Phrase match + BM25 ranking of the phrase's terms; the pprefix
+    leg (r7) is match_phrase_prefix — fixed tokens + a trailing
+    dictionary-expanded prefix slot (Lucene MultiPhraseQuery shape),
+    scored by BM25 over the distinct participating terms."""
+    import pandas as _pd
     idx = _index_for(spark, sf_dir)
-    pdf = idx.phrase_topk(f"{T_MID2} query", k=10).toPandas()
-    pdf = pdf.reset_index(drop=True)
-    pdf["rank"] = pdf.index + 1
-    pdf["score_r"] = pdf["score"].round(4)
-    return spark.createDataFrame(pdf[["rank", "docid", "score_r"]],
-                                 schema="rank long, docid long, score_r double")
+    parts = []
+    for leg, pdf in [
+            ("phrase",
+             idx.phrase_topk(f"{T_MID2} query", k=10).toPandas()),
+            ("pprefix",
+             idx.phrase_prefix_topk(PP_QUERY, k=10).toPandas())]:
+        pdf = (pdf.sort_values(["score", "docid"],
+                               ascending=[False, True])
+               .reset_index(drop=True))
+        pdf["leg"] = leg
+        pdf["rank"] = pdf.index + 1
+        pdf["score_r"] = pdf["score"].round(4)
+        parts.append(pdf[["leg", "rank", "docid", "score_r"]])
+    return spark.createDataFrame(
+        _pd.concat(parts, ignore_index=True),
+        schema="leg string, rank long, docid long, score_r double")
 
 
 def q_intersection(spark, sf_dir):
@@ -315,6 +332,11 @@ def q_org_possible_shards(spark, sf_dir):
     return spark.createDataFrame(rows, "org string, shard int")
 
 
+MM_QUERY = f"en {T_HOT} {T_MID}"      # hits lang AND text
+MM_BOOSTS = {"text": 1.0, "lang": 2.0}
+MM_TB = 0.3
+
+
 def q_mf_bm25(spark, sf_dir):
     """Multi-field index (B12), both fields in ONE gate (r5: the two
     per-field gates merged to stay inside the driver's 50-query
@@ -327,6 +349,19 @@ def q_mf_bm25(spark, sf_dir):
                        ("text", f"{T_HOT} {T_MID} {T_RARE}")]:
         pdf = idx.topk_pandas(qtext, k=10, mode="or", field=fld)
         pdf["fld"] = fld
+        pdf["rank"] = pdf.index + 1
+        pdf["score_r"] = pdf["score"].round(4)
+        parts.append(pdf[["fld", "rank", "docid", "score_r"]])
+    # multi_match legs (r7): the SAME query scored against both fields
+    # at once, each under its own stats, combined per doc — dis_max
+    # with tie_breaker (mm_best) and boosted sum (mm_most). One Spark
+    # job each: both fields' postings ride the one field-prefixed
+    # dictionary scan.
+    for leg, qt, tb in [("mm_best", "best_fields", MM_TB),
+                        ("mm_most", "most_fields", 0.0)]:
+        pdf = (idx.multi_match(MM_QUERY, fields=MM_BOOSTS, k=10,
+                               qtype=qt, tie_breaker=tb).toPandas())
+        pdf["fld"] = leg
         pdf["rank"] = pdf.index + 1
         pdf["score_r"] = pdf["score"].round(4)
         parts.append(pdf[["fld", "rank", "docid", "score_r"]])
@@ -1888,16 +1923,144 @@ def _typed_bm25_sql(terms: list[str], mode: str) -> str:
         LIMIT 10"""
 
 
+def _phrase_top10_sql() -> str:
+    """Two legs: the r2 exact-phrase BM25 ranking, and the r7
+    match_phrase_prefix leg — completions = every dictionary term
+    LIKE 'pre%' (the engine's cap 1024 exceeds the corpus vocab, so
+    the sets coincide); a doc participates through a completion iff
+    the normalized text contains 'fixed completion' as adjacent
+    tokens; score = BM25 over fixed terms + the doc's matched
+    completions (UNION dedups a completion that equals a fixed
+    term)."""
+    phrase = _bm25_sql([T_MID2, "query"], "and").replace(
+        "GROUP BY tf.doc_id",
+        f"""AND tf.doc_id IN (
+              SELECT doc_id FROM documents
+              WHERE ' ' || trim(regexp_replace(lower(text),
+                                '{TOKEN_SPLIT}', ' ', 'g'))
+                    || ' ' LIKE '% {T_MID2} query %')
+        GROUP BY tf.doc_id""")
+    fixed, pre = PP_QUERY.split()
+    pprefix = f"""{_bm25_base()},
+      exps AS (SELECT term FROM dfreq WHERE term LIKE '{pre}%'),
+      norm AS (SELECT doc_id,
+                      ' ' || trim(regexp_replace(lower(text),
+                                  '{TOKEN_SPLIT}', ' ', 'g')) || ' '
+                          AS nt
+               FROM documents),
+      matched AS (
+        SELECT n.doc_id, e.term
+        FROM norm n JOIN exps e
+          ON n.nt LIKE '% {fixed} ' || e.term || ' %'),
+      participants AS (
+        SELECT doc_id, term FROM matched
+        UNION
+        SELECT DISTINCT doc_id, '{fixed}' AS term FROM matched),
+      w AS (
+        SELECT tf.doc_id, tf.term,
+               ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * ({K1} + 1)
+               / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))
+                   AS weight
+        FROM tf
+        JOIN dl ON dl.doc_id = tf.doc_id
+        JOIN dfreq ON dfreq.term = tf.term
+        CROSS JOIN stats s),
+      scored AS (
+        SELECT p.doc_id, sum(w.weight) AS score
+        FROM participants p
+        JOIN w ON w.doc_id = p.doc_id AND w.term = p.term
+        GROUP BY p.doc_id)
+    SELECT 'pprefix' AS leg,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+           doc_id AS docid, round(score, 4) AS score_r
+    FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10"""
+    return (f"SELECT 'phrase' AS leg, rank, docid, score_r "
+            f"FROM ({phrase}) UNION ALL SELECT * FROM ({pprefix}) "
+            f"ORDER BY leg, rank")
+
+
+def _mm_scored_cte(col: str, sfx: str, terms: list[str]) -> str:
+    """Per-field BM25 scored CTE chain with suffixed names (so two
+    fields coexist in one WITH) — the per-field half of the
+    multi_match oracle. Same math as _bm25_scored."""
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+  toks_{sfx} AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower({col}), '{TOKEN_SPLIT}'))
+               AS term
+    FROM documents),
+  tok_{sfx} AS (SELECT doc_id, term FROM toks_{sfx}
+                WHERE term <> '' AND length(term) <= 64),
+  tf_{sfx} AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+               FROM tok_{sfx} GROUP BY 1, 2),
+  dl_{sfx} AS (SELECT doc_id, count(*)::DOUBLE AS dl
+               FROM tok_{sfx} GROUP BY 1),
+  stats_{sfx} AS (
+    SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+           (SELECT sum(dl) FROM dl_{sfx})
+               / (SELECT count(*) FROM documents) AS avgdl),
+  dfreq_{sfx} AS (SELECT term, count(*)::DOUBLE AS df
+                  FROM tf_{sfx} GROUP BY 1),
+  scored_{sfx} AS (
+    SELECT tf.doc_id,
+           sum(ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * ({K1} + 1)
+               / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)))
+               AS score
+    FROM tf_{sfx} tf
+    JOIN dl_{sfx} dl ON dl.doc_id = tf.doc_id
+    JOIN dfreq_{sfx} dfreq ON dfreq.term = tf.term
+    CROSS JOIN stats_{sfx} s
+    WHERE tf.term IN ({tl})
+    GROUP BY tf.doc_id)"""
+
+
+def _mm_sql() -> str:
+    """multi_match oracle legs: per-field scored CTEs (text, lang)
+    full-outer-joined per doc (unmatched field = 0 contribution, the
+    DisjunctionMaxQuery contract), boosts applied, then
+    best_fields = greatest + tie_breaker × rest, most_fields = sum."""
+    mmterms = MM_QUERY.split()
+    bt, bl = MM_BOOSTS["text"], MM_BOOSTS["lang"]
+    comb = f"""
+  comb AS (
+    SELECT COALESCE(t.doc_id, l.doc_id) AS doc_id,
+           COALESCE(t.score, 0) * {bt} AS st,
+           COALESCE(l.score, 0) * {bl} AS sl
+    FROM scored_t t FULL JOIN scored_l l ON t.doc_id = l.doc_id)"""
+    legs = []
+    for leg, expr in [
+            ("mm_best", f"greatest(st, sl) + {MM_TB} * "
+                        f"(st + sl - greatest(st, sl))"),
+            ("mm_most", "st + sl")]:
+        legs.append(f"""
+      SELECT '{leg}' AS fld,
+             row_number() OVER (ORDER BY {expr} DESC, doc_id ASC)
+                 AS rank,
+             doc_id AS docid, round({expr}, 4) AS score_r
+      FROM comb
+      ORDER BY {expr} DESC, doc_id ASC
+      LIMIT 10""")
+    return ("WITH " + _mm_scored_cte("text", "t", mmterms) + ","
+            + _mm_scored_cte("lang", "l", mmterms) + "," + comb
+            + " SELECT * FROM (" +
+            ") UNION ALL SELECT * FROM (".join(legs) + ")")
+
+
 def _mf_bm25_sql() -> str:
     """Merged multi-field oracle: the per-field legs are the SAME SQL
     the two pre-r5 gates used, labeled and unioned (per-field df/avgdl
     isolation is inherent — each leg's stats CTEs read only its own
-    column)."""
+    column); the mm legs re-derive the multi_match combine in pure
+    SQL (_mm_sql)."""
     legs = []
     for fld, terms, col in [("lang", ["en", "de"], "lang"),
                             ("text", [T_HOT, T_MID, T_RARE], "text")]:
         legs.append(f"SELECT '{fld}' AS fld, rank, docid, score_r "
                     f"FROM ({_bm25_sql(terms, 'or', col=col)})")
+    legs.append(f"SELECT fld, rank, docid, score_r FROM ({_mm_sql()})")
     return (" UNION ALL ".join(legs)
             + " ORDER BY fld, rank")
 
@@ -2568,14 +2731,7 @@ def oracle_sql() -> dict[str, str]:
                                              '{TOKEN_SPLIT}', ' ', 'g'))
                   || ' ' LIKE '% {T_HOT} {T_MID} %'
             ORDER BY docid""",
-        "fts_phrase_top10": _bm25_sql([T_MID2, "query"], "and").replace(
-            "GROUP BY tf.doc_id",
-            f"""AND tf.doc_id IN (
-                  SELECT doc_id FROM documents
-                  WHERE ' ' || trim(regexp_replace(lower(text),
-                                    '{TOKEN_SPLIT}', ' ', 'g'))
-                        || ' ' LIKE '% {T_MID2} query %')
-            GROUP BY tf.doc_id"""),
+        "fts_phrase_top10": _phrase_top10_sql(),
         "fts_intersection_and": f"""
             WITH {_TOKS}
             SELECT doc_id AS docid FROM tok

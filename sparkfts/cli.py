@@ -78,6 +78,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--phrase", action="store_true",
                    help="exact phrase (positions) instead of bag-of-"
                         "words BM25")
+    q.add_argument("--phrase-prefix", action="store_true",
+                   help="match_phrase_prefix (ES autocomplete "
+                        "analog): the last token is a prefix; "
+                        "--max-expansions caps its dictionary "
+                        "expansion")
     q.add_argument("--local", action="store_true",
                    help="serve driver-side with ZERO Spark jobs "
                         "(ms-latency path; base index must fit one "
@@ -95,6 +100,20 @@ def main(argv: list[str] | None = None) -> int:
                    help="deep-pagination cursor (ES search_after "
                         "analog): results rank STRICTLY after it; "
                         "pass the last row of the previous page")
+    q.add_argument("--fields", default=None, metavar="F[=BOOST],..",
+                   help="multi_match (ES analog): score the query "
+                        "against these fields at once, e.g. "
+                        "'text=1.0,lang=2.0' (boost defaults 1.0); "
+                        "combine with --type/--tie-breaker")
+    q.add_argument("--type", dest="mm_type",
+                   choices=["best_fields", "most_fields"],
+                   default="best_fields",
+                   help="multi_match combine: best_fields (dis_max + "
+                        "tie_breaker, ES default) or most_fields "
+                        "(boosted sum)")
+    q.add_argument("--tie-breaker", type=float, default=0.0,
+                   help="best_fields: weight of the non-best fields' "
+                        "scores (0..1)")
     q.add_argument("--must-not", default=None, metavar="TEXT",
                    help="negative terms (ES bool.must_not analog): "
                         "exclude docs containing ANY of these "
@@ -342,8 +361,40 @@ def main(argv: list[str] | None = None) -> int:
                     p.error("--must-not applies to plain scored term "
                             "queries (with or without --fetch)")
                 kw["must_not"] = args.must_not
-            if args.kind != "match":
+            if args.fields:
                 if args.phrase or args.highlight or args.fetch \
+                        or args.filter or args.org or args.must_not \
+                        or args.kind != "match" \
+                        or args.min_should_match is not None:
+                    p.error("--fields (multi_match) composes with "
+                            "--mode/--type/--tie-breaker/--after/"
+                            "--local only")
+                boosts = {}
+                for part in args.fields.split(","):
+                    part = part.strip()
+                    if not part:
+                        continue
+                    name, _, w = part.partition("=")
+                    boosts[name.strip()] = float(w) if w else 1.0
+                mmkw = dict(fields=boosts, k=args.k,
+                            qtype=args.mm_type,
+                            tie_breaker=args.tie_breaker,
+                            mode=args.mode)
+                if after is not None:
+                    mmkw["after"] = after
+                out = (idx.multi_match_local(args.q, **mmkw)
+                       if args.local
+                       else idx.multi_match(args.q, **mmkw))
+                rows = (out.collect() if hasattr(out, "collect")
+                        else out.to_dict("records"))
+                for row in rows:
+                    print(json.dumps(
+                        row.asDict() if hasattr(row, "asDict")
+                        else row, default=str))
+                return 0
+            if args.kind != "match":
+                if args.phrase or args.phrase_prefix \
+                        or args.highlight or args.fetch \
                         or args.min_should_match is not None \
                         or args.mode != "or":
                     p.error("--kind prefix/wildcard/fuzzy/regexp is a scored "
@@ -382,6 +433,28 @@ def main(argv: list[str] | None = None) -> int:
                 out = idx.highlight(args.q, args.k, mode,
                                     args.method, window=args.window,
                                     local=args.local, **kw)
+            elif args.phrase_prefix:
+                if args.mode != "or" or args.method != "wand" \
+                        or args.phrase or args.fetch or args.filter \
+                        or args.org or args.must_not:
+                    p.error("--phrase-prefix composes with --field/"
+                            "--max-expansions/--local only")
+                from .multiterm import MAX_EXPANSIONS
+                me = args.max_expansions or MAX_EXPANSIONS
+                out = (idx.phrase_prefix_topk_local(
+                           args.q, args.k, field=args.field,
+                           max_expansions=me)
+                       if args.local
+                       else idx.phrase_prefix_topk(
+                           args.q, args.k, field=args.field,
+                           max_expansions=me))
+                rows = (out.collect() if hasattr(out, "collect")
+                        else out.to_dict("records"))
+                for row in rows:
+                    print(json.dumps(
+                        row.asDict() if hasattr(row, "asDict")
+                        else row, default=str))
+                return 0
             elif args.phrase:
                 if args.mode != "or" or args.method != "wand":
                     p.error("--phrase is positional-exact matching: "

@@ -1049,6 +1049,125 @@ def _phrase_shard(pdf: pd.DataFrame, seq: list[str], uniq: list[str],
     return pd.DataFrame({"docid": marr[order], "score": scores[order]})
 
 
+def _phrase_prefix_shard(pdf: pd.DataFrame, fixed_seq: list[str],
+                         uniq_fixed: list[str], exps: list[str],
+                         idf: dict[str, float], avgdl: float,
+                         k1: float, b: float, k: int,
+                         excl: np.ndarray | None = None
+                         ) -> pd.DataFrame:
+    """match_phrase_prefix kernel (the ES match_phrase_prefix / Lucene
+    MultiPhraseQuery shape): the fixed tokens must occur consecutively
+    and SOME dictionary expansion of the trailing prefix must occupy
+    the next position. Same vectorized start-key voting as
+    _phrase_shard for the fixed offsets; each expansion then
+    intersects its own keys at the final offset with the qualifying
+    start keys. Score = BM25 over the DISTINCT terms that participate
+    in a match in the doc (the fixed terms + every expansion that
+    completes >= 1 occurrence there) — the same 'BM25 over the
+    phrase's distinct terms' contract phrase_topk documents. ``excl``
+    (sorted tombstoned docids) leaves the candidate set first."""
+    out_empty = pd.DataFrame({"docid": pd.Series(dtype=np.int64),
+                              "score": pd.Series(dtype=np.float64)})
+    L = len(fixed_seq) + 1
+    per_term = {}
+    for t in uniq_fixed:
+        sub = pdf[pdf["term"] == t]
+        if sub.empty:
+            return out_empty  # a required fixed term missing here
+        per_term[t] = _decode_term_rows_pos(sub)
+    pe = {}
+    for e in exps:
+        if e in per_term:
+            pe[e] = per_term[e]
+            continue
+        sub = pdf[pdf["term"] == e]
+        if not sub.empty:
+            pe[e] = _decode_term_rows_pos(sub)
+    if not pe:
+        return out_empty
+    if uniq_fixed:
+        cand = None
+        for t in uniq_fixed:
+            d = per_term[t][0]
+            cand = d if cand is None else np.intersect1d(
+                cand, d, assume_unique=True)
+    else:
+        cand = np.unique(np.concatenate([pe[e][0] for e in pe]))
+    me = _drop_excl(cand, excl)
+    if me is not None:
+        cand = cand[me]
+    if cand.size == 0:
+        return out_empty
+    maxpos = max(int(v[3].max()) if v[3].size else 0
+                 for v in list(per_term.values()) + list(pe.values()))
+    M = np.int64(maxpos + L + 2)
+
+    def start_keys(data, offset: int, docs: np.ndarray) -> np.ndarray:
+        """Phrase-start keys d*M + (pos - offset + L) for one term's
+        occurrences restricted to ``docs`` (sorted, ⊆ the term's
+        posting docids)."""
+        dd, tt, _ll, pp, pb = data
+        j = np.searchsorted(dd, docs)
+        lens = tt[j]
+        total = int(lens.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.int64)
+        cum = np.concatenate(([0], np.cumsum(lens)))
+        gather = (np.arange(total, dtype=np.int64)
+                  - np.repeat(cum[:-1], lens) + np.repeat(pb[j], lens))
+        return np.repeat(docs, lens) * M + (pp[gather] - offset + L)
+
+    if fixed_seq:
+        keys = [start_keys(per_term[t], i, cand)
+                for i, t in enumerate(fixed_seq)]
+        allk = np.concatenate(keys)
+        uk, counts = np.unique(allk, return_counts=True)
+        starts = uk[counts == len(fixed_seq)]
+        if starts.size == 0:
+            return out_empty
+    else:
+        starts = None   # single-token prefix: any occurrence matches
+    matched_e: dict[str, np.ndarray] = {}
+    for e in sorted(pe):
+        docs_e = pe[e][0]
+        if uniq_fixed:
+            docs_e = np.intersect1d(docs_e, cand, assume_unique=True)
+        else:
+            m2 = _drop_excl(docs_e, excl)
+            if m2 is not None:
+                docs_e = docs_e[m2]
+        if docs_e.size == 0:
+            continue
+        if starts is None:
+            matched_e[e] = docs_e
+            continue
+        ke = start_keys(pe[e], L - 1, docs_e)
+        hit = np.intersect1d(starts, ke)
+        if hit.size:
+            matched_e[e] = np.unique(hit // M)
+    if not matched_e:
+        return out_empty
+    marr = np.unique(np.concatenate(list(matched_e.values())))
+    scores = np.zeros(marr.shape[0], dtype=np.float64)
+    for t in uniq_fixed:  # fixed ascending-term summation order
+        dd, tt, ll, _, _ = per_term[t]
+        j = np.searchsorted(dd, marr)
+        scores += idf[t] * codec.bm25_partial(tt[j], ll[j], avgdl,
+                                              k1, b)
+    for e in sorted(matched_e):
+        if e in uniq_fixed:
+            continue  # its BM25 is already in the fixed sum
+        dd, tt, ll, _, _ = pe[e]
+        de = matched_e[e]
+        j = np.searchsorted(dd, de)
+        contrib = idf[e] * codec.bm25_partial(tt[j], ll[j], avgdl,
+                                              k1, b)
+        pos = np.searchsorted(marr, de)
+        scores[pos] += contrib
+    order = np.lexsort((marr, -scores))[:k]
+    return pd.DataFrame({"docid": marr[order], "score": scores[order]})
+
+
 # -- search_join building blocks (shared by FTSIndex and
 # streaming.CombinedIndex) ------------------------------------------
 
@@ -1821,6 +1940,116 @@ class FTSIndex:
         return self.topk_local("", k=k, mode="or", method=method,
                                field=field, org=org, after=after,
                                raw_terms=terms)
+
+    def _mm_prep(self, query: str, fields):
+        """(boosts, per-field terms, idf, per-field avgdl, all terms)
+        for a multi_match query — shared by the distributed and local
+        paths. idf uses each FIELD's N and df (the field-prefixed
+        dictionary keeps them isolated); boosts fold in at the
+        per-field score level, never into the stats."""
+        if self.fields is None:
+            raise ValueError("multi_match needs a multi-field index "
+                             "(BuildConfig.fields)")
+        if fields is None:
+            boosts = {f: 1.0 for f in self.fields}
+        elif isinstance(fields, (list, tuple, set)):
+            boosts = {f: 1.0 for f in fields}
+        else:
+            boosts = {f: float(w) for f, w in fields.items()}
+        bad = sorted(set(boosts) - set(self.fields))
+        if bad:
+            raise ValueError(f"unknown fields {bad}; index has "
+                             f"{sorted(self.fields)}")
+        field_terms, idf, avgdl_by_field = {}, {}, {}
+        for f in sorted(boosts):
+            prefix, avgdl = self._field(f)
+            ts = self._terms(query, prefix)
+            field_terms[f] = ts
+            avgdl_by_field[f] = avgdl
+        return boosts, field_terms, avgdl_by_field, sorted(
+            {t for ts in field_terms.values() for t in ts})
+
+    def multi_match(self, query: str, fields=None, k: int = 10,
+                    qtype: str = "best_fields",
+                    tie_breaker: float = 0.0, mode: str = "or",
+                    after: tuple[float, int] | None = None
+                    ) -> DataFrame:
+        """Multi-field scored query — the ES ``multi_match`` analog
+        (public Lucene semantics; see sparkfts/multimatch.py). Scores
+        the SAME analyzed query against several fields at once, each
+        under its own statistics, and combines per doc:
+
+        - ``qtype='most_fields'``: sum of per-field scores × boosts,
+        - ``qtype='best_fields'`` (ES default): best field's score +
+          ``tie_breaker`` × the rest (DisjunctionMaxQuery).
+
+        ``fields`` is {field: boost} (or a list, boost 1.0; default =
+        every indexed field). ``mode='and'`` requires ALL terms in a
+        field for that field to match (dis_max over per-field ANDs).
+        One Spark job: every field's postings ride the same pushed
+        dictionary scan and per-shard exchange (field-prefixed terms,
+        one dictionary). ``after`` pages the combined ranking."""
+        from . import multimatch as mm
+        mm.check_mm_args(qtype, tie_breaker, mode)
+        boosts, field_terms, avgdls, allt = self._mm_prep(query, fields)
+        if after is not None:
+            after = (float(after[0]), int(after[1]))
+        empty = self.spark.createDataFrame(
+            [], "docid long, score double")
+        if not allt:
+            return empty
+        idf = {}
+        for f in sorted(boosts):
+            idf.update(self._idf_map(field_terms[f],
+                                     N=self._fieldN(f)))
+        k1, b = self.k1, self.b
+
+        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            return mm.score_multi_group(pdf, field_terms, boosts, idf,
+                                        avgdls, k1, b, k, qtype,
+                                        tie_breaker, mode, after=after)
+
+        shard_tops = (self._posting_rows(allt)
+                      .groupBy("shard")
+                      .applyInPandas(per_shard,
+                                     schema="docid long, score double")
+                      .collect())
+        if not shard_tops:
+            return empty
+        merged = (pd.DataFrame([r.asDict() for r in shard_tops])
+                  .sort_values(["score", "docid"],
+                               ascending=[False, True]).head(k))
+        return self.spark.createDataFrame(
+            merged.astype({"docid": "int64", "score": "float64"}),
+            schema="docid long, score double")
+
+    def multi_match_local(self, query: str, fields=None, k: int = 10,
+                          qtype: str = "best_fields",
+                          tie_breaker: float = 0.0, mode: str = "or",
+                          after: tuple[float, int] | None = None
+                          ) -> pd.DataFrame:
+        """Zero-job serving twin of multi_match (pyarrow dictionary
+        reads + the same numpy kernel), rank-identical to it."""
+        from . import multimatch as mm
+        mm.check_mm_args(qtype, tie_breaker, mode)
+        boosts, field_terms, avgdls, allt = self._mm_prep(query, fields)
+        if after is not None:
+            after = (float(after[0]), int(after[1]))
+        if not allt:
+            return _EMPTY_TOPK.copy()
+        idf = {}
+        for f in sorted(boosts):
+            dfm = self._local_df_counts(field_terms[f])
+            n = self._fieldN(f)
+            idf.update({t: _bm25_idf(n, dfm.get(t, 0.0))
+                        for t in field_terms[f]})
+        pdf = self._local_term_rows(allt)
+        if pdf.empty:
+            return _EMPTY_TOPK.copy()
+        return mm.score_multi_group(
+            pdf, field_terms, boosts, idf, avgdls, self.k1, self.b,
+            k, qtype, tie_breaker, mode,
+            after=after).reset_index(drop=True)
 
     def topk_many(self, queries: dict[str, tuple[str, str]], k: int = 10,
                   method: str = "wand", field: str | None = None,
@@ -2886,6 +3115,85 @@ class FTSIndex:
                                  org_cand=cand).reset_index(drop=True)
         return _phrase_shard(pdf, seq, uniq, idf, avgdl, self.k1,
                              self.b, k).reset_index(drop=True)
+
+    def phrase_prefix_topk(self, query: str, k: int = 10,
+                           field: str | None = None,
+                           max_expansions: int =
+                           multiterm.MAX_EXPANSIONS) -> DataFrame:
+        """match_phrase_prefix — the ES autocomplete-phrase analog
+        (public Lucene MultiPhraseQuery semantics): the query's last
+        token is a PREFIX; docs match when the fixed tokens occur
+        consecutively and some dictionary expansion of the prefix
+        occupies the next position. Expansion is the same pushed
+        range scan pattern_topk uses (deterministic df DESC cap =
+        Lucene top_terms_N); hits score by BM25 over the distinct
+        participating terms (phrase_topk's contract). One job: fixed
+        + expanded terms ride one dictionary scan and one per-shard
+        exchange."""
+        prefix, avgdl = self._field(field)
+        toks = tokenize_text(query, self.tokenizer)
+        empty = self.spark.createDataFrame(
+            [], "docid long, score double")
+        if not toks:
+            return empty
+        fixed_seq = [prefix + t for t in toks[:-1]]
+        uniq_fixed = sorted(set(fixed_seq))
+        exps = self.expand_terms(toks[-1], "prefix", field=field,
+                                 max_expansions=max_expansions)
+        if not exps:
+            return empty
+        allt = sorted(set(uniq_fixed) | set(exps))
+        idf = self._idf_map(allt, N=self._fieldN(field))
+        k1, b = self.k1, self.b
+
+        def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _phrase_prefix_shard(pdf, fixed_seq, uniq_fixed,
+                                        exps, idf, avgdl, k1, b, k)
+
+        tops = (self._posting_rows(allt)
+                .groupBy("shard")
+                .applyInPandas(per_shard,
+                               schema="docid long, score double")
+                .collect())
+        if not tops:
+            return empty
+        merged = (pd.DataFrame([r.asDict() for r in tops])
+                  .sort_values(["score", "docid"],
+                               ascending=[False, True]).head(k))
+        return self.spark.createDataFrame(
+            merged.astype({"docid": "int64", "score": "float64"}),
+            schema="docid long, score double")
+
+    def phrase_prefix_topk_local(self, query: str, k: int = 10,
+                                 field: str | None = None,
+                                 max_expansions: int =
+                                 multiterm.MAX_EXPANSIONS
+                                 ) -> pd.DataFrame:
+        """Zero-job serving twin of phrase_prefix_topk (driver-side
+        dictionary reads + the same kernel over all shards in one
+        call), rank-identical to it."""
+        prefix, avgdl = self._field(field)
+        toks = tokenize_text(query, self.tokenizer)
+        empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if not toks:
+            return empty
+        fixed_seq = [prefix + t for t in toks[:-1]]
+        uniq_fixed = sorted(set(fixed_seq))
+        exps = self.expand_terms(toks[-1], "prefix", field=field,
+                                 max_expansions=max_expansions)
+        if not exps:
+            return empty
+        allt = sorted(set(uniq_fixed) | set(exps))
+        pdf = self._local_term_rows(allt)
+        if pdf.empty:
+            return empty
+        dfm = self._local_df_counts(allt)
+        idf = {t: _bm25_idf(self._fieldN(field), dfm.get(t, 0.0))
+               for t in allt}
+        return _phrase_prefix_shard(
+            pdf, fixed_seq, uniq_fixed, exps, idf, avgdl, self.k1,
+            self.b, k).reset_index(drop=True)
 
     def fetch_docs_local(self, docids: Iterable[int]) -> pd.DataFrame:
         """Doc-store point fetch with NO Spark job: pyarrow dataset read

@@ -43,6 +43,8 @@ _FORWARDED = frozenset({
     "possible_shards", "facet_counts", "facet_metrics",
     "highlight", "explain",
     "expand_terms", "pattern_topk", "pattern_topk_local",
+    "multi_match", "multi_match_local",
+    "phrase_prefix_topk", "phrase_prefix_topk_local",
 })
 
 

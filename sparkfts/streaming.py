@@ -840,6 +840,197 @@ class CombinedIndex:
                                  ascending=[False, True])
                 .head(k).reset_index(drop=True))
 
+    def _mm_prep(self, query: str, fields):
+        """(boosts, per-field prefixed terms, union idf, union
+        per-field avgdl, all terms) for multi_match over base + deltas
+        — stats are union-global per field, exactly what a monolithic
+        rebuild computes (same rule as topk(field=))."""
+        from .analyzer import tokenize_text
+        if all(s.fields is None for s in self.subs):
+            raise ValueError("multi_match needs multi-field "
+                             "generations (BuildConfig.fields)")
+        names = sorted(set().union(*(set(s.fields) for s in self.subs
+                                     if s.fields is not None)))
+        if fields is None:
+            boosts = {f: 1.0 for f in names}
+        elif isinstance(fields, (list, tuple, set)):
+            boosts = {f: 1.0 for f in fields}
+        else:
+            boosts = {f: float(w) for f, w in fields.items()}
+        bad = sorted(set(boosts) - set(names))
+        if bad:
+            raise ValueError(f"unknown fields {bad}; index has {names}")
+        field_terms, avgdls, idf = {}, {}, {}
+        for f in sorted(boosts):
+            prefix, avgdl = self._field(f)   # refuses mixed gens
+            ts = sorted({prefix + t
+                         for t in tokenize_text(query, self.tokenizer)})
+            field_terms[f] = ts
+            avgdls[f] = avgdl
+            idf.update(self._idf(ts, N=self._fieldN(f)))
+        return boosts, field_terms, avgdls, idf, sorted(
+            {t for ts in field_terms.values() for t in ts})
+
+    def multi_match(self, query: str, fields=None, k: int = 10,
+                    qtype: str = "best_fields",
+                    tie_breaker: float = 0.0, mode: str = "or",
+                    after: tuple[float, int] | None = None
+                    ) -> pd.DataFrame:
+        """ES multi_match over base + deltas (FTSIndex.multi_match
+        contract): ONE job over the unioned dictionaries, per-field
+        union stats, tombstones excluded from the combined ranking
+        in-kernel."""
+        from . import multimatch as mm
+        mm.check_mm_args(qtype, tie_breaker, mode)
+        boosts, field_terms, avgdls, idf, allt = \
+            self._mm_prep(query, fields)
+        empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if not allt:
+            return empty
+        if after is not None:
+            after = (float(after[0]), int(after[1]))
+        excl = self._excl()
+        k1, b = self.k1, self.b
+
+        def per_group(pdf):
+            return mm.score_multi_group(pdf, field_terms, boosts, idf,
+                                        avgdls, k1, b, k, qtype,
+                                        tie_breaker, mode, after=after,
+                                        excl=excl)
+
+        allp = (self._union(lambda s: s._posting_rows(allt))
+                .groupBy("sub", "shard")
+                .applyInPandas(per_group,
+                               schema="docid long, score double")
+                .toPandas())
+        if allp.empty:
+            return empty
+        return (allp.sort_values(["score", "docid"],
+                                 ascending=[False, True])
+                .head(k).reset_index(drop=True))
+
+    def multi_match_local(self, query: str, fields=None, k: int = 10,
+                          qtype: str = "best_fields",
+                          tie_breaker: float = 0.0, mode: str = "or",
+                          after: tuple[float, int] | None = None
+                          ) -> pd.DataFrame:
+        """Zero-job serving twin of multi_match over base + deltas,
+        rank-identical to it (disjoint per-generation docid ranges →
+        per-sub kernels merge exactly)."""
+        from . import multimatch as mm
+        mm.check_mm_args(qtype, tie_breaker, mode)
+        boosts, field_terms, avgdls, idf, allt = \
+            self._mm_prep(query, fields)
+        empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if not allt:
+            return empty
+        if after is not None:
+            after = (float(after[0]), int(after[1]))
+        excl = self._excl()
+        parts = []
+        for s in self.subs:
+            pdf = s._local_term_rows(allt)
+            if pdf.empty:
+                continue
+            parts.append(mm.score_multi_group(
+                pdf, field_terms, boosts, idf, avgdls, self.k1,
+                self.b, k, qtype, tie_breaker, mode, after=after,
+                excl=excl))
+        if not parts:
+            return empty
+        return (pd.concat(parts)
+                .sort_values(["score", "docid"],
+                             ascending=[False, True])
+                .head(k).reset_index(drop=True))
+
+    def phrase_prefix_topk(self, query: str, k: int = 10,
+                           field: str | None = None,
+                           max_expansions: int | None = None
+                           ) -> pd.DataFrame:
+        """match_phrase_prefix over base + deltas (FTSIndex contract):
+        union-wide expansion (dfs summed across generations before the
+        deterministic cap), union-global idf/avgdl, ONE job over the
+        unioned dictionaries, tombstones excluded in-kernel."""
+        from .analyzer import tokenize_text
+        from .multiterm import MAX_EXPANSIONS
+        from .query import _phrase_prefix_shard
+        me = MAX_EXPANSIONS if max_expansions is None else max_expansions
+        prefix, avgdl = self._field(field)
+        toks = tokenize_text(query, self.tokenizer)
+        empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if not toks:
+            return empty
+        fixed_seq = [prefix + t for t in toks[:-1]]
+        uniq_fixed = sorted(set(fixed_seq))
+        exps = self.expand_terms(toks[-1], "prefix", field=field,
+                                 max_expansions=me)
+        if not exps:
+            return empty
+        allt = sorted(set(uniq_fixed) | set(exps))
+        idf = self._idf(allt, N=self._fieldN(field))
+        excl = self._excl()
+        k1, b = self.k1, self.b
+
+        def per_group(pdf):
+            return _phrase_prefix_shard(pdf, fixed_seq, uniq_fixed,
+                                        exps, idf, avgdl, k1, b, k,
+                                        excl=excl)
+
+        allp = (self._union(lambda s: s._posting_rows(allt))
+                .groupBy("sub", "shard")
+                .applyInPandas(per_group,
+                               schema="docid long, score double")
+                .toPandas())
+        if allp.empty:
+            return empty
+        return (allp.sort_values(["score", "docid"],
+                                 ascending=[False, True])
+                .head(k).reset_index(drop=True))
+
+    def phrase_prefix_topk_local(self, query: str, k: int = 10,
+                                 field: str | None = None,
+                                 max_expansions: int | None = None
+                                 ) -> pd.DataFrame:
+        """Zero-job serving twin of phrase_prefix_topk over base +
+        deltas, rank-identical to it (disjoint docid ranges → per-sub
+        kernels merge exactly)."""
+        from .analyzer import tokenize_text
+        from .multiterm import MAX_EXPANSIONS
+        from .query import _phrase_prefix_shard
+        me = MAX_EXPANSIONS if max_expansions is None else max_expansions
+        prefix, avgdl = self._field(field)
+        toks = tokenize_text(query, self.tokenizer)
+        empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        if not toks:
+            return empty
+        fixed_seq = [prefix + t for t in toks[:-1]]
+        uniq_fixed = sorted(set(fixed_seq))
+        exps = self.expand_terms(toks[-1], "prefix", field=field,
+                                 max_expansions=me)
+        if not exps:
+            return empty
+        allt = sorted(set(uniq_fixed) | set(exps))
+        idf = self._idf(allt, N=self._fieldN(field))
+        excl = self._excl()
+        parts = []
+        for s in self.subs:
+            pdf = s._local_term_rows(allt)
+            if pdf.empty:
+                continue
+            parts.append(_phrase_prefix_shard(
+                pdf, fixed_seq, uniq_fixed, exps, idf, avgdl,
+                self.k1, self.b, k, excl=excl))
+        if not parts:
+            return empty
+        return (pd.concat(parts)
+                .sort_values(["score", "docid"],
+                             ascending=[False, True])
+                .head(k).reset_index(drop=True))
+
     # -- multi-term queries: prefix / wildcard / fuzzy ---------------
     def expand_terms(self, pattern: str, kind: str = "prefix",
                      field: str | None = None,

@@ -80,3 +80,62 @@ def test_cli_kind_rejects_incompatible_flags(root, capsys):
         main(["--master", "local[2]", "query", "--index", root,
               "--q", "re", "--kind", "prefix", "--similarity",
               "classic"])
+
+
+def test_cli_regexp_kind(root, capsys, spark):
+    from sparkfts import FTSIndex
+    rc, rows = _run(capsys, "query", "--index", root, "--q",
+                    "re(build|sume)", "--kind", "regexp", "--k", "5",
+                    "--local")
+    assert rc == 0
+    want = FTSIndex(spark, root).pattern_topk_local(
+        "re(build|sume)", "regexp", k=5)
+    assert [r["docid"] for r in rows] == want["docid"].tolist()
+
+
+def test_cli_must_not(root, capsys, spark):
+    from sparkfts import FTSIndex
+    rc, rows = _run(capsys, "query", "--index", root, "--q",
+                    "alpha query", "--must-not", "batch", "--k", "5",
+                    "--local")
+    assert rc == 0
+    want = FTSIndex(spark, root).topk_local("alpha query", k=5,
+                                            must_not="batch")
+    assert [r["docid"] for r in rows] == want["docid"].tolist()
+    with pytest.raises(SystemExit):
+        main(["--master", "local[2]", "query", "--index", root,
+              "--q", "alpha", "--must-not", "batch", "--phrase"])
+
+
+@pytest.fixture(scope="module")
+def mf_root(spark, tmp_path_factory):
+    from sparkfts import BuildConfig, build_index
+    from sparkfts.analyzer import TokenizerConfig
+    pdf = make_transcripts(12, seed=94)
+    pdf = pdf.assign(meta=(pdf["role"] + " " + pdf["tool"].fillna("")))
+    p = str(tmp_path_factory.mktemp("cli7mf") / "idx")
+    build_index(spark, spark.createDataFrame(pdf), p,
+                order_cols=["conv_id", "turn_idx"],
+                cfg=BuildConfig(num_shards=2, partitions=2,
+                                fields={"text": TokenizerConfig(),
+                                        "meta": TokenizerConfig()}))
+    return p
+
+
+def test_cli_multi_match(mf_root, capsys, spark):
+    from sparkfts import FTSIndex
+    rc, rows = _run(capsys, "query", "--index", mf_root, "--q",
+                    "assistant alpha", "--fields", "text=1.0,meta=2.0",
+                    "--type", "best_fields", "--tie-breaker", "0.3",
+                    "--k", "5", "--local")
+    assert rc == 0 and rows
+    want = FTSIndex(spark, mf_root).multi_match_local(
+        "assistant alpha", fields={"text": 1.0, "meta": 2.0}, k=5,
+        qtype="best_fields", tie_breaker=0.3)
+    assert [r["docid"] for r in rows] == want["docid"].tolist()
+    assert [round(r["score"], 9) for r in rows] == [
+        round(v, 9) for v in want["score"]]
+    with pytest.raises(SystemExit):
+        main(["--master", "local[2]", "query", "--index", mf_root,
+              "--q", "alpha", "--fields", "text", "--filter",
+              "role = 'user'"])
