@@ -258,9 +258,35 @@ def q_phrase_top10(spark, sf_dir):
 
 
 def q_intersection(spark, sf_dir):
-    """B7: posting-list intersection (no scoring)."""
+    """B7 + r7 filter-context surfaces in one gate: the posting-list
+    AND intersection (no scoring), plus the ES sort-clause analog
+    (sorted_search: per-shard PARTIAL top-k by a docstore column,
+    global order/limit over shards*k rows), the _count analog, and
+    the cardinality-agg analog (exact leg; the HLL approx path is
+    pytest-bounded)."""
+    import pandas as _pd
     idx = _index_for(spark, sf_dir)
-    return idx.match_docids(f"{T_MID} {T_MID2}", "and")
+    q = f"{T_MID} {T_MID2}"
+    parts = []
+    m = (idx.match_docids(q, "and").toPandas()
+         .sort_values("docid").reset_index(drop=True))
+    parts.append(_pd.DataFrame(
+        {"leg": "and_docids", "rank": m.index + 1,
+         "docid": m["docid"], "v_r": 0.0}))
+    srt = (idx.sorted_search(q, by="n_chars", k=10).toPandas()
+           .reset_index(drop=True))
+    parts.append(_pd.DataFrame(
+        {"leg": "sort_nchars", "rank": srt.index + 1,
+         "docid": srt["docid"], "v_r": srt["sort_val"].round(4)}))
+    parts.append(_pd.DataFrame(
+        {"leg": ["count"], "rank": [1], "docid": [0],
+         "v_r": [float(idx.count(q, "and"))]}))
+    parts.append(_pd.DataFrame(
+        {"leg": ["card_lang"], "rank": [1], "docid": [0],
+         "v_r": [float(idx.facet_cardinality(q, by="lang"))]}))
+    return spark.createDataFrame(
+        _pd.concat(parts, ignore_index=True),
+        schema="leg string, rank long, docid long, v_r double")
 
 
 def q_docstore_fetch(spark, sf_dir):
@@ -2733,11 +2759,28 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY docid""",
         "fts_phrase_top10": _phrase_top10_sql(),
         "fts_intersection_and": f"""
-            WITH {_TOKS}
-            SELECT doc_id AS docid FROM tok
-            WHERE term IN ('{T_MID}', '{T_MID2}')
-            GROUP BY doc_id HAVING count(DISTINCT term) = 2
-            ORDER BY docid""",
+            WITH {_TOKS},
+            m AS (SELECT doc_id FROM tok
+                  WHERE term IN ('{T_MID}', '{T_MID2}')
+                  GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+            SELECT 'and_docids' AS leg,
+                   row_number() OVER (ORDER BY doc_id) AS rank,
+                   doc_id AS docid, 0.0 AS v_r
+            FROM m
+            UNION ALL
+            SELECT 'sort_nchars', rn, doc_id, v FROM (
+              SELECT row_number() OVER (
+                         ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+                     d.doc_id, round(d.n_chars::DOUBLE, 4) AS v
+              FROM documents d JOIN m ON d.doc_id = m.doc_id)
+            WHERE rn <= 10
+            UNION ALL
+            SELECT 'count', 1, 0, count(*)::DOUBLE FROM m
+            UNION ALL
+            SELECT 'card_lang', 1, 0,
+                   count(DISTINCT d.lang)::DOUBLE
+            FROM documents d JOIN m ON d.doc_id = m.doc_id
+            ORDER BY leg, rank""",
         "fts_docstore_fetch": f"""
             SELECT doc_id AS docid, text, lang FROM documents
             WHERE doc_id IN ({', '.join(str(i) for i in FETCH_IDS)})

@@ -520,24 +520,7 @@ def facet_count_group(mode: str, n_query_terms: int,
                                   "cnt": pd.Series(dtype=np.int64)})
         if lpdf.empty or rpdf.empty:
             return out_empty
-        res: np.ndarray | None = None
-        union: list[np.ndarray] = []
-        for t in sorted(lpdf["term"].unique()):
-            d, _, _ = _decode_term_rows(lpdf[lpdf["term"] == t])
-            if mode == "and":
-                res = d if res is None else np.intersect1d(
-                    res, d, assume_unique=True)
-            else:
-                union.append(d)
-        if mode == "and":
-            if lpdf["term"].nunique() < n_query_terms or res is None:
-                res = np.empty(0, dtype=np.int64)
-        else:
-            res = (np.unique(np.concatenate(union))
-                   if union else np.empty(0, dtype=np.int64))
-        me = _drop_excl(res, excl)
-        if me is not None:
-            res = res[me]
+        res = _boolean_match_group(lpdf, mode, n_query_terms, excl)
         if res.size == 0:
             return out_empty
         hit = rpdf[np.isin(rpdf["docid"].to_numpy(np.int64), res,
@@ -547,6 +530,69 @@ def facet_count_group(mode: str, n_query_terms: int,
             return out_empty
         return pd.DataFrame({"value": vc.index.astype(object),
                              "cnt": vc.to_numpy(np.int64)})
+
+    return per_group
+
+
+def _boolean_match_group(lpdf: pd.DataFrame, mode: str,
+                         n_query_terms: int,
+                         excl: np.ndarray | None) -> np.ndarray:
+    """One shard's boolean match set (sorted docids) from its
+    dictionary rows — the shared matching step of facet_count_group /
+    facet_stats_group / sort_match_group."""
+    res: np.ndarray | None = None
+    union: list[np.ndarray] = []
+    for t in sorted(lpdf["term"].unique()):
+        d, _, _ = _decode_term_rows(lpdf[lpdf["term"] == t])
+        if mode == "and":
+            res = d if res is None else np.intersect1d(
+                res, d, assume_unique=True)
+        else:
+            union.append(d)
+    if mode == "and":
+        if lpdf["term"].nunique() < n_query_terms or res is None:
+            res = np.empty(0, dtype=np.int64)
+    else:
+        res = (np.unique(np.concatenate(union))
+               if union else np.empty(0, dtype=np.int64))
+    me = _drop_excl(res, excl)
+    if me is not None:
+        res = res[me]
+    return res
+
+
+def sort_match_group(mode: str, n_query_terms: int, k: int,
+                     descending: bool,
+                     excl: np.ndarray | None = None):
+    """Cogroup kernel factory for sort-by-field search (the ES sort
+    clause — filter context, NO scoring): boolean-match the query per
+    shard exactly as the facet kernels do, then emit that shard's
+    top-k (docid, sort_val) by (sort_val, docid asc) — a per-shard
+    PARTIAL top-k. The caller's global order/limit runs over
+    num_shards * k rows; matched docs never shuffle. Docs whose sort
+    key is NULL are omitted (compose `filter="col IS NOT NULL"` /
+    a COALESCE expression for ES missing:_first/_last semantics).
+    ``excl`` (sorted tombstoned docids) leaves the match set first."""
+
+    def per_group(lpdf: pd.DataFrame,
+                  rpdf: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame(
+            {"docid": pd.Series(dtype=np.int64),
+             "sort_val": pd.Series(dtype=np.float64)})
+        if lpdf.empty or rpdf.empty:
+            return out_empty
+        res = _boolean_match_group(lpdf, mode, n_query_terms, excl)
+        if res.size == 0:
+            return out_empty
+        hit = rpdf[np.isin(rpdf["docid"].to_numpy(np.int64), res,
+                           assume_unique=True)]
+        hit = hit.dropna(subset=["value"])
+        if hit.empty:
+            return out_empty
+        v = hit["value"].to_numpy(np.float64)
+        d = hit["docid"].to_numpy(np.int64)
+        order = np.lexsort((d, -v if descending else v))[:k]
+        return pd.DataFrame({"docid": d[order], "sort_val": v[order]})
 
     return per_group
 
@@ -578,24 +624,7 @@ def facet_stats_group(mode: str, n_query_terms: int,
             "sm": pd.Series(dtype=np.float64)})
         if lpdf.empty or rpdf.empty:
             return out_empty
-        res: np.ndarray | None = None
-        union: list[np.ndarray] = []
-        for t in sorted(lpdf["term"].unique()):
-            d, _, _ = _decode_term_rows(lpdf[lpdf["term"] == t])
-            if mode == "and":
-                res = d if res is None else np.intersect1d(
-                    res, d, assume_unique=True)
-            else:
-                union.append(d)
-        if mode == "and":
-            if lpdf["term"].nunique() < n_query_terms or res is None:
-                res = np.empty(0, dtype=np.int64)
-        else:
-            res = (np.unique(np.concatenate(union))
-                   if union else np.empty(0, dtype=np.int64))
-        me = _drop_excl(res, excl)
-        if me is not None:
-            res = res[me]
+        res = _boolean_match_group(lpdf, mode, n_query_terms, excl)
         if res.size == 0:
             return out_empty
         hit = rpdf[np.isin(rpdf["docid"].to_numpy(np.int64), res,
@@ -2849,6 +2878,109 @@ class FTSIndex:
                 .groupBy("value").agg(F.sum("cnt").alias("doc_count"))
                 .orderBy(F.desc("doc_count"), F.asc("value"))
                 .limit(k))
+
+    def sorted_search(self, query: str, by: str, k: int = 10,
+                      mode: str = "and", descending: bool = True,
+                      field: str | None = None,
+                      org: str | None = None,
+                      filter: str | Column | None = None) -> DataFrame:
+        """Sort-by-field search — the ES ``sort`` clause (filter
+        context, NO scoring): docs matching the query boolean
+        (``mode`` and/or), ordered by the numeric docstore column or
+        SQL expression ``by`` instead of _score. Returns (docid,
+        sort_val), (sort_val desc|asc, docid asc), top ``k``. Docs
+        whose sort key is NULL are omitted (compose a COALESCE
+        expression for ES missing:_first/_last). ``org``/``filter``
+        restrict exactly as in match_docids.
+
+        Scale shape: postings cogroup with the column-pruned docstore
+        slice per shard (same plan as facet_counts); each shard emits
+        its PARTIAL top-k (docid, sort_val) — the global order/limit
+        runs over num_shards * k rows, matched docs never shuffle."""
+        prefix, _ = self._field(field)
+        terms = self._terms(query, prefix)
+        empty = self.spark.createDataFrame(
+            [], "docid long, sort_val double")
+        if not terms:
+            return empty
+        nq = len(terms)
+        rows = self._posting_rows(terms)
+        store = self._docstore
+        if org is not None:
+            shards = self.possible_shards(org)
+            rows = rows.where(F.col("shard").isin(shards))
+            store = (store.where(F.col("shard").isin(shards))
+                     .where(F.col(self.routing_col) == org))
+        if filter is not None:
+            store = store.where(filter)
+        store = store.select(
+            "shard", "docid",
+            F.expr(by).cast("double").alias("value"))
+        part = (rows.groupBy("shard")
+                .cogroup(store.groupBy("shard"))
+                .applyInPandas(sort_match_group(mode, nq, k,
+                                                descending),
+                               schema="docid long, sort_val double"))
+        key = (F.desc("sort_val") if descending
+               else F.asc("sort_val"))
+        return part.orderBy(key, F.asc("docid")).limit(k)
+
+    def count(self, query: str, mode: str = "and",
+              field: str | None = None, org: str | None = None,
+              filter: str | Column | None = None) -> int:
+        """Hit count — the ES _count API analog: the number of docs
+        matching the query boolean (+ org/filter), no scoring, no
+        fetch. One job; only per-shard counts reach the driver."""
+        return self.match_docids(query, mode, field=field, org=org,
+                                 filter=filter).count()
+
+    def count_local(self, query: str, mode: str = "and",
+                    field: str | None = None,
+                    org: str | None = None) -> int:
+        """Zero-job serving twin of count()."""
+        return int(len(self.match_docids_local(query, mode,
+                                               field=field, org=org)))
+
+    def facet_cardinality(self, query: str, by: str,
+                          mode: str = "and",
+                          field: str | None = None,
+                          org: str | None = None,
+                          filter: str | Column | None = None,
+                          exact: bool = True,
+                          rsd: float = 0.05) -> int:
+        """Distinct-value count of ``by`` (column or SQL expression)
+        over the query's boolean matches — the ES ``cardinality``
+        aggregation analog. ``exact=True`` counts exactly (countDistinct
+        over the per-shard partial facet rows — the oracle-parity
+        path); ``exact=False`` is the 100-TB path: Spark's
+        HyperLogLog++ sketch (approx_count_distinct, relative error
+        ``rsd``) combines map-side, so the exchange carries sketches,
+        never values — exactly how ES itself serves this agg. NULLs
+        uncounted (ES default)."""
+        prefix, _ = self._field(field)
+        terms = self._terms(query, prefix)
+        if not terms:
+            return 0
+        nq = len(terms)
+        rows = self._posting_rows(terms)
+        store = self._docstore
+        if org is not None:
+            shards = self.possible_shards(org)
+            rows = rows.where(F.col("shard").isin(shards))
+            store = (store.where(F.col("shard").isin(shards))
+                     .where(F.col(self.routing_col) == org))
+        if filter is not None:
+            store = store.where(filter)
+        store = store.select(
+            "shard", "docid", F.expr(by).cast("string").alias("value"))
+        part = (rows.groupBy("shard")
+                .cogroup(store.groupBy("shard"))
+                .applyInPandas(facet_count_group(mode, nq),
+                               schema="value string, cnt long"))
+        agg = (F.countDistinct("value") if exact
+               else F.approx_count_distinct("value", rsd))
+        row = part.agg(agg.alias("c")).collect()[0]
+        return int(row["c"])
 
     def facet_metrics(self, query: str, by: str, metric: str,
                       k: int = 20, mode: str = "and",

@@ -45,6 +45,7 @@ _FORWARDED = frozenset({
     "expand_terms", "pattern_topk", "pattern_topk_local",
     "multi_match", "multi_match_local",
     "phrase_prefix_topk", "phrase_prefix_topk_local",
+    "sorted_search", "count", "count_local", "facet_cardinality",
 })
 
 

@@ -1193,6 +1193,7 @@ class CombinedIndex:
     def match_docids(self, query: str, mode: str = "and",
                      field: str | None = None,
                      org: str | None = None,
+                     filter=None,
                      raw_terms: list[str] | None = None) -> pd.DataFrame:
         """Boolean match over base + deltas (B7): docids containing all
         (and) / any (or) query terms, ascending. Docid spaces are
@@ -1200,7 +1201,12 @@ class CombinedIndex:
         exactly. ``field`` scopes to one field of a multi-field build;
         ``org`` (every generation routed) prunes each sub to the
         tenant's shards and restricts matching to its docids — same
-        _org_range_map/_org_union assembly as topk/phrase_topk."""
+        _org_range_map/_org_union assembly as topk/phrase_topk.
+        ``filter`` (SQL predicate over docstore columns) restricts to
+        docs satisfying it, composed as a conjunction with ``org``:
+        each generation's filtered (shard, docid) feed cogroups with
+        its own postings per (generation, shard), mirroring
+        FTSIndex.match_docids(filter=)."""
         import numpy as np
         from .analyzer import tokenize_text
         from .query import _decode_term_rows
@@ -1233,6 +1239,37 @@ class CombinedIndex:
                 res = (np.unique(np.concatenate(union))
                        if union else np.empty(0, dtype=np.int64))
             return pd.DataFrame({"docid": res})
+
+        if filter is not None:
+            if org is not None and org_subs is None:
+                return empty
+
+            def mk_rows(s: FTSIndex):
+                r = s._posting_rows(terms)
+                if org is not None:
+                    r = r.where(F.col("shard")
+                                .isin(s.possible_shards(org)))
+                return r
+
+            def mk_fdocs(s: FTSIndex):
+                return s._filter_docs(filter, org)
+
+            def per_group_flt(lpdf, rpdf):
+                if lpdf.empty or rpdf.empty:
+                    return pd.DataFrame(
+                        {"docid": pd.Series(dtype=np.int64)})
+                cand = np.unique(rpdf["docid"].to_numpy(np.int64))
+                return _match(lpdf, lambda d: d[np.isin(
+                    d, cand, assume_unique=True)])
+
+            out = (self._union(mk_rows).groupBy("sub", "shard")
+                   .cogroup(self._union(mk_fdocs)
+                            .groupBy("sub", "shard"))
+                   .applyInPandas(per_group_flt, schema="docid long")
+                   .toPandas())
+            out = self._tomb_filter()(out)
+            return (out.sort_values("docid").reset_index(drop=True)
+                    if not out.empty else out)
 
         if org_subs is not None:
             rngmap = self._org_range_map(org_subs, org)
@@ -1325,6 +1362,122 @@ class CombinedIndex:
                 .groupBy("value").agg(F.sum("cnt").alias("doc_count"))
                 .orderBy(F.desc("doc_count"), F.asc("value"))
                 .limit(k))
+
+    def sorted_search(self, query: str, by: str, k: int = 10,
+                      mode: str = "and", descending: bool = True,
+                      field: str | None = None,
+                      org: str | None = None, filter=None
+                      ) -> DataFrame:
+        """Sort-by-field search over base + deltas in ONE job — the
+        streaming twin of FTSIndex.sorted_search (same contract:
+        (docid, sort_val), NULL keys omitted, per-(generation, shard)
+        PARTIAL top-k, global order/limit over (subs*shards)*k rows).
+        Tombstones leave the match set in-kernel."""
+        from .analyzer import tokenize_text
+        from .query import sort_match_group
+        prefix, _ = self._field(field)
+        terms = sorted({prefix + t
+                        for t in tokenize_text(query, self.tokenizer)})
+        empty = self.spark.createDataFrame(
+            [], "docid long, sort_val double")
+        if not terms:
+            return empty
+        if org is not None and not self._org_subs(org):
+            return empty
+        nq = len(terms)
+
+        def mk_rows(s: FTSIndex):
+            r = s._posting_rows(terms)
+            if org is not None:
+                r = r.where(F.col("shard")
+                            .isin(s.possible_shards(org)))
+            return r
+
+        def mk_store(s: FTSIndex):
+            st = s._docstore
+            if org is not None:
+                st = (st.where(F.col("shard")
+                               .isin(s.possible_shards(org)))
+                      .where(F.col(s.routing_col) == org))
+            if filter is not None:
+                st = st.where(filter)
+            return st.select("shard", "docid",
+                             F.expr(by).cast("double").alias("value"))
+
+        part = (self._union(mk_rows).groupBy("sub", "shard")
+                .cogroup(self._union(mk_store)
+                         .groupBy("sub", "shard"))
+                .applyInPandas(sort_match_group(mode, nq, k,
+                                                descending,
+                                                excl=self._excl()),
+                               schema="docid long, sort_val double"))
+        key = (F.desc("sort_val") if descending
+               else F.asc("sort_val"))
+        return part.orderBy(key, F.asc("docid")).limit(k)
+
+    def count(self, query: str, mode: str = "and",
+              field: str | None = None,
+              org: str | None = None, filter=None) -> int:
+        """Hit count over base + deltas (ES _count analog), tombstones
+        excluded — one job, per-group counts only."""
+        return int(len(self.match_docids(query, mode, field=field,
+                                         org=org, filter=filter)))
+
+    def count_local(self, query: str, mode: str = "and",
+                    field: str | None = None,
+                    org: str | None = None) -> int:
+        """Zero-job serving twin of count()."""
+        return int(len(self.match_docids_local(query, mode,
+                                               field=field, org=org)))
+
+    def facet_cardinality(self, query: str, by: str,
+                          mode: str = "and",
+                          field: str | None = None,
+                          org: str | None = None, filter=None,
+                          exact: bool = True,
+                          rsd: float = 0.05) -> int:
+        """ES cardinality agg over base + deltas (FTSIndex contract):
+        exact countDistinct for oracle parity, HyperLogLog++ sketches
+        (approx_count_distinct) as the 100-TB path; tombstones leave
+        the match set in-kernel."""
+        from .analyzer import tokenize_text
+        from .query import facet_count_group
+        prefix, _ = self._field(field)
+        terms = sorted({prefix + t
+                        for t in tokenize_text(query, self.tokenizer)})
+        if not terms:
+            return 0
+        if org is not None and not self._org_subs(org):
+            return 0
+        nq = len(terms)
+
+        def mk_rows(s: FTSIndex):
+            r = s._posting_rows(terms)
+            if org is not None:
+                r = r.where(F.col("shard")
+                            .isin(s.possible_shards(org)))
+            return r
+
+        def mk_store(s: FTSIndex):
+            st = s._docstore
+            if org is not None:
+                st = (st.where(F.col("shard")
+                               .isin(s.possible_shards(org)))
+                      .where(F.col(s.routing_col) == org))
+            if filter is not None:
+                st = st.where(filter)
+            return st.select("shard", "docid",
+                             F.expr(by).cast("string").alias("value"))
+
+        part = (self._union(mk_rows).groupBy("sub", "shard")
+                .cogroup(self._union(mk_store)
+                         .groupBy("sub", "shard"))
+                .applyInPandas(facet_count_group(mode, nq,
+                                                 excl=self._excl()),
+                               schema="value string, cnt long"))
+        agg = (F.countDistinct("value") if exact
+               else F.approx_count_distinct("value", rsd))
+        return int(part.agg(agg.alias("c")).collect()[0]["c"])
 
     def facet_metrics(self, query: str, by: str, metric: str,
                       k: int = 20, mode: str = "and",
