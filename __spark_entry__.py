@@ -663,6 +663,37 @@ def q_facet_counts(spark, sf_dir):
     stats_leg("stats_combined",
               ci.facet_metrics(f"{T_HOT} {T_MID}", by="lang",
                                metric="n_chars", k=50, mode="and"))
+    # r7: ES percentiles agg (exact leg = Spark `percentile`, linear
+    # interpolation — the quantile_cont definition the oracle uses)
+    pc = idx.facet_percentiles(f"{T_HOT} {T_MID}", metric="n_chars",
+                               percentiles=(25.0, 50.0, 75.0, 95.0),
+                               by="lang", k=50, mode="and")
+    legs.append(pc.select(
+        F.lit("pctl_lang").alias("facet"), "value",
+        F.concat(F.lit("p"), F.col("p").cast("int").cast("string"))
+        .alias("stat"), F.round("pctl", 4).alias("v_r")))
+    legs.append(pc.select("value", "doc_count").distinct().select(
+        F.lit("pctl_lang").alias("facet"), "value",
+        F.lit("pcount").alias("stat"),
+        F.col("doc_count").cast("double").alias("v_r")))
+    # r7: ES top_hits-under-terms-bucket agg (per-bucket hits equal
+    # the global-stats ranking restricted to the bucket)
+    th = idx.facet_top_hits(f"{T_HOT} {T_MID}", by="lang",
+                            k_buckets=3, k_hits=3, mode="and")
+    legs.append(th.select(
+        F.lit("tophits_lang").alias("facet"), "value",
+        F.concat(F.lit("h"), F.col("rank").cast("string"),
+                 F.lit("_doc")).alias("stat"),
+        F.col("docid").cast("double").alias("v_r")))
+    legs.append(th.select(
+        F.lit("tophits_lang").alias("facet"), "value",
+        F.concat(F.lit("h"), F.col("rank").cast("string"),
+                 F.lit("_score")).alias("stat"),
+        F.round("score", 4).alias("v_r")))
+    legs.append(th.select("value", "doc_count").distinct().select(
+        F.lit("tophits_lang").alias("facet"), "value",
+        F.lit("tcount").alias("stat"),
+        F.col("doc_count").cast("double").alias("v_r")))
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
@@ -2277,7 +2308,11 @@ def _facet_counts_sql() -> str:
     (count desc, value asc) top-50. Count legs emit one 'count' row
     per bucket; stats legs unpivot count/mcount/min/max/sum/avg —
     the stats_combined leg is the SAME aggregation (a base+delta union
-    over the whole corpus equals the corpus)."""
+    over the whole corpus equals the corpus). r7 legs: pctl_lang =
+    quantile_cont percentiles per bucket (p25/p50/p75/p95 + pcount);
+    tophits_lang = per-bucket BM25 top hits (hN_doc/hN_score rows from
+    the full scored relation windowed per bucket + tcount), top-3
+    buckets by count."""
     stats_unpivot = " UNION ALL ".join(
         f"SELECT value, '{st}' AS stat, round({ex}, 4) AS v_r "
         f"FROM stats_base"
@@ -2286,7 +2321,7 @@ def _facet_counts_sql() -> str:
                        ("min", "mn::DOUBLE"), ("max", "mx::DOUBLE"),
                        ("sum", "sm::DOUBLE"), ("avg", "av")])
     return f"""
-        WITH {_TOKS},
+        {_bm25_scored([T_HOT, T_MID], "and")},
         m_and AS (
           SELECT doc_id FROM tok
           WHERE term IN ('{T_HOT}', '{T_MID}')
@@ -2327,7 +2362,43 @@ def _facet_counts_sql() -> str:
           WHERE d.lang IS NOT NULL
           GROUP BY d.lang
           ORDER BY count(*) DESC, value ASC LIMIT 50),
-        stats_long AS ({stats_unpivot})
+        stats_long AS ({stats_unpivot}),
+        pb AS (
+          SELECT d.lang AS value, count(*)::DOUBLE AS dc,
+                 quantile_cont(d.n_chars::DOUBLE, 0.25) AS q25,
+                 quantile_cont(d.n_chars::DOUBLE, 0.50) AS q50,
+                 quantile_cont(d.n_chars::DOUBLE, 0.75) AS q75,
+                 quantile_cont(d.n_chars::DOUBLE, 0.95) AS q95
+          FROM m_and m JOIN documents d USING (doc_id)
+          WHERE d.lang IS NOT NULL AND d.n_chars IS NOT NULL
+          GROUP BY d.lang
+          ORDER BY count(*) DESC, value ASC LIMIT 50),
+        pctl_rows AS (
+          SELECT value, 'p25' AS stat, round(q25, 4) AS v_r FROM pb
+          UNION ALL SELECT value, 'p50', round(q50, 4) FROM pb
+          UNION ALL SELECT value, 'p75', round(q75, 4) FROM pb
+          UNION ALL SELECT value, 'p95', round(q95, 4) FROM pb
+          UNION ALL SELECT value, 'pcount', dc FROM pb),
+        tophits AS (
+          SELECT d.lang AS value, s.doc_id, s.score,
+                 count(*) OVER (PARTITION BY d.lang) AS bc,
+                 row_number() OVER (
+                     PARTITION BY d.lang
+                     ORDER BY s.score DESC, s.doc_id ASC) AS rn
+          FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+          WHERE d.lang IS NOT NULL),
+        tb AS (
+          SELECT value, bc FROM tophits GROUP BY value, bc
+          ORDER BY bc DESC, value ASC LIMIT 3),
+        th_rows AS (
+          SELECT t.value, 'h' || t.rn || '_doc' AS stat,
+                 t.doc_id::DOUBLE AS v_r
+          FROM tophits t JOIN tb USING (value) WHERE t.rn <= 3
+          UNION ALL
+          SELECT t.value, 'h' || t.rn || '_score', round(t.score, 4)
+          FROM tophits t JOIN tb USING (value) WHERE t.rn <= 3
+          UNION ALL
+          SELECT value, 'tcount', bc::DOUBLE FROM tb)
         SELECT * FROM lang_and
         UNION ALL
         SELECT * FROM source_or_flt
@@ -2338,6 +2409,10 @@ def _facet_counts_sql() -> str:
         UNION ALL
         SELECT 'stats_combined' AS facet, value, stat, v_r
         FROM stats_long
+        UNION ALL
+        SELECT 'pctl_lang' AS facet, value, stat, v_r FROM pctl_rows
+        UNION ALL
+        SELECT 'tophits_lang' AS facet, value, stat, v_r FROM th_rows
         ORDER BY facet, value, stat"""
 
 

@@ -666,6 +666,159 @@ def _facet_metrics_finalize(part: DataFrame, k: int) -> DataFrame:
             .limit(k))
 
 
+def _facet_percentiles_finalize(part: DataFrame, ps: list[float],
+                                k: int, exact: bool,
+                                accuracy: int) -> DataFrame:
+    """Aggregate the kernel's (value, metric) rows into the final ES
+    percentiles shape: (value, doc_count, p, pctl), one row per
+    (bucket, percentile), top-k buckets by doc_count desc / value
+    asc. Shared by FTSIndex/CombinedIndex.facet_percentiles."""
+    frac = "array(" + ", ".join(repr(p / 100.0) for p in ps) + ")"
+    qexpr = (f"percentile(metric, {frac})" if exact
+             else f"percentile_approx(metric, {frac}, {accuracy})")
+    agg = (part.groupBy("value")
+           .agg(F.count("*").alias("doc_count"),
+                F.expr(qexpr).alias("_q"))
+           .orderBy(F.desc("doc_count"), F.asc("value"))
+           .limit(k))
+    parr = F.array(*[F.lit(p) for p in ps])
+    return (agg.select("value", "doc_count",
+                       F.posexplode("_q").alias("_pos", "pctl"))
+            .select("value", "doc_count",
+                    F.element_at(parr, F.col("_pos") + 1).alias("p"),
+                    "pctl")
+            .orderBy(F.desc("doc_count"), F.asc("value"),
+                     F.asc("p")))
+
+
+def _facet_top_hits_finalize(part: DataFrame, k_buckets: int,
+                             k_hits: int) -> DataFrame:
+    """Combine the kernel's per-(shard, bucket) partial top-hit rows
+    into the final ES top_hits shape: (value, doc_count, rank, docid,
+    score). Per-shard partial counts collapse per (shard, value)
+    before summing (the kernel repeats cnt on each of a bucket's
+    rows); bucket selection is a broadcast join of the top-k_buckets
+    aggregate. Shared by FTSIndex/CombinedIndex.facet_top_hits."""
+    from pyspark.sql import Window
+    counts = (part.select("shard", "value", "cnt").distinct()
+              .groupBy("value").agg(F.sum("cnt").alias("doc_count")))
+    buckets = (counts.orderBy(F.desc("doc_count"), F.asc("value"))
+               .limit(k_buckets))
+    w = Window.partitionBy("value").orderBy(F.desc("score"),
+                                            F.asc("docid"))
+    hits = (part.select("value", "docid", "score")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k_hits))
+    return (hits.join(F.broadcast(buckets), "value")
+            .select("value", "doc_count",
+                    F.col("rank").cast("int").alias("rank"),
+                    "docid", "score")
+            .orderBy(F.desc("doc_count"), F.asc("value"),
+                     F.asc("rank")))
+
+
+def facet_values_group(mode: str, n_query_terms: int,
+                       excl: np.ndarray | None = None):
+    """Cogroup kernel factory for VALUE-LEVEL facet aggregation (the
+    ES percentiles-agg path): left = one shard's dictionary rows for
+    the query terms, right = its docstore slice projected to (docid,
+    value, metric). Emits the matched docs' (value, metric) rows —
+    one per matched doc with a non-NULL bucket AND metric (ES
+    percentiles skip missing values) — so the caller's aggregate
+    (exact `percentile` or the `percentile_approx` quantile sketch)
+    runs its map-side partial directly on the kernel's output
+    partitions: on the sketch path the exchange carries per-bucket
+    partial sketches, never raw docs. Tombstones leave the match set
+    in-kernel."""
+
+    def per_group(lpdf: pd.DataFrame,
+                  rpdf: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame(
+            {"value": pd.Series(dtype=object),
+             "metric": pd.Series(dtype=np.float64)})
+        if lpdf.empty or rpdf.empty:
+            return out_empty
+        res = _boolean_match_group(lpdf, mode, n_query_terms, excl)
+        if res.size == 0:
+            return out_empty
+        hit = rpdf[np.isin(rpdf["docid"].to_numpy(np.int64), res,
+                           assume_unique=True)]
+        hit = hit[hit["value"].notna() & hit["metric"].notna()]
+        if hit.empty:
+            return out_empty
+        return pd.DataFrame(
+            {"value": hit["value"].astype(object),
+             "metric": hit["metric"].to_numpy(np.float64)})
+
+    return per_group
+
+
+def top_hits_group(idf: dict[str, float], avgdl: float, k1: float,
+                   b: float, k_hits: int, mode: str,
+                   n_query_terms: int,
+                   excl: np.ndarray | None = None):
+    """Cogroup kernel factory for the ES top_hits agg nested under a
+    terms bucket: left = one shard's dictionary rows for the query
+    terms, right = its docstore slice projected to (docid, value).
+    Scores the matched docs with GLOBAL BM25 stats via the exact
+    candidate-scoring path (scores equal the plain topk ranking
+    restricted to each bucket — the ES contract: _score is the
+    query's, buckets just group the hits), then emits each bucket's
+    per-shard PARTIAL top-k_hits as (shard, value, cnt, docid,
+    score); ``cnt`` is the shard's partial bucket doc count, repeated
+    on each of that bucket's rows (callers collapse per (shard,
+    value) before summing — every non-empty bucket emits ≥1 hit row,
+    so no partial count is ever lost). NULL bucket values drop (ES
+    terms-agg default); tombstones leave the candidate set before
+    scoring."""
+
+    def per_group(lpdf: pd.DataFrame,
+                  rpdf: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame(
+            {"shard": pd.Series(dtype=object),
+             "value": pd.Series(dtype=object),
+             "cnt": pd.Series(dtype=np.int64),
+             "docid": pd.Series(dtype=np.int64),
+             "score": pd.Series(dtype=np.float64)})
+        if lpdf.empty or rpdf.empty:
+            return out_empty
+        rpdf = rpdf[rpdf["value"].notna()]
+        if rpdf.empty:
+            return out_empty
+        cand = np.unique(rpdf["docid"].to_numpy(np.int64))
+        pt = {t: lpdf[lpdf["term"] == t]
+              for t in sorted(lpdf["term"].unique())}
+        scored = _score_candidates(pt, list(pt), cand, idf, avgdl,
+                                   k1, b, 1 << 62, mode,
+                                   n_query_terms, excl=excl)
+        if scored.empty:
+            return out_empty
+        hit = scored.merge(rpdf[["docid", "value"]], on="docid",
+                           how="inner")
+        # group label: distinct per cogroup key — (sub, shard) in the
+        # CombinedIndex twin, so partial counts never collapse across
+        # generations sharing a shard number
+        shard = "|".join(str(lpdf[c].iloc[0])
+                         for c in ("sub", "shard")
+                         if c in lpdf.columns)
+        cnts = hit.groupby("value", sort=False)["docid"].transform(
+            "size")
+        order = np.lexsort((hit["docid"].to_numpy(np.int64),
+                            -hit["score"].to_numpy(np.float64)))
+        hs = hit.iloc[order]
+        cs = cnts.iloc[order]
+        keep = hs.groupby("value", sort=False).cumcount() < k_hits
+        hs, cs = hs[keep], cs[keep]
+        return pd.DataFrame(
+            {"shard": shard,
+             "value": hs["value"].astype(object).to_numpy(),
+             "cnt": cs.to_numpy(np.int64),
+             "docid": hs["docid"].to_numpy(np.int64),
+             "score": hs["score"].to_numpy(np.float64)})
+
+    return per_group
+
+
 def _score_or_wand_after(per_term: dict[str, pd.DataFrame],
                          terms: list[str], idf: dict[str, float],
                          avgdl: float, k1: float, b: float, k: int,
@@ -3030,6 +3183,116 @@ class FTSIndex:
                                       "mcnt long, mn double, "
                                       "mx double, sm double"))
         return _facet_metrics_finalize(part, k)
+
+    def facet_percentiles(self, query: str, metric: str,
+                          percentiles: Iterable[float] = (
+                              25.0, 50.0, 75.0, 95.0, 99.0),
+                          by: str | None = None, k: int = 20,
+                          mode: str = "and",
+                          field: str | None = None,
+                          org: str | None = None,
+                          filter: str | Column | None = None,
+                          exact: bool = True,
+                          accuracy: int = 10000) -> DataFrame:
+        """Percentiles of ``metric`` (a numeric docstore column or SQL
+        expression) over the query's boolean matches — the ES
+        ``percentiles`` aggregation, optionally nested under a terms
+        bucket (``by``; None = one global '_all' bucket). Returns
+        (value, doc_count, p, pctl) long-shaped — one row per (bucket,
+        percentile), buckets ordered doc_count desc / value asc, top
+        ``k`` buckets. ``percentiles`` are ES-style 0-100. doc_count
+        counts matched docs with a non-NULL metric (ES percentiles
+        skip missing). ``exact=True`` is the oracle-parity path:
+        Spark's `percentile` — linear interpolation on the sorted
+        values, the same definition as SQL quantile_cont/ES tdigest's
+        exact small-set behavior. ``exact=False`` is the 100-TB path:
+        `percentile_approx` (Greenwald-Khanna quantile sketch,
+        ``accuracy`` trades error 1/accuracy for memory) — partial
+        sketches build map-side on the kernel output, so the one
+        value-keyed exchange carries SKETCHES, never doc values —
+        the same mergeable-sketch design ES's tdigest uses."""
+        prefix, _ = self._field(field)
+        terms = self._terms(query, prefix)
+        ps = [float(p) for p in percentiles]
+        if not ps or not all(0.0 <= p <= 100.0 for p in ps):
+            raise ValueError("percentiles must be in [0, 100]")
+        empty = self.spark.createDataFrame(
+            [], "value string, doc_count long, p double, pctl double")
+        if not terms:
+            return empty
+        nq = len(terms)
+        rows = self._posting_rows(terms)
+        store = self._docstore
+        if org is not None:
+            shards = self.possible_shards(org)
+            rows = rows.where(F.col("shard").isin(shards))
+            store = (store.where(F.col("shard").isin(shards))
+                     .where(F.col(self.routing_col) == org))
+        if filter is not None:
+            store = store.where(filter)
+        bucket = (F.expr(by).cast("string") if by is not None
+                  else F.lit("_all"))
+        store = store.select(
+            "shard", "docid", bucket.alias("value"),
+            F.expr(metric).cast("double").alias("metric"))
+        part = (rows.groupBy("shard")
+                .cogroup(store.groupBy("shard"))
+                .applyInPandas(facet_values_group(mode, nq),
+                               schema="value string, metric double"))
+        return _facet_percentiles_finalize(part, ps, k, exact,
+                                           accuracy)
+
+    def facet_top_hits(self, query: str, by: str,
+                       k_buckets: int = 10, k_hits: int = 3,
+                       mode: str = "and", field: str | None = None,
+                       org: str | None = None,
+                       filter: str | Column | None = None
+                       ) -> DataFrame:
+        """Per-bucket top hits — the ES ``top_hits`` agg nested under
+        a terms bucket: for each of the top ``k_buckets`` values of
+        ``by`` (by doc_count desc, value asc), the ``k_hits``
+        best-scoring matched docs. Returns (value, doc_count, rank,
+        docid, score), buckets in bucket order, hits by (score desc,
+        docid asc). Scores use GLOBAL BM25 stats — the ES contract:
+        _score is the query's score, buckets only group the hits, so
+        each bucket's hits equal the plain topk ranking restricted to
+        that bucket.
+
+        Scale shape: the per-shard kernel scores matched candidates
+        and emits each bucket's PARTIAL top-k_hits (plus a per-shard
+        partial count riding each row), so the exchange carries at
+        most shards × buckets × k_hits rows; the bucket-selection
+        top-k_buckets is a broadcast join against that small
+        aggregate — matched docs never shuffle."""
+        from pyspark.sql import Window
+        prefix, avgdl = self._field(field)
+        terms = self._terms(query, prefix)
+        empty = self.spark.createDataFrame(
+            [], "value string, doc_count long, rank int, "
+                "docid long, score double")
+        if not terms:
+            return empty
+        nq = len(terms)
+        idf = self._idf_map(terms, N=self._fieldN(field))
+        rows = self._posting_rows(terms)
+        store = self._docstore
+        if org is not None:
+            shards = self.possible_shards(org)
+            rows = rows.where(F.col("shard").isin(shards))
+            store = (store.where(F.col("shard").isin(shards))
+                     .where(F.col(self.routing_col) == org))
+        if filter is not None:
+            store = store.where(filter)
+        store = store.select(
+            "shard", "docid", F.expr(by).cast("string").alias("value"))
+        part = (rows.groupBy("shard")
+                .cogroup(store.groupBy("shard"))
+                .applyInPandas(
+                    top_hits_group(idf, avgdl, self.k1, self.b,
+                                   k_hits, mode, nq),
+                    schema="shard string, value string, cnt long, "
+                           "docid long, score double"))
+        return _facet_top_hits_finalize(part, k_buckets, k_hits)
 
     def phrase_topk(self, query: str, k: int = 10,
                     field: str | None = None,

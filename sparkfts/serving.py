@@ -46,6 +46,7 @@ _FORWARDED = frozenset({
     "multi_match", "multi_match_local",
     "phrase_prefix_topk", "phrase_prefix_topk_local",
     "sorted_search", "count", "count_local", "facet_cardinality",
+    "facet_percentiles", "facet_top_hits",
 })
 
 

@@ -1531,6 +1531,122 @@ class CombinedIndex:
                                       "mx double, sm double"))
         return _facet_metrics_finalize(part, k)
 
+    def facet_percentiles(self, query: str, metric: str,
+                          percentiles=(25.0, 50.0, 75.0, 95.0, 99.0),
+                          by: str | None = None, k: int = 20,
+                          mode: str = "and",
+                          field: str | None = None,
+                          org: str | None = None, filter=None,
+                          exact: bool = True,
+                          accuracy: int = 10000) -> DataFrame:
+        """ES percentiles agg over base + deltas in ONE job — the
+        streaming twin of FTSIndex.facet_percentiles (same contract:
+        exact `percentile` for oracle parity, `percentile_approx`
+        quantile sketches as the 100-TB path). Tombstoned docs leave
+        the match set in-kernel; partial sketches combine across
+        generations in the one value-keyed exchange."""
+        from .analyzer import tokenize_text
+        from .query import (_facet_percentiles_finalize,
+                            facet_values_group)
+        prefix, _ = self._field(field)
+        terms = sorted({prefix + t
+                        for t in tokenize_text(query, self.tokenizer)})
+        ps = [float(p) for p in percentiles]
+        if not ps or not all(0.0 <= p <= 100.0 for p in ps):
+            raise ValueError("percentiles must be in [0, 100]")
+        empty = self.spark.createDataFrame(
+            [], "value string, doc_count long, p double, pctl double")
+        if not terms:
+            return empty
+        if org is not None and not self._org_subs(org):
+            return empty
+        nq = len(terms)
+
+        def mk_rows(s: FTSIndex):
+            r = s._posting_rows(terms)
+            if org is not None:
+                r = r.where(F.col("shard")
+                            .isin(s.possible_shards(org)))
+            return r
+
+        def mk_store(s: FTSIndex):
+            st = s._docstore
+            if org is not None:
+                st = (st.where(F.col("shard")
+                               .isin(s.possible_shards(org)))
+                      .where(F.col(s.routing_col) == org))
+            if filter is not None:
+                st = st.where(filter)
+            bucket = (F.expr(by).cast("string") if by is not None
+                      else F.lit("_all"))
+            return st.select("shard", "docid", bucket.alias("value"),
+                             F.expr(metric).cast("double")
+                             .alias("metric"))
+
+        part = (self._union(mk_rows).groupBy("sub", "shard")
+                .cogroup(self._union(mk_store).groupBy("sub", "shard"))
+                .applyInPandas(facet_values_group(mode, nq,
+                                                  excl=self._excl()),
+                               schema="value string, metric double"))
+        return _facet_percentiles_finalize(part, ps, k, exact,
+                                           accuracy)
+
+    def facet_top_hits(self, query: str, by: str,
+                       k_buckets: int = 10, k_hits: int = 3,
+                       mode: str = "and", field: str | None = None,
+                       org: str | None = None, filter=None
+                       ) -> DataFrame:
+        """ES top_hits agg over base + deltas in ONE job — the
+        streaming twin of FTSIndex.facet_top_hits. BM25 stats are
+        union-global (self._idf combines df across generations), so
+        each bucket's hits equal the combined topk ranking restricted
+        to the bucket; tombstones leave the candidate set before
+        scoring; the kernel's partial-count label carries the
+        generation, so counts never collapse across subs sharing a
+        shard number."""
+        from .analyzer import tokenize_text
+        from .query import _facet_top_hits_finalize, top_hits_group
+        prefix, avgdl = self._field(field)
+        terms = sorted({prefix + t
+                        for t in tokenize_text(query, self.tokenizer)})
+        empty = self.spark.createDataFrame(
+            [], "value string, doc_count long, rank int, "
+                "docid long, score double")
+        if not terms:
+            return empty
+        if org is not None and not self._org_subs(org):
+            return empty
+        nq = len(terms)
+        idf = self._idf(terms, N=self._fieldN(field))
+
+        def mk_rows(s: FTSIndex):
+            r = s._posting_rows(terms)
+            if org is not None:
+                r = r.where(F.col("shard")
+                            .isin(s.possible_shards(org)))
+            return r
+
+        def mk_store(s: FTSIndex):
+            st = s._docstore
+            if org is not None:
+                st = (st.where(F.col("shard")
+                               .isin(s.possible_shards(org)))
+                      .where(F.col(s.routing_col) == org))
+            if filter is not None:
+                st = st.where(filter)
+            return st.select("shard", "docid",
+                             F.expr(by).cast("string").alias("value"))
+
+        part = (self._union(mk_rows).groupBy("sub", "shard")
+                .cogroup(self._union(mk_store).groupBy("sub", "shard"))
+                .applyInPandas(
+                    top_hits_group(idf, avgdl, self.k1, self.b,
+                                   k_hits, mode, nq,
+                                   excl=self._excl()),
+                    schema="shard string, value string, cnt long, "
+                           "docid long, score double"))
+        return _facet_top_hits_finalize(part, k_buckets, k_hits)
+
     def explain(self, query: str, docid: int,
                 field: str | None = None) -> pd.DataFrame:
         """Per-term BM25 breakdown over base + deltas (ES `_explain`
