@@ -151,6 +151,48 @@ def main(argv: list[str] | None = None) -> int:
                         "(default) or constant 1.0 per matching doc "
                         "(the ES 1.x prefix/wildcard default)")
 
+    a = sub.add_parser("agg",
+                       help="aggregations and filter-context queries "
+                            "over the boolean matches (ES _count, "
+                            "sort, terms/stats/percentiles/"
+                            "cardinality/top_hits aggs)")
+    a.add_argument("--index", required=True)
+    a.add_argument("--q", required=True)
+    a.add_argument("--what", required=True,
+                   choices=["count", "sort", "counts", "stats",
+                            "percentiles", "cardinality", "top-hits"],
+                   help="count = ES _count; sort = sort-by-field "
+                        "search (no scoring); counts/stats/"
+                        "percentiles/cardinality/top-hits = the ES "
+                        "terms / stats / percentiles / cardinality / "
+                        "top_hits aggregations")
+    a.add_argument("--mode", choices=["or", "and"], default="and")
+    a.add_argument("--by", default=None, metavar="EXPR",
+                   help="bucket (or, for --what sort, the sort key): "
+                        "a docstore column or SQL expression")
+    a.add_argument("--metric", default=None, metavar="EXPR",
+                   help="numeric docstore column/expression for "
+                        "stats/percentiles")
+    a.add_argument("--percentiles", default="25,50,75,95,99",
+                   metavar="P,P,..", help="ES-style 0-100")
+    a.add_argument("--k", type=int, default=20,
+                   help="rows (sort) / buckets (aggs)")
+    a.add_argument("--k-hits", type=int, default=3,
+                   help="hits per bucket (--what top-hits)")
+    a.add_argument("--asc", action="store_true",
+                   help="ascending sort (--what sort)")
+    a.add_argument("--approx", action="store_true",
+                   help="sketch path: HLL++ cardinality / "
+                        "percentile_approx quantiles")
+    a.add_argument("--rsd", type=float, default=0.05,
+                   help="HLL relative error (--approx cardinality)")
+    a.add_argument("--accuracy", type=int, default=10000,
+                   help="quantile-sketch accuracy (--approx "
+                        "percentiles)")
+    a.add_argument("--filter", default=None, metavar="SQL")
+    a.add_argument("--org", default=None)
+    a.add_argument("--field", default=None)
+
     c = sub.add_parser("compact",
                        help="fold base + streaming deltas into a fresh "
                             "monolithic index (nightly-rebuild analog)")
@@ -492,6 +534,50 @@ def main(argv: list[str] | None = None) -> int:
             for row in rows:
                 print(json.dumps(row.asDict() if hasattr(row, "asDict")
                                  else row, default=str))
+        elif args.cmd == "agg":
+            from .query import FTSIndex
+            idx = FTSIndex(spark, args.index)
+            kw = dict(mode=args.mode, field=args.field, org=args.org,
+                      filter=args.filter)
+            needs_by = {"sort", "counts", "cardinality", "top-hits"}
+            if args.what in needs_by and not args.by:
+                p.error(f"--what {args.what} requires --by")
+            if args.what in ("stats", "percentiles") \
+                    and not args.metric:
+                p.error(f"--what {args.what} requires --metric")
+            if args.what == "count":
+                print(json.dumps({"count": idx.count(args.q, **kw)}))
+                return 0
+            if args.what == "cardinality":
+                n = idx.facet_cardinality(
+                    args.q, by=args.by, exact=not args.approx,
+                    rsd=args.rsd, **kw)
+                print(json.dumps({"cardinality": n,
+                                  "approx": bool(args.approx)}))
+                return 0
+            if args.what == "sort":
+                out = idx.sorted_search(args.q, by=args.by, k=args.k,
+                                        descending=not args.asc, **kw)
+            elif args.what == "counts":
+                out = idx.facet_counts(args.q, by=args.by, k=args.k,
+                                       **kw)
+            elif args.what == "stats":
+                out = idx.facet_metrics(args.q, by=args.by or "'_all'",
+                                        metric=args.metric, k=args.k,
+                                        **kw)
+            elif args.what == "percentiles":
+                ps = tuple(float(x) for x in
+                           args.percentiles.split(",") if x)
+                out = idx.facet_percentiles(
+                    args.q, metric=args.metric, percentiles=ps,
+                    by=args.by, k=args.k, exact=not args.approx,
+                    accuracy=args.accuracy, **kw)
+            else:   # top-hits
+                out = idx.facet_top_hits(args.q, by=args.by,
+                                         k_buckets=args.k,
+                                         k_hits=args.k_hits, **kw)
+            for row in out.collect():
+                print(json.dumps(row.asDict(), default=str))
         elif args.cmd == "delete":
             from .streaming import CombinedIndex
             ci = CombinedIndex(spark, args.base)

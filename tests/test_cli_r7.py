@@ -139,3 +139,76 @@ def test_cli_multi_match(mf_root, capsys, spark):
         main(["--master", "local[2]", "query", "--index", mf_root,
               "--q", "alpha", "--fields", "text", "--filter",
               "role = 'user'"])
+
+
+def test_cli_agg_count_sort_cardinality(root, capsys, spark):
+    from sparkfts import FTSIndex
+    idx = FTSIndex(spark, root)
+    rc = main(["--master", "local[2]", "agg", "--index", root,
+               "--q", "alpha", "--what", "count", "--mode", "or"])
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert got["count"] == idx.count("alpha", mode="or")
+
+    rc, rows = _run(capsys, "agg", "--index", root, "--q", "alpha",
+                    "--what", "sort", "--by", "turn_idx", "--k", "7",
+                    "--mode", "or")
+    assert rc == 0 and len(rows) == 7
+    want = idx.sorted_search("alpha", by="turn_idx", k=7,
+                             mode="or").collect()
+    assert [r["docid"] for r in rows] == [r["docid"] for r in want]
+
+    rc = main(["--master", "local[2]", "agg", "--index", root,
+               "--q", "alpha", "--what", "cardinality", "--by",
+               "role", "--mode", "or"])
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and not got["approx"]
+    assert got["cardinality"] == idx.facet_cardinality(
+        "alpha", by="role", mode="or")
+
+
+def test_cli_agg_buckets(root, capsys, spark):
+    from sparkfts import FTSIndex
+    idx = FTSIndex(spark, root)
+    rc, rows = _run(capsys, "agg", "--index", root, "--q", "alpha",
+                    "--what", "counts", "--by", "role", "--mode", "or")
+    want = idx.facet_counts("alpha", by="role", k=20,
+                            mode="or").collect()
+    assert rc == 0
+    assert [(r["value"], r["doc_count"]) for r in rows] == \
+        [(r["value"], r["doc_count"]) for r in want]
+
+    rc, rows = _run(capsys, "agg", "--index", root, "--q", "alpha",
+                    "--what", "stats", "--by", "role", "--metric",
+                    "turn_idx", "--mode", "or")
+    want = idx.facet_metrics("alpha", by="role", metric="turn_idx",
+                             mode="or").collect()
+    assert rc == 0
+    assert [(r["value"], r["sum"]) for r in rows] == \
+        [(r["value"], r["sum"]) for r in want]
+
+    rc, rows = _run(capsys, "agg", "--index", root, "--q", "alpha",
+                    "--what", "percentiles", "--metric", "turn_idx",
+                    "--percentiles", "50,95", "--mode", "or")
+    want = idx.facet_percentiles("alpha", metric="turn_idx",
+                                 percentiles=(50.0, 95.0),
+                                 mode="or").collect()
+    assert rc == 0
+    assert [(r["p"], r["pctl"]) for r in rows] == \
+        [(r["p"], r["pctl"]) for r in want]
+
+    rc, rows = _run(capsys, "agg", "--index", root, "--q", "alpha",
+                    "--what", "top-hits", "--by", "role", "--k", "3",
+                    "--k-hits", "2", "--mode", "or")
+    want = idx.facet_top_hits("alpha", by="role", k_buckets=3,
+                              k_hits=2, mode="or").collect()
+    assert rc == 0
+    assert [(r["value"], r["docid"]) for r in rows] == \
+        [(r["value"], r["docid"]) for r in want]
+
+    with pytest.raises(SystemExit):   # --what sort requires --by
+        main(["--master", "local[2]", "agg", "--index", root,
+              "--q", "alpha", "--what", "sort"])
+    with pytest.raises(SystemExit):   # stats requires --metric
+        main(["--master", "local[2]", "agg", "--index", root,
+              "--q", "alpha", "--what", "stats", "--by", "role"])
