@@ -449,6 +449,24 @@ def q_bm25_modes(spark, sf_dir):
     pm["rank"] = pm.index + 1
     pm["score_r"] = pm["score"].round(4)
     parts.append(pm[["variant", "rank", "docid", "score_r"]])
+    # bool must+should legs (r7, the Lucene BooleanQuery MUST/SHOULD
+    # contract): results match ALL must terms, scores sum over every
+    # matched term (must and should alike, stats global); the msm leg
+    # additionally floors the SHOULD match count at 2 (ES
+    # minimum_should_match-with-must). Pure semi-join + HAVING in the
+    # oracle.
+    pb = idx.topk_pandas(f"{T_MID} {T_RARE}", k=10, mode="or",
+                         must=T_HOT)
+    pb["variant"] = "bool_must"
+    pb["rank"] = pb.index + 1
+    pb["score_r"] = pb["score"].round(4)
+    parts.append(pb[["variant", "rank", "docid", "score_r"]])
+    pbm = idx.topk_pandas(f"{T_MID} {T_RARE}", k=10, mode="or",
+                          must=T_HOT, min_should_match=2)
+    pbm["variant"] = "bool_must_msm2"
+    pbm["rank"] = pbm.index + 1
+    pbm["score_r"] = pbm["score"].round(4)
+    parts.append(pbm[["variant", "rank", "docid", "score_r"]])
     return spark.createDataFrame(
         _pd.concat(parts, ignore_index=True),
         schema="variant string, rank long, docid long, score_r double")
@@ -2155,6 +2173,35 @@ def _bm25_modes_sql() -> str:
                  AS rank,
              doc_id AS docid, round(score, 4) AS score_r
       FROM ({msm_scored} SELECT doc_id, score FROM scored)
+      ORDER BY score DESC, doc_id ASC
+      LIMIT 10""")
+    # bool must+should legs (r7): score over the UNION of must+should
+    # terms, keep docs containing the must term (semi-join on tf);
+    # the msm2 twin additionally requires BOTH should terms present.
+    bool_scored = _bm25_scored([T_HOT, T_MID, T_RARE], "or")
+    legs.append(f"""
+      SELECT 'bool_must' AS variant,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                 AS rank,
+             doc_id AS docid, round(score, 4) AS score_r
+      FROM ({bool_scored}
+            SELECT doc_id, score FROM scored
+            WHERE doc_id IN (SELECT doc_id FROM tf
+                             WHERE term = '{T_HOT}'))
+      ORDER BY score DESC, doc_id ASC
+      LIMIT 10""")
+    legs.append(f"""
+      SELECT 'bool_must_msm2' AS variant,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                 AS rank,
+             doc_id AS docid, round(score, 4) AS score_r
+      FROM ({bool_scored}
+            SELECT doc_id, score FROM scored
+            WHERE doc_id IN (SELECT doc_id FROM tf
+                             WHERE term = '{T_HOT}')
+              AND doc_id IN (SELECT doc_id FROM tf
+                             WHERE term IN ('{T_MID}', '{T_RARE}')
+                             GROUP BY doc_id HAVING count(*) >= 2))
       ORDER BY score DESC, doc_id ASC
       LIMIT 10""")
     return (" UNION ALL ".join(f"SELECT * FROM ({leg})"

@@ -118,6 +118,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="negative terms (ES bool.must_not analog): "
                         "exclude docs containing ANY of these "
                         "analyzed terms; survivor scores unchanged")
+    q.add_argument("--must", default=None, metavar="TEXT",
+                   help="required terms (Lucene bool must+should "
+                        "analog, --mode or only): results match ALL "
+                        "of these analyzed terms; the query's terms "
+                        "stay optional but still score, and "
+                        "--min-should-match counts them only")
     q.add_argument("--min-should-match", type=int, default=None,
                    help="OR-mode match-count floor (the ES "
                         "minimum_should_match analog): keep docs "
@@ -369,7 +375,7 @@ def main(argv: list[str] | None = None) -> int:
                 if (args.phrase or args.highlight or args.filter
                         or args.org or args.field or after
                         or args.min_should_match or args.must_not
-                        or args.kind != "match"):
+                        or args.must or args.kind != "match"):
                     p.error("--similarity classic covers plain or/and "
                             "term queries (compose other dimensions "
                             "via the library API)")
@@ -403,10 +409,17 @@ def main(argv: list[str] | None = None) -> int:
                     p.error("--must-not applies to plain scored term "
                             "queries (with or without --fetch)")
                 kw["must_not"] = args.must_not
+            if args.must:
+                if args.phrase or args.highlight \
+                        or args.kind != "match" or args.mode != "or":
+                    p.error("--must applies to plain scored OR term "
+                            "queries (the Lucene bool must+should "
+                            "shape; a pure conjunction is --mode and)")
+                kw["must"] = args.must
             if args.fields:
                 if args.phrase or args.highlight or args.fetch \
                         or args.filter or args.org or args.must_not \
-                        or args.kind != "match" \
+                        or args.must or args.kind != "match" \
                         or args.min_should_match is not None:
                     p.error("--fields (multi_match) composes with "
                             "--mode/--type/--tie-breaker/--after/"
@@ -478,7 +491,7 @@ def main(argv: list[str] | None = None) -> int:
             elif args.phrase_prefix:
                 if args.mode != "or" or args.method != "wand" \
                         or args.phrase or args.fetch or args.filter \
-                        or args.org or args.must_not:
+                        or args.org or args.must_not or args.must:
                     p.error("--phrase-prefix composes with --field/"
                             "--max-expansions/--local only")
                 from .multiterm import MAX_EXPANSIONS

@@ -170,7 +170,9 @@ def _aggregate_topk(docids: np.ndarray, contribs: np.ndarray, k: int,
                     mode: str, n_query_terms: int,
                     after: tuple[float, int] | None = None,
                     excl: np.ndarray | None = None,
-                    min_hits: int | None = None) -> pd.DataFrame:
+                    min_hits: int | None = None,
+                    req_mask: np.ndarray | None = None,
+                    n_req: int = 0) -> pd.DataFrame:
     """Group contributions by docid (fixed input order ⇒ fixed summation
     order) and take top-k by (score desc, docid asc). ``after`` =
     (score, docid) cursor for deep pagination (the ES search_after
@@ -181,7 +183,14 @@ def _aggregate_topk(docids: np.ndarray, contribs: np.ndarray, k: int,
     contribution was already summed. ``min_hits`` (OR-mode; the ES
     minimum_should_match analog) keeps docs matching at least that
     many distinct query terms — "and" is min_hits == n_query_terms,
-    "or" is 1; intermediate values are the DSL's middle ground."""
+    "or" is 1; intermediate values are the DSL's middle ground.
+
+    ``req_mask`` (the Lucene bool must+should contract, r7): a boolean
+    array aligned with ``docids`` flagging contributions from REQUIRED
+    terms. Docs qualify only when they matched all ``n_req`` required
+    terms; ``min_hits`` then counts OPTIONAL (should) matches only —
+    the ES minimum_should_match-with-must semantics. Scores still sum
+    over every matched term, required and optional alike."""
     if docids.size == 0:
         return pd.DataFrame({"docid": pd.Series(dtype=np.int64),
                              "score": pd.Series(dtype=np.float64)})
@@ -189,7 +198,13 @@ def _aggregate_topk(docids: np.ndarray, contribs: np.ndarray, k: int,
     scores = np.zeros(uniq.shape[0], dtype=np.float64)
     np.add.at(scores, inv, contribs)
     hits = np.bincount(inv, minlength=uniq.shape[0])
-    if mode == "and":
+    if req_mask is not None:
+        req_hits = np.bincount(inv[req_mask], minlength=uniq.shape[0])
+        m = req_hits == n_req
+        if min_hits is not None and min_hits >= 1:
+            m &= (hits - req_hits) >= min_hits
+        uniq, scores = uniq[m], scores[m]
+    elif mode == "and":
         m = hits == n_query_terms
         uniq, scores = uniq[m], scores[m]
     elif min_hits is not None and min_hits > 1:
@@ -274,30 +289,149 @@ def _score_and_pruned(per_term: dict[str, pd.DataFrame], terms: list[str],
     return pd.DataFrame({"docid": cand[order], "score": scores[order]})
 
 
+def _score_bool_pruned(per_term: dict[str, pd.DataFrame],
+                       req: frozenset, shoulds: list[str],
+                       idf: dict[str, float], avgdl: float, k1: float,
+                       b: float, k: int,
+                       after: tuple[float, int] | None = None,
+                       excl: np.ndarray | None = None,
+                       min_hits: int | None = None) -> pd.DataFrame:
+    """Lucene bool must+should scoring with block-range pruning
+    (exact, r7): the REQUIRED terms drive candidate generation exactly
+    like _score_and_pruned (rarest-first conjunction, block pruning);
+    the optional (should) terms then decode ONLY the blocks whose
+    [block_first, block_last] range intersects the surviving
+    candidates, adding their contributions where they match — a hot
+    should term next to a selective must decodes a tiny fraction of
+    its postings. ``min_hits`` (ES minimum_should_match under a must)
+    counts SHOULD matches only. Summation runs in ascending term
+    order, bit-identical to the exhaustive req_mask path."""
+    empty = pd.DataFrame({"docid": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
+    req_present = [t for t in sorted(req) if t in per_term]
+    if len(req_present) < len(req):
+        return empty   # a required term is absent from this shard
+    tdf = {t: int(per_term[t]["df"].sum()) for t in req_present}
+    by_rarity = sorted(req_present, key=lambda t: (tdf[t], t))
+
+    decoded: dict[str, tuple] = {}
+    rare = by_rarity[0]
+    d0, tf0, dl0 = _decode_term_rows(per_term[rare])
+    decoded[rare] = (d0, tf0, dl0)
+    cand = d0
+    m0 = _drop_excl(cand, excl)
+    if m0 is not None:
+        cand = cand[m0]
+    for t in by_rarity[1:]:
+        if cand.size == 0:
+            return empty
+        rows = _order_rows(per_term[t])
+        firsts = np.concatenate([np.asarray(r.block_first)
+                                 for r in rows.itertuples()])
+        lasts = np.concatenate([np.asarray(r.block_last)
+                                for r in rows.itertuples()])
+        lo = np.searchsorted(cand, firsts, side="left")
+        hi = np.searchsorted(cand, lasts, side="right")
+        keep = lo < hi
+        masks, pos = [], 0
+        for r in rows.itertuples():
+            sz = len(r.block_n)
+            masks.append(keep[pos:pos + sz]); pos += sz
+        d, tf, dl = _decode_selected(rows, masks)
+        p = np.searchsorted(d, cand)
+        ok = (p < d.shape[0])
+        ok[ok] = d[p[ok]] == cand[ok]
+        cand = cand[ok]
+        j = p[ok]
+        decoded[t] = (d[j], tf[j], dl[j])
+    if cand.size == 0:
+        return empty
+
+    # should terms: candidate-restricted block decode + hit counting.
+    # positions are unique per term (one posting per doc), so plain
+    # fancy-index += is well-defined.
+    sh_hits = np.zeros(cand.shape[0], dtype=np.int64)
+    sh_decoded: dict[str, tuple] = {}
+    for t in shoulds:
+        if t in decoded or t not in per_term:
+            continue
+        rows = _order_rows(per_term[t])
+        firsts = np.concatenate([np.asarray(r.block_first)
+                                 for r in rows.itertuples()])
+        lasts = np.concatenate([np.asarray(r.block_last)
+                                for r in rows.itertuples()])
+        lo = np.searchsorted(cand, firsts, side="left")
+        hi = np.searchsorted(cand, lasts, side="right")
+        keep = lo < hi
+        masks, pos = [], 0
+        for r in rows.itertuples():
+            sz = len(r.block_n)
+            masks.append(keep[pos:pos + sz]); pos += sz
+        d, tf, dl = _decode_selected(rows, masks)
+        if d.size:
+            p = np.searchsorted(cand, d)
+            sel = p < cand.shape[0]
+            sel[sel] = cand[p[sel]] == d[sel]
+            d, tf, dl, p = d[sel], tf[sel], dl[sel], p[sel]
+        else:
+            p = np.empty(0, dtype=np.int64)
+        sh_decoded[t] = (p, tf, dl)
+        sh_hits[p] += 1
+
+    scores = np.zeros(cand.shape[0], dtype=np.float64)
+    for t in sorted(set(decoded) | set(sh_decoded)):
+        if t in decoded:
+            d, tf, dl = decoded[t]
+            j = np.searchsorted(d, cand)   # cand ⊆ d by construction
+            scores += idf[t] * codec.bm25_partial(tf[j], dl[j],
+                                                  avgdl, k1, b)
+        else:
+            p, tf, dl = sh_decoded[t]
+            scores[p] += idf[t] * codec.bm25_partial(tf, dl,
+                                                     avgdl, k1, b)
+    if min_hits is not None and min_hits >= 1:
+        m = sh_hits >= min_hits
+        cand, scores = cand[m], scores[m]
+    if after is not None:
+        s0, d0_ = float(after[0]), int(after[1])
+        m = (scores < s0) | ((scores == s0) & (cand > d0_))
+        cand, scores = cand[m], scores[m]
+    order = np.lexsort((cand, -scores))[:k]
+    return pd.DataFrame({"docid": cand[order], "score": scores[order]})
+
+
 def score_decoded(pt: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
                   idf: dict[str, float], avgdl: float, k1: float,
                   b: float, k: int, mode: str, n_query_terms: int,
                   after: tuple[float, int] | None = None,
                   excl: np.ndarray | None = None,
-                  min_hits: int | None = None) -> pd.DataFrame:
+                  min_hits: int | None = None,
+                  req_terms: frozenset | None = None) -> pd.DataFrame:
     """Exhaustive BM25 top-k over pre-decoded per-term postings (the
     serving-cache path): the same ascending-term concatenation feeding
     _aggregate_topk that the frame-based paths use, so results are
-    bit-identical."""
-    all_d, all_c = [], []
+    bit-identical. ``req_terms`` (bool must+should, r7): the required
+    subset of the terms — docs must match all of them; min_hits then
+    counts the remaining (should) terms."""
+    all_d, all_c, all_r = [], [], []
     for t in sorted(pt):
         d, tf, dl = pt[t]
         if d.size == 0:
             continue
         all_d.append(d)
         all_c.append(idf[t] * codec.bm25_partial(tf, dl, avgdl, k1, b))
+        if req_terms is not None:
+            all_r.append(np.full(d.shape[0], t in req_terms, dtype=bool))
     if not all_d:
         return _aggregate_topk(np.empty(0, np.int64),
                                np.empty(0, np.float64), k, mode,
                                n_query_terms, after=after)
+    rq = np.concatenate(all_r) if req_terms is not None else None
     return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
                            k, mode, n_query_terms, after=after,
-                           excl=excl, min_hits=min_hits)
+                           excl=excl, min_hits=min_hits,
+                           req_mask=rq,
+                           n_req=len(req_terms) if req_terms else 0)
 
 
 def _score_candidates(per_term: dict[str, pd.DataFrame],
@@ -306,17 +440,19 @@ def _score_candidates(per_term: dict[str, pd.DataFrame],
                       b: float, k: int, mode: str, n_query_terms: int,
                       after: tuple[float, int] | None = None,
                       excl: np.ndarray | None = None,
-                      min_hits: int | None = None) -> pd.DataFrame:
+                      min_hits: int | None = None,
+                      req_terms: frozenset | None = None) -> pd.DataFrame:
     """Score ONLY the given candidate docids (sorted unique) — the
     org-scoped search path: per term, decode just the blocks whose
     [block_first, block_last] range intersects the candidate set, then
     restrict postings to candidates. Summation order (ascending term,
     concatenated) matches the exhaustive path, so scores are
-    bit-identical to unrestricted scoring filtered to the candidates."""
+    bit-identical to unrestricted scoring filtered to the candidates.
+    ``req_terms``: bool must+should qualification (see _aggregate_topk)."""
     me = _drop_excl(cand, excl)
     if me is not None:
         cand = cand[me]     # deletes out of the candidate set up front
-    all_d, all_c = [], []
+    all_d, all_c, all_r = [], [], []
     for t in sorted(terms):
         rows = _order_rows(per_term[t])
         firsts = np.concatenate([np.asarray(r.block_first)
@@ -338,13 +474,44 @@ def _score_candidates(per_term: dict[str, pd.DataFrame],
             d, tf, dl = d[sel], tf[sel], dl[sel]
         all_d.append(d)
         all_c.append(idf[t] * codec.bm25_partial(tf, dl, avgdl, k1, b))
+        if req_terms is not None:
+            all_r.append(np.full(d.shape[0], t in req_terms, dtype=bool))
     if not all_d:
         return _aggregate_topk(np.empty(0, np.int64),
                                np.empty(0, np.float64), k, mode,
                                n_query_terms, after=after)
+    rq = np.concatenate(all_r) if req_terms is not None else None
     return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
                            k, mode, n_query_terms, after=after,
-                           min_hits=min_hits)
+                           min_hits=min_hits, req_mask=rq,
+                           n_req=len(req_terms) if req_terms else 0)
+
+
+def _fold_must(req_list: list[str], must: str | None,
+               terms: list[str], mode: str,
+               mh: int | None
+               ) -> tuple[list[str], str, frozenset | None]:
+    """Validate and fold a bool ``must`` clause into the query's term
+    list: returns (all terms sorted, effective mode, required set or
+    None). With no distinct should terms the bool degenerates to a
+    plain conjunction (mode='and', no required set) — same result,
+    existing pruned path."""
+    if not must:
+        return terms, mode, None
+    if not req_list:
+        raise ValueError("must analyzed to zero terms")
+    if mode != "or":
+        raise ValueError(
+            "must= composes with mode='or' should terms; a pure "
+            "conjunction is mode='and' on the query itself")
+    reqs = frozenset(req_list)
+    allt = sorted(set(terms) | reqs)
+    if len(reqs) == len(allt):
+        if mh is not None:
+            raise ValueError(
+                "min_should_match requires should terms beyond must")
+        return allt, "and", None
+    return allt, "or", reqs
 
 
 def _check_msm(min_should_match, mode: str) -> int | None:
@@ -417,7 +584,8 @@ def _score_candidates_range(per_term: dict[str, pd.DataFrame],
                             n_query_terms: int,
                             after: tuple[float, int] | None = None,
                             excl: np.ndarray | None = None,
-                            min_hits: int | None = None
+                            min_hits: int | None = None,
+                            req_terms: frozenset | None = None
                             ) -> pd.DataFrame:
     """Score ONLY docids in [lo, hi] — the contiguous-tenant fast path:
     routed builds rank docs by org within each shard, so a tenant's
@@ -425,8 +593,9 @@ def _score_candidates_range(per_term: dict[str, pd.DataFrame],
     of the tenant's docid array. Block pruning on [block_first,
     block_last] ∩ [lo, hi]; summation order matches _score_candidates
     (ascending term, concatenated), so scores are bit-identical to the
-    set-based path over the same candidates."""
-    all_d, all_c = [], []
+    set-based path over the same candidates. ``req_terms``: bool
+    must+should qualification (see _aggregate_topk)."""
+    all_d, all_c, all_r = [], [], []
     for t in sorted(terms):
         rows = _order_rows(per_term[t])
         firsts = np.concatenate([np.asarray(r.block_first)
@@ -444,13 +613,17 @@ def _score_candidates_range(per_term: dict[str, pd.DataFrame],
             d, tf, dl = d[sel], tf[sel], dl[sel]
         all_d.append(d)
         all_c.append(idf[t] * codec.bm25_partial(tf, dl, avgdl, k1, b))
+        if req_terms is not None:
+            all_r.append(np.full(d.shape[0], t in req_terms, dtype=bool))
     if not all_d:
         return _aggregate_topk(np.empty(0, np.int64),
                                np.empty(0, np.float64), k, mode,
                                n_query_terms, after=after)
+    rq = np.concatenate(all_r) if req_terms is not None else None
     return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
                            k, mode, n_query_terms, after=after,
-                           excl=excl, min_hits=min_hits)
+                           excl=excl, min_hits=min_hits, req_mask=rq,
+                           n_req=len(req_terms) if req_terms else 0)
 
 
 def score_range_pt(pdf: pd.DataFrame, lo: int, hi: int,
@@ -458,7 +631,8 @@ def score_range_pt(pdf: pd.DataFrame, lo: int, hi: int,
                    b: float, k: int, mode: str, n_query_terms: int,
                    after: tuple[float, int] | None = None,
                    excl: np.ndarray | None = None,
-                   min_hits: int | None = None) -> pd.DataFrame:
+                   min_hits: int | None = None,
+                   req_terms: frozenset | None = None) -> pd.DataFrame:
     """Range-restricted scoring of one shard's dictionary rows — the
     single entry point every contiguous-tenant fast path goes through
     (FTSIndex/CombinedIndex topk, topk_many, topk_local)."""
@@ -466,7 +640,8 @@ def score_range_pt(pdf: pd.DataFrame, lo: int, hi: int,
     return _score_candidates_range(pt, list(pt), lo, hi, idf, avgdl,
                                    k1, b, k, mode, n_query_terms,
                                    after=after, excl=excl,
-                                   min_hits=min_hits)
+                                   min_hits=min_hits,
+                                   req_terms=req_terms)
 
 
 def cand_score_group(idf: dict[str, float], avgdl: float, k1: float,
@@ -474,7 +649,8 @@ def cand_score_group(idf: dict[str, float], avgdl: float, k1: float,
                      after: tuple[float, int] | None = None,
                      excl: np.ndarray | None = None,
                      min_hits: int | None = None,
-                     neg_terms: frozenset | None = None):
+                     neg_terms: frozenset | None = None,
+                     req_terms: frozenset | None = None):
     """Cogroup kernel factory: score ONLY the candidate docids arriving
     on the right side (a tenant's or a filter's docstore rows). BM25
     statistics stay GLOBAL — the ES bool-filter contract: results equal
@@ -498,7 +674,8 @@ def cand_score_group(idf: dict[str, float], avgdl: float, k1: float,
               for t in sorted(lpdf["term"].unique())}
         return _score_candidates(pt, list(pt), cand, idf, avgdl, k1, b,
                                  k, mode, n_query_terms, after=after,
-                                 excl=ex, min_hits=min_hits)
+                                 excl=ex, min_hits=min_hits,
+                                 req_terms=req_terms)
 
     return per_group
 
@@ -1007,7 +1184,8 @@ def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
                 n_query_terms: int, method: str = "wand",
                 after: tuple[float, int] | None = None,
                 excl: np.ndarray | None = None,
-                min_hits: int | None = None) -> pd.DataFrame:
+                min_hits: int | None = None,
+                req_terms: frozenset | None = None) -> pd.DataFrame:
     """Score one shard's dictionary rows (all query terms) → top-k.
     With ``after`` (deep-pagination cursor), OR-mode WAND switches to
     the cursor-aware pruned path (_score_or_wand_after, r6): exact at
@@ -1016,9 +1194,38 @@ def score_shard(pdf: pd.DataFrame, idf: dict[str, float], avgdl: float,
     ``excl`` (sorted tombstoned docids) is excluded before truncation
     in every branch; on the WAND path it is also dropped from the
     θ-seed so a high-scoring deleted doc can never inflate θ above a
-    live doc's score (θ stays a lower bound on the k-th SURVIVOR)."""
+    live doc's score (θ stays a lower bound on the k-th SURVIVOR).
+
+    ``req_terms`` (Lucene bool must+should, r7): required subset of
+    the terms — candidates must match all of them; the pruned path is
+    conjunction-driven (_score_bool_pruned), which subsumes WAND here
+    because the musts bound the candidate set, and is exact at any
+    cursor depth."""
     terms = sorted(pdf["term"].unique())
     per_term = {t: pdf[pdf["term"] == t] for t in terms}
+    if req_terms:
+        shoulds = [t for t in terms if t not in req_terms]
+        if method == "exact":
+            all_d, all_c, all_r = [], [], []
+            for t in terms:
+                d, tf, dl = _decode_term_rows(per_term[t])
+                all_d.append(d)
+                all_c.append(idf[t] * codec.bm25_partial(tf, dl, avgdl,
+                                                         k1, b))
+                all_r.append(np.full(d.shape[0], t in req_terms,
+                                     dtype=bool))
+            if not all_d:
+                return _aggregate_topk(np.empty(0, np.int64),
+                                       np.empty(0, np.float64), k,
+                                       mode, n_query_terms, after=after)
+            return _aggregate_topk(
+                np.concatenate(all_d), np.concatenate(all_c), k, mode,
+                n_query_terms, after=after, excl=excl,
+                min_hits=min_hits, req_mask=np.concatenate(all_r),
+                n_req=len(req_terms))
+        return _score_bool_pruned(per_term, req_terms, shoulds, idf,
+                                  avgdl, k1, b, k, after=after,
+                                  excl=excl, min_hits=min_hits)
     if after is not None and mode != "and":
         if method == "wand":
             return _score_or_wand_after(per_term, terms, idf, avgdl,
@@ -1791,7 +1998,8 @@ class FTSIndex:
              after: tuple[float, int] | None = None,
              min_should_match: int | None = None,
              raw_terms: list[str] | None = None,
-             must_not: str | None = None) -> DataFrame:
+             must_not: str | None = None,
+             must: str | None = None) -> DataFrame:
         """Distributed top-k: per-shard scoring via applyInPandas, driver
         merge of num_shards·k candidates. Returns (docid, score).
 
@@ -1835,9 +2043,18 @@ class FTSIndex:
         (no extra job) and fold into the kernel exclusion set the
         tombstone machinery already honors. Requires a non-empty
         positive query (a pure-negation match-all belongs on
-        ``filter=``/the docstore scan, not the dictionary)."""
+        ``filter=``/the docstore scan, not the dictionary).
+
+        ``must`` (r7) — analyzed like ``query``; its terms are
+        REQUIRED (the Lucene bool must+should contract): results
+        match ALL must terms, scores sum over every matched term
+        (must and should alike, stats global), and
+        ``min_should_match`` counts only the ``query`` (should)
+        terms. Same-field composition only (requires mode='or'; a
+        pure conjunction is mode='and'). A term in both must and
+        query is required and scored once."""
         prefix, avgdl = self._field(field)
-        mh = _check_msm(min_should_match, mode)
+        mh = _check_msm(min_should_match, mode if not must else "or")
         if after is not None:
             after = (float(after[0]), int(after[1]))
         terms = (sorted(set(raw_terms)) if raw_terms is not None
@@ -1845,6 +2062,9 @@ class FTSIndex:
         neg = self._terms(must_not, prefix) if must_not else []
         if must_not and not neg:
             raise ValueError("must_not analyzed to zero terms")
+        terms, mode, reqs = _fold_must(
+            self._terms(must, prefix) if must else [], must, terms,
+            mode, mh)
         if neg and not terms:
             raise ValueError(
                 "must_not requires a non-empty positive query; a "
@@ -1871,7 +2091,8 @@ class FTSIndex:
                               cand_score_group(idf, avgdl, k1, b, k,
                                                mode, nq, after=after,
                                                min_hits=mh,
-                                               neg_terms=negs),
+                                               neg_terms=negs,
+                                               req_terms=reqs),
                               schema="docid long, score double")
                           .collect())
         elif org is not None:
@@ -1889,7 +2110,8 @@ class FTSIndex:
                         return _EMPTY_TOPK.copy()
                     return score_range_pt(pdf, lo, hi, idf, avgdl, k1,
                                           b, k, mode, nq, after=after,
-                                          min_hits=mh, excl=ex)
+                                          min_hits=mh, excl=ex,
+                                          req_terms=reqs)
 
                 shard_tops = (rows.groupBy("shard")
                               .applyInPandas(
@@ -1905,7 +2127,8 @@ class FTSIndex:
                                                    k, mode, nq,
                                                    after=after,
                                                    min_hits=mh,
-                                                   neg_terms=negs),
+                                                   neg_terms=negs,
+                                                   req_terms=reqs),
                                   schema="docid long, score double")
                               .collect())
         else:
@@ -1915,7 +2138,7 @@ class FTSIndex:
                     return _EMPTY_TOPK.copy()
                 return score_shard(pdf, idf, avgdl, k1, b, k, mode, nq,
                                    method, after=after, min_hits=mh,
-                                   excl=ex)
+                                   excl=ex, req_terms=reqs)
 
             rows = self._posting_rows(allt)
             shard_tops = (rows.groupBy("shard")
@@ -1937,11 +2160,12 @@ class FTSIndex:
                     filter: str | Column | None = None,
                     after: tuple[float, int] | None = None,
                     min_should_match: int | None = None,
-                    must_not: str | None = None
+                    must_not: str | None = None,
+                    must: str | None = None
                     ) -> pd.DataFrame:
         """Driver-local result as pandas (test/bench convenience)."""
         return (self.topk(query, k, mode, method, org=org, field=field,
-                          must_not=must_not,
+                          must_not=must_not, must=must,
                           filter=filter, after=after,
                           min_should_match=min_should_match)
                 .toPandas().reset_index(drop=True))
@@ -2760,7 +2984,8 @@ class FTSIndex:
                    after: tuple[float, int] | None = None,
                    min_should_match: int | None = None,
                    raw_terms: list[str] | None = None,
-                   must_not: str | None = None
+                   must_not: str | None = None,
+                   must: str | None = None
                    ) -> pd.DataFrame:
         """Low-latency single-node query path: pyarrow dataset reads with
         the same th/term pushdown (no Spark job at all) + the same numpy
@@ -2786,7 +3011,7 @@ class FTSIndex:
         match-count floor, ``must_not`` the bool-negation exclusion —
         same contracts as topk()."""
         prefix, avgdl = self._field(field)
-        mh = _check_msm(min_should_match, mode)
+        mh = _check_msm(min_should_match, mode if not must else "or")
         if after is not None:
             after = (float(after[0]), int(after[1]))
         terms = (sorted(set(raw_terms)) if raw_terms is not None
@@ -2794,6 +3019,9 @@ class FTSIndex:
         neg = self._terms(must_not, prefix) if must_not else []
         if must_not and not neg:
             raise ValueError("must_not analyzed to zero terms")
+        terms, mode, reqs = _fold_must(
+            self._terms(must, prefix) if must else [], must, terms,
+            mode, mh)
         if neg and not terms:
             raise ValueError(
                 "must_not requires a non-empty positive query; a "
@@ -2822,7 +3050,7 @@ class FTSIndex:
                    for t in terms}
             return score_decoded(pt, idf, avgdl, self.k1, self.b, k,
                                  mode, len(terms), after=after,
-                                 min_hits=mh, excl=ex)
+                                 min_hits=mh, excl=ex, req_terms=reqs)
         pdf = self._local_term_rows(sorted(set(terms) | negs))
         if org is not None:
             pdf = pdf[pdf["shard"].isin(shards)]
@@ -2846,7 +3074,7 @@ class FTSIndex:
                     parts.append(score_range_pt(
                         sub, lo, hi, idf, avgdl, self.k1, self.b, k,
                         mode, len(terms), after=after, min_hits=mh,
-                        excl=ex))
+                        excl=ex, req_terms=reqs))
                 if not parts:
                     return empty
                 return (pd.concat(parts)
@@ -2861,7 +3089,8 @@ class FTSIndex:
             out = _score_candidates(pt, list(pt), cand, idf, avgdl,
                                     self.k1, self.b, k, mode,
                                     len(terms), after=after,
-                                    min_hits=mh, excl=ex)
+                                    min_hits=mh, excl=ex,
+                                    req_terms=reqs)
         return out.reset_index(drop=True)
 
     def match_docids(self, query: str, mode: str = "and",
@@ -3609,14 +3838,17 @@ class FTSIndex:
                      method: str = "wand", field: str | None = None,
                      org: str | None = None,
                      after: tuple[float, int] | None = None,
-                     must_not: str | None = None
+                     must_not: str | None = None,
+                     must: str | None = None
                      ) -> pd.DataFrame:
         """Full search (top-k + doc fetch) with zero Spark jobs — the
         latency-parity answer to the reference's always-on ES cluster.
         ``after`` pages it (ES search_after analog); ``must_not``
-        excludes docs containing any of its terms (bool.must_not)."""
+        excludes docs containing any of its terms (bool.must_not);
+        ``must`` requires ALL of its terms (bool must+should)."""
         hits = self.topk_local(query, k, mode, method, field=field,
-                               org=org, after=after, must_not=must_not)
+                               org=org, after=after, must_not=must_not,
+                               must=must)
         if hits.empty:
             return hits
         docs = self.fetch_docs_local(hits["docid"].tolist())
@@ -3639,13 +3871,16 @@ class FTSIndex:
                org: str | None = None,
                filter: str | Column | None = None,
                after: tuple[float, int] | None = None,
-               must_not: str | None = None) -> DataFrame:
+               must_not: str | None = None,
+               must: str | None = None) -> DataFrame:
         """topk + doc-store join: the full 'search' the restored ES
         cluster would serve. ``after`` pages it (search_after);
         ``must_not`` excludes docs containing any of its terms
-        (bool.must_not, topk contract)."""
+        (bool.must_not, topk contract); ``must`` requires ALL of its
+        terms (bool must+should, topk contract)."""
         hits = self.topk(query, k, mode, method, org=org, field=field,
-                         filter=filter, after=after, must_not=must_not)
+                         filter=filter, after=after, must_not=must_not,
+                         must=must)
         docs = self.fetch_docs([r["docid"] for r in hits.collect()])
         return (hits.join(F.broadcast(docs).drop("shard"), "docid")
                     .sort(F.desc("score"), F.asc("docid")))

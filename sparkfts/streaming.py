@@ -430,7 +430,8 @@ class CombinedIndex:
                    after: tuple[float, int] | None = None,
                    min_should_match: int | None = None,
                    raw_terms: list[str] | None = None,
-                   must_not: str | None = None
+                   must_not: str | None = None,
+                   must: str | None = None
                    ) -> pd.DataFrame:
         """Low-latency base+delta query with NO Spark job (the realtime
         leg at ms latency): pyarrow dictionary reads per sub-index,
@@ -442,7 +443,8 @@ class CombinedIndex:
         import numpy as np
         from .analyzer import tokenize_text
         from .query import (_score_candidates, score_range_pt,
-                            fold_neg_terms, merge_excl_docids)
+                            fold_neg_terms, merge_excl_docids,
+                            _check_msm, _fold_must)
         org_subs = self._org_subs(org) if org is not None else None
         prefix, avgdl = self._field(field)
         terms = (sorted(set(raw_terms)) if raw_terms is not None
@@ -454,6 +456,11 @@ class CombinedIndex:
                if must_not else [])
         if must_not and not neg:
             raise ValueError("must_not analyzed to zero terms")
+        mh = _check_msm(min_should_match, mode if not must else "or")
+        terms, mode, reqs = _fold_must(
+            (sorted({prefix + t
+                     for t in tokenize_text(must, self.tokenizer)})
+             if must else []), must, terms, mode, mh)
         if neg and not terms:
             raise ValueError(
                 "must_not requires a non-empty positive query; a "
@@ -473,8 +480,6 @@ class CombinedIndex:
                for t, d in df_tot.items()}
         if after is not None:
             after = (float(after[0]), int(after[1]))
-        from .query import _check_msm
-        mh = _check_msm(min_should_match, mode)
         excl = self._excl()
         parts = []
         for i, s in enumerate(self.subs):
@@ -491,7 +496,7 @@ class CombinedIndex:
                 parts.append(score_decoded(pt, idf, avgdl, self.k1,
                                            self.b, k, mode, len(terms),
                                            after=after, excl=ex,
-                                           min_hits=mh))
+                                           min_hits=mh, req_terms=reqs))
                 continue
             pdf = s._local_term_rows(sorted(set(terms) | negs))
             pdf, ex = fold_neg_terms(pdf, negs, excl)
@@ -509,7 +514,7 @@ class CombinedIndex:
                     parts.append(score_range_pt(
                         sub, lo, hi, idf, avgdl, self.k1, self.b,
                         k, mode, len(terms), after=after, excl=ex,
-                        min_hits=mh))
+                        min_hits=mh, req_terms=reqs))
                 continue
             pdf = pdf[pdf["shard"].isin(ps)]
             if pdf.empty:
@@ -522,7 +527,7 @@ class CombinedIndex:
             parts.append(_score_candidates(
                 pt, list(pt), cand, idf, avgdl, self.k1,
                 self.b, k, mode, len(terms), after=after, excl=ex,
-                min_hits=mh))
+                min_hits=mh, req_terms=reqs))
         if not parts:
             return empty
         return (pd.concat(parts)
@@ -656,13 +661,16 @@ class CombinedIndex:
     def search_local(self, query: str, k: int = 10, mode: str = "or",
                      method: str = "wand", org: str | None = None,
                      field: str | None = None,
-                     must_not: str | None = None) -> pd.DataFrame:
+                     must_not: str | None = None,
+                     must: str | None = None) -> pd.DataFrame:
         """Full base+delta search (top-k + doc content) with zero Spark
         jobs — the complete ms-latency answer to the reference's
         always-on realtime cluster. ``must_not`` excludes docs
-        containing any of its terms (bool.must_not)."""
+        containing any of its terms (bool.must_not); ``must`` requires
+        ALL of its terms (bool must+should, topk contract)."""
         hits = self.topk_local(query, k, mode, method, org=org,
-                               field=field, must_not=must_not)
+                               field=field, must_not=must_not,
+                               must=must)
         if hits.empty:
             return hits
         docs = self.fetch_docs_local(hits["docid"].tolist())
@@ -700,7 +708,8 @@ class CombinedIndex:
              after: tuple[float, int] | None = None,
              min_should_match: int | None = None,
              raw_terms: list[str] | None = None,
-             must_not: str | None = None) -> pd.DataFrame:
+             must_not: str | None = None,
+             must: str | None = None) -> pd.DataFrame:
         """ONE Spark job over the unioned dictionaries. With ``org``
         (every generation routed): each sub's rows are pruned to ITS
         possible shards and the tenant's docids are cogrouped in per
@@ -717,10 +726,10 @@ class CombinedIndex:
         truncation, so groups return k rows, not k+T)."""
         import numpy as np
         from .analyzer import tokenize_text
-        from .query import (_check_msm, _score_candidates,
+        from .query import (_check_msm, _fold_must, _score_candidates,
                             cand_score_group, fold_neg_terms,
                             _EMPTY_TOPK)
-        mh = _check_msm(min_should_match, mode)
+        mh = _check_msm(min_should_match, mode if not must else "or")
         org_subs = self._org_subs(org) if org is not None else None
         prefix, avgdl = self._field(field)
         terms = (sorted(set(raw_terms)) if raw_terms is not None
@@ -732,6 +741,10 @@ class CombinedIndex:
                if must_not else [])
         if must_not and not neg:
             raise ValueError("must_not analyzed to zero terms")
+        terms, mode, reqs = _fold_must(
+            (sorted({prefix + t
+                     for t in tokenize_text(must, self.tokenizer)})
+             if must else []), must, terms, mode, mh)
         if neg and not terms:
             raise ValueError(
                 "must_not requires a non-empty positive query; a "
@@ -766,7 +779,8 @@ class CombinedIndex:
                     .applyInPandas(
                         cand_score_group(idf, avgdl, k1, b, k, mode,
                                          nq, after=after, excl=excl,
-                                         min_hits=mh, neg_terms=negs),
+                                         min_hits=mh, neg_terms=negs,
+                                         req_terms=reqs),
                         schema="docid long, score double")
                     .toPandas())
         elif org_subs is not None:
@@ -789,7 +803,8 @@ class CombinedIndex:
                         return _EMPTY_TOPK.copy()
                     return score_range_pt(pdf, lo, hi, idf, avgdl, k1,
                                           b, k, mode, nq, after=after,
-                                          excl=ex, min_hits=mh)
+                                          excl=ex, min_hits=mh,
+                                          req_terms=reqs)
 
                 allp = (rows.groupBy("sub", "shard")
                         .applyInPandas(per_group_rng,
@@ -810,7 +825,8 @@ class CombinedIndex:
                     return _score_candidates(pt, list(pt), cand, idf,
                                              avgdl, k1, b, k, mode, nq,
                                              after=after, excl=ex,
-                                             min_hits=mh)
+                                             min_hits=mh,
+                                             req_terms=reqs)
 
                 allp = (rows.groupBy("sub", "shard")
                         .cogroup(parts.groupBy("sub", "shard"))
@@ -826,7 +842,7 @@ class CombinedIndex:
                     return _EMPTY_TOPK.copy()
                 return score_shard(pdf, idf, avgdl, k1, b, k, mode, nq,
                                    method, after=after, excl=ex,
-                                   min_hits=mh)
+                                   min_hits=mh, req_terms=reqs)
 
             allp = (self._union(lambda s: s._posting_rows(allt))
                     .groupBy("sub", "shard")
@@ -1740,14 +1756,16 @@ class CombinedIndex:
     def search(self, query: str, k: int = 10, mode: str = "or",
                method: str = "wand", org: str | None = None,
                field: str | None = None,
-               must_not: str | None = None) -> pd.DataFrame:
+               must_not: str | None = None,
+               must: str | None = None) -> pd.DataFrame:
         """Distributed full search over base + deltas (top-k + doc
         content): the Spark-job twin of search_local, mirroring
         FTSIndex.search — topk over the unioned dictionaries, then a
         geometry-aware pruned fetch from each owning generation.
-        ``must_not`` excludes docs containing any of its terms."""
+        ``must_not`` excludes docs containing any of its terms;
+        ``must`` requires ALL of its terms (topk contract)."""
         hits = self.topk(query, k, mode, method, org=org, field=field,
-                         must_not=must_not)
+                         must_not=must_not, must=must)
         if hits.empty:
             return hits
         docs = self.fetch_docs(hits["docid"].tolist())

@@ -212,3 +212,28 @@ def test_cli_agg_buckets(root, capsys, spark):
     with pytest.raises(SystemExit):   # stats requires --metric
         main(["--master", "local[2]", "agg", "--index", root,
               "--q", "alpha", "--what", "stats", "--by", "role"])
+
+
+def test_cli_must_matches_library(root, capsys, spark):
+    """--must (bool must+should): CLI rows equal topk(must=) on both
+    the distributed and local paths; incompatible flags exit."""
+    from sparkfts import FTSIndex
+    idx = FTSIndex(spark, root)
+    want = idx.topk_pandas("query index", k=5, mode="or", must="alpha")
+    rc, rows = _run(capsys, "query", "--index", root,
+                    "--q", "query index", "--must", "alpha",
+                    "--k", "5")
+    assert rc == 0
+    assert [r["docid"] for r in rows] == want["docid"].tolist()
+    rc, loc = _run(capsys, "query", "--index", root,
+                   "--q", "query index", "--must", "alpha",
+                   "--k", "5", "--local")
+    assert rc == 0
+    assert [r["docid"] for r in loc] == want["docid"].tolist()
+    with pytest.raises(SystemExit):   # must requires OR mode
+        main(["--master", "local[2]", "query", "--index", root,
+              "--q", "query index", "--must", "alpha",
+              "--mode", "and"])
+    with pytest.raises(SystemExit):   # not with --kind expansions
+        main(["--master", "local[2]", "query", "--index", root,
+              "--q", "re", "--kind", "prefix", "--must", "alpha"])
