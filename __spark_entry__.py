@@ -467,6 +467,15 @@ def q_bm25_modes(spark, sf_dir):
     pbm["rank"] = pbm.index + 1
     pbm["score_r"] = pbm["score"].round(4)
     parts.append(pbm[["variant", "rank", "docid", "score_r"]])
+    # query-time boost leg (r7, Lucene TermQuery boost / ES "term"^2):
+    # the or_multi ranking with T_MID's clause weight doubled — each
+    # contribution scales linearly, a CASE multiplier in the oracle.
+    pq = idx.topk_pandas(qtext, k=10, mode=mode, method=method,
+                         boosts={T_MID: 2.0})
+    pq["variant"] = "boosted"
+    pq["rank"] = pq.index + 1
+    pq["score_r"] = pq["score"].round(4)
+    parts.append(pq[["variant", "rank", "docid", "score_r"]])
     return spark.createDataFrame(
         _pd.concat(parts, ignore_index=True),
         schema="variant string, rank long, docid long, score_r double")
@@ -2202,6 +2211,32 @@ def _bm25_modes_sql() -> str:
               AND doc_id IN (SELECT doc_id FROM tf
                              WHERE term IN ('{T_MID}', '{T_RARE}')
                              GROUP BY doc_id HAVING count(*) >= 2))
+      ORDER BY score DESC, doc_id ASC
+      LIMIT 10""")
+    # boosted leg: the or_multi scored sum with T_MID's per-term
+    # weight doubled (linear clause boost — a CASE multiplier)
+    tl3 = ", ".join(f"'{t}'" for t in sorted({T_HOT, T_MID, T_RARE}))
+    legs.append(f"""
+      {_bm25_base()},
+      scored AS (
+        SELECT tf.doc_id,
+               sum((CASE WHEN tf.term = '{T_MID}' THEN 2.0
+                    ELSE 1.0 END)
+                   * ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * ({K1} + 1)
+                   / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)))
+                   AS score
+        FROM tf
+        JOIN dl ON dl.doc_id = tf.doc_id
+        JOIN dfreq ON dfreq.term = tf.term
+        CROSS JOIN stats s
+        WHERE tf.term IN ({tl3})
+        GROUP BY tf.doc_id)
+      SELECT 'boosted' AS variant,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                 AS rank,
+             doc_id AS docid, round(score, 4) AS score_r
+      FROM scored
       ORDER BY score DESC, doc_id ASC
       LIMIT 10""")
     return (" UNION ALL ".join(f"SELECT * FROM ({leg})"

@@ -118,6 +118,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="negative terms (ES bool.must_not analog): "
                         "exclude docs containing ANY of these "
                         "analyzed terms; survivor scores unchanged")
+    q.add_argument("--boost", default=None, metavar="TERM=W,..",
+                   help="query-time clause boosts (Lucene term boost "
+                        "/ ES \"term\"^W): scale each listed term's "
+                        "weight, e.g. 'window=2.0,batch=0.5'; terms "
+                        "must appear in the query (or --must)")
     q.add_argument("--must", default=None, metavar="TEXT",
                    help="required terms (Lucene bool must+should "
                         "analog, --mode or only): results match ALL "
@@ -375,7 +380,8 @@ def main(argv: list[str] | None = None) -> int:
                 if (args.phrase or args.highlight or args.filter
                         or args.org or args.field or after
                         or args.min_should_match or args.must_not
-                        or args.must or args.kind != "match"):
+                        or args.must or args.boost
+                        or args.kind != "match"):
                     p.error("--similarity classic covers plain or/and "
                             "term queries (compose other dimensions "
                             "via the library API)")
@@ -416,10 +422,26 @@ def main(argv: list[str] | None = None) -> int:
                             "queries (the Lucene bool must+should "
                             "shape; a pure conjunction is --mode and)")
                 kw["must"] = args.must
+            if args.boost:
+                if args.phrase or args.highlight \
+                        or args.kind != "match":
+                    p.error("--boost applies to plain scored term "
+                            "queries (with or without --fetch)")
+                boosts = {}
+                for part in args.boost.split(","):
+                    part = part.strip()
+                    if not part:
+                        continue
+                    name, eq, w = part.partition("=")
+                    if not eq:
+                        p.error("--boost expects TERM=WEIGHT pairs")
+                    boosts[name.strip()] = float(w)
+                kw["boosts"] = boosts
             if args.fields:
                 if args.phrase or args.highlight or args.fetch \
                         or args.filter or args.org or args.must_not \
-                        or args.must or args.kind != "match" \
+                        or args.must or args.boost \
+                        or args.kind != "match" \
                         or args.min_should_match is not None:
                     p.error("--fields (multi_match) composes with "
                             "--mode/--type/--tie-breaker/--after/"
@@ -491,7 +513,8 @@ def main(argv: list[str] | None = None) -> int:
             elif args.phrase_prefix:
                 if args.mode != "or" or args.method != "wand" \
                         or args.phrase or args.fetch or args.filter \
-                        or args.org or args.must_not or args.must:
+                        or args.org or args.must_not or args.must \
+                        or args.boost:
                     p.error("--phrase-prefix composes with --field/"
                             "--max-expansions/--local only")
                 from .multiterm import MAX_EXPANSIONS

@@ -514,6 +514,38 @@ def _fold_must(req_list: list[str], must: str | None,
     return allt, "or", reqs
 
 
+def _apply_boosts(idf: dict[str, float], boosts, terms: list[str],
+                  tokenizer, prefix: str) -> dict[str, float]:
+    """Query-time per-term boosting (the Lucene TermQuery boost / ES
+    ``"term"^2`` clause weight): scale the boosted term's idf, so its
+    every score contribution — and, because block-max upper bounds are
+    ``idf[t] * bm25_partial(max_tf, min_dl)``, its every WAND pruning
+    bound — scales by the same factor. Pruned paths stay exact under
+    boosting for free. Keys are analyzed (one term each) and must be
+    query terms; weights must be finite and > 0."""
+    if not boosts:
+        return idf
+    from .analyzer import tokenize_text
+    out = dict(idf)
+    tset = set(terms)
+    for raw, w in boosts.items():
+        w = float(w)
+        if not (w > 0.0) or w != w or w == float("inf"):
+            raise ValueError(f"boost for {raw!r} must be a finite "
+                             f"positive number, got {w}")
+        toks = tokenize_text(str(raw), tokenizer)
+        if len(toks) != 1:
+            raise ValueError(
+                f"boost key {raw!r} must analyze to exactly one term "
+                f"(got {toks}); boost each term separately")
+        t = prefix + toks[0]
+        if t not in tset:
+            raise ValueError(
+                f"boost key {raw!r} (term {t!r}) is not a query term")
+        out[t] = out[t] * w
+    return out
+
+
 def _check_msm(min_should_match, mode: str) -> int | None:
     """Validate the ES minimum_should_match analog: OR-mode only
     (AND already requires every term), positive int."""
@@ -1999,7 +2031,8 @@ class FTSIndex:
              min_should_match: int | None = None,
              raw_terms: list[str] | None = None,
              must_not: str | None = None,
-             must: str | None = None) -> DataFrame:
+             must: str | None = None,
+             boosts: dict[str, float] | None = None) -> DataFrame:
         """Distributed top-k: per-shard scoring via applyInPandas, driver
         merge of num_shards·k candidates. Returns (docid, score).
 
@@ -2052,7 +2085,14 @@ class FTSIndex:
         ``min_should_match`` counts only the ``query`` (should)
         terms. Same-field composition only (requires mode='or'; a
         pure conjunction is mode='and'). A term in both must and
-        query is required and scored once."""
+        query is required and scored once.
+
+        ``boosts`` (r7) — {term: weight} query-time clause boosts (the
+        Lucene TermQuery boost / ES ``"term"^2``): the term's idf —
+        hence its every contribution AND its WAND pruning bounds —
+        scales by the weight, so pruned paths stay exact. Keys are
+        analyzed and must be query (or must) terms; weights finite
+        positive. Composes with everything above."""
         prefix, avgdl = self._field(field)
         mh = _check_msm(min_should_match, mode if not must else "or")
         if after is not None:
@@ -2070,7 +2110,8 @@ class FTSIndex:
                 "must_not requires a non-empty positive query; a "
                 "pure-negation match-all is a docstore predicate — "
                 "use filter= / match_docids")
-        idf = self._idf_map(terms, N=self._fieldN(field))
+        idf = _apply_boosts(self._idf_map(terms, N=self._fieldN(field)),
+                            boosts, terms, self.tokenizer, prefix)
         empty = self.spark.createDataFrame([], "docid long, score double")
         if not terms:
             return empty
@@ -2161,11 +2202,12 @@ class FTSIndex:
                     after: tuple[float, int] | None = None,
                     min_should_match: int | None = None,
                     must_not: str | None = None,
-                    must: str | None = None
+                    must: str | None = None,
+                    boosts: dict[str, float] | None = None
                     ) -> pd.DataFrame:
         """Driver-local result as pandas (test/bench convenience)."""
         return (self.topk(query, k, mode, method, org=org, field=field,
-                          must_not=must_not, must=must,
+                          must_not=must_not, must=must, boosts=boosts,
                           filter=filter, after=after,
                           min_should_match=min_should_match)
                 .toPandas().reset_index(drop=True))
@@ -2985,7 +3027,8 @@ class FTSIndex:
                    min_should_match: int | None = None,
                    raw_terms: list[str] | None = None,
                    must_not: str | None = None,
-                   must: str | None = None
+                   must: str | None = None,
+                   boosts: dict[str, float] | None = None
                    ) -> pd.DataFrame:
         """Low-latency single-node query path: pyarrow dataset reads with
         the same th/term pushdown (no Spark job at all) + the same numpy
@@ -3046,8 +3089,10 @@ class FTSIndex:
                        self._decoded_terms(neg).values()])
                 if neg else None)
             dfm = self._local_df_counts(terms)
-            idf = {t: _bm25_idf(self._fieldN(field), dfm.get(t, 0.0))
-                   for t in terms}
+            idf = _apply_boosts(
+                {t: _bm25_idf(self._fieldN(field), dfm.get(t, 0.0))
+                 for t in terms}, boosts, terms, self.tokenizer,
+                prefix)
             return score_decoded(pt, idf, avgdl, self.k1, self.b, k,
                                  mode, len(terms), after=after,
                                  min_hits=mh, excl=ex, req_terms=reqs)
@@ -3058,8 +3103,9 @@ class FTSIndex:
         if pdf.empty:
             return empty
         dfm = self._local_df_counts(terms)
-        idf = {t: _bm25_idf(self._fieldN(field), dfm.get(t, 0.0))
-               for t in terms}
+        idf = _apply_boosts(
+            {t: _bm25_idf(self._fieldN(field), dfm.get(t, 0.0))
+             for t in terms}, boosts, terms, self.tokenizer, prefix)
         if org is not None:
             ranges = self._org_ranges(org)
             if ranges is not None:
@@ -3839,16 +3885,18 @@ class FTSIndex:
                      org: str | None = None,
                      after: tuple[float, int] | None = None,
                      must_not: str | None = None,
-                     must: str | None = None
+                     must: str | None = None,
+                     boosts: dict[str, float] | None = None
                      ) -> pd.DataFrame:
         """Full search (top-k + doc fetch) with zero Spark jobs — the
         latency-parity answer to the reference's always-on ES cluster.
         ``after`` pages it (ES search_after analog); ``must_not``
         excludes docs containing any of its terms (bool.must_not);
-        ``must`` requires ALL of its terms (bool must+should)."""
+        ``must`` requires ALL of its terms (bool must+should);
+        ``boosts`` scales per-term weights (topk contract)."""
         hits = self.topk_local(query, k, mode, method, field=field,
                                org=org, after=after, must_not=must_not,
-                               must=must)
+                               must=must, boosts=boosts)
         if hits.empty:
             return hits
         docs = self.fetch_docs_local(hits["docid"].tolist())
@@ -3872,15 +3920,17 @@ class FTSIndex:
                filter: str | Column | None = None,
                after: tuple[float, int] | None = None,
                must_not: str | None = None,
-               must: str | None = None) -> DataFrame:
+               must: str | None = None,
+               boosts: dict[str, float] | None = None) -> DataFrame:
         """topk + doc-store join: the full 'search' the restored ES
         cluster would serve. ``after`` pages it (search_after);
         ``must_not`` excludes docs containing any of its terms
         (bool.must_not, topk contract); ``must`` requires ALL of its
-        terms (bool must+should, topk contract)."""
+        terms (bool must+should, topk contract); ``boosts`` scales
+        per-term weights (topk contract)."""
         hits = self.topk(query, k, mode, method, org=org, field=field,
                          filter=filter, after=after, must_not=must_not,
-                         must=must)
+                         must=must, boosts=boosts)
         docs = self.fetch_docs([r["docid"] for r in hits.collect()])
         return (hits.join(F.broadcast(docs).drop("shard"), "docid")
                     .sort(F.desc("score"), F.asc("docid")))

@@ -431,7 +431,8 @@ class CombinedIndex:
                    min_should_match: int | None = None,
                    raw_terms: list[str] | None = None,
                    must_not: str | None = None,
-                   must: str | None = None
+                   must: str | None = None,
+                   boosts: dict[str, float] | None = None
                    ) -> pd.DataFrame:
         """Low-latency base+delta query with NO Spark job (the realtime
         leg at ms latency): pyarrow dictionary reads per sub-index,
@@ -444,7 +445,7 @@ class CombinedIndex:
         from .analyzer import tokenize_text
         from .query import (_score_candidates, score_range_pt,
                             fold_neg_terms, merge_excl_docids,
-                            _check_msm, _fold_must)
+                            _check_msm, _fold_must, _apply_boosts)
         org_subs = self._org_subs(org) if org is not None else None
         prefix, avgdl = self._field(field)
         terms = (sorted(set(raw_terms)) if raw_terms is not None
@@ -476,8 +477,10 @@ class CombinedIndex:
             for t, d in s._local_df_counts(terms).items():
                 df_tot[t] += d
         nf = self._fieldN(field)
-        idf = {t: math.log(1.0 + (nf - d + 0.5) / (d + 0.5))
-               for t, d in df_tot.items()}
+        idf = _apply_boosts(
+            {t: math.log(1.0 + (nf - d + 0.5) / (d + 0.5))
+             for t, d in df_tot.items()}, boosts, terms,
+            self.tokenizer, prefix)
         if after is not None:
             after = (float(after[0]), int(after[1]))
         excl = self._excl()
@@ -662,15 +665,18 @@ class CombinedIndex:
                      method: str = "wand", org: str | None = None,
                      field: str | None = None,
                      must_not: str | None = None,
-                     must: str | None = None) -> pd.DataFrame:
+                     must: str | None = None,
+                     boosts: dict[str, float] | None = None
+                     ) -> pd.DataFrame:
         """Full base+delta search (top-k + doc content) with zero Spark
         jobs — the complete ms-latency answer to the reference's
         always-on realtime cluster. ``must_not`` excludes docs
         containing any of its terms (bool.must_not); ``must`` requires
-        ALL of its terms (bool must+should, topk contract)."""
+        ALL of its terms; ``boosts`` scales per-term weights (bool
+        must+should / boosting, topk contract)."""
         hits = self.topk_local(query, k, mode, method, org=org,
                                field=field, must_not=must_not,
-                               must=must)
+                               must=must, boosts=boosts)
         if hits.empty:
             return hits
         docs = self.fetch_docs_local(hits["docid"].tolist())
@@ -709,7 +715,8 @@ class CombinedIndex:
              min_should_match: int | None = None,
              raw_terms: list[str] | None = None,
              must_not: str | None = None,
-             must: str | None = None) -> pd.DataFrame:
+             must: str | None = None,
+             boosts: dict[str, float] | None = None) -> pd.DataFrame:
         """ONE Spark job over the unioned dictionaries. With ``org``
         (every generation routed): each sub's rows are pruned to ITS
         possible shards and the tenant's docids are cogrouped in per
@@ -726,9 +733,9 @@ class CombinedIndex:
         truncation, so groups return k rows, not k+T)."""
         import numpy as np
         from .analyzer import tokenize_text
-        from .query import (_check_msm, _fold_must, _score_candidates,
-                            cand_score_group, fold_neg_terms,
-                            _EMPTY_TOPK)
+        from .query import (_check_msm, _fold_must, _apply_boosts,
+                            _score_candidates, cand_score_group,
+                            fold_neg_terms, _EMPTY_TOPK)
         mh = _check_msm(min_should_match, mode if not must else "or")
         org_subs = self._org_subs(org) if org is not None else None
         prefix, avgdl = self._field(field)
@@ -753,7 +760,8 @@ class CombinedIndex:
         if not terms:
             return pd.DataFrame({"docid": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
-        idf = self._idf(terms, N=self._fieldN(field))
+        idf = _apply_boosts(self._idf(terms, N=self._fieldN(field)),
+                            boosts, terms, self.tokenizer, prefix)
         nq = len(terms)
         k1, b = self.k1, self.b
         if after is not None:
@@ -1757,15 +1765,17 @@ class CombinedIndex:
                method: str = "wand", org: str | None = None,
                field: str | None = None,
                must_not: str | None = None,
-               must: str | None = None) -> pd.DataFrame:
+               must: str | None = None,
+               boosts: dict[str, float] | None = None) -> pd.DataFrame:
         """Distributed full search over base + deltas (top-k + doc
         content): the Spark-job twin of search_local, mirroring
         FTSIndex.search — topk over the unioned dictionaries, then a
         geometry-aware pruned fetch from each owning generation.
         ``must_not`` excludes docs containing any of its terms;
-        ``must`` requires ALL of its terms (topk contract)."""
+        ``must`` requires ALL of its terms; ``boosts`` scales
+        per-term weights (topk contract)."""
         hits = self.topk(query, k, mode, method, org=org, field=field,
-                         must_not=must_not, must=must)
+                         must_not=must_not, must=must, boosts=boosts)
         if hits.empty:
             return hits
         docs = self.fetch_docs(hits["docid"].tolist())

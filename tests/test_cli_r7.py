@@ -237,3 +237,27 @@ def test_cli_must_matches_library(root, capsys, spark):
     with pytest.raises(SystemExit):   # not with --kind expansions
         main(["--master", "local[2]", "query", "--index", root,
               "--q", "re", "--kind", "prefix", "--must", "alpha"])
+
+
+def test_cli_boost_matches_library(root, capsys, spark):
+    """--boost TERM=W scales clause weights like topk(boosts=)."""
+    from sparkfts import FTSIndex
+    idx = FTSIndex(spark, root)
+    want = idx.topk_pandas("alpha query", k=5,
+                           boosts={"alpha": 2.0})
+    rc, rows = _run(capsys, "query", "--index", root,
+                    "--q", "alpha query", "--boost", "alpha=2.0",
+                    "--k", "5")
+    assert rc == 0
+    assert [r["docid"] for r in rows] == want["docid"].tolist()
+    rc, loc = _run(capsys, "query", "--index", root,
+                   "--q", "alpha query", "--boost", "alpha=2.0",
+                   "--k", "5", "--local")
+    assert rc == 0
+    assert [r["docid"] for r in loc] == want["docid"].tolist()
+    with pytest.raises(SystemExit):   # malformed pair
+        main(["--master", "local[2]", "query", "--index", root,
+              "--q", "alpha query", "--boost", "alpha"])
+    with pytest.raises(SystemExit):   # not with expansions
+        main(["--master", "local[2]", "query", "--index", root,
+              "--q", "re", "--kind", "prefix", "--boost", "re=2"])
