@@ -721,6 +721,28 @@ def q_facet_counts(spark, sf_dir):
         F.lit("tophits_lang").alias("facet"), "value",
         F.lit("tcount").alias("stat"),
         F.col("doc_count").cast("double").alias("v_r")))
+    # r7: ES histogram + date_histogram bucket aggs — key-asc buckets,
+    # min_doc_count=0 gap fill (empty buckets value-checked at 0).
+    # The date leg derives a timestamp from docid (hour steps from an
+    # epoch) since the documents corpus carries no time column; the
+    # oracle derives the identical timestamp from doc_id.
+    hg = idx.facet_histogram(T_MID, on="n_chars", interval=150,
+                             mode="or")
+    legs.append(hg.select(
+        F.lit("hist_nchars").alias("facet"),
+        F.col("bucket").cast("bigint").cast("string").alias("value"),
+        F.lit("doc_count").alias("stat"),
+        F.col("doc_count").cast("double").alias("v_r")))
+    dh = idx.facet_date_histogram(
+        T_MID,
+        on="timestampadd(HOUR, CAST(docid % 500 AS INT), "
+           "TIMESTAMP'2025-01-01 00:00:00')",
+        interval="day", mode="or")
+    legs.append(dh.select(
+        F.lit("dhist_day").alias("facet"),
+        F.date_format("bucket", "yyyy-MM-dd").alias("value"),
+        F.lit("doc_count").alias("stat"),
+        F.col("doc_count").cast("double").alias("v_r")))
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
@@ -2480,7 +2502,36 @@ def _facet_counts_sql() -> str:
           SELECT t.value, 'h' || t.rn || '_score', round(t.score, 4)
           FROM tophits t JOIN tb USING (value) WHERE t.rn <= 3
           UNION ALL
-          SELECT value, 'tcount', bc::DOUBLE FROM tb)
+          SELECT value, 'tcount', bc::DOUBLE FROM tb),
+        hist_b AS (
+          SELECT CAST(FLOOR(d.n_chars / 150.0) AS BIGINT) AS idx,
+                 count(*) AS c
+          FROM m_one m JOIN documents d USING (doc_id)
+          WHERE d.n_chars IS NOT NULL
+          GROUP BY 1),
+        hist_rows AS (
+          SELECT 'hist_nchars' AS facet,
+                 CAST(g.idx * 150 AS VARCHAR) AS value,
+                 'doc_count' AS stat, COALESCE(b.c, 0)::DOUBLE AS v_r
+          FROM (SELECT unnest(generate_series(
+                    (SELECT min(idx) FROM hist_b),
+                    (SELECT max(idx) FROM hist_b))) AS idx) g
+          LEFT JOIN hist_b b USING (idx)),
+        dh_b AS (
+          SELECT date_trunc('day', TIMESTAMP '2025-01-01 00:00:00'
+                     + INTERVAL (m.doc_id % 500) HOUR) AS bkt,
+                 count(*) AS c
+          FROM m_one m
+          GROUP BY 1),
+        dh_rows AS (
+          SELECT 'dhist_day' AS facet,
+                 strftime(g.bkt, '%Y-%m-%d') AS value,
+                 'doc_count' AS stat, COALESCE(b.c, 0)::DOUBLE AS v_r
+          FROM (SELECT unnest(generate_series(
+                    (SELECT min(bkt) FROM dh_b),
+                    (SELECT max(bkt) FROM dh_b),
+                    INTERVAL 1 DAY)) AS bkt) g
+          LEFT JOIN dh_b b USING (bkt))
         SELECT * FROM lang_and
         UNION ALL
         SELECT * FROM source_or_flt
@@ -2495,6 +2546,10 @@ def _facet_counts_sql() -> str:
         SELECT 'pctl_lang' AS facet, value, stat, v_r FROM pctl_rows
         UNION ALL
         SELECT 'tophits_lang' AS facet, value, stat, v_r FROM th_rows
+        UNION ALL
+        SELECT * FROM hist_rows
+        UNION ALL
+        SELECT * FROM dh_rows
         ORDER BY facet, value, stat"""
 
 

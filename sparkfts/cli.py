@@ -171,12 +171,14 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--q", required=True)
     a.add_argument("--what", required=True,
                    choices=["count", "sort", "counts", "stats",
-                            "percentiles", "cardinality", "top-hits"],
+                            "percentiles", "cardinality", "top-hits",
+                            "histogram", "date-histogram"],
                    help="count = ES _count; sort = sort-by-field "
                         "search (no scoring); counts/stats/"
-                        "percentiles/cardinality/top-hits = the ES "
-                        "terms / stats / percentiles / cardinality / "
-                        "top_hits aggregations")
+                        "percentiles/cardinality/top-hits/histogram/"
+                        "date-histogram = the ES terms / stats / "
+                        "percentiles / cardinality / top_hits / "
+                        "histogram / date_histogram aggregations")
     a.add_argument("--mode", choices=["or", "and"], default="and")
     a.add_argument("--by", default=None, metavar="EXPR",
                    help="bucket (or, for --what sort, the sort key): "
@@ -200,6 +202,13 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--accuracy", type=int, default=10000,
                    help="quantile-sketch accuracy (--approx "
                         "percentiles)")
+    a.add_argument("--interval", default=None,
+                   help="bucket width: a number (--what histogram) "
+                        "or a calendar unit year/quarter/month/week/"
+                        "day/hour/minute/second (date-histogram)")
+    a.add_argument("--min-doc-count", type=int, default=0,
+                   help="histogram bucket floor; 0 (ES default) "
+                        "gap-fills empty buckets")
     a.add_argument("--filter", default=None, metavar="SQL")
     a.add_argument("--org", default=None)
     a.add_argument("--field", default=None)
@@ -581,6 +590,11 @@ def main(argv: list[str] | None = None) -> int:
             if args.what in ("stats", "percentiles") \
                     and not args.metric:
                 p.error(f"--what {args.what} requires --metric")
+            if args.what in ("histogram", "date-histogram"):
+                if not args.metric or not args.interval:
+                    p.error(f"--what {args.what} requires --metric "
+                            "(the bucketed column/expression) and "
+                            "--interval")
             if args.what == "count":
                 print(json.dumps({"count": idx.count(args.q, **kw)}))
                 return 0
@@ -608,6 +622,15 @@ def main(argv: list[str] | None = None) -> int:
                     args.q, metric=args.metric, percentiles=ps,
                     by=args.by, k=args.k, exact=not args.approx,
                     accuracy=args.accuracy, **kw)
+            elif args.what == "histogram":
+                out = idx.facet_histogram(
+                    args.q, on=args.metric,
+                    interval=float(args.interval),
+                    min_doc_count=args.min_doc_count, **kw)
+            elif args.what == "date-histogram":
+                out = idx.facet_date_histogram(
+                    args.q, on=args.metric, interval=args.interval,
+                    min_doc_count=args.min_doc_count, **kw)
             else:   # top-hits
                 out = idx.facet_top_hits(args.q, by=args.by,
                                          k_buckets=args.k,

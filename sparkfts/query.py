@@ -3280,12 +3280,25 @@ class FTSIndex:
         shard emits PARTIAL (value, count) rows, one small shuffle sums
         them, and the top-k order/limit runs on counts, never on docs.
         No driver materialization anywhere."""
+        out = self._facet_partials(query, by, mode, field, org, filter)
+        if out is None:
+            return self.spark.createDataFrame(
+                [], "value string, doc_count long")
+        return (out.orderBy(F.desc("doc_count"), F.asc("value"))
+                .limit(k))
+
+    def _facet_partials(self, query: str, by: str, mode: str,
+                        field: str | None, org: str | None,
+                        filter) -> DataFrame | None:
+        """Shared bucket-agg plan (terms / histogram / date_histogram):
+        per-shard partial (value, count) rows from the postings ⋈
+        docstore cogroup, one combining shuffle. Returns the UNORDERED
+        (value string, doc_count long) frame, or None for an empty
+        query / unknown tenant — callers order/limit/reshape."""
         prefix, _ = self._field(field)
         terms = self._terms(query, prefix)
-        empty = self.spark.createDataFrame(
-            [], "value string, doc_count long")
         if not terms:
-            return empty
+            return None
         nq = len(terms)
         rows = self._posting_rows(terms)
         store = self._docstore
@@ -3303,9 +3316,114 @@ class FTSIndex:
                 .cogroup(store.groupBy("shard"))
                 .applyInPandas(facet_count_group(mode, nq),
                                schema="value string, cnt long")
-                .groupBy("value").agg(F.sum("cnt").alias("doc_count"))
-                .orderBy(F.desc("doc_count"), F.asc("value"))
-                .limit(k))
+                .groupBy("value").agg(F.sum("cnt").alias("doc_count")))
+
+    def facet_histogram(self, query: str, on: str, interval: float,
+                        mode: str = "and", field: str | None = None,
+                        org: str | None = None,
+                        filter: str | Column | None = None,
+                        min_doc_count: int = 0) -> DataFrame:
+        """Histogram aggregation — the ES ``histogram`` agg under a
+        bool query: bucket matching docs by
+        ``floor(on / interval) * interval`` over the numeric docstore
+        column or SQL expression ``on``. Returns (bucket double,
+        doc_count long) ordered bucket asc — the ES key-asc order.
+        With ``min_doc_count=0`` (the ES histogram default) EMPTY
+        buckets between the min and max occupied bucket are emitted
+        with doc_count 0; higher values drop buckets below the floor.
+        NULL metric values are uncounted. ``mode``/``field``/``org``/
+        ``filter`` restrict matching exactly as in facet_counts.
+
+        Scale shape: the facet partial-agg plan (docs never shuffle,
+        one small combining exchange) bucketing by the INTEGER bucket
+        index (exact — no float-formatting drift crossing the Arrow
+        string boundary); the gap-fill grid is `sequence(min_idx,
+        max_idx)` over the two-row bounds aggregate — bucket-scale,
+        never doc-scale."""
+        interval = float(interval)
+        if not interval > 0:
+            raise ValueError(f"interval must be > 0, got {interval}")
+        mdc = int(min_doc_count)
+        bexpr = f"CAST(FLOOR(({on}) / {interval!r}) AS BIGINT)"
+        out = self._facet_partials(query, bexpr, mode, field, org,
+                                   filter)
+        empty = self.spark.createDataFrame(
+            [], "bucket double, doc_count long")
+        if out is None:
+            return empty
+        counts = out.select(
+            F.col("value").cast("long").alias("idx"), "doc_count")
+        if mdc > 0:
+            return (counts.where(F.col("doc_count") >= mdc)
+                    .select((F.col("idx") * F.lit(interval))
+                            .alias("bucket"), "doc_count")
+                    .orderBy("bucket"))
+        grid = (counts.agg(F.min("idx").alias("lo"),
+                           F.max("idx").alias("hi"))
+                .where(F.col("lo").isNotNull())
+                .select(F.explode(F.sequence("lo", "hi"))
+                        .alias("idx")))
+        return (grid.join(counts, "idx", "left")
+                .select((F.col("idx") * F.lit(interval))
+                        .alias("bucket"),
+                        F.coalesce("doc_count", F.lit(0))
+                        .alias("doc_count"))
+                .orderBy("bucket"))
+
+    _DH_STEP = {"year": "interval 1 year",
+                "quarter": "interval 3 month",
+                "month": "interval 1 month",
+                "week": "interval 7 day",
+                "day": "interval 1 day",
+                "hour": "interval 1 hour",
+                "minute": "interval 1 minute",
+                "second": "interval 1 second"}
+
+    def facet_date_histogram(self, query: str, on: str,
+                             interval: str = "day", mode: str = "and",
+                             field: str | None = None,
+                             org: str | None = None,
+                             filter: str | Column | None = None,
+                             min_doc_count: int = 0) -> DataFrame:
+        """Date-histogram aggregation — the ES ``date_histogram`` agg
+        under a bool query: bucket matching docs by
+        ``date_trunc(interval, on)`` over the timestamp docstore
+        column or SQL expression ``on``; calendar intervals year /
+        quarter / month / week / day / hour / minute / second (the ES
+        1.x calendar units). Returns (bucket timestamp, doc_count
+        long) ordered bucket asc; ``min_doc_count=0`` (ES default)
+        gap-fills empty calendar buckets between the min and max
+        occupied bucket via `sequence(lo, hi, step)` — bucket-scale
+        work only. NULL timestamps uncounted; matching restricted by
+        mode/field/org/filter exactly as in facet_counts."""
+        if interval not in self._DH_STEP:
+            raise ValueError(
+                f"interval must be one of {sorted(self._DH_STEP)}, "
+                f"got {interval!r}")
+        mdc = int(min_doc_count)
+        bexpr = f"date_trunc('{interval}', {on})"
+        out = self._facet_partials(query, bexpr, mode, field, org,
+                                   filter)
+        empty = self.spark.createDataFrame(
+            [], "bucket timestamp, doc_count long")
+        if out is None:
+            return empty
+        counts = out.select(
+            F.to_timestamp("value").alias("bucket"), "doc_count")
+        if mdc > 0:
+            return (counts.where(F.col("doc_count") >= mdc)
+                    .orderBy("bucket"))
+        grid = (counts.agg(F.min("bucket").alias("lo"),
+                           F.max("bucket").alias("hi"))
+                .where(F.col("lo").isNotNull())
+                .select(F.explode(F.sequence(
+                    "lo", "hi", F.expr(self._DH_STEP[interval])))
+                        .alias("bucket")))
+        return (grid.join(counts, "bucket", "left")
+                .select("bucket",
+                        F.coalesce("doc_count", F.lit(0))
+                        .alias("doc_count"))
+                .orderBy("bucket"))
 
     def sorted_search(self, query: str, by: str, k: int = 10,
                       mode: str = "and", descending: bool = True,

@@ -47,6 +47,7 @@ _FORWARDED = frozenset({
     "phrase_prefix_topk", "phrase_prefix_topk_local",
     "sorted_search", "count", "count_local", "facet_cardinality",
     "facet_percentiles", "facet_top_hits",
+    "facet_histogram", "facet_date_histogram",
 })
 
 

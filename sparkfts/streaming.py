@@ -1345,17 +1345,28 @@ class CombinedIndex:
         own docstore slice per (generation, shard); partial counts sum
         across generations in one small shuffle — counts are
         union-global without any per-generation driver merge."""
+        out = self._facet_partials(query, by, mode, field, org, filter)
+        if out is None:
+            return self.spark.createDataFrame(
+                [], "value string, doc_count long")
+        return (out.orderBy(F.desc("doc_count"), F.asc("value"))
+                .limit(k))
+
+    def _facet_partials(self, query: str, by: str, mode: str,
+                        field: str | None, org: str | None,
+                        filter) -> DataFrame | None:
+        """Shared bucket-agg plan over base + deltas (the streaming
+        twin of FTSIndex._facet_partials): unordered (value string,
+        doc_count long), or None for empty query / unknown tenant."""
         from .analyzer import tokenize_text
         from .query import facet_count_group
         prefix, _ = self._field(field)
         terms = sorted({prefix + t
                         for t in tokenize_text(query, self.tokenizer)})
-        empty = self.spark.createDataFrame(
-            [], "value string, doc_count long")
         if not terms:
-            return empty
+            return None
         if org is not None and not self._org_subs(org):
-            return empty
+            return None
         nq = len(terms)
 
         def mk_rows(s: FTSIndex):
@@ -1383,9 +1394,85 @@ class CombinedIndex:
                 .applyInPandas(facet_count_group(mode, nq,
                                                  excl=self._excl()),
                                schema="value string, cnt long")
-                .groupBy("value").agg(F.sum("cnt").alias("doc_count"))
-                .orderBy(F.desc("doc_count"), F.asc("value"))
-                .limit(k))
+                .groupBy("value").agg(F.sum("cnt").alias("doc_count")))
+
+    def facet_histogram(self, query: str, on: str, interval: float,
+                        mode: str = "and", field: str | None = None,
+                        org: str | None = None, filter=None,
+                        min_doc_count: int = 0) -> DataFrame:
+        """Histogram agg over base + deltas in ONE job — the streaming
+        twin of FTSIndex.facet_histogram (same contract: bucket =
+        floor(on/interval)·interval, (bucket double, doc_count long)
+        bucket asc, min_doc_count=0 gap-fills empty buckets)."""
+        from .query import FTSIndex as _FI
+        interval = float(interval)
+        if not interval > 0:
+            raise ValueError(f"interval must be > 0, got {interval}")
+        mdc = int(min_doc_count)
+        bexpr = f"CAST(FLOOR(({on}) / {interval!r}) AS BIGINT)"
+        out = self._facet_partials(query, bexpr, mode, field, org,
+                                   filter)
+        empty = self.spark.createDataFrame(
+            [], "bucket double, doc_count long")
+        if out is None:
+            return empty
+        counts = out.select(
+            F.col("value").cast("long").alias("idx"), "doc_count")
+        if mdc > 0:
+            return (counts.where(F.col("doc_count") >= mdc)
+                    .select((F.col("idx") * F.lit(interval))
+                            .alias("bucket"), "doc_count")
+                    .orderBy("bucket"))
+        grid = (counts.agg(F.min("idx").alias("lo"),
+                           F.max("idx").alias("hi"))
+                .where(F.col("lo").isNotNull())
+                .select(F.explode(F.sequence("lo", "hi"))
+                        .alias("idx")))
+        return (grid.join(counts, "idx", "left")
+                .select((F.col("idx") * F.lit(interval))
+                        .alias("bucket"),
+                        F.coalesce("doc_count", F.lit(0))
+                        .alias("doc_count"))
+                .orderBy("bucket"))
+
+    def facet_date_histogram(self, query: str, on: str,
+                             interval: str = "day", mode: str = "and",
+                             field: str | None = None,
+                             org: str | None = None, filter=None,
+                             min_doc_count: int = 0) -> DataFrame:
+        """Date-histogram agg over base + deltas in ONE job — the
+        streaming twin of FTSIndex.facet_date_histogram (same
+        contract: date_trunc calendar buckets, (bucket timestamp,
+        doc_count long) bucket asc, min_doc_count=0 gap-fills)."""
+        from .query import FTSIndex as _FI
+        if interval not in _FI._DH_STEP:
+            raise ValueError(
+                f"interval must be one of {sorted(_FI._DH_STEP)}, "
+                f"got {interval!r}")
+        mdc = int(min_doc_count)
+        bexpr = f"date_trunc('{interval}', {on})"
+        out = self._facet_partials(query, bexpr, mode, field, org,
+                                   filter)
+        empty = self.spark.createDataFrame(
+            [], "bucket timestamp, doc_count long")
+        if out is None:
+            return empty
+        counts = out.select(
+            F.to_timestamp("value").alias("bucket"), "doc_count")
+        if mdc > 0:
+            return (counts.where(F.col("doc_count") >= mdc)
+                    .orderBy("bucket"))
+        grid = (counts.agg(F.min("bucket").alias("lo"),
+                           F.max("bucket").alias("hi"))
+                .where(F.col("lo").isNotNull())
+                .select(F.explode(F.sequence(
+                    "lo", "hi", F.expr(_FI._DH_STEP[interval])))
+                        .alias("bucket")))
+        return (grid.join(counts, "bucket", "left")
+                .select("bucket",
+                        F.coalesce("doc_count", F.lit(0))
+                        .alias("doc_count"))
+                .orderBy("bucket"))
 
     def sorted_search(self, query: str, by: str, k: int = 10,
                       mode: str = "and", descending: bool = True,

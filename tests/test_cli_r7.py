@@ -261,3 +261,28 @@ def test_cli_boost_matches_library(root, capsys, spark):
     with pytest.raises(SystemExit):   # not with expansions
         main(["--master", "local[2]", "query", "--index", root,
               "--q", "re", "--kind", "prefix", "--boost", "re=2"])
+
+
+def test_cli_histograms_match_library(root, capsys, spark):
+    from sparkfts import FTSIndex
+    idx = FTSIndex(spark, root)
+    rc, rows = _run(capsys, "agg", "--index", root, "--q", "alpha",
+                    "--what", "histogram", "--metric", "turn_idx",
+                    "--interval", "5", "--mode", "or")
+    want = idx.facet_histogram("alpha", on="turn_idx", interval=5,
+                               mode="or").collect()
+    assert rc == 0
+    assert [(r["bucket"], r["doc_count"]) for r in rows] == \
+        [(r["bucket"], r["doc_count"]) for r in want]
+    rc, rows = _run(capsys, "agg", "--index", root, "--q", "alpha",
+                    "--what", "date-histogram", "--metric", "ts",
+                    "--interval", "day", "--mode", "or")
+    want = idx.facet_date_histogram("alpha", on="ts", interval="day",
+                                    mode="or").collect()
+    assert rc == 0
+    assert [(r["bucket"], r["doc_count"]) for r in rows] == \
+        [(str(r["bucket"]), r["doc_count"]) for r in want]
+    with pytest.raises(SystemExit):   # requires --interval
+        main(["--master", "local[2]", "agg", "--index", root,
+              "--q", "alpha", "--what", "histogram",
+              "--metric", "turn_idx"])
