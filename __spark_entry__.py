@@ -223,10 +223,24 @@ def q_postings_decode(spark, sf_dir):
 
 
 def q_phrase_match(spark, sf_dir):
-    """B7+: positions-based exact phrase matching (Lucene .prx analog)."""
+    """B7+: positions-based phrase matching (Lucene .prx analog).
+    r7 legs exercise the ES match_phrase ``slop``: a two-term sloppy
+    phrase matches iff positions a (slot 0) and b (slot 1) exist with
+    |a − b + 1| ≤ slop — exact is slop=0, the transposed order needs
+    slop ≥ 2. The oracle re-derives membership from token positions
+    in pure SQL (EXISTS self-join on the position relation)."""
+    import pandas as _pd
     idx = _index_for(spark, sf_dir)
-    return (idx.phrase_topk(f"{T_HOT} {T_MID}", k=100000)
-            .select("docid").sort("docid"))
+    parts = []
+    for leg, s in [("exact", 0), ("slop1", 1), ("slop2", 2)]:
+        pdf = (idx.phrase_topk(f"{T_HOT} {T_MID}", k=100000, slop=s)
+               .select("docid").toPandas()
+               .sort_values("docid").reset_index(drop=True))
+        pdf["leg"] = leg
+        parts.append(pdf[["leg", "docid"]])
+    return spark.createDataFrame(
+        _pd.concat(parts, ignore_index=True),
+        schema="leg string, docid long")
 
 
 PP_QUERY = f"{T_HOT} s"   # fixed 'batch' + prefix 's' (6 completions)
@@ -2964,11 +2978,29 @@ def oracle_sql() -> dict[str, str]:
         "fts_filtered_search": _filtered_search_sql(),
         "fts_facet_counts": _facet_counts_sql(),
         "fts_phrase_match": f"""
-            SELECT doc_id AS docid FROM documents
-            WHERE ' ' || trim(regexp_replace(lower(text),
-                                             '{TOKEN_SPLIT}', ' ', 'g'))
-                  || ' ' LIKE '% {T_HOT} {T_MID} %'
-            ORDER BY docid""",
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                                    '{TOKEN_SPLIT}'),
+                                 t -> t <> '' AND length(t) <= 64)
+                         AS tl
+              FROM documents),
+            tokpos AS (
+              SELECT doc_id, i - 1 AS idx, tl[i] AS term
+              FROM base, UNNEST(generate_series(1, len(tl))) AS g(i)),
+            legs AS (SELECT * FROM (VALUES ('exact', 0), ('slop1', 1),
+                                           ('slop2', 2)) v(leg, s))
+            SELECT l.leg, m.doc_id AS docid
+            FROM legs l
+            JOIN (SELECT DISTINCT a.doc_id, ls.s
+                  FROM tokpos a
+                  JOIN tokpos b ON b.doc_id = a.doc_id
+                  JOIN (SELECT DISTINCT s FROM (VALUES (0), (1), (2))
+                        v(s)) ls
+                    ON abs(a.idx - b.idx + 1) <= ls.s
+                  WHERE a.term = '{T_HOT}' AND b.term = '{T_MID}') m
+              ON m.s = l.s
+            ORDER BY leg, docid""",
         "fts_phrase_top10": _phrase_top10_sql(),
         "fts_intersection_and": f"""
             WITH {_TOKS},

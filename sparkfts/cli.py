@@ -78,6 +78,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--phrase", action="store_true",
                    help="exact phrase (positions) instead of bag-of-"
                         "words BM25")
+    q.add_argument("--slop", type=int, default=0,
+                   help="match_phrase slop (with --phrase): allowed "
+                        "positional deviation window; 0 = exact "
+                        "adjacency, transposition costs 2")
     q.add_argument("--phrase-prefix", action="store_true",
                    help="match_phrase_prefix (ES autocomplete "
                         "analog): the last token is a prefix; "
@@ -431,6 +435,8 @@ def main(argv: list[str] | None = None) -> int:
                             "queries (the Lucene bool must+should "
                             "shape; a pure conjunction is --mode and)")
                 kw["must"] = args.must
+            if args.slop and not args.phrase:
+                p.error("--slop applies to --phrase queries")
             if args.boost:
                 if args.phrase or args.highlight \
                         or args.kind != "match":
@@ -546,6 +552,8 @@ def main(argv: list[str] | None = None) -> int:
                 if args.mode != "or" or args.method != "wand":
                     p.error("--phrase is positional-exact matching: "
                             "--mode/--method do not apply")
+                if args.slop:
+                    kw["slop"] = args.slop
                 hits = (idx.phrase_topk_local(args.q, args.k, **kw)
                         if args.local
                         else idx.phrase_topk(args.q, args.k, **kw))

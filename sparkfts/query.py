@@ -546,6 +546,23 @@ def _apply_boosts(idf: dict[str, float], boosts, terms: list[str],
     return out
 
 
+def _check_slop(slop, seq: list[str]) -> int:
+    """Validate the ES match_phrase ``slop``: non-negative, and with
+    slop > 0 the phrase terms must be distinct (a single occurrence
+    could legally serve two slots of a repeated term inside one
+    window — Lucene requires distinct positions, and the windowed
+    vote kernel cannot tell them apart; exact adjacency keeps them
+    distinct by construction, so slop=0 allows repeats)."""
+    s = int(slop)
+    if s < 0:
+        raise ValueError(f"slop must be >= 0, got {s}")
+    if s > 0 and len(set(seq)) != len(seq):
+        raise ValueError(
+            "repeated phrase terms with slop > 0 are not supported "
+            "(Lucene's distinct-position rule)")
+    return s
+
+
 def _check_msm(min_should_match, mode: str) -> int | None:
     """Validate the ES minimum_should_match analog: OR-mode only
     (AND already requires every term), positive int."""
@@ -1400,12 +1417,26 @@ def _phrase_shard(pdf: pd.DataFrame, seq: list[str], uniq: list[str],
                   idf: dict[str, float], avgdl: float, k1: float, b: float,
                   k: int, org_cand: np.ndarray | None = None,
                   org_range: tuple[int, int] | None = None,
-                  excl: np.ndarray | None = None) -> pd.DataFrame:
+                  excl: np.ndarray | None = None,
+                  slop: int = 0) -> pd.DataFrame:
     """One shard's phrase matching + BM25 ranking (see phrase_topk).
     ``org_cand`` (sorted docids) or ``org_range`` ([lo, hi] interval —
     the contiguous-tenant fast path) restricts matching to a tenant's
     docs before any position work; ``excl`` (sorted tombstoned docids)
-    leaves the candidate set before it too."""
+    leaves the candidate set before it too.
+
+    ``slop`` (r7, the ES match_phrase slop / Lucene SloppyPhraseQuery
+    window): a doc matches iff one occurrence position can be chosen
+    per phrase slot with max(pos_i − i) − min(pos_i − i) ≤ slop —
+    slop=0 is exact adjacency, and a transposition ('b a' vs 'a b')
+    costs 2, exactly Lucene's accounting. Vectorized as a windowed
+    generalization of the start-key vote: slot i's occurrence at
+    position p votes for every anchor key in [p−i−slop, p−i]
+    (per-slot deduped — one slot never double-counts an anchor), and
+    an anchor collecting all len(seq) slots is a match. Repeated
+    phrase terms with slop>0 are rejected at the API layer (a single
+    occurrence could legally serve two slots of the same term in one
+    window, which Lucene forbids)."""
     out_empty = pd.DataFrame({"docid": pd.Series(dtype=np.int64),
                               "score": pd.Series(dtype=np.float64)})
     per_term = {}
@@ -1437,9 +1468,10 @@ def _phrase_shard(pdf: pd.DataFrame, seq: list[str], uniq: list[str],
     # contributes a given key at most once (positions are unique within a
     # (term, doc) posting), so np.unique counts decide.
     L = len(seq)
+    s = int(slop)
     maxpos = max(int(per_term[t][3].max()) if per_term[t][3].size else 0
                  for t in uniq)
-    M = np.int64(maxpos + L + 2)
+    M = np.int64(maxpos + 2 * L + 2 + s)
     keys = []
     for i, t in enumerate(seq):
         dd, tt, ll, pp, pb = per_term[t]
@@ -1454,7 +1486,15 @@ def _phrase_shard(pdf: pd.DataFrame, seq: list[str], uniq: list[str],
                   - np.repeat(cum[:-1], lens) + np.repeat(starts, lens))
         posi = pp[gather]
         docs = np.repeat(cand, lens)
-        keys.append(docs * M + (posi - i + L))
+        base = docs * M + (posi - i + L + s)
+        if s == 0:
+            keys.append(base)
+        else:
+            # windowed vote: anchors base-δ, δ ∈ [0, slop]; dedupe so
+            # close occurrences of THIS slot never double-vote a key
+            keys.append(np.unique(
+                (base[:, None]
+                 - np.arange(s + 1, dtype=np.int64)).ravel()))
     allk = np.concatenate(keys)
     uk, counts = np.unique(allk, return_counts=True)
     hits = uk[counts == L]
@@ -3690,7 +3730,8 @@ class FTSIndex:
     def phrase_topk(self, query: str, k: int = 10,
                     field: str | None = None,
                     org: str | None = None,
-                    filter: str | Column | None = None) -> DataFrame:
+                    filter: str | Column | None = None,
+                    slop: int = 0) -> DataFrame:
         """Exact phrase query (positions-based, the Lucene .prx analog):
         docs containing the query tokens consecutively, ranked by BM25
         over the phrase's distinct terms, ties by docid. Adjacency is
@@ -3704,12 +3745,20 @@ class FTSIndex:
         — rank-identical to the unrestricted phrase ranking filtered to
         the org (stats stay global). ``filter`` (SQL predicate over
         docstore columns) restricts the hits the same way — composes
-        with ``org`` as a conjunction."""
+        with ``org`` as a conjunction.
+
+        ``slop`` (r7, the ES match_phrase slop): allow the matched
+        positions to deviate from exact adjacency by a total window of
+        ``slop`` (max(pos_i − i) − min(pos_i − i) ≤ slop; a
+        transposition costs 2, Lucene's accounting). slop=0 is this
+        exact phrase; scoring is unchanged (BM25 over the phrase's
+        distinct terms — the engine's phrase contract)."""
         prefix, avgdl = self._field(field)
         seq = [prefix + t for t in tokenize_text(query, self.tokenizer)]
         empty = self.spark.createDataFrame([], "docid long, score double")
         if not seq:
             return empty
+        slop = _check_slop(slop, seq)
         uniq = sorted(set(seq))
         idf = self._idf_map(uniq, N=self._fieldN(field))
         k1, b = self.k1, self.b
@@ -3729,7 +3778,8 @@ class FTSIndex:
                          "score": pd.Series(dtype=np.float64)})
                 cand = np.unique(rpdf["docid"].to_numpy(np.int64))
                 return _phrase_shard(lpdf, seq, uniq, idf, avgdl,
-                                     k1, b, k, org_cand=cand)
+                                     k1, b, k, org_cand=cand,
+                                     slop=slop)
 
             tops = (rows.groupBy("shard")
                     .cogroup(fdocs.groupBy("shard"))
@@ -3747,7 +3797,8 @@ class FTSIndex:
                 def per_shard_rng(pdf: pd.DataFrame) -> pd.DataFrame:
                     rng = ranges[int(pdf["shard"].iloc[0])]
                     return _phrase_shard(pdf, seq, uniq, idf, avgdl,
-                                         k1, b, k, org_range=rng)
+                                         k1, b, k, org_range=rng,
+                                         slop=slop)
 
                 tops = (rows.groupBy("shard")
                         .applyInPandas(per_shard_rng,
@@ -3764,7 +3815,8 @@ class FTSIndex:
                              "score": pd.Series(dtype=np.float64)})
                     cand = np.sort(rpdf["docid"].to_numpy(np.int64))
                     return _phrase_shard(lpdf, seq, uniq, idf, avgdl,
-                                         k1, b, k, org_cand=cand)
+                                         k1, b, k, org_cand=cand,
+                                         slop=slop)
 
                 tops = (rows.groupBy("shard")
                         .cogroup(orgdocs.groupBy("shard"))
@@ -3773,7 +3825,8 @@ class FTSIndex:
                         .collect())
         else:
             def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-                return _phrase_shard(pdf, seq, uniq, idf, avgdl, k1, b, k)
+                return _phrase_shard(pdf, seq, uniq, idf, avgdl, k1, b,
+                                     k, slop=slop)
 
             rows = self._posting_rows(uniq)
             tops = (rows.groupBy("shard")
@@ -3854,18 +3907,21 @@ class FTSIndex:
 
     def phrase_topk_local(self, query: str, k: int = 10,
                           field: str | None = None,
-                          org: str | None = None) -> pd.DataFrame:
+                          org: str | None = None,
+                          slop: int = 0) -> pd.DataFrame:
         """Exact phrase query with ZERO Spark jobs (the serving twin of
         phrase_topk): driver-side dictionary read + the same vectorized
         flat-array adjacency kernel over ALL shards in one call (docs
         live in exactly one shard, so the global call equals the
-        per-shard + merge result). Rank-identical to phrase_topk."""
+        per-shard + merge result). Rank-identical to phrase_topk.
+        ``slop`` = the ES match_phrase slop (phrase_topk contract)."""
         prefix, avgdl = self._field(field)
         seq = [prefix + t for t in tokenize_text(query, self.tokenizer)]
         empty = pd.DataFrame({"docid": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
         if not seq:
             return empty
+        slop = _check_slop(slop, seq)
         uniq = sorted(set(seq))
         if org is not None:
             shards = self.possible_shards(org)
@@ -3885,7 +3941,7 @@ class FTSIndex:
                         continue
                     parts.append(_phrase_shard(
                         sub, seq, uniq, idf, avgdl, self.k1, self.b,
-                        k, org_range=ranges[s]))
+                        k, org_range=ranges[s], slop=slop))
                 if not parts:
                     return empty
                 return (pd.concat(parts)
@@ -3899,10 +3955,10 @@ class FTSIndex:
             if cand.size == 0:
                 return empty
             return _phrase_shard(pdf, seq, uniq, idf, avgdl, self.k1,
-                                 self.b, k,
-                                 org_cand=cand).reset_index(drop=True)
+                                 self.b, k, org_cand=cand,
+                                 slop=slop).reset_index(drop=True)
         return _phrase_shard(pdf, seq, uniq, idf, avgdl, self.k1,
-                             self.b, k).reset_index(drop=True)
+                             self.b, k, slop=slop).reset_index(drop=True)
 
     def phrase_prefix_topk(self, query: str, k: int = 10,
                            field: str | None = None,

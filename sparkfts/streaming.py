@@ -566,13 +566,15 @@ class CombinedIndex:
 
     def phrase_topk_local(self, query: str, k: int = 10,
                           field: str | None = None,
-                          org: str | None = None) -> pd.DataFrame:
+                          org: str | None = None,
+                          slop: int = 0) -> pd.DataFrame:
         """Exact phrase over base + deltas with ZERO Spark jobs:
         positions are per (generation, doc) so adjacency never crosses
         sub-indexes; idf/avgdl are UNION-global (same stats the
-        distributed phrase_topk uses), so ranks match it exactly."""
+        distributed phrase_topk uses), so ranks match it exactly.
+        ``slop`` = the ES match_phrase slop (phrase_topk contract)."""
         from .analyzer import tokenize_text
-        from .query import _bm25_idf, _phrase_shard
+        from .query import _bm25_idf, _phrase_shard, _check_slop
         org_subs = self._org_subs(org) if org is not None else None
         prefix, avgdl = self._field(field)
         seq = [prefix + t for t in tokenize_text(query, self.tokenizer)]
@@ -580,6 +582,7 @@ class CombinedIndex:
                               "score": pd.Series(dtype="float64")})
         if not seq:
             return empty
+        slop = _check_slop(slop, seq)
         uniq = sorted(set(seq))
         df_tot = {t: 0.0 for t in uniq}
         for s in self.subs:
@@ -602,7 +605,8 @@ class CombinedIndex:
                             continue
                         parts.append(_phrase_shard(
                             sub, seq, uniq, idf, avgdl, self.k1,
-                            self.b, k, org_range=ranges[sh], excl=excl))
+                            self.b, k, org_range=ranges[sh], excl=excl,
+                            slop=slop))
                     continue
                 ps = org_subs[i][1]
                 pdf = pdf[pdf["shard"].isin(ps)]
@@ -613,10 +617,12 @@ class CombinedIndex:
                     continue
                 parts.append(_phrase_shard(pdf, seq, uniq, idf, avgdl,
                                            self.k1, self.b, k,
-                                           org_cand=cand, excl=excl))
+                                           org_cand=cand, excl=excl,
+                                           slop=slop))
                 continue
             parts.append(_phrase_shard(pdf, seq, uniq, idf, avgdl,
-                                       self.k1, self.b, k, excl=excl))
+                                       self.k1, self.b, k, excl=excl,
+                                       slop=slop))
         if not parts:
             return empty
         return (pd.concat(parts)
@@ -1142,16 +1148,18 @@ class CombinedIndex:
 
     def phrase_topk(self, query: str, k: int = 10,
                     field: str | None = None,
-                    org: str | None = None) -> pd.DataFrame:
+                    org: str | None = None,
+                    slop: int = 0) -> pd.DataFrame:
         """Exact phrase query over base + deltas in ONE Spark job:
         positions are per (generation, doc) so adjacency never crosses
         sub-indexes; BM25 over the phrase's distinct terms uses
         union-global stats — rank-identical to a monolithic rebuild's
         phrase_topk (modulo generation-local docids). ``org`` (every
-        generation routed) restricts matching to the tenant's docs."""
+        generation routed) restricts matching to the tenant's docs.
+        ``slop`` = the ES match_phrase slop (phrase_topk contract)."""
         import numpy as np
         from .analyzer import tokenize_text
-        from .query import _phrase_shard
+        from .query import _phrase_shard, _check_slop
         org_subs = self._org_subs(org) if org is not None else None
         prefix, avgdl = self._field(field)
         seq = [prefix + t for t in tokenize_text(query, self.tokenizer)]
@@ -1159,6 +1167,7 @@ class CombinedIndex:
                               "score": pd.Series(dtype="float64")})
         if not seq:
             return empty
+        slop = _check_slop(slop, seq)
         uniq = sorted(set(seq))
         idf = self._idf(uniq, N=self._fieldN(field))
         k1, b = self.k1, self.b
@@ -1177,7 +1186,7 @@ class CombinedIndex:
                            int(pdf["shard"].iloc[0]))
                     return _phrase_shard(pdf, seq, uniq, idf, avgdl,
                                          k1, b, k, org_range=rngmap[key],
-                                         excl=excl)
+                                         excl=excl, slop=slop)
 
                 allp = (rows.groupBy("sub", "shard")
                         .applyInPandas(per_group_rng, schema=schema)
@@ -1193,7 +1202,7 @@ class CombinedIndex:
                     cand = np.sort(rpdf["docid"].to_numpy(np.int64))
                     return _phrase_shard(lpdf, seq, uniq, idf, avgdl,
                                          k1, b, k, org_cand=cand,
-                                         excl=excl)
+                                         excl=excl, slop=slop)
 
                 allp = (rows.groupBy("sub", "shard")
                         .cogroup(parts.groupBy("sub", "shard"))
@@ -1202,7 +1211,7 @@ class CombinedIndex:
         else:
             def per_group(pdf):
                 return _phrase_shard(pdf, seq, uniq, idf, avgdl, k1, b,
-                                     k, excl=excl)
+                                     k, excl=excl, slop=slop)
 
             allp = (self._union(lambda s: s._posting_rows(uniq))
                     .groupBy("sub", "shard")

@@ -286,3 +286,17 @@ def test_cli_histograms_match_library(root, capsys, spark):
         main(["--master", "local[2]", "agg", "--index", root,
               "--q", "alpha", "--what", "histogram",
               "--metric", "turn_idx"])
+
+
+def test_cli_phrase_slop_matches_library(root, capsys, spark):
+    from sparkfts import FTSIndex
+    idx = FTSIndex(spark, root)
+    want = idx.phrase_topk_local("rebuild nightly", k=8, slop=2)
+    rc, rows = _run(capsys, "query", "--index", root,
+                    "--q", "rebuild nightly", "--phrase",
+                    "--slop", "2", "--k", "8", "--local")
+    assert rc == 0
+    assert [r["docid"] for r in rows] == want["docid"].tolist()
+    with pytest.raises(SystemExit):   # slop requires --phrase
+        main(["--master", "local[2]", "query", "--index", root,
+              "--q", "rebuild nightly", "--slop", "2"])
