@@ -3358,6 +3358,49 @@ class FTSIndex:
                                schema="value string, cnt long")
                 .groupBy("value").agg(F.sum("cnt").alias("doc_count")))
 
+    @staticmethod
+    def _gapfill_hist(counts: DataFrame, interval: float) -> DataFrame:
+        """Single-pass gap fill over bucket indexes (gaps-and-islands):
+        lag each occupied bucket, explode the missing range before it.
+        ONE doc-scale pass (the counts input is computed once); the
+        unpartitioned window orders BUCKET-scale rows only — buckets
+        are bounded by value-range/interval, never by corpus size."""
+        from pyspark.sql.window import Window
+        w = Window.orderBy("idx")
+        return (counts
+                .withColumn("prev", F.lag("idx").over(w))
+                .select(F.explode(F.sequence(
+                            F.coalesce(F.col("prev") + 1,
+                                       F.col("idx")),
+                            F.col("idx"))).alias("b"),
+                        "idx", "doc_count")
+                .select((F.col("b") * F.lit(float(interval)))
+                        .alias("bucket"),
+                        F.when(F.col("b") == F.col("idx"),
+                               F.col("doc_count")).otherwise(F.lit(0))
+                        .alias("doc_count"))
+                .orderBy("bucket"))
+
+    @staticmethod
+    def _gapfill_dh(counts: DataFrame, step: str) -> DataFrame:
+        """Gap fill for calendar buckets, same single-pass shape."""
+        from pyspark.sql.window import Window
+        w = Window.orderBy("bkt")
+        return (counts
+                .withColumn("prev", F.lag("bkt").over(w))
+                .select(F.explode(F.sequence(
+                            F.coalesce(
+                                F.col("prev") + F.expr(step),
+                                F.col("bkt")),
+                            F.col("bkt"),
+                            F.expr(step))).alias("bucket"),
+                        "bkt", "doc_count")
+                .select("bucket",
+                        F.when(F.col("bucket") == F.col("bkt"),
+                               F.col("doc_count")).otherwise(F.lit(0))
+                        .alias("doc_count"))
+                .orderBy("bucket"))
+
     def facet_histogram(self, query: str, on: str, interval: float,
                         mode: str = "and", field: str | None = None,
                         org: str | None = None,
@@ -3377,9 +3420,9 @@ class FTSIndex:
         Scale shape: the facet partial-agg plan (docs never shuffle,
         one small combining exchange) bucketing by the INTEGER bucket
         index (exact — no float-formatting drift crossing the Arrow
-        string boundary); the gap-fill grid is `sequence(min_idx,
-        max_idx)` over the two-row bounds aggregate — bucket-scale,
-        never doc-scale."""
+        string boundary); the gap fill is a single-pass
+        gaps-and-islands explode (lag + sequence) over the BUCKET-
+        scale aggregate — one doc-scale pass total, no self-join."""
         interval = float(interval)
         if not interval > 0:
             raise ValueError(f"interval must be > 0, got {interval}")
@@ -3398,17 +3441,7 @@ class FTSIndex:
                     .select((F.col("idx") * F.lit(interval))
                             .alias("bucket"), "doc_count")
                     .orderBy("bucket"))
-        grid = (counts.agg(F.min("idx").alias("lo"),
-                           F.max("idx").alias("hi"))
-                .where(F.col("lo").isNotNull())
-                .select(F.explode(F.sequence("lo", "hi"))
-                        .alias("idx")))
-        return (grid.join(counts, "idx", "left")
-                .select((F.col("idx") * F.lit(interval))
-                        .alias("bucket"),
-                        F.coalesce("doc_count", F.lit(0))
-                        .alias("doc_count"))
-                .orderBy("bucket"))
+        return self._gapfill_hist(counts, interval)
 
     _DH_STEP = {"year": "interval 1 year",
                 "quarter": "interval 3 month",
@@ -3433,8 +3466,8 @@ class FTSIndex:
         1.x calendar units). Returns (bucket timestamp, doc_count
         long) ordered bucket asc; ``min_doc_count=0`` (ES default)
         gap-fills empty calendar buckets between the min and max
-        occupied bucket via `sequence(lo, hi, step)` — bucket-scale
-        work only. NULL timestamps uncounted; matching restricted by
+        occupied bucket (single-pass lag + sequence explode —
+        bucket-scale work only, one doc-scale pass). NULL timestamps uncounted; matching restricted by
         mode/field/org/filter exactly as in facet_counts."""
         if interval not in self._DH_STEP:
             raise ValueError(
@@ -3449,21 +3482,12 @@ class FTSIndex:
         if out is None:
             return empty
         counts = out.select(
-            F.to_timestamp("value").alias("bucket"), "doc_count")
+            F.to_timestamp("value").alias("bkt"), "doc_count")
         if mdc > 0:
             return (counts.where(F.col("doc_count") >= mdc)
+                    .withColumnRenamed("bkt", "bucket")
                     .orderBy("bucket"))
-        grid = (counts.agg(F.min("bucket").alias("lo"),
-                           F.max("bucket").alias("hi"))
-                .where(F.col("lo").isNotNull())
-                .select(F.explode(F.sequence(
-                    "lo", "hi", F.expr(self._DH_STEP[interval])))
-                        .alias("bucket")))
-        return (grid.join(counts, "bucket", "left")
-                .select("bucket",
-                        F.coalesce("doc_count", F.lit(0))
-                        .alias("doc_count"))
-                .orderBy("bucket"))
+        return self._gapfill_dh(counts, self._DH_STEP[interval])
 
     def sorted_search(self, query: str, by: str, k: int = 10,
                       mode: str = "and", descending: bool = True,

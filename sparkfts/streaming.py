@@ -1432,17 +1432,7 @@ class CombinedIndex:
                     .select((F.col("idx") * F.lit(interval))
                             .alias("bucket"), "doc_count")
                     .orderBy("bucket"))
-        grid = (counts.agg(F.min("idx").alias("lo"),
-                           F.max("idx").alias("hi"))
-                .where(F.col("lo").isNotNull())
-                .select(F.explode(F.sequence("lo", "hi"))
-                        .alias("idx")))
-        return (grid.join(counts, "idx", "left")
-                .select((F.col("idx") * F.lit(interval))
-                        .alias("bucket"),
-                        F.coalesce("doc_count", F.lit(0))
-                        .alias("doc_count"))
-                .orderBy("bucket"))
+        return _FI._gapfill_hist(counts, interval)
 
     def facet_date_histogram(self, query: str, on: str,
                              interval: str = "day", mode: str = "and",
@@ -1467,21 +1457,12 @@ class CombinedIndex:
         if out is None:
             return empty
         counts = out.select(
-            F.to_timestamp("value").alias("bucket"), "doc_count")
+            F.to_timestamp("value").alias("bkt"), "doc_count")
         if mdc > 0:
             return (counts.where(F.col("doc_count") >= mdc)
+                    .withColumnRenamed("bkt", "bucket")
                     .orderBy("bucket"))
-        grid = (counts.agg(F.min("bucket").alias("lo"),
-                           F.max("bucket").alias("hi"))
-                .where(F.col("lo").isNotNull())
-                .select(F.explode(F.sequence(
-                    "lo", "hi", F.expr(_FI._DH_STEP[interval])))
-                        .alias("bucket")))
-        return (grid.join(counts, "bucket", "left")
-                .select("bucket",
-                        F.coalesce("doc_count", F.lit(0))
-                        .alias("doc_count"))
-                .orderBy("bucket"))
+        return _FI._gapfill_dh(counts, _FI._DH_STEP[interval])
 
     def sorted_search(self, query: str, by: str, k: int = 10,
                       mode: str = "and", descending: bool = True,
