@@ -420,6 +420,8 @@ SJ_QUERIES = [
 ]
 
 
+MLT_DOC, MLT_TERMS = 17, 8     # more_like_this leg: source doc + cap
+
 BM25_VARIANTS = [
     ("and", f"{T_MID} {T_MID2}", "and", "wand"),
     ("exact", f"{T_HOT} {T_MID} {T_RARE}", "or", "exact"),
@@ -481,6 +483,17 @@ def q_bm25_modes(spark, sf_dir):
     pbm["rank"] = pbm.index + 1
     pbm["score_r"] = pbm["score"].round(4)
     parts.append(pbm[["variant", "rank", "docid", "score_r"]])
+    # more_like_this leg (r7, ES MLT): doc MLT_DOC's most interesting
+    # terms (tf·idf, df floor 2, top MLT_TERMS) scored as an OR with
+    # the source doc excluded; the oracle re-derives the SELECTION
+    # (same ranking over tok/dfreq) and the scoring independently.
+    pmlt = idx.more_like_this(MLT_DOC, k=10,
+                              max_query_terms=MLT_TERMS,
+                              min_doc_freq=2)
+    pmlt["variant"] = "mlt"
+    pmlt["rank"] = pmlt.index + 1
+    pmlt["score_r"] = pmlt["score"].round(4)
+    parts.append(pmlt[["variant", "rank", "docid", "score_r"]])
     # query-time boost leg (r7, Lucene TermQuery boost / ES "term"^2):
     # the or_multi ranking with T_MID's clause weight doubled — each
     # contribution scales linearly, a CASE multiplier in the oracle.
@@ -2247,6 +2260,41 @@ def _bm25_modes_sql() -> str:
               AND doc_id IN (SELECT doc_id FROM tf
                              WHERE term IN ('{T_MID}', '{T_RARE}')
                              GROUP BY doc_id HAVING count(*) >= 2))
+      ORDER BY score DESC, doc_id ASC
+      LIMIT 10""")
+    # mlt leg: re-derive the term selection (tf·idf over the source
+    # doc, df >= 2, top MLT_TERMS by weight desc / term asc) and the
+    # OR scoring over the selected set, source doc excluded
+    legs.append(f"""
+      {_bm25_base()},
+      mlt_src AS (
+        SELECT term, count(*) AS tfq FROM tok
+        WHERE doc_id = {MLT_DOC} GROUP BY term),
+      mlt_sel AS (
+        SELECT m.term
+        FROM mlt_src m JOIN dfreq ON dfreq.term = m.term
+        CROSS JOIN stats st
+        WHERE dfreq.df >= 2
+        ORDER BY m.tfq * ln(1 + (st.n - dfreq.df + 0.5)
+                            / (dfreq.df + 0.5)) DESC, m.term ASC
+        LIMIT {MLT_TERMS}),
+      mlt_scored AS (
+        SELECT tf.doc_id,
+               sum(ln(1 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * ({K1} + 1)
+                   / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)))
+                   AS score
+        FROM tf
+        JOIN dl ON dl.doc_id = tf.doc_id
+        JOIN dfreq ON dfreq.term = tf.term
+        CROSS JOIN stats s
+        WHERE tf.term IN (SELECT term FROM mlt_sel)
+        GROUP BY tf.doc_id)
+      SELECT 'mlt' AS variant,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                 AS rank,
+             doc_id AS docid, round(score, 4) AS score_r
+      FROM mlt_scored WHERE doc_id <> {MLT_DOC}
       ORDER BY score DESC, doc_id ASC
       LIMIT 10""")
     # boosted leg: the or_multi scored sum with T_MID's per-term

@@ -4078,6 +4078,80 @@ class FTSIndex:
         return (self._pa_docstore_ds().to_table(filter=flt).to_pandas()
                 .sort_values("docid").reset_index(drop=True))
 
+    def mlt_terms(self, docid: int, field: str | None = None,
+                  col: str = "text", max_query_terms: int = 25,
+                  min_term_freq: int = 1,
+                  min_doc_freq: int = 2) -> list[str]:
+        """ES more_like_this term selection (the 1.x MLT
+        "interestingness" ranking): tokenize the source doc (one
+        driver-side point fetch), keep terms with in-doc tf ≥
+        min_term_freq and corpus df ≥ min_doc_freq, rank by
+        tf · idf (the engine's BM25 idf) and take max_query_terms by
+        (weight desc, term asc) — fully deterministic, so the DuckDB
+        oracle re-derives the selected set independently. On
+        multi-field indexes ``field`` scopes the terms and ``col``
+        defaults to the field's column (highlight convention)."""
+        from collections import Counter
+        prefix, _ = self._field(field)
+        if field is not None and col == "text":
+            col = field
+        doc = self.fetch_docs_local([int(docid)])
+        if doc.empty:
+            raise ValueError(f"docid {int(docid)} not found")
+        if col not in doc.columns:
+            raise ValueError(f"column {col!r} not in doc store")
+        tf = Counter(prefix + t
+                     for t in tokenize_text(str(doc[col].iloc[0]),
+                                            self.tokenizer))
+        cand = sorted(t for t, c in tf.items()
+                      if c >= int(min_term_freq))
+        if not cand:
+            return []
+        dfs = self._local_df_counts(cand)
+        N = self._fieldN(field)
+        scored = sorted(
+            (-tf[t] * _bm25_idf(N, dfs.get(t, 0.0)), t)
+            for t in cand if dfs.get(t, 0.0) >= int(min_doc_freq))
+        return [t for _, t in scored[:int(max_query_terms)]]
+
+    def more_like_this(self, docid: int, k: int = 10,
+                       field: str | None = None, col: str = "text",
+                       max_query_terms: int = 25,
+                       min_term_freq: int = 1, min_doc_freq: int = 2,
+                       min_should_match: int | None = None,
+                       org: str | None = None,
+                       filter: str | Column | None = None,
+                       local: bool = False) -> pd.DataFrame:
+        """The ES more_like_this query: find documents similar to
+        ``docid`` by scoring an OR of its most interesting terms
+        (mlt_terms selection), excluding the source doc itself.
+        Results ride the UNCHANGED scoring surfaces via raw_terms, so
+        WAND pruning, org/filter restriction, min_should_match and
+        tombstones all compose; the source doc is excluded EXACTLY by
+        ranking k+1 and dropping it (it occupies at most one slot).
+        ``local=True`` runs the zero-Spark-job twin. Returns (docid,
+        score) pandas."""
+        terms = self.mlt_terms(docid, field=field, col=col,
+                               max_query_terms=max_query_terms,
+                               min_term_freq=min_term_freq,
+                               min_doc_freq=min_doc_freq)
+        if not terms:
+            return pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        kw = dict(query="", k=k + 1, mode="or", field=field,
+                  raw_terms=terms, min_should_match=min_should_match,
+                  org=org)
+        if local:
+            if filter is not None:
+                raise ValueError("filter= runs on the distributed "
+                                 "path (docstore scan); local=True "
+                                 "composes with org= only")
+            hits = self.topk_local(**kw)
+        else:
+            hits = self.topk(filter=filter, **kw).toPandas()
+        return (hits[hits["docid"] != int(docid)].head(k)
+                .reset_index(drop=True))
+
     def search_local(self, query: str, k: int = 10, mode: str = "or",
                      method: str = "wand", field: str | None = None,
                      org: str | None = None,

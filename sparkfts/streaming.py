@@ -1861,6 +1861,74 @@ class CombinedIndex:
                                 ascending=[False, True])
                 .reset_index(drop=True))
 
+    def mlt_terms(self, docid: int, field: str | None = None,
+                  col: str = "text", max_query_terms: int = 25,
+                  min_term_freq: int = 1,
+                  min_doc_freq: int = 2) -> list[str]:
+        """ES more_like_this term selection over base + deltas (the
+        FTSIndex.mlt_terms contract with UNION-global dfs): the
+        source doc lives in exactly one generation (geometry-pruned
+        point fetch), candidate dfs sum across generations."""
+        from collections import Counter
+        from .analyzer import tokenize_text
+        from .query import _bm25_idf
+        prefix, _ = self._field(field)
+        if field is not None and col == "text":
+            col = field
+        doc = self.fetch_docs_local([int(docid)])
+        if doc.empty:
+            raise ValueError(f"docid {int(docid)} not found")
+        if col not in doc.columns:
+            raise ValueError(f"column {col!r} not in doc store")
+        tf = Counter(prefix + t
+                     for t in tokenize_text(str(doc[col].iloc[0]),
+                                            self.tokenizer))
+        cand = sorted(t for t, c in tf.items()
+                      if c >= int(min_term_freq))
+        if not cand:
+            return []
+        dfs = {t: 0.0 for t in cand}
+        for s in self.subs:
+            for t, d in s._local_df_counts(cand).items():
+                dfs[t] += d
+        N = self._fieldN(field)
+        scored = sorted(
+            (-tf[t] * _bm25_idf(N, dfs[t]), t)
+            for t in cand if dfs[t] >= int(min_doc_freq))
+        return [t for _, t in scored[:int(max_query_terms)]]
+
+    def more_like_this(self, docid: int, k: int = 10,
+                       field: str | None = None, col: str = "text",
+                       max_query_terms: int = 25,
+                       min_term_freq: int = 1, min_doc_freq: int = 2,
+                       min_should_match: int | None = None,
+                       org: str | None = None, filter=None,
+                       local: bool = False) -> pd.DataFrame:
+        """more_like_this over base + deltas (FTSIndex contract:
+        mlt_terms selection → raw_terms OR scoring with union-global
+        stats, source doc dropped from a k+1 ranking; tombstones
+        excluded in-kernel)."""
+        terms = self.mlt_terms(docid, field=field, col=col,
+                               max_query_terms=max_query_terms,
+                               min_term_freq=min_term_freq,
+                               min_doc_freq=min_doc_freq)
+        if not terms:
+            return pd.DataFrame({"docid": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        kw = dict(query="", k=k + 1, mode="or", field=field,
+                  raw_terms=terms,
+                  min_should_match=min_should_match, org=org)
+        if local:
+            if filter is not None:
+                raise ValueError("filter= runs on the distributed "
+                                 "path; local=True composes with "
+                                 "org= only")
+            hits = self.topk_local(**kw)
+        else:
+            hits = self.topk(filter=filter, **kw)
+        return (hits[hits["docid"] != int(docid)].head(k)
+                .reset_index(drop=True))
+
     def topk_many(self, queries: dict[str, tuple[str, str]], k: int = 10,
                   method: str = "wand", field: str | None = None,
                   org: str | None = None, filter=None,
