@@ -569,6 +569,7 @@ PFX = "s"            # prefix → scan slow small sort spark stream
 WC_PAT = "s*a*"      # wildcard → scan small spark stream
 FZ_Q, FZ_D = "part", 2   # fuzzy → fast part sort spark
 RX_PAT = "s[ck]an|slo."  # regexp → scan slow (common re/Java/RE2 dialect)
+SG_Q = "sot"             # suggester: sort (d1) + slow (d2) in-corpus
 
 
 def q_prefix_search(spark, sf_dir):
@@ -618,6 +619,15 @@ def q_prefix_search(spark, sf_dir):
            .reset_index(drop=True))
     out["docid"] = out["doc_id"]
     add("combined", out[["docid", "score"]])
+    # term-suggester leg (r7): suggestion string in the leg column,
+    # df in docid, edit distance in score_r (see the oracle's twin)
+    sg = idx.suggest(SG_Q, size=5, max_edits=2, prefix_length=1)
+    sg = sg.reset_index(drop=True)
+    sg["leg"] = "sg_" + sg["suggestion"]
+    sg["rank"] = sg.index + 1
+    sg["docid"] = sg["df"].astype("int64")
+    sg["score_r"] = sg["distance"].astype("float64")
+    parts.append(sg[["leg", "rank", "docid", "score_r"]])
     return spark.createDataFrame(
         _pd.concat(parts, ignore_index=True),
         schema="leg string, rank long, docid long, score_r double")
@@ -2761,6 +2771,26 @@ def _prefix_search_sql() -> str:
                 SELECT DISTINCT doc_id FROM tok
                 WHERE term LIKE '{PFX}%')
           ORDER BY doc_id ASC LIMIT 10""")
+    # term-suggester leg (r7, ES did-you-mean): candidates within 2
+    # edits of SG_Q sharing its first char, ranked (distance asc, df
+    # desc, term asc) top-5; the suggestion string rides in the leg
+    # column, df in docid, distance in score_r — all value-checked
+    legs.append(f"""
+          SELECT 'sg_' || term AS leg,
+                 row_number() OVER (
+                     ORDER BY levenshtein(term, '{SG_Q}'),
+                              df DESC, term ASC) AS rank,
+                 CAST(df AS BIGINT) AS docid,
+                 levenshtein(term, '{SG_Q}')::DOUBLE AS score_r
+          FROM (WITH {_toks_sql()},
+                dfr AS (SELECT term, count(DISTINCT doc_id) AS df
+                        FROM tok GROUP BY term)
+                SELECT term, df FROM dfr
+                WHERE left(term, 1) = left('{SG_Q}', 1)
+                  AND term <> '{SG_Q}'
+                  AND levenshtein(term, '{SG_Q}') <= 2)
+          ORDER BY levenshtein(term, '{SG_Q}'), df DESC, term ASC
+          LIMIT 5""")
     return " UNION ALL ".join(f"SELECT * FROM ({leg})"
                               for leg in legs)
 

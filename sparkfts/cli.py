@@ -166,6 +166,21 @@ def main(argv: list[str] | None = None) -> int:
                         "(default) or constant 1.0 per matching doc "
                         "(the ES 1.x prefix/wildcard default)")
 
+    sg = sub.add_parser("suggest",
+                        help="term suggester (ES did-you-mean): "
+                             "dictionary terms within --max-edits of "
+                             "each analyzed token, ranked distance "
+                             "asc / df desc")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--q", required=True)
+    sg.add_argument("--size", type=int, default=5)
+    sg.add_argument("--max-edits", type=int, default=2)
+    sg.add_argument("--prefix-length", type=int, default=1)
+    sg.add_argument("--min-doc-freq", type=int, default=1)
+    sg.add_argument("--suggest-mode", choices=["missing", "always"],
+                    default="missing")
+    sg.add_argument("--field", default=None)
+
     a = sub.add_parser("agg",
                        help="aggregations and filter-context queries "
                             "over the boolean matches (ES _count, "
@@ -587,6 +602,17 @@ def main(argv: list[str] | None = None) -> int:
             for row in rows:
                 print(json.dumps(row.asDict() if hasattr(row, "asDict")
                                  else row, default=str))
+        elif args.cmd == "suggest":
+            from .query import FTSIndex
+            idx = FTSIndex(spark, args.index)
+            out = idx.suggest(args.q, size=args.size,
+                              max_edits=args.max_edits,
+                              prefix_length=args.prefix_length,
+                              min_doc_freq=args.min_doc_freq,
+                              field=args.field,
+                              suggest_mode=args.suggest_mode)
+            for row in out.to_dict("records"):
+                print(json.dumps(row, default=str))
         elif args.cmd == "agg":
             from .query import FTSIndex
             idx = FTSIndex(spark, args.index)

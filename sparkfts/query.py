@@ -4078,6 +4078,53 @@ class FTSIndex:
         return (self._pa_docstore_ds().to_table(filter=flt).to_pandas()
                 .sort_values("docid").reset_index(drop=True))
 
+    def suggest(self, text: str, size: int = 5, max_edits: int = 2,
+                prefix_length: int = 1, min_doc_freq: int = 1,
+                field: str | None = None,
+                suggest_mode: str = "missing") -> pd.DataFrame:
+        """ES term suggester (the did-you-mean surface): for each
+        analyzed token, dictionary terms within ``max_edits``
+        Levenshtein edits sharing the first ``prefix_length`` chars
+        (the ES prefix_length default 1), ranked (distance asc, df
+        desc, suggestion asc) and capped at ``size`` per token — the
+        ES term-suggester sort. The input term itself is never a
+        suggestion. ``suggest_mode='missing'`` (ES default) suggests
+        only for tokens ABSENT from the dictionary; ``'always'``
+        suggests for every token. Candidates come from the same
+        pushed length-window dictionary scan fuzzy queries use.
+        Returns (token, suggestion, distance, df) pandas, tokens in
+        input order."""
+        if suggest_mode not in ("missing", "always"):
+            raise ValueError("suggest_mode is 'missing' or 'always'")
+        prefix, _ = self._field(field)
+        toks = list(dict.fromkeys(tokenize_text(text, self.tokenizer)))
+        out = []
+        if toks:
+            dfs_self = self._local_df_counts(
+                [prefix + t for t in toks])
+        for tok in toks:
+            if (suggest_mode == "missing"
+                    and dfs_self.get(prefix + tok, 0.0) > 0):
+                continue
+            cand = self._expand_candidates(
+                tok, "fuzzy", fp=prefix,
+                max_expansions=1 << 20, fuzziness=int(max_edits),
+                prefix_length=int(prefix_length))
+            if not cand:
+                continue
+            bare = [t[len(prefix):] for t, _ in cand]
+            dist = multiterm.levenshtein_batch(tok, bare)
+            ranked = sorted(
+                (int(d), -df, s)
+                for s, (_, df), d in zip(bare, cand, dist)
+                if d > 0 and df >= int(min_doc_freq))
+            for d, ndf, s in ranked[:int(size)]:
+                out.append((tok, s, d, float(-ndf)))
+        return pd.DataFrame(out, columns=["token", "suggestion",
+                                          "distance", "df"]).astype(
+            {"token": "str", "suggestion": "str",
+             "distance": "int64", "df": "float64"})
+
     def mlt_terms(self, docid: int, field: str | None = None,
                   col: str = "text", max_query_terms: int = 25,
                   min_term_freq: int = 1,

@@ -48,7 +48,7 @@ _FORWARDED = frozenset({
     "sorted_search", "count", "count_local", "facet_cardinality",
     "facet_percentiles", "facet_top_hits",
     "facet_histogram", "facet_date_histogram",
-    "mlt_terms", "more_like_this",
+    "mlt_terms", "more_like_this", "suggest",
 })
 
 

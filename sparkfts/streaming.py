@@ -1861,6 +1861,54 @@ class CombinedIndex:
                                 ascending=[False, True])
                 .reset_index(drop=True))
 
+    def suggest(self, text: str, size: int = 5, max_edits: int = 2,
+                prefix_length: int = 1, min_doc_freq: int = 1,
+                field: str | None = None,
+                suggest_mode: str = "missing") -> pd.DataFrame:
+        """ES term suggester over base + deltas (FTSIndex.suggest
+        contract with UNION-summed dfs: a candidate's df adds across
+        generations before ranking, exactly like pattern expansion)."""
+        from .analyzer import tokenize_text
+        from . import multiterm
+        if suggest_mode not in ("missing", "always"):
+            raise ValueError("suggest_mode is 'missing' or 'always'")
+        prefix, _ = self._field(field)
+        toks = list(dict.fromkeys(tokenize_text(text, self.tokenizer)))
+        dfs_self = {prefix + t: 0.0 for t in toks}
+        if toks:
+            for s in self.subs:
+                for t, d in s._local_df_counts(
+                        list(dfs_self)).items():
+                    dfs_self[t] += d
+        out = []
+        for tok in toks:
+            if (suggest_mode == "missing"
+                    and dfs_self.get(prefix + tok, 0.0) > 0):
+                continue
+            agg: dict[str, float] = {}
+            for s in self.subs:
+                for t, d in s._expand_candidates(
+                        tok, "fuzzy", fp=prefix,
+                        max_expansions=1 << 20,
+                        fuzziness=int(max_edits),
+                        prefix_length=int(prefix_length)):
+                    agg[t] = agg.get(t, 0.0) + d
+            if not agg:
+                continue
+            terms = sorted(agg)
+            bare = [t[len(prefix):] for t in terms]
+            dist = multiterm.levenshtein_batch(tok, bare)
+            ranked = sorted(
+                (int(d), -agg[t], s)
+                for s, t, d in zip(bare, terms, dist)
+                if d > 0 and agg[t] >= int(min_doc_freq))
+            for d, ndf, s in ranked[:int(size)]:
+                out.append((tok, s, d, float(-ndf)))
+        return pd.DataFrame(out, columns=["token", "suggestion",
+                                          "distance", "df"]).astype(
+            {"token": "str", "suggestion": "str",
+             "distance": "int64", "df": "float64"})
+
     def mlt_terms(self, docid: int, field: str | None = None,
                   col: str = "text", max_query_terms: int = 25,
                   min_term_freq: int = 1,
