@@ -780,6 +780,23 @@ def q_facet_counts(spark, sf_dir):
         F.date_format("bucket", "yyyy-MM-dd").alias("value"),
         F.lit("doc_count").alias("stat"),
         F.col("doc_count").cast("double").alias("v_r")))
+    # r7: ES range agg (explicit from-incl/to-excl buckets, the
+    # middle two OVERLAP — each doc counts in every bucket it falls
+    # in) + missing agg (NULL-metric doc count) — both one facet pass
+    rng = idx.facet_range(T_MID, on="n_chars",
+                          ranges=[(None, 200.0), (150.0, 400.0),
+                                  (400.0, None)], mode="or")
+    legs.append(rng.select(
+        F.lit("range_nchars").alias("facet"),
+        F.col("key").alias("value"),
+        F.lit("doc_count").alias("stat"),
+        F.col("doc_count").cast("double").alias("v_r")))
+    miss = idx.facet_missing(
+        T_MID, by="CASE WHEN n_chars < 200 THEN NULL ELSE n_chars END",
+        mode="or")
+    legs.append(spark.createDataFrame(
+        [("missing_short", "m", "doc_count", float(miss))],
+        "facet string, value string, stat string, v_r double"))
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
@@ -2603,7 +2620,24 @@ def _facet_counts_sql() -> str:
                     (SELECT min(bkt) FROM dh_b),
                     (SELECT max(bkt) FROM dh_b),
                     INTERVAL 1 DAY)) AS bkt) g
-          LEFT JOIN dh_b b USING (bkt))
+          LEFT JOIN dh_b b USING (bkt)),
+        range_rows AS (
+          SELECT 'range_nchars' AS facet, v.key AS value,
+                 'doc_count' AS stat,
+                 (SELECT count(*) FROM m_one m
+                  JOIN documents d USING (doc_id)
+                  WHERE d.n_chars IS NOT NULL
+                    AND (v.lo IS NULL OR d.n_chars >= v.lo)
+                    AND (v.hi IS NULL OR d.n_chars < v.hi))::DOUBLE
+                     AS v_r
+          FROM (VALUES ('*-200', NULL, 200.0),
+                       ('150-400', 150.0, 400.0),
+                       ('400-*', 400.0, NULL)) v(key, lo, hi)),
+        miss_rows AS (
+          SELECT 'missing_short' AS facet, 'm' AS value,
+                 'doc_count' AS stat, count(*)::DOUBLE AS v_r
+          FROM m_one m JOIN documents d USING (doc_id)
+          WHERE d.n_chars < 200)
         SELECT * FROM lang_and
         UNION ALL
         SELECT * FROM source_or_flt
@@ -2622,6 +2656,10 @@ def _facet_counts_sql() -> str:
         SELECT * FROM hist_rows
         UNION ALL
         SELECT * FROM dh_rows
+        UNION ALL
+        SELECT * FROM range_rows
+        UNION ALL
+        SELECT * FROM miss_rows
         ORDER BY facet, value, stat"""
 
 

@@ -191,13 +191,15 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--what", required=True,
                    choices=["count", "sort", "counts", "stats",
                             "percentiles", "cardinality", "top-hits",
-                            "histogram", "date-histogram"],
+                            "histogram", "date-histogram", "range",
+                            "missing"],
                    help="count = ES _count; sort = sort-by-field "
                         "search (no scoring); counts/stats/"
                         "percentiles/cardinality/top-hits/histogram/"
-                        "date-histogram = the ES terms / stats / "
-                        "percentiles / cardinality / top_hits / "
-                        "histogram / date_histogram aggregations")
+                        "date-histogram/range/missing = the ES "
+                        "terms / stats / percentiles / cardinality / "
+                        "top_hits / histogram / date_histogram / "
+                        "range / missing aggregations")
     a.add_argument("--mode", choices=["or", "and"], default="and")
     a.add_argument("--by", default=None, metavar="EXPR",
                    help="bucket (or, for --what sort, the sort key): "
@@ -228,6 +230,10 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--min-doc-count", type=int, default=0,
                    help="histogram bucket floor; 0 (ES default) "
                         "gap-fills empty buckets")
+    a.add_argument("--ranges", default=None, metavar="FROM:TO,..",
+                   help="range-agg buckets over --metric, "
+                        "from-inclusive/to-exclusive, '*' = open "
+                        "(e.g. '*:200,150:400,400:*')")
     a.add_argument("--filter", default=None, metavar="SQL")
     a.add_argument("--org", default=None)
     a.add_argument("--field", default=None)
@@ -629,6 +635,11 @@ def main(argv: list[str] | None = None) -> int:
                     p.error(f"--what {args.what} requires --metric "
                             "(the bucketed column/expression) and "
                             "--interval")
+            if args.what == "range" and not (args.metric
+                                             and args.ranges):
+                p.error("--what range requires --metric and --ranges")
+            if args.what == "missing" and not args.metric:
+                p.error("--what missing requires --metric")
             if args.what == "count":
                 print(json.dumps({"count": idx.count(args.q, **kw)}))
                 return 0
@@ -656,6 +667,26 @@ def main(argv: list[str] | None = None) -> int:
                     args.q, metric=args.metric, percentiles=ps,
                     by=args.by, k=args.k, exact=not args.approx,
                     accuracy=args.accuracy, **kw)
+            elif args.what == "missing":
+                n = idx.facet_missing(args.q, by=args.metric, **kw)
+                print(json.dumps({"missing": n}))
+                return 0
+            elif args.what == "range":
+                rng = []
+                for part in args.ranges.split(","):
+                    part = part.strip()
+                    if not part:
+                        continue
+                    fr, sep, to = part.partition(":")
+                    if not sep:
+                        p.error("--ranges expects FROM:TO pairs "
+                                "('*' = open)")
+                    rng.append((None if fr.strip() == "*"
+                                else float(fr),
+                                None if to.strip() == "*"
+                                else float(to)))
+                out = idx.facet_range(args.q, on=args.metric,
+                                      ranges=rng, **kw)
             elif args.what == "histogram":
                 out = idx.facet_histogram(
                     args.q, on=args.metric,

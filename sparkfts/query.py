@@ -3443,6 +3443,92 @@ class FTSIndex:
                     .orderBy("bucket"))
         return self._gapfill_hist(counts, interval)
 
+    @staticmethod
+    def _range_case(on: str, ranges) -> tuple[str, list[str]]:
+        """(CASE expression, ordered keys) for the ES range agg:
+        each (from_, to_) bucket is from-INCLUSIVE / to-EXCLUSIVE
+        (the ES contract), None = open end; keys are the ES
+        '<from>-<to>' / '*-<to>' / '<from>-*' labels, emitted in the
+        caller's order. Overlapping ranges are legal in ES (a doc can
+        land in several buckets) — legal here too, via one CASE arm
+        per bucket unioned by the caller."""
+        keys, whens = [], []
+        for fr, to in ranges:
+            if fr is None and to is None:
+                raise ValueError("range bucket needs from or to")
+            key = (("*" if fr is None else f"{float(fr):g}") + "-"
+                   + ("*" if to is None else f"{float(to):g}"))
+            conds = []
+            if fr is not None:
+                conds.append(f"({on}) >= {float(fr)!r}")
+            if to is not None:
+                conds.append(f"({on}) < {float(to)!r}")
+            whens.append((key, " AND ".join(conds)))
+            keys.append(key)
+        if len(set(keys)) != len(keys):
+            raise ValueError(f"duplicate range keys: {keys}")
+        return whens, keys
+
+    def facet_range(self, query: str, on: str,
+                    ranges, mode: str = "and",
+                    field: str | None = None, org: str | None = None,
+                    filter: str | Column | None = None) -> DataFrame:
+        """Range aggregation — the ES ``range`` agg under a bool
+        query: explicit (from, to) buckets over the numeric docstore
+        column or SQL expression ``on``, from-INCLUSIVE /
+        to-EXCLUSIVE, ``None`` = open end. Returns (key string,
+        doc_count long) in the CALLER'S bucket order, one row per
+        requested bucket (empty buckets count 0 — the ES contract).
+        Buckets may overlap (a doc counts in each bucket it falls
+        in); NULL metric values count nowhere.
+
+        Scale shape: ONE facet partial-agg pass. Each doc's bucket
+        memberships encode as a '|'-joined COMPOSITE key (one CASE
+        arm per bucket, concat_ws skips misses; no-bucket docs go
+        NULL and are uncounted by the kernel); the composite counts
+        explode back into member keys AFTER aggregation — bucket-
+        scale work, docs never shuffle, overlap costs nothing."""
+        ranges = list(ranges)
+        whens, keys = self._range_case(on, ranges)
+        comp = ("nullif(concat_ws('|', " + ", ".join(
+            f"CASE WHEN {cond} THEN '{key}' END"
+            for key, cond in whens) + "), '')")
+        out = self._facet_partials(query, comp, mode, field, org,
+                                   filter)
+        empty = self.spark.createDataFrame(
+            [], "key string, doc_count long")
+        if out is None:
+            out = empty.withColumnRenamed("key", "value")
+        per_key = (out
+                   .select(F.explode(F.split("value", "[|]"))
+                           .alias("key"), "doc_count")
+                   .groupBy("key")
+                   .agg(F.sum("doc_count").alias("doc_count")))
+        grid = self.spark.createDataFrame(
+            [(k, i) for i, k in enumerate(keys)],
+            "key string, ord int")
+        return (grid.join(per_key, "key", "left")
+                .select("key", F.coalesce("doc_count", F.lit(0))
+                        .alias("doc_count"), "ord")
+                .orderBy("ord").drop("ord"))
+
+    def facet_missing(self, query: str, by: str, mode: str = "and",
+                      field: str | None = None,
+                      org: str | None = None,
+                      filter: str | Column | None = None) -> int:
+        """Missing aggregation — the ES ``missing`` agg: the number
+        of matched docs whose ``by`` value is NULL. One facet
+        partial-agg pass bucketing on IS NULL; returns an int."""
+        out = self._facet_partials(
+            query, f"CASE WHEN ({by}) IS NULL THEN 'm' END",
+            mode, field, org, filter)
+        if out is None:
+            return 0
+        # the kernel drops NULL bucket values, so only the 'm' bucket
+        # (by IS NULL) survives — its count is the answer
+        rows = out.collect()
+        return int(rows[0]["doc_count"]) if rows else 0
+
     _DH_STEP = {"year": "interval 1 year",
                 "quarter": "interval 3 month",
                 "month": "interval 1 month",

@@ -1434,6 +1434,51 @@ class CombinedIndex:
                     .orderBy("bucket"))
         return _FI._gapfill_hist(counts, interval)
 
+    def facet_range(self, query: str, on: str, ranges,
+                    mode: str = "and", field: str | None = None,
+                    org: str | None = None, filter=None) -> DataFrame:
+        """Range agg over base + deltas in ONE job — the streaming
+        twin of FTSIndex.facet_range (same contract: from-inclusive /
+        to-exclusive explicit buckets, caller's order, empty buckets
+        at 0, overlap legal, composite-key single pass)."""
+        from .query import FTSIndex as _FI
+        ranges = list(ranges)
+        whens, keys = _FI._range_case(on, ranges)
+        comp = ("nullif(concat_ws('|', " + ", ".join(
+            f"CASE WHEN {cond} THEN '{key}' END"
+            for key, cond in whens) + "), '')")
+        out = self._facet_partials(query, comp, mode, field, org,
+                                   filter)
+        empty = self.spark.createDataFrame(
+            [], "key string, doc_count long")
+        if out is None:
+            out = empty.withColumnRenamed("key", "value")
+        per_key = (out
+                   .select(F.explode(F.split("value", "[|]"))
+                           .alias("key"), "doc_count")
+                   .groupBy("key")
+                   .agg(F.sum("doc_count").alias("doc_count")))
+        grid = self.spark.createDataFrame(
+            [(k, i) for i, k in enumerate(keys)],
+            "key string, ord int")
+        return (grid.join(per_key, "key", "left")
+                .select("key", F.coalesce("doc_count", F.lit(0))
+                        .alias("doc_count"), "ord")
+                .orderBy("ord").drop("ord"))
+
+    def facet_missing(self, query: str, by: str, mode: str = "and",
+                      field: str | None = None,
+                      org: str | None = None, filter=None) -> int:
+        """Missing agg over base + deltas (FTSIndex.facet_missing
+        contract): matched docs whose ``by`` is NULL."""
+        out = self._facet_partials(
+            query, f"CASE WHEN ({by}) IS NULL THEN 'm' END",
+            mode, field, org, filter)
+        if out is None:
+            return 0
+        rows = out.collect()
+        return int(rows[0]["doc_count"]) if rows else 0
+
     def facet_date_histogram(self, query: str, on: str,
                              interval: str = "day", mode: str = "and",
                              field: str | None = None,
