@@ -215,6 +215,7 @@ def routed(spark, tmp_path_factory, corpus):
     return FTSIndex(spark, root)
 
 
+@pytest.mark.slow
 def test_must_composes_with_org(routed, corpus):
     store = routed._docstore.toPandas()
     toksets = store.assign(
@@ -229,6 +230,7 @@ def test_must_composes_with_org(routed, corpus):
     _check(loc, want, "routed local")
 
 
+@pytest.mark.slow
 def test_combined_must_with_tombstones(spark, tmp_path_factory):
     """must rides base+delta generations; deletes (in-kernel excl)
     and the required-set qualification both apply."""

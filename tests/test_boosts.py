@@ -148,6 +148,7 @@ def test_boost_errors(idx):
         idx.topk_local(Q, k=5, boosts={"zebra": 2.0})
 
 
+@pytest.mark.slow
 def test_combined_boosts(spark, tmp_path_factory):
     from sparkfts.streaming import CombinedIndex, make_batch_indexer
     cfg = BuildConfig(num_shards=2, partitions=2)

@@ -174,6 +174,7 @@ def test_histogram_errors(idx):
                                  interval="fortnight")
 
 
+@pytest.mark.slow
 def test_combined_histograms_with_tombstones(spark, tmp_path_factory):
     """CombinedIndex twins: union-global counts across base + delta,
     deleted docs leave every bucket."""

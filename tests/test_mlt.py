@@ -119,6 +119,7 @@ def test_mlt_errors(idx):
         idx.more_like_this(0, filter="role = 'user'", local=True)
 
 
+@pytest.mark.slow
 def test_combined_mlt(spark, tmp_path_factory):
     from sparkfts.streaming import CombinedIndex, make_batch_indexer
     cfg = BuildConfig(num_shards=2, partitions=2)

@@ -109,6 +109,7 @@ def test_missing_matches_recount(idx, store):
                              filter="role = 'user'") == flt
 
 
+@pytest.mark.slow
 def test_combined_range_missing_with_tombstones(spark,
                                                 tmp_path_factory):
     import glob as _glob

@@ -144,6 +144,7 @@ def test_slop_composes_with_filter_and_errors(idx, store):
     idx.phrase_topk_local("alpha alpha", slop=0)
 
 
+@pytest.mark.slow
 def test_combined_sloppy_with_tombstones(spark, tmp_path_factory):
     import glob as _glob
     import os as _os

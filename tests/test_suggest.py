@@ -106,6 +106,7 @@ def test_suggest_multi_token_and_filters(idx, dfs):
         idx.suggest("alhpa", suggest_mode="popular")
 
 
+@pytest.mark.slow
 def test_combined_suggest_sums_dfs(spark, tmp_path_factory):
     from sparkfts.streaming import CombinedIndex, make_batch_indexer
     cfg = BuildConfig(num_shards=2, partitions=2)
