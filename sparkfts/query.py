@@ -588,7 +588,8 @@ def score_query_set(pdf: pd.DataFrame, cand, qterms: dict[str, list[str]],
                     method: str, rng: tuple[int, int] | None = None,
                     excl: np.ndarray | None = None,
                     min_hits: int | None = None,
-                    after: dict | None = None) -> pd.DataFrame:
+                    after: dict | None = None,
+                    reqs: dict | None = None) -> pd.DataFrame:
     """Score a whole query SET against one shard's dictionary rows in
     one pass (shared by FTSIndex.topk_many and CombinedIndex.topk_many).
     ``cand`` (sorted unique docids) or ``rng`` ([lo, hi] interval — the
@@ -596,7 +597,10 @@ def score_query_set(pdf: pd.DataFrame, cand, qterms: dict[str, list[str]],
     neither = unrestricted. ``excl`` (sorted tombstoned docids) is
     excluded in-kernel before each query's top-k truncation. ``after``
     maps qid → (score, docid) pagination cursor (r7): that query's
-    results rank strictly after it, same contract as topk(after=)."""
+    results rank strictly after it, same contract as topk(after=).
+    ``reqs`` maps qid → required-term frozenset (batch bool
+    must+should, r7): that query's docs must match all of them, same
+    contract as topk(must=)."""
     outs = []
     for qid, terms in qterms.items():
         if not terms:
@@ -606,20 +610,22 @@ def score_query_set(pdf: pd.DataFrame, cand, qterms: dict[str, list[str]],
             continue
         mh = min_hits if modes[qid] == "or" else None
         af = after.get(qid) if after else None
+        rq = reqs.get(qid) if reqs else None
         if rng is not None:
             out = score_range_pt(sub, rng[0], rng[1], idf, avgdl, k1, b,
                                  k, modes[qid], len(terms), excl=excl,
-                                 min_hits=mh, after=af)
+                                 min_hits=mh, after=af, req_terms=rq)
         elif cand is None:
             out = score_shard(sub, idf, avgdl, k1, b, k,
                               modes[qid], len(terms), method, excl=excl,
-                              min_hits=mh, after=af)
+                              min_hits=mh, after=af, req_terms=rq)
         else:
             pt = {t: sub[sub["term"] == t]
                   for t in sorted(sub["term"].unique())}
             out = _score_candidates(pt, list(pt), cand, idf, avgdl,
                                     k1, b, k, modes[qid], len(terms),
-                                    excl=excl, min_hits=mh, after=af)
+                                    excl=excl, min_hits=mh, after=af,
+                                    req_terms=rq)
         outs.append(out.assign(qid=qid))
     if not outs:
         return _QSET_EMPTY
@@ -2544,7 +2550,9 @@ class FTSIndex:
                   org: str | None = None,
                   filter: str | Column | None = None,
                   min_should_match: int | None = None,
-                  after: dict[str, tuple[float, int]] | None = None
+                  after: dict[str, tuple[float, int]] | None = None,
+                  must: str | None = None,
+                  boosts: dict[str, float] | None = None
                   ) -> dict[str, pd.DataFrame]:
         """Batched top-k: score MANY queries in ONE Spark job — the
         fixed per-job latency (~1-2s at small scale) is paid once for
@@ -2561,30 +2569,48 @@ class FTSIndex:
         ``after`` (r7) maps qid → (score, docid) pagination cursor:
         that query's page ranks strictly after it (same contract as
         topk(after=); queries absent from the dict start at page 1) —
-        batch deep-exports page WITHOUT re-ranking from page 1."""
+        batch deep-exports page WITHOUT re-ranking from page 1.
+
+        ``must`` / ``boosts`` (r7) apply to the WHOLE batch (the
+        common export shape: one mandatory term / weighting across a
+        query set): each query gains the must terms as REQUIRED
+        (topk(must=) contract — every query must be mode='or'), and
+        boosts scale the shared per-term idf so every query's use of
+        a boosted term scales identically (topk(boosts=) contract;
+        keys must appear in the batch's term union)."""
         prefix, avgdl = self._field(field)
         if after is not None:
             after = {qid: (float(s), int(d))
                      for qid, (s, d) in after.items()}
         qterms = {qid: self._terms(q, prefix)
                   for qid, (q, _) in queries.items()}
+        modes = {qid: m for qid, (_, m) in queries.items()}
+        mh = (None if min_should_match is None
+              else _check_msm(min_should_match, "or"))
+        reqs = None
+        if must:
+            req_list = self._terms(must, prefix)
+            reqs = {}
+            for qid in list(qterms):
+                t2, m2, rq = _fold_must(req_list, must, qterms[qid],
+                                        modes[qid], mh)
+                qterms[qid], modes[qid], reqs[qid] = t2, m2, rq
         all_terms = sorted({t for ts in qterms.values() for t in ts})
         if not all_terms:
             return {qid: pd.DataFrame({"docid": pd.Series(dtype="int64"),
                                        "score": pd.Series(dtype="float64")})
                     for qid in queries}
-        idf = self._idf_map(all_terms, N=self._fieldN(field))
+        idf = _apply_boosts(
+            self._idf_map(all_terms, N=self._fieldN(field)),
+            boosts, all_terms, self.tokenizer, prefix)
         k1, b = self.k1, self.b
-        modes = {qid: m for qid, (_, m) in queries.items()}
-        mh = (None if min_should_match is None
-              else _check_msm(min_should_match, "or"))
         out_schema = "qid string, docid long, score double"
 
         def _score_queries(pdf: pd.DataFrame,
                            cand: np.ndarray | None) -> pd.DataFrame:
             return score_query_set(pdf, cand, qterms, modes, idf, avgdl,
                                    k1, b, k, method, min_hits=mh,
-                                   after=after)
+                                   after=after, reqs=reqs)
 
         if filter is not None:
             # bool-filter batch: matching (shard, docid) cogroup in —
@@ -2621,7 +2647,8 @@ class FTSIndex:
                         return score_query_set(pdf, None, qterms, modes,
                                                idf, avgdl, k1, b, k,
                                                method, rng=rng,
-                                               min_hits=mh, after=after)
+                                               min_hits=mh, after=after,
+                                               reqs=reqs)
 
                     tops = (rows.groupBy("shard")
                             .applyInPandas(per_shard_rng,

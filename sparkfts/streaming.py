@@ -2026,7 +2026,9 @@ class CombinedIndex:
                   method: str = "wand", field: str | None = None,
                   org: str | None = None, filter=None,
                   min_should_match: int | None = None,
-                  after: dict[str, tuple[float, int]] | None = None
+                  after: dict[str, tuple[float, int]] | None = None,
+                  must: str | None = None,
+                  boosts: dict[str, float] | None = None
                   ) -> dict[str, pd.DataFrame]:
         """Batched base+delta top-k: the WHOLE query set in ONE Spark
         job over the unioned dictionaries (the streaming analog of
@@ -2036,10 +2038,12 @@ class CombinedIndex:
         matching docids cogroup in per (generation, shard), stats stay
         union-global (r6). ``after`` maps qid → (score, docid)
         pagination cursor, per-query, same contract as topk(after=)
-        (r7)."""
+        (r7). ``must``/``boosts`` apply to the WHOLE batch
+        (FTSIndex.topk_many contract)."""
         import numpy as np
         from .analyzer import tokenize_text
-        from .query import _QSET_EMPTY, score_query_set
+        from .query import (_QSET_EMPTY, score_query_set, _check_msm,
+                            _fold_must, _apply_boosts)
         if after is not None:
             after = {qid: (float(sc), int(d))
                      for qid, (sc, d) in after.items()}
@@ -2048,18 +2052,27 @@ class CombinedIndex:
         qterms = {qid: sorted({prefix + t for t in
                                tokenize_text(q, self.tokenizer)})
                   for qid, (q, _) in queries.items()}
+        modes = {qid: m for qid, (_, m) in queries.items()}
+        mh = (None if min_should_match is None
+              else _check_msm(min_should_match, "or"))
+        reqs = None
+        if must:
+            req_list = sorted({prefix + t for t in
+                               tokenize_text(must, self.tokenizer)})
+            reqs = {}
+            for qid in list(qterms):
+                t2, m2, rq = _fold_must(req_list, must, qterms[qid],
+                                        modes[qid], mh)
+                qterms[qid], modes[qid], reqs[qid] = t2, m2, rq
         all_terms = sorted({t for ts in qterms.values() for t in ts})
         if not all_terms:
             return {qid: pd.DataFrame({"docid": pd.Series(dtype="int64"),
                                        "score": pd.Series(dtype="float64")})
                     for qid in queries}
-        idf = self._idf(all_terms, N=self._fieldN(field))
-        modes = {qid: m for qid, (_, m) in queries.items()}
+        idf = _apply_boosts(self._idf(all_terms, N=self._fieldN(field)),
+                            boosts, all_terms, self.tokenizer, prefix)
         k1, b = self.k1, self.b
         excl = self._excl()
-        from .query import _check_msm
-        mh = (None if min_should_match is None
-              else _check_msm(min_should_match, "or"))
         out_schema = "qid string, docid long, score double"
 
         if filter is not None:
@@ -2081,7 +2094,7 @@ class CombinedIndex:
                 return score_query_set(lpdf, cand, qterms, modes, idf,
                                        avgdl, k1, b, k, method,
                                        excl=excl, min_hits=mh,
-                                       after=after)
+                                       after=after, reqs=reqs)
 
             tops = (self._union(mk_rows).groupBy("sub", "shard")
                     .cogroup(self._union(
@@ -2102,7 +2115,8 @@ class CombinedIndex:
                                                idf, avgdl, k1, b, k,
                                                method, rng=rngmap[key],
                                                excl=excl, min_hits=mh,
-                                               after=after)
+                                               after=after,
+                                               reqs=reqs)
 
                     tops = (rows.groupBy("sub", "shard")
                             .applyInPandas(per_group_rng,
@@ -2118,7 +2132,7 @@ class CombinedIndex:
                     return score_query_set(lpdf, cand, qterms, modes,
                                            idf, avgdl, k1, b, k, method,
                                            excl=excl, min_hits=mh,
-                                           after=after)
+                                           after=after, reqs=reqs)
 
                 tops = (rows.groupBy("sub", "shard")
                         .cogroup(parts.groupBy("sub", "shard"))
@@ -2129,7 +2143,7 @@ class CombinedIndex:
                 return score_query_set(pdf, None, qterms, modes, idf,
                                        avgdl, k1, b, k, method,
                                        excl=excl, min_hits=mh,
-                                       after=after)
+                                       after=after, reqs=reqs)
 
             tops = (self._union(lambda s: s._posting_rows(all_terms))
                     .groupBy("sub", "shard")

@@ -273,3 +273,42 @@ def test_combined_must_with_tombstones(spark, tmp_path_factory):
         for f in glob.glob(os.path.join(_tombstone_dir(ci.base_root),
                                         "*")):
             os.remove(f)
+
+
+def test_topk_many_batch_must(idx):
+    """Batch-global must: each topk_many result equals the per-query
+    topk(must=) call, including a degenerate all-must query."""
+    queries = {"a": (SHOULD, "or"), "b": ("golf hotel", "or"),
+               "c": (MUST, "or")}     # c degenerates to pure AND
+    many = idx.topk_many(queries, k=6, must=MUST)
+    for qid, (q, m) in queries.items():
+        want = idx.topk_pandas(q, k=6, mode=m, must=MUST)
+        assert many[qid]["docid"].tolist() == \
+            want["docid"].tolist(), qid
+        np.testing.assert_allclose(many[qid]["score"], want["score"],
+                                   atol=1e-9)
+    with pytest.raises(ValueError, match="mode='or'"):
+        idx.topk_many({"x": (SHOULD, "and")}, k=5, must=MUST)
+
+
+@pytest.mark.slow
+def test_combined_topk_many_batch_must(spark, tmp_path_factory):
+    from sparkfts.streaming import CombinedIndex, make_batch_indexer
+    cfg = BuildConfig(num_shards=2, partitions=2)
+    root = str(tmp_path_factory.mktemp("must_many"))
+    build_index(spark,
+                spark.createDataFrame(make_transcripts(12, seed=SEED)),
+                root, order_cols=["conv_id", "turn_idx"], cfg=cfg)
+    indexer = make_batch_indexer(root, cfg=cfg,
+                                 order_cols=["conv_id", "turn_idx"])
+    indexer(spark.createDataFrame(make_transcripts(4, seed=SEED + 1)),
+            batch_id=0)
+    ci = CombinedIndex(spark, root)
+    queries = {"a": (SHOULD, "or"), "b": ("golf hotel", "or")}
+    many = ci.topk_many(queries, k=6, must=MUST)
+    for qid, (q, m) in queries.items():
+        want = ci.topk(q, k=6, mode=m, must=MUST)
+        assert many[qid]["docid"].tolist() == \
+            want["docid"].tolist(), qid
+        np.testing.assert_allclose(many[qid]["score"], want["score"],
+                                   atol=1e-9)

@@ -174,3 +174,25 @@ def test_combined_boosts(spark, tmp_path_factory):
     _check(ci.topk_local("alpha window", k=8, boosts=w), want, "local")
     sl = ci.search_local("alpha window", k=8, boosts=w)
     _check(sl[["docid", "score"]], want, "search_local")
+
+
+def test_topk_many_batch_boosts(idx):
+    """Batch-global boosts scale the SHARED idf map: each topk_many
+    result equals the per-query topk(boosts=) restricted to the
+    query's own boosted terms."""
+    queries = {"a": ("alpha window", "or"),
+               "b": ("alpha query", "and"),
+               "c": ("window", "or")}
+    many = idx.topk_many(queries, k=6, boosts={"alpha": 2.0,
+                                               "window": 0.5})
+    per_q_boosts = {"a": {"alpha": 2.0, "window": 0.5},
+                    "b": {"alpha": 2.0}, "c": {"window": 0.5}}
+    for qid, (q, m) in queries.items():
+        want = idx.topk_pandas(q, k=6, mode=m,
+                               boosts=per_q_boosts[qid])
+        assert many[qid]["docid"].tolist() == \
+            want["docid"].tolist(), qid
+        np.testing.assert_allclose(many[qid]["score"], want["score"],
+                                   atol=1e-9)
+    with pytest.raises(ValueError, match="not a query term"):
+        idx.topk_many(queries, k=5, boosts={"zebra": 2.0})
