@@ -797,6 +797,19 @@ def q_facet_counts(spark, sf_dir):
     legs.append(spark.createDataFrame(
         [("missing_short", "m", "doc_count", float(miss))],
         "facet string, value string, stat string, v_r double"))
+    # r7: ES nested terms agg (terms-under-terms) — top-3 langs,
+    # top-2 sources each; outer totals + inner splits value-checked
+    nst = idx.facet_nested(f"{T_HOT} {T_MID}", by="lang",
+                           sub="source", k=3, k_sub=2, mode="and")
+    legs.append(nst.select(
+        F.lit("nested_ls").alias("facet"),
+        F.concat_ws("/", "value", "sub_value").alias("value"),
+        F.lit("sub_count").alias("stat"),
+        F.col("sub_count").cast("double").alias("v_r")))
+    legs.append(nst.select("value", "doc_count").distinct().select(
+        F.lit("nested_ls").alias("facet"), "value",
+        F.lit("doc_count").alias("stat"),
+        F.col("doc_count").cast("double").alias("v_r")))
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
@@ -2637,7 +2650,32 @@ def _facet_counts_sql() -> str:
           SELECT 'missing_short' AS facet, 'm' AS value,
                  'doc_count' AS stat, count(*)::DOUBLE AS v_r
           FROM m_one m JOIN documents d USING (doc_id)
-          WHERE d.n_chars < 200)
+          WHERE d.n_chars < 200),
+        nest_tot AS (
+          SELECT d.lang AS v, count(*) AS dc
+          FROM m_and m JOIN documents d USING (doc_id)
+          WHERE d.lang IS NOT NULL GROUP BY 1),
+        nest_p AS (
+          SELECT d.lang AS v, d.source AS s, count(*) AS c
+          FROM m_and m JOIN documents d USING (doc_id)
+          WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+          GROUP BY 1, 2),
+        nest_o AS (
+          SELECT v, dc, row_number() OVER (ORDER BY dc DESC, v ASC)
+                     AS orank
+          FROM nest_tot),
+        nest_i AS (
+          SELECT v, s, c, row_number() OVER (
+                     PARTITION BY v ORDER BY c DESC, s ASC) AS irank
+          FROM nest_p),
+        nest_rows AS (
+          SELECT 'nested_ls' AS facet, o.v || '/' || i.s AS value,
+                 'sub_count' AS stat, i.c::DOUBLE AS v_r
+          FROM nest_o o JOIN nest_i i USING (v)
+          WHERE o.orank <= 3 AND i.irank <= 2
+          UNION ALL
+          SELECT 'nested_ls', o.v, 'doc_count', o.dc::DOUBLE
+          FROM nest_o o WHERE o.orank <= 3)
         SELECT * FROM lang_and
         UNION ALL
         SELECT * FROM source_or_flt
@@ -2660,6 +2698,8 @@ def _facet_counts_sql() -> str:
         SELECT * FROM range_rows
         UNION ALL
         SELECT * FROM miss_rows
+        UNION ALL
+        SELECT * FROM nest_rows
         ORDER BY facet, value, stat"""
 
 

@@ -192,7 +192,7 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["count", "sort", "counts", "stats",
                             "percentiles", "cardinality", "top-hits",
                             "histogram", "date-histogram", "range",
-                            "missing"],
+                            "missing", "nested"],
                    help="count = ES _count; sort = sort-by-field "
                         "search (no scoring); counts/stats/"
                         "percentiles/cardinality/top-hits/histogram/"
@@ -230,6 +230,10 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--min-doc-count", type=int, default=0,
                    help="histogram bucket floor; 0 (ES default) "
                         "gap-fills empty buckets")
+    a.add_argument("--sub-by", default=None, metavar="EXPR",
+                   help="inner bucket for --what nested (ES "
+                        "terms-under-terms); --k-hits caps inner "
+                        "buckets")
     a.add_argument("--ranges", default=None, metavar="FROM:TO,..",
                    help="range-agg buckets over --metric, "
                         "from-inclusive/to-exclusive, '*' = open "
@@ -640,6 +644,9 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("--what range requires --metric and --ranges")
             if args.what == "missing" and not args.metric:
                 p.error("--what missing requires --metric")
+            if args.what == "nested" and not (args.by
+                                              and args.sub_by):
+                p.error("--what nested requires --by and --sub-by")
             if args.what == "count":
                 print(json.dumps({"count": idx.count(args.q, **kw)}))
                 return 0
@@ -667,6 +674,10 @@ def main(argv: list[str] | None = None) -> int:
                     args.q, metric=args.metric, percentiles=ps,
                     by=args.by, k=args.k, exact=not args.approx,
                     accuracy=args.accuracy, **kw)
+            elif args.what == "nested":
+                out = idx.facet_nested(args.q, by=args.by,
+                                       sub=args.sub_by, k=args.k,
+                                       k_sub=args.k_hits, **kw)
             elif args.what == "missing":
                 n = idx.facet_missing(args.q, by=args.metric, **kw)
                 print(json.dumps({"missing": n}))

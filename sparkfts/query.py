@@ -3539,6 +3539,74 @@ class FTSIndex:
                         .alias("doc_count"), "ord")
                 .orderBy("ord").drop("ord"))
 
+    def facet_nested(self, query: str, by: str, sub: str,
+                     k: int = 10, k_sub: int = 10, mode: str = "and",
+                     field: str | None = None, org: str | None = None,
+                     filter: str | Column | None = None) -> DataFrame:
+        """Nested terms aggregation — the ES terms-agg with a terms
+        SUB-aggregation (`aggs: {terms: {field: by}, aggs: {terms:
+        {field: sub}}}`): top-``k`` outer buckets by doc_count
+        (count desc, value asc — the ES order), and inside each the
+        top-``k_sub`` inner values. Outer doc_count counts EVERY doc
+        in the bucket (docs with a NULL inner value included — the ES
+        contract); inner buckets only non-NULL sub values. Returns
+        one row per (outer, inner) pair:
+        (value, doc_count, sub_value, sub_count), ordered by outer
+        rank then inner rank; an outer bucket whose docs all have
+        NULL inner emits one row with NULL sub_value / sub_count 0.
+
+        Scale shape: ONE facet partial-agg pass bucketing by the
+        (outer, inner) composite (U+001F-joined; values containing
+        that control char are unsupported) — sub-bucket splitting,
+        outer totals, and both top-k windows run on BUCKET-scale rows
+        after the combining shuffle. Docs never shuffle."""
+        from pyspark.sql.window import Window
+        SEP, NULLMARK = "\x1f", "\x00"
+        comp = (f"CASE WHEN ({by}) IS NOT NULL THEN "
+                f"concat(CAST(({by}) AS STRING), '{SEP}', "
+                f"coalesce(CAST(({sub}) AS STRING), '{NULLMARK}')) "
+                f"END")
+        out = self._facet_partials(query, comp, mode, field, org,
+                                   filter)
+        if out is None:
+            return self.spark.createDataFrame(
+                [], "value string, doc_count long, sub_value string, "
+                    "sub_count long")
+        return self._nested_post(out, k, k_sub)
+
+    @staticmethod
+    def _nested_post(out: DataFrame, k: int, k_sub: int) -> DataFrame:
+        """Bucket-scale post-work of facet_nested (shared with the
+        CombinedIndex twin): split the composite, outer totals via a
+        partition window, both top-k windows, ES ordering."""
+        from pyspark.sql.window import Window
+        SEP, NULLMARK = "\x1f", "\x00"
+        pairs = out.select(
+            F.split_part("value", F.lit(SEP), F.lit(1)).alias("value"),
+            F.nullif(F.split_part("value", F.lit(SEP), F.lit(2)),
+                     F.lit(NULLMARK)).alias("sub_value"),
+            F.col("doc_count").alias("pc"))
+        wo = Window.partitionBy("value")
+        outer = (pairs
+                 .withColumn("doc_count", F.sum("pc").over(wo))
+                 .withColumn("sub_count",
+                             F.when(F.col("sub_value").isNotNull(),
+                                    F.col("pc")).otherwise(F.lit(0))))
+        ro = Window.orderBy(F.desc("doc_count"), F.asc("value"))
+        ri = Window.partitionBy("value").orderBy(
+            F.desc("sub_count"), F.asc_nulls_last("sub_value"))
+        ranked = (outer
+                  .withColumn("irank", F.row_number().over(ri))
+                  .where((F.col("irank") <= k_sub)
+                         & (F.col("sub_value").isNotNull()
+                            | (F.col("irank") == 1)))
+                  .withColumn("orank", F.dense_rank().over(ro)))
+        return (ranked.where(F.col("orank") <= k)
+                .select("value", "doc_count", "sub_value", "sub_count")
+                .orderBy(F.desc("doc_count"), F.asc("value"),
+                         F.desc("sub_count"),
+                         F.asc_nulls_last("sub_value")))
+
     def facet_missing(self, query: str, by: str, mode: str = "and",
                       field: str | None = None,
                       org: str | None = None,

@@ -1466,6 +1466,29 @@ class CombinedIndex:
                         .alias("doc_count"), "ord")
                 .orderBy("ord").drop("ord"))
 
+    def facet_nested(self, query: str, by: str, sub: str,
+                     k: int = 10, k_sub: int = 10, mode: str = "and",
+                     field: str | None = None, org: str | None = None,
+                     filter=None) -> DataFrame:
+        """Nested terms agg over base + deltas in ONE job — the
+        streaming twin of FTSIndex.facet_nested (same contract:
+        outer doc_count includes NULL-inner docs, inner buckets
+        non-NULL only, ES count-desc/value-asc ordering; composite
+        partials combine across generations before the windows)."""
+        from .query import FTSIndex as _FI
+        SEP, NULLMARK = "\x1f", "\x00"
+        comp = (f"CASE WHEN ({by}) IS NOT NULL THEN "
+                f"concat(CAST(({by}) AS STRING), '{SEP}', "
+                f"coalesce(CAST(({sub}) AS STRING), '{NULLMARK}')) "
+                f"END")
+        out = self._facet_partials(query, comp, mode, field, org,
+                                   filter)
+        if out is None:
+            return self.spark.createDataFrame(
+                [], "value string, doc_count long, sub_value string, "
+                    "sub_count long")
+        return _FI._nested_post(out, k, k_sub)
+
     def facet_missing(self, query: str, by: str, mode: str = "and",
                       field: str | None = None,
                       org: str | None = None, filter=None) -> int:
