@@ -239,6 +239,7 @@ def test_cli_must_matches_library(root, capsys, spark):
               "--q", "re", "--kind", "prefix", "--must", "alpha"])
 
 
+@pytest.mark.slow
 def test_cli_boost_matches_library(root, capsys, spark):
     """--boost TERM=W scales clause weights like topk(boosts=)."""
     from sparkfts import FTSIndex
@@ -263,6 +264,7 @@ def test_cli_boost_matches_library(root, capsys, spark):
               "--q", "re", "--kind", "prefix", "--boost", "re=2"])
 
 
+@pytest.mark.slow
 def test_cli_histograms_match_library(root, capsys, spark):
     from sparkfts import FTSIndex
     idx = FTSIndex(spark, root)
@@ -288,6 +290,7 @@ def test_cli_histograms_match_library(root, capsys, spark):
               "--metric", "turn_idx"])
 
 
+@pytest.mark.slow
 def test_cli_phrase_slop_matches_library(root, capsys, spark):
     from sparkfts import FTSIndex
     idx = FTSIndex(spark, root)

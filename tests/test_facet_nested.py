@@ -144,6 +144,7 @@ def test_combined_nested(spark, tmp_path_factory):
     assert got_rows == want
 
 
+@pytest.mark.slow
 def test_cli_nested(idx, capsys, monkeypatch, spark):
     import json
     from sparkfts.cli import main

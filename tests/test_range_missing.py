@@ -147,6 +147,7 @@ def test_combined_range_missing_with_tombstones(spark,
             _os.remove(f)
 
 
+@pytest.mark.slow
 def test_cli_range_and_missing(idx, capsys, monkeypatch, spark):
     import json
     from sparkfts.cli import main

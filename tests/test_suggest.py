@@ -130,6 +130,7 @@ def test_combined_suggest_sums_dfs(spark, tmp_path_factory):
                 index=False)] == want
 
 
+@pytest.mark.slow
 def test_cli_suggest(idx, capsys, monkeypatch, spark):
     import json
     from sparkfts.cli import main
