@@ -797,6 +797,16 @@ def q_facet_counts(spark, sf_dir):
     legs.append(spark.createDataFrame(
         [("missing_short", "m", "doc_count", float(miss))],
         "facet string, value string, stat string, v_r double"))
+    # r7: ES filters agg — named OVERLAPPING predicate buckets in one
+    # pass (composite keys), caller's order, empty bucket at 0
+    fl = idx.facet_filters(T_MID, {"en": "lang = 'en'",
+                                   "long": "n_chars >= 300",
+                                   "nil": "n_chars < 0"}, mode="or")
+    legs.append(fl.select(
+        F.lit("filters_agg").alias("facet"),
+        F.col("key").alias("value"),
+        F.lit("doc_count").alias("stat"),
+        F.col("doc_count").cast("double").alias("v_r")))
     # r7: ES nested terms agg (terms-under-terms) — top-3 langs,
     # top-2 sources each; outer totals + inner splits value-checked
     nst = idx.facet_nested(f"{T_HOT} {T_MID}", by="lang",
@@ -2675,7 +2685,17 @@ def _facet_counts_sql() -> str:
           WHERE o.orank <= 3 AND i.irank <= 2
           UNION ALL
           SELECT 'nested_ls', o.v, 'doc_count', o.dc::DOUBLE
-          FROM nest_o o WHERE o.orank <= 3)
+          FROM nest_o o WHERE o.orank <= 3),
+        filt_rows AS (
+          SELECT 'filters_agg' AS facet, v.key AS value,
+                 'doc_count' AS stat,
+                 (SELECT count(*) FROM m_one m
+                  JOIN documents d USING (doc_id)
+                  WHERE (v.key = 'en' AND d.lang = 'en')
+                     OR (v.key = 'long' AND d.n_chars >= 300)
+                     OR (v.key = 'nil' AND d.n_chars < 0))::DOUBLE
+                     AS v_r
+          FROM (VALUES ('en'), ('long'), ('nil')) v(key))
         SELECT * FROM lang_and
         UNION ALL
         SELECT * FROM source_or_flt
@@ -2700,6 +2720,8 @@ def _facet_counts_sql() -> str:
         SELECT * FROM miss_rows
         UNION ALL
         SELECT * FROM nest_rows
+        UNION ALL
+        SELECT * FROM filt_rows
         ORDER BY facet, value, stat"""
 
 

@@ -3607,6 +3607,48 @@ class FTSIndex:
                          F.desc("sub_count"),
                          F.asc_nulls_last("sub_value")))
 
+    def facet_filters(self, query: str, filters: dict,
+                      mode: str = "and", field: str | None = None,
+                      org: str | None = None,
+                      filter: str | Column | None = None) -> DataFrame:
+        """Filters aggregation — the ES ``filters`` agg: one named
+        bucket per SQL predicate over docstore columns, counting the
+        matched docs satisfying it. Buckets may overlap (a doc counts
+        in every bucket whose predicate it satisfies); keys emit in
+        the CALLER'S order with empty buckets at 0 (the ES keyed
+        response). ``filter=`` still restricts the whole aggregation
+        (both compose). One facet pass via the same composite-key
+        encoding facet_range uses — overlap costs nothing, docs never
+        shuffle. Bucket names must not contain '|'."""
+        filters = dict(filters)
+        if not filters:
+            raise ValueError("filters agg needs at least one bucket")
+        bad = [k for k in filters if "|" in k]
+        if bad:
+            raise ValueError(f"bucket names must not contain '|': "
+                             f"{bad}")
+        comp = ("nullif(concat_ws('|', " + ", ".join(
+            f"CASE WHEN ({pred}) THEN '{key}' END"
+            for key, pred in filters.items()) + "), '')")
+        out = self._facet_partials(query, comp, mode, field, org,
+                                   filter)
+        empty = self.spark.createDataFrame(
+            [], "key string, doc_count long")
+        if out is None:
+            out = empty.withColumnRenamed("key", "value")
+        per_key = (out
+                   .select(F.explode(F.split("value", "[|]"))
+                           .alias("key"), "doc_count")
+                   .groupBy("key")
+                   .agg(F.sum("doc_count").alias("doc_count")))
+        grid = self.spark.createDataFrame(
+            [(k, i) for i, k in enumerate(filters)],
+            "key string, ord int")
+        return (grid.join(per_key, "key", "left")
+                .select("key", F.coalesce("doc_count", F.lit(0))
+                        .alias("doc_count"), "ord")
+                .orderBy("ord").drop("ord"))
+
     def facet_missing(self, query: str, by: str, mode: str = "and",
                       field: str | None = None,
                       org: str | None = None,

@@ -49,7 +49,7 @@ _FORWARDED = frozenset({
     "facet_percentiles", "facet_top_hits",
     "facet_histogram", "facet_date_histogram",
     "mlt_terms", "more_like_this", "suggest",
-    "facet_range", "facet_missing", "facet_nested",
+    "facet_range", "facet_missing", "facet_nested", "facet_filters",
 })
 
 

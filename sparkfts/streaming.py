@@ -1489,6 +1489,41 @@ class CombinedIndex:
                     "sub_count long")
         return _FI._nested_post(out, k, k_sub)
 
+    def facet_filters(self, query: str, filters: dict,
+                      mode: str = "and", field: str | None = None,
+                      org: str | None = None, filter=None) -> DataFrame:
+        """Filters agg over base + deltas in ONE job
+        (FTSIndex.facet_filters contract: named predicate buckets,
+        overlap legal, caller's order, empty buckets at 0)."""
+        filters = dict(filters)
+        if not filters:
+            raise ValueError("filters agg needs at least one bucket")
+        bad = [k for k in filters if "|" in k]
+        if bad:
+            raise ValueError(f"bucket names must not contain '|': "
+                             f"{bad}")
+        comp = ("nullif(concat_ws('|', " + ", ".join(
+            f"CASE WHEN ({pred}) THEN '{key}' END"
+            for key, pred in filters.items()) + "), '')")
+        out = self._facet_partials(query, comp, mode, field, org,
+                                   filter)
+        empty = self.spark.createDataFrame(
+            [], "key string, doc_count long")
+        if out is None:
+            out = empty.withColumnRenamed("key", "value")
+        per_key = (out
+                   .select(F.explode(F.split("value", "[|]"))
+                           .alias("key"), "doc_count")
+                   .groupBy("key")
+                   .agg(F.sum("doc_count").alias("doc_count")))
+        grid = self.spark.createDataFrame(
+            [(k, i) for i, k in enumerate(filters)],
+            "key string, ord int")
+        return (grid.join(per_key, "key", "left")
+                .select("key", F.coalesce("doc_count", F.lit(0))
+                        .alias("doc_count"), "ord")
+                .orderBy("ord").drop("ord"))
+
     def facet_missing(self, query: str, by: str, mode: str = "and",
                       field: str | None = None,
                       org: str | None = None, filter=None) -> int:

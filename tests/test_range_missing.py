@@ -177,3 +177,57 @@ def test_cli_range_and_missing(idx, capsys, monkeypatch, spark):
         main(["--master", "local[2]", "agg", "--index", idx.root,
               "--q", "alpha", "--what", "range", "--metric",
               "turn_idx"])
+
+
+FILTERS = {"users": "role = 'user'",
+           "late": "turn_idx >= 10",
+           "none": "turn_idx < 0"}
+
+
+def test_filters_agg_matches_recount(idx, store):
+    """ES filters agg: named overlapping predicate buckets, caller's
+    order, empty buckets at 0."""
+    q = "alpha"
+    m = _matching(idx, store, q, "or")
+    want = [("users", int((m["role"] == "user").sum())),
+            ("late", int((m["turn_idx"] >= 10).sum())),
+            ("none", 0)]
+    got = idx.facet_filters(q, FILTERS, mode="or").toPandas()
+    assert list(map(tuple, got.itertuples(index=False))) == want
+    # overlap: a user doc with turn_idx >= 10 counts in both
+    both = int(((m["role"] == "user") & (m["turn_idx"] >= 10)).sum())
+    assert both > 0                 # fixture sanity
+    # composes with filter= (conjunction)
+    got2 = idx.facet_filters(q, {"users": "role = 'user'"},
+                             mode="or",
+                             filter="turn_idx >= 10").toPandas()
+    assert got2["doc_count"].iloc[0] == both
+    with pytest.raises(ValueError, match="at least one"):
+        idx.facet_filters(q, {})
+    with pytest.raises(ValueError, match="must not contain"):
+        idx.facet_filters(q, {"a|b": "role = 'user'"})
+
+
+@pytest.mark.slow
+def test_combined_filters_agg(spark, tmp_path_factory):
+    from sparkfts.streaming import CombinedIndex, make_batch_indexer
+    cfg = BuildConfig(num_shards=2, partitions=2)
+    root = str(tmp_path_factory.mktemp("flt_comb"))
+    build_index(spark,
+                spark.createDataFrame(make_transcripts(10, seed=SEED)),
+                root, order_cols=["conv_id", "turn_idx"], cfg=cfg)
+    indexer = make_batch_indexer(root, cfg=cfg,
+                                 order_cols=["conv_id", "turn_idx"])
+    indexer(spark.createDataFrame(make_transcripts(4, seed=SEED + 1)),
+            batch_id=0)
+    ci = CombinedIndex(spark, root)
+    store = pd.concat([s._docstore.toPandas() for s in ci.subs],
+                      ignore_index=True)
+    toks = store["text"].map(
+        lambda t: set(tokenize_text(t, ci.tokenizer)))
+    m = store[toks.map(lambda s: "alpha" in s).values]
+    want = [("users", int((m["role"] == "user").sum())),
+            ("late", int((m["turn_idx"] >= 10).sum())),
+            ("none", 0)]
+    got = ci.facet_filters("alpha", FILTERS, mode="or").toPandas()
+    assert list(map(tuple, got.itertuples(index=False))) == want
