@@ -73,19 +73,33 @@ def _varint_encode_with_lengths(values: np.ndarray
     lengths = np.ones(n, dtype=np.int64)
     if n == 0:
         return b"", lengths
+    # posting data is overwhelmingly 1-byte varints (gaps/tfs/dls are
+    # small); compute per-value lengths and the multi-byte tail bytes
+    # only over the >=128 minority instead of 9 full-array threshold
+    # passes + maxlen full-array masked writes
+    big_mask = v >= np.uint64(128)
+    big = np.flatnonzero(big_mask)
+    if big.size == 0:
+        return v.astype(np.uint8).tobytes(), lengths
+    vb = v[big]
     for p in _POW128:
-        lengths += (v >= p).astype(np.int64)
+        lengths[big] += vb >= p
     starts = np.concatenate(([0], np.cumsum(lengths)))
     out = np.empty(int(starts[-1]), dtype=np.uint8)
-    maxlen = int(lengths.max())
-    tmp = v
-    for j in range(maxlen):
-        m = lengths > j
+    # first byte of every value (continuation bit for multi-byte ones)
+    out[starts[:-1]] = ((v & np.uint64(0x7F)).astype(np.uint8)
+                       | (big_mask.astype(np.uint8) << 7))
+    # remaining bytes: only the multi-byte minority
+    blens = lengths[big]
+    bstarts = starts[:-1][big]
+    maxlen = int(blens.max())
+    tmp = vb
+    for j in range(1, maxlen):
+        m = blens > j
+        tmp = tmp >> np.uint64(7)
         byte = (tmp[m] & np.uint64(0x7F)).astype(np.uint8)
-        cont = (lengths[m] > j + 1).astype(np.uint8) << 7
-        out[starts[:-1][m] + j] = byte | cont
-        if j + 1 < maxlen:
-            tmp = tmp >> np.uint64(7)
+        cont = (blens[m] > j + 1).astype(np.uint8) << 7
+        out[bstarts[m] + j] = byte | cont
     return out.tobytes(), lengths
 
 
@@ -294,9 +308,48 @@ def encode_postings_batch(docids: np.ndarray, tfs: np.ndarray,
     Returns one dict per segment with the same keys encode_postings
     yields, plus ``seg`` (its index).
     """
+    cols = encode_postings_batch_cols(docids, tfs, dls, positions,
+                                      pbounds, seg_starts, block=block)
+    if cols is None:
+        return []
+    out = []
+    mv = memoryview(cols["buf"])
+    byte0 = cols["seg_byte0"]
+    byte1 = cols["seg_byte1"]
+    b0a, b1a = cols["seg_blk0"], cols["seg_blk1"]
+    for si in range(cols["nseg"]):
+        b0, b1 = int(b0a[si]), int(b1a[si])
+        y0 = int(byte0[si])
+        out.append({
+            "seg": si,
+            "blob": bytes(mv[y0:int(byte1[si])]),
+            "df": int(cols["df"][si]),
+            "cf": int(cols["cf"][si]),
+            "block_first": cols["block_first"][b0:b1],
+            "block_last": cols["block_last"][b0:b1],
+            "block_off": cols["blk_byte_start"][b0:b1] - y0,
+            "block_n": cols["block_n"][b0:b1],
+            "block_max_tf": cols["block_max_tf"][b0:b1],
+            "block_min_dl": cols["block_min_dl"][b0:b1],
+        })
+    return out
+
+
+def encode_postings_batch_cols(docids: np.ndarray, tfs: np.ndarray,
+                               dls: np.ndarray, positions: np.ndarray,
+                               pbounds: np.ndarray,
+                               seg_starts: np.ndarray,
+                               block: int = BLOCK) -> dict | None:
+    """Columnar form of :func:`encode_postings_batch`: the same encode,
+    but the per-segment output stays as flat arrays + offsets (one
+    contiguous byte buffer, flat per-block metadata, per-segment
+    [byte0, byte1) and [blk0, blk1) ranges) so Arrow-native consumers
+    build the whole shard's dictionary rows with ZERO per-segment
+    Python — the per-seg dict/slice loop cost ~15% of the build kernel.
+    Returns None for empty input."""
     n = docids.shape[0]
     if n == 0:
-        return []
+        return None
     docids = np.ascontiguousarray(docids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
     dls = np.ascontiguousarray(dls, dtype=np.int64)
@@ -341,34 +394,28 @@ def encode_postings_batch(docids: np.ndarray, tfs: np.ndarray,
     blk_byte_start = vbyte[vb[:-1]]
     # per-block metadata
     blast = bfirst + n_g - 1
-    block_first = docids[bfirst]
-    block_last = docids[blast]
-    block_max_tf = np.maximum.reduceat(tfs, bfirst)
-    block_min_dl = np.minimum.reduceat(dls, bfirst)
     # segment → block ranges
     seg_blk_start = gblk[seg_starts]
     seg_blk_end = np.append(seg_blk_start[1:], nblk)
-    seg_cf = np.add.reduceat(tfs, seg_starts)
-    out = []
-    mv = memoryview(buf)
-    for si in range(nseg):
-        b0, b1 = int(seg_blk_start[si]), int(seg_blk_end[si])
-        byte0 = int(blk_byte_start[b0])
-        byte1 = (int(blk_byte_start[b1]) if b1 < nblk
-                 else int(vbyte[-1]))
-        out.append({
-            "seg": si,
-            "blob": bytes(mv[byte0:byte1]),
-            "df": int(seg_ends[si] - seg_starts[si]),
-            "cf": int(seg_cf[si]),
-            "block_first": block_first[b0:b1],
-            "block_last": block_last[b0:b1],
-            "block_off": blk_byte_start[b0:b1] - byte0,
-            "block_n": n_g[b0:b1].astype(np.int32),
-            "block_max_tf": block_max_tf[b0:b1],
-            "block_min_dl": block_min_dl[b0:b1],
-        })
-    return out
+    byte0 = blk_byte_start[seg_blk_start]
+    byte1 = np.append(blk_byte_start[seg_blk_start[1:]],
+                      int(vbyte[-1]))
+    return {
+        "nseg": nseg,
+        "buf": buf,
+        "df": seg_ends - seg_starts,
+        "cf": np.add.reduceat(tfs, seg_starts),
+        "seg_byte0": byte0,
+        "seg_byte1": byte1,
+        "seg_blk0": seg_blk_start,
+        "seg_blk1": seg_blk_end,
+        "blk_byte_start": blk_byte_start,
+        "block_first": docids[bfirst],
+        "block_last": docids[blast],
+        "block_n": n_g.astype(np.int32),
+        "block_max_tf": np.maximum.reduceat(tfs, bfirst),
+        "block_min_dl": np.minimum.reduceat(dls, bfirst),
+    }
 
 
 def decode_block(blob: bytes | np.ndarray, off: int, n: int,
@@ -399,18 +446,78 @@ def decode_block(blob: bytes | np.ndarray, off: int, n: int,
     return docids, tfs64, dls.astype(np.int64), pos
 
 
+def _vals_at(buf: np.ndarray, ends: np.ndarray,
+             sel: np.ndarray) -> np.ndarray:
+    """Decode the varints at value-indices ``sel`` given the blob's
+    terminator positions — one vectorized 7-bit pass per byte of the
+    longest selected varint (start/length derived from ``ends`` for
+    the selection only, no full-blob tables)."""
+    e = ends[sel]
+    st = np.empty(sel.shape[0], dtype=np.int64)
+    nz = sel > 0
+    st[~nz] = 0
+    st[nz] = ends[sel[nz] - 1] + 1
+    ln = e - st + 1
+    vals = np.zeros(sel.shape[0], dtype=np.uint64)
+    maxlen = int(ln.max()) if ln.size else 0
+    for j in range(maxlen):
+        m = ln > j
+        vals[m] |= ((buf[st[m] + j] & np.uint8(0x7F)).astype(np.uint64)
+                    << np.uint64(7 * j))
+    return vals
+
+
 def decode_postings(blob: bytes, block_off: np.ndarray, block_n: np.ndarray,
                     with_positions: bool = False):
     """Decode all blocks of a posting row → (docids, tfs, dls
-    [, positions])."""
-    buf = np.frombuffer(blob, dtype=np.uint8)
-    ends = varint_ends(buf)
-    parts = [decode_block(buf, int(o), int(n), with_positions, ends=ends)
-             for o, n in zip(block_off, block_n)]
-    if not parts:
+    [, positions]).
+
+    Vectorized over the WHOLE blob: one terminator scan locates every
+    varint, ``searchsorted(ends, block_off)`` maps each block to its
+    first value index (the sections are [gaps][tfs][dls][positions] per
+    block, so gap/tf/dl value indices are pure arithmetic from
+    block_n), and each section decodes in one multi-block gather — no
+    Python-level per-block loop. Byte-identical to per-block
+    decode_block (pinned by tests/test_codec.py)."""
+    nb_arr = np.ascontiguousarray(block_n, dtype=np.int64)
+    nblocks = nb_arr.shape[0]
+    n = int(nb_arr.sum())
+    if nblocks == 0 or n == 0:
         e = np.empty(0, dtype=np.int64)
         return ((e, e.copy(), e.copy(), e.copy()) if with_positions
                 else (e, e.copy(), e.copy()))
-    cols = 4 if with_positions else 3
-    return tuple(np.concatenate([p[j] for p in parts])
-                 for j in range(cols))
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    ends = varint_ends(buf)
+    offs = np.ascontiguousarray(block_off, dtype=np.int64)
+    i0 = np.searchsorted(ends, offs, side="left")   # value idx of block
+    bstart = np.concatenate(([0], np.cumsum(nb_arr)[:-1]))
+    # posting-major index arithmetic: for posting p in block g at local
+    # offset w, gaps live at i0[g]+w, tfs at i0[g]+n_g+w, dls at +2n_g
+    gidx = np.repeat(i0, nb_arr) \
+        + (np.arange(n, dtype=np.int64) - np.repeat(bstart, nb_arr))
+    nrep = np.repeat(nb_arr, nb_arr)
+    gaps = _vals_at(buf, ends, gidx)
+    tfs = _vals_at(buf, ends, gidx + nrep).astype(np.int64)
+    dls = _vals_at(buf, ends, gidx + 2 * nrep).astype(np.int64)
+    # docids: per-block cumsum (first gap of a block is absolute)
+    cs = np.cumsum(gaps.astype(np.int64))
+    seg_base = cs[bstart] - gaps[bstart].astype(np.int64)
+    docids = cs - np.repeat(seg_base, nb_arr)
+    if not with_positions:
+        return docids, tfs, dls
+    # positions: block g's section holds P_g = sum(tf over block)
+    # varints at i0[g] + 3*n_g; first position of each POSTING absolute
+    Pg = np.add.reduceat(tfs, bstart)
+    tot = int(Pg.sum())
+    if tot == 0:
+        return docids, tfs, dls, np.empty(0, dtype=np.int64)
+    pbase = i0 + 3 * nb_arr
+    pstart = np.concatenate(([0], np.cumsum(Pg)[:-1]))
+    pw = np.arange(tot, dtype=np.int64) - np.repeat(pstart, Pg)
+    pdel = _vals_at(buf, ends,
+                    np.repeat(pbase, Pg) + pw).astype(np.int64)
+    g = np.cumsum(pdel)
+    post_starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+    pb = np.where(post_starts > 0, g[np.maximum(post_starts - 1, 0)], 0)
+    pos = g - np.repeat(pb, tfs)
+    return docids, tfs, dls, pos

@@ -55,7 +55,16 @@ def vocabulary(size: int = 2000) -> np.ndarray:
     return np.array(words[:size])
 
 
-def make_transcripts(n_convs: int = 20, seed: int = 42) -> pd.DataFrame:
+def _gen_columns(n_convs: int, seed: int):
+    """Shared vectorized generator: identical RNG draw sequence (hence
+    identical values) to the original row-at-a-time implementation,
+    with the text assembly done by pyarrow list-join / if_else kernels
+    instead of ~n Python ``" ".join`` calls and a Python punctuation
+    loop (the join loop dominated fixture generation past ~10^5 rows).
+    Returns numpy/pyarrow columns; ``text``/``tool`` are pyarrow
+    arrays."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     rng = np.random.default_rng(seed)
     vocab = vocabulary()
     # Zipfian rank probabilities over the vocab
@@ -65,50 +74,94 @@ def make_transcripts(n_convs: int = 20, seed: int = 42) -> pd.DataFrame:
     conv_lens = rng.integers(1, 41, size=n_convs)
     total = int(conv_lens.sum())
     conv_idx = np.repeat(np.arange(n_convs), conv_lens)
-    turn_idx = np.concatenate([np.arange(l) for l in conv_lens]).astype(np.int32)
+    turn_idx = np.concatenate(
+        [np.arange(l) for l in conv_lens]).astype(np.int32)
 
     conv_ids = np.array([str(uuid.UUID(int=int(seed) * 10_000_019 + c))
                          for c in range(n_convs)])
-    roles = ROLES[rng.integers(0, 4, size=total)]
+    role_codes = rng.integers(0, 4, size=total)
+    roles = ROLES[role_codes]
 
     n_tokens = rng.integers(3, 81, size=total)
-    flat = vocab[rng.choice(len(vocab), size=int(n_tokens.sum()), p=probs)]
-    bounds = np.cumsum(n_tokens)[:-1]
-    texts = [" ".join(chunk) for chunk in np.split(flat, bounds)]
-    # sprinkle punctuation and shared phrases deterministically
+    # inverse-CDF draw == rng.choice(len(vocab), size, p=probs) value-
+    # for-value (numpy's weighted replace=True choice is exactly
+    # cumsum-normalize + random(size) + searchsorted-right; pinned by
+    # tests/test_fixtures_gen.py so a numpy behavior change fails
+    # loudly), minus choice()'s per-call validation overhead — ~30% of
+    # fixture generation at bench sizes
+    cdf = probs.cumsum()
+    cdf /= cdf[-1]
+    tok_idx = cdf.searchsorted(rng.random(int(n_tokens.sum())),
+                               side="right")
+    vocab_pa = pa.array(vocab.tolist(), type=pa.string())
+    flat_pa = pa.DictionaryArray.from_arrays(
+        pa.array(tok_idx.astype(np.int32)), vocab_pa).cast(pa.string())
+    offs = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(n_tokens, out=offs[1:])
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offs.astype(np.int32)),
+                                 flat_pa), " ")
+    # sprinkle punctuation and shared phrases deterministically (same
+    # draws; the three per-row branches become two whole-column kernels
+    # + one if_else select)
     punct = rng.random(total)
     phrase_pick = rng.integers(0, len(SHARED_PHRASES), size=total)
-    for i in range(total):
-        if punct[i] < 0.05:
-            texts[i] = texts[i] + ". " + SHARED_PHRASES[phrase_pick[i]] + "!"
-        elif punct[i] < 0.08:
-            texts[i] = texts[i].replace(" ", ", ", 1) + "?"
+    suffixes = pa.DictionaryArray.from_arrays(
+        pa.array(phrase_pick.astype(np.int32)),
+        pa.array([". " + p + "!" for p in SHARED_PHRASES])
+    ).cast(pa.string())
+    with_phrase = pc.binary_join_element_wise(joined, suffixes, "")
+    with_q = pc.binary_join_element_wise(
+        pc.replace_substring(joined, " ", ", ", max_replacements=1),
+        "?", "")
+    texts = pc.if_else(pa.array(punct < 0.05), with_phrase,
+                       pc.if_else(pa.array(punct < 0.08), with_q,
+                                  joined))
 
-    tool = np.where(roles == "tool",
-                    TOOLS[rng.integers(0, len(TOOLS), size=total)], None)
+    tool_codes = rng.integers(0, len(TOOLS), size=total)
+    tool = pc.if_else(
+        pa.array(role_codes == 3),   # ROLES[3] == "tool"
+        pa.DictionaryArray.from_arrays(
+            pa.array(tool_codes.astype(np.int32)),
+            pa.array(TOOLS.tolist())).cast(pa.string()),
+        pa.scalar(None, pa.string()))
     ts = EPOCH + (conv_idx * 3_600_000_000).astype("timedelta64[us]") \
         + (turn_idx.astype(np.int64) * 60_000_000).astype("timedelta64[us]")
+    return conv_ids, conv_idx, turn_idx, roles, texts, tool, ts
 
+
+def make_transcripts(n_convs: int = 20, seed: int = 42) -> pd.DataFrame:
+    conv_ids, conv_idx, turn_idx, roles, texts, tool, ts = \
+        _gen_columns(n_convs, seed)
     return pd.DataFrame({
         "conv_id": conv_ids[conv_idx],
         "turn_idx": turn_idx,
         "role": roles,
-        "text": texts,
-        "tool": tool,
+        "text": texts.to_pandas().to_numpy(dtype=object),
+        "tool": tool.to_pandas().to_numpy(dtype=object),
         "ts": pd.Series(ts),
     })
 
 
 def write_transcripts_parquet(path: str, n_convs: int, seed: int = 42) -> int:
-    """Write the fixture as parquet; returns row count."""
+    """Write the fixture as parquet; returns row count. Builds the
+    arrow table directly from the generated columns (no pandas
+    round-trip — same values as ``make_transcripts``)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
-    pdf = make_transcripts(n_convs, seed)
+    conv_ids, conv_idx, turn_idx, roles, texts, tool, ts = \
+        _gen_columns(n_convs, seed)
     schema = pa.schema([
         ("conv_id", pa.string()), ("turn_idx", pa.int32()),
         ("role", pa.string()), ("text", pa.string()),
         ("tool", pa.string()), ("ts", pa.timestamp("us")),
     ])
-    pq.write_table(pa.Table.from_pandas(pdf, schema=schema,
-                                        preserve_index=False), path)
-    return len(pdf)
+    conv_col = pa.DictionaryArray.from_arrays(
+        pa.array(conv_idx.astype(np.int32)),
+        pa.array(conv_ids.tolist())).cast(pa.string())
+    role_col = pa.array(roles.tolist(), type=pa.string())
+    tbl = pa.Table.from_arrays(
+        [conv_col, pa.array(turn_idx), role_col, texts, tool,
+         pa.array(ts)], schema=schema)
+    pq.write_table(tbl, path)
+    return len(tbl)

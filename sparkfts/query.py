@@ -166,6 +166,23 @@ def merge_excl_docids(excl: np.ndarray | None,
     return nd
 
 
+def _topk_frame(uniq: np.ndarray, scores: np.ndarray,
+                k: int) -> pd.DataFrame:
+    """Top-k by (score desc, docid asc) — identical ordering contract
+    to ``np.lexsort((uniq, -scores))[:k]`` but with an O(n) partition
+    pre-selection when k is far below the candidate count: keep every
+    row scoring >= the k-th largest score (ties included, so the
+    docid tiebreak sees the full equal-score cohort), then lexsort
+    only that cohort."""
+    n = uniq.shape[0]
+    if n > 4096 and k < (n >> 2):
+        kth = np.partition(scores, n - k)[n - k]
+        m = scores >= kth
+        uniq, scores = uniq[m], scores[m]
+    order = np.lexsort((uniq, -scores))[:k]
+    return pd.DataFrame({"docid": uniq[order], "score": scores[order]})
+
+
 def _aggregate_topk(docids: np.ndarray, contribs: np.ndarray, k: int,
                     mode: str, n_query_terms: int,
                     after: tuple[float, int] | None = None,
@@ -194,12 +211,32 @@ def _aggregate_topk(docids: np.ndarray, contribs: np.ndarray, k: int,
     if docids.size == 0:
         return pd.DataFrame({"docid": pd.Series(dtype=np.int64),
                              "score": pd.Series(dtype=np.float64)})
-    uniq, inv = np.unique(docids, return_inverse=True)
-    scores = np.zeros(uniq.shape[0], dtype=np.float64)
-    np.add.at(scores, inv, contribs)
-    hits = np.bincount(inv, minlength=uniq.shape[0])
+    mn = int(docids.min())
+    rng = int(docids.max()) - mn + 1
+    if rng <= 16 * docids.size + 65536 and rng <= (1 << 24):
+        # Dense-range scatter: docid spans in this engine are shard- or
+        # index-local and near-dense, so bincount over (max-min+1) bins
+        # replaces the O(n log n) unique sort AND the unbuffered
+        # np.add.at. bincount accumulates weights in input order —
+        # bit-identical float summation to the np.add.at path.
+        off = docids - mn
+        dscore = np.bincount(off, weights=contribs, minlength=rng)
+        dhits = np.bincount(off, minlength=rng)
+        uniq = np.flatnonzero(dhits)
+        hits = dhits[uniq]
+        scores = dscore[uniq]
+        if req_mask is not None:
+            req_hits = np.bincount(off[req_mask], minlength=rng)[uniq]
+        uniq = uniq + mn
+    else:
+        uniq, inv = np.unique(docids, return_inverse=True)
+        scores = np.zeros(uniq.shape[0], dtype=np.float64)
+        np.add.at(scores, inv, contribs)
+        hits = np.bincount(inv, minlength=uniq.shape[0])
+        if req_mask is not None:
+            req_hits = np.bincount(inv[req_mask],
+                                   minlength=uniq.shape[0])
     if req_mask is not None:
-        req_hits = np.bincount(inv[req_mask], minlength=uniq.shape[0])
         m = req_hits == n_req
         if min_hits is not None and min_hits >= 1:
             m &= (hits - req_hits) >= min_hits
@@ -217,8 +254,7 @@ def _aggregate_topk(docids: np.ndarray, contribs: np.ndarray, k: int,
         s0, d0 = float(after[0]), int(after[1])
         m = (scores < s0) | ((scores == s0) & (uniq > d0))
         uniq, scores = uniq[m], scores[m]
-    order = np.lexsort((uniq, -scores))[:k]
-    return pd.DataFrame({"docid": uniq[order], "score": scores[order]})
+    return _topk_frame(uniq, scores, k)
 
 
 def _score_and_pruned(per_term: dict[str, pd.DataFrame], terms: list[str],
@@ -285,8 +321,7 @@ def _score_and_pruned(per_term: dict[str, pd.DataFrame], terms: list[str],
         s0, d0_ = float(after[0]), int(after[1])
         m = (scores < s0) | ((scores == s0) & (cand > d0_))
         cand, scores = cand[m], scores[m]
-    order = np.lexsort((cand, -scores))[:k]
-    return pd.DataFrame({"docid": cand[order], "score": scores[order]})
+    return _topk_frame(cand, scores, k)
 
 
 def _score_bool_pruned(per_term: dict[str, pd.DataFrame],
@@ -396,8 +431,7 @@ def _score_bool_pruned(per_term: dict[str, pd.DataFrame],
         s0, d0_ = float(after[0]), int(after[1])
         m = (scores < s0) | ((scores == s0) & (cand > d0_))
         cand, scores = cand[m], scores[m]
-    order = np.lexsort((cand, -scores))[:k]
-    return pd.DataFrame({"docid": cand[order], "score": scores[order]})
+    return _topk_frame(cand, scores, k)
 
 
 def score_decoded(pt: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
@@ -420,6 +454,38 @@ def score_decoded(pt: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
             continue
         all_d.append(d)
         all_c.append(idf[t] * codec.bm25_partial(tf, dl, avgdl, k1, b))
+        if req_terms is not None:
+            all_r.append(np.full(d.shape[0], t in req_terms, dtype=bool))
+    if not all_d:
+        return _aggregate_topk(np.empty(0, np.int64),
+                               np.empty(0, np.float64), k, mode,
+                               n_query_terms, after=after)
+    rq = np.concatenate(all_r) if req_terms is not None else None
+    return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
+                           k, mode, n_query_terms, after=after,
+                           excl=excl, min_hits=min_hits,
+                           req_mask=rq,
+                           n_req=len(req_terms) if req_terms else 0)
+
+
+def score_partials(pp: dict[str, tuple[np.ndarray, np.ndarray]],
+                   idf: dict[str, float], k: int, mode: str,
+                   n_query_terms: int,
+                   after: tuple[float, int] | None = None,
+                   excl: np.ndarray | None = None,
+                   min_hits: int | None = None,
+                   req_terms: frozenset | None = None) -> pd.DataFrame:
+    """score_decoded over pre-computed per-term (docids, BM25 partial)
+    pairs (the partial-cache serving path): contribution = idf * partial
+    in the same ascending-term concatenation order, so results are
+    bit-identical to score_decoded over the raw decoded arrays."""
+    all_d, all_c, all_r = [], [], []
+    for t in sorted(pp):
+        d, part = pp[t]
+        if d.size == 0:
+            continue
+        all_d.append(d)
+        all_c.append(idf[t] * part)
         if req_terms is not None:
             all_r.append(np.full(d.shape[0], t in req_terms, dtype=bool))
     if not all_d:
@@ -1512,8 +1578,7 @@ def _phrase_shard(pdf: pd.DataFrame, seq: list[str], uniq: list[str],
         dd, tt, ll, _, _ = per_term[t]
         j = np.searchsorted(dd, marr)
         scores += idf[t] * codec.bm25_partial(tt[j], ll[j], avgdl, k1, b)
-    order = np.lexsort((marr, -scores))[:k]
-    return pd.DataFrame({"docid": marr[order], "score": scores[order]})
+    return _topk_frame(marr, scores, k)
 
 
 def _phrase_prefix_shard(pdf: pd.DataFrame, fixed_seq: list[str],
@@ -1631,8 +1696,7 @@ def _phrase_prefix_shard(pdf: pd.DataFrame, fixed_seq: list[str],
                                               k1, b)
         pos = np.searchsorted(marr, de)
         scores[pos] += contrib
-    order = np.lexsort((marr, -scores))[:k]
-    return pd.DataFrame({"docid": marr[order], "score": scores[order]})
+    return _topk_frame(marr, scores, k)
 
 
 # -- search_join building blocks (shared by FTSIndex and
@@ -1985,10 +2049,80 @@ class FTSIndex:
                  N: float | None = None) -> dict[str, float]:
         if not terms:
             return {}
-        rows = self._term_stats.where(F.col("term").isin(terms)).collect()
-        dfm = {r["term"]: float(r["df"]) for r in rows}
+        if os.path.isdir(storage.path(self.root, "term_stats")):
+            # driver-side pyarrow point read (term-sorted row groups,
+            # cached per handle) — the dictionary df lookup is
+            # vocab-scale, so burning a whole Spark job on it doubled
+            # every distributed query's fixed latency. Same table, same
+            # values; non-local roots keep the Spark path.
+            dfm = self._local_df_counts(terms)
+        else:
+            rows = (self._term_stats
+                    .where(F.col("term").isin(terms)).collect())
+            dfm = {r["term"]: float(r["df"]) for r in rows}
         n = float(self.N) if N is None else float(N)
         return {t: _bm25_idf(n, dfm.get(t, 0.0)) for t in terms}
+
+    def _shard_map_collect(self, allt: list[str], fn,
+                           schema: str = "docid long, score double",
+                           shards: list[int] | None = None
+                           ) -> pd.DataFrame | None:
+        """ONE-job, ONE-stage shard-local query fan-out: each task
+        pyarrow-reads its own shard partitions with the same th/term
+        pushdown the DataFrame path uses and runs the SAME per-shard
+        kernel ``fn`` (pdf → pdf) on the complete shard group — the
+        shard-local search pattern of a real cluster. Replaces the
+        two-stage scan → Exchange(hash shard) → applyInPandas plan
+        with mapInArrow over a shard-id range (nothing to shuffle: the
+        index is already partitioned by shard on disk), removing the
+        exchange stage and one job from every query's fixed cost; the
+        Arrow lane it runs in is the one the build already warmed.
+        Results are identical by construction (same rows, same kernel,
+        driver merge unchanged). Returns None when the root is not a
+        task-readable filesystem path — callers fall back to the
+        DataFrame plan."""
+        post_root = storage.path(self.root, "postings")
+        if not os.path.isdir(post_root):
+            return None
+        import pyarrow as pa
+        hs = [codec.term_hash(t) for t in allt]
+        terms = list(allt)
+        sids = list(range(self.num_shards)) if shards is None \
+            else sorted(shards)
+        # fan-out at the session's query-parallelism knob (shuffle
+        # partitions) — the same width the applyInPandas plan used, and
+        # the width of the worker pool the build warmed
+        try:
+            p = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:   # noqa: BLE001
+            p = self.spark.sparkContext.defaultParallelism
+        p = max(1, min(len(sids), p))
+        smap = None if shards is None else list(sids)
+
+        def reader(batches):
+            import os as _os
+            import pyarrow.dataset as _ds
+            for rb in batches:
+                for i in rb.column("id").to_pylist():
+                    s = int(i) if smap is None else smap[int(i)]
+                    pth = _os.path.join(post_root, f"shard={s}")
+                    if not _os.path.isdir(pth):
+                        continue
+                    t = _ds.dataset(pth, format="parquet").to_table(
+                        filter=(_ds.field("th").isin(hs)
+                                & _ds.field("term").isin(terms)))
+                    if t.num_rows == 0:
+                        continue
+                    pdf = t.to_pandas()
+                    pdf["shard"] = s
+                    out = fn(pdf)
+                    if len(out):
+                        yield pa.RecordBatch.from_pandas(
+                            out, preserve_index=False)
+
+        return (self.spark.range(0, len(sids), numPartitions=p)
+                .mapInArrow(reader, schema=schema)
+                .toPandas())
 
     def _posting_rows(self, terms: list[str]) -> DataFrame:
         """Dictionary lookup: pushdown filter on `th` = md5-based int64
@@ -2166,6 +2300,8 @@ class FTSIndex:
         allt = sorted(set(terms) | set(neg))
         negs = frozenset(neg)
 
+        parts: pd.DataFrame | None = None
+        shard_tops: list = []
         if filter is not None:
             rows = self._posting_rows(allt)
             if org is not None:
@@ -2187,9 +2323,6 @@ class FTSIndex:
             if ranges is not None:
                 if not ranges:
                     return empty          # unknown tenant
-                rows = (self._posting_rows(allt)
-                        .where(F.col("shard").isin(sorted(ranges))))
-
                 def per_shard_rng(pdf: pd.DataFrame) -> pd.DataFrame:
                     lo, hi = ranges[int(pdf["shard"].iloc[0])]
                     pdf, ex = fold_neg_terms(pdf, negs, None)
@@ -2200,11 +2333,17 @@ class FTSIndex:
                                           min_hits=mh, excl=ex,
                                           req_terms=reqs)
 
-                shard_tops = (rows.groupBy("shard")
-                              .applyInPandas(
-                                  per_shard_rng,
-                                  schema="docid long, score double")
-                              .collect())
+                parts = self._shard_map_collect(allt, per_shard_rng,
+                                                shards=sorted(ranges))
+                if parts is None:
+                    rows = (self._posting_rows(allt)
+                            .where(F.col("shard")
+                                   .isin(sorted(ranges))))
+                    shard_tops = (rows.groupBy("shard")
+                                  .applyInPandas(
+                                      per_shard_rng,
+                                      schema="docid long, score double")
+                                  .collect())
             else:
                 rows, orgdocs = self._org_rows_docs(allt, org)
                 shard_tops = (rows.groupBy("shard")
@@ -2227,14 +2366,22 @@ class FTSIndex:
                                    method, after=after, min_hits=mh,
                                    excl=ex, req_terms=reqs)
 
-            rows = self._posting_rows(allt)
-            shard_tops = (rows.groupBy("shard")
-                          .applyInPandas(per_shard,
-                                         schema="docid long, score double")
-                          .collect())
-        if not shard_tops:
-            return empty
-        merged = pd.DataFrame([r.asDict() for r in shard_tops])
+            parts = self._shard_map_collect(allt, per_shard)
+            if parts is None:
+                rows = self._posting_rows(allt)
+                shard_tops = (rows.groupBy("shard")
+                              .applyInPandas(
+                                  per_shard,
+                                  schema="docid long, score double")
+                              .collect())
+        if parts is not None:
+            if parts.empty:
+                return empty
+            merged = parts
+        else:
+            if not shard_tops:
+                return empty
+            merged = pd.DataFrame([r.asDict() for r in shard_tops])
         merged = merged.sort_values(["score", "docid"],
                                     ascending=[False, True]).head(k)
         return self.spark.createDataFrame(merged.astype(
@@ -2639,9 +2786,6 @@ class FTSIndex:
             if ranges is not None:
                 tops = _QSET_EMPTY
                 if ranges:
-                    rows = (self._posting_rows(all_terms)
-                            .where(F.col("shard").isin(sorted(ranges))))
-
                     def per_shard_rng(pdf: pd.DataFrame) -> pd.DataFrame:
                         rng = ranges[int(pdf["shard"].iloc[0])]
                         return score_query_set(pdf, None, qterms, modes,
@@ -2650,10 +2794,19 @@ class FTSIndex:
                                                min_hits=mh, after=after,
                                                reqs=reqs)
 
-                    tops = (rows.groupBy("shard")
-                            .applyInPandas(per_shard_rng,
-                                           schema=out_schema)
-                            .toPandas())
+                    parts = self._shard_map_collect(
+                        all_terms, per_shard_rng, schema=out_schema,
+                        shards=sorted(ranges))
+                    if parts is not None:
+                        tops = parts
+                    else:
+                        rows = (self._posting_rows(all_terms)
+                                .where(F.col("shard")
+                                       .isin(sorted(ranges))))
+                        tops = (rows.groupBy("shard")
+                                .applyInPandas(per_shard_rng,
+                                               schema=out_schema)
+                                .toPandas())
             else:
                 rows, orgdocs = self._org_rows_docs(all_terms, org)
 
@@ -2669,11 +2822,18 @@ class FTSIndex:
                         .applyInPandas(per_shard_org, schema=out_schema)
                         .toPandas())
         else:
-            rows = self._posting_rows(all_terms)
-            tops = (rows.groupBy("shard")
-                    .applyInPandas(lambda pdf: _score_queries(pdf, None),
-                                   schema=out_schema)
-                    .toPandas())
+            parts = self._shard_map_collect(
+                all_terms, lambda pdf: _score_queries(pdf, None),
+                schema=out_schema)
+            if parts is not None:
+                tops = parts
+            else:
+                rows = self._posting_rows(all_terms)
+                tops = (rows.groupBy("shard")
+                        .applyInPandas(
+                            lambda pdf: _score_queries(pdf, None),
+                            schema=out_schema)
+                        .toPandas())
         out = {}
         for qid in queries:
             sub = tops[tops["qid"] == qid]
@@ -3044,6 +3204,44 @@ class FTSIndex:
                         set(terms))
         return out
 
+    def _decoded_partials(self, terms: list[str], avgdl: float
+                          ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """term → (docids, BM25 partial array) behind a per-handle LRU:
+        the partial tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) depends only on
+        the term's postings and the handle's (avgdl, k1, b), so a warm
+        serving query skips the whole per-posting float pipeline, not
+        just the decode. Computed ONCE from the decoded arrays with the
+        same codec.bm25_partial call every scoring path uses —
+        bit-identical scores. Entries are keyed by term and remember
+        the avgdl they were computed under (multi-field handles score
+        each prefixed term with its own field avgdl, so the key is
+        stable; a mismatch recomputes)."""
+        if not hasattr(self, "_part_cache"):
+            from collections import OrderedDict
+            self._part_cache = OrderedDict()
+            self._part_cache_sz: dict[str, int] = {}
+        cache = self._part_cache
+        missing = [t for t in terms
+                   if t not in cache or cache[t][0] != avgdl]
+        if missing:
+            dec = self._decoded_terms(missing)
+            for t in missing:
+                d, tf, dl = dec[t]
+                part = (codec.bm25_partial(tf, dl, avgdl, self.k1,
+                                           self.b)
+                        if d.size else np.empty(0, dtype=np.float64))
+                cache[t] = (avgdl, d, part)
+                self._part_cache_sz[t] = d.nbytes + part.nbytes
+        out = {}
+        for t in terms:
+            cache.move_to_end(t)
+            _, d, part = cache[t]
+            out[t] = (d, part)
+        self._lru_evict(cache, self._part_cache_sz,
+                        self.TERM_CACHE_CAP, self.TERM_CACHE_BYTES,
+                        set(terms))
+        return out
+
     def _local_df_counts(self, terms: list[str]) -> dict[str, float]:
         import pyarrow.dataset as ds
         if not hasattr(self, "_df_cache"):
@@ -3150,7 +3348,7 @@ class FTSIndex:
             # handle; scoring is the same ascending-term concatenation
             # feeding _aggregate_topk that every exhaustive path uses,
             # so results are bit-identical to the cold path
-            pt = self._decoded_terms(terms)
+            pp = self._decoded_partials(terms, avgdl)
             ex = (merge_excl_docids(
                 None, [d for d, _, _ in
                        self._decoded_terms(neg).values()])
@@ -3160,9 +3358,9 @@ class FTSIndex:
                 {t: _bm25_idf(self._fieldN(field), dfm.get(t, 0.0))
                  for t in terms}, boosts, terms, self.tokenizer,
                 prefix)
-            return score_decoded(pt, idf, avgdl, self.k1, self.b, k,
-                                 mode, len(terms), after=after,
-                                 min_hits=mh, excl=ex, req_terms=reqs)
+            return score_partials(pp, idf, k, mode, len(terms),
+                                  after=after, min_hits=mh, excl=ex,
+                                  req_terms=reqs)
         pdf = self._local_term_rows(sorted(set(terms) | negs))
         if org is not None:
             pdf = pdf[pdf["shard"].isin(shards)]
