@@ -51,8 +51,19 @@ def tokenize_series(texts: pd.Series, cfg: TokenizerConfig = DEFAULT) -> pd.Seri
 
 
 def tokenize_text(text: str, cfg: TokenizerConfig = DEFAULT) -> list[str]:
-    """Single-string convenience (query side)."""
-    return tokenize_series(pd.Series([text]), cfg).iloc[0]
+    """Single-string convenience (query side): plain ``re`` on one
+    string — semantically identical to tokenize_series (pandas
+    str.split/str.findall are re.split/re.findall under the hood;
+    pinned by tests/test_analyzer.py) without ~1 ms of Series
+    construction per query on the serving path."""
+    import re
+    s = "" if text is None else str(text)
+    if cfg.lowercase:
+        s = s.lower()
+    toks = (re.split(cfg.pattern, s) if cfg.split
+            else re.findall(cfg.pattern, s))
+    lo, hi = cfg.min_len, cfg.max_len
+    return [t for t in toks if lo <= len(t) <= hi]
 
 
 def tokenize_arrow(texts, cfg: TokenizerConfig = DEFAULT):

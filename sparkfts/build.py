@@ -106,6 +106,14 @@ class BuildConfig:
     # multiple of shards_per_org.
     routing_col: str | None = None
     shards_per_org: int = 2
+    # parquet page codec for the postings table. Measured both ways in
+    # r8: apparent deltas (±20%+) did not replicate across windows —
+    # co-tenant bandwidth bursts dominate any codec effect, and the
+    # napkin cost of snappy over the ~78 MB sf0.1 dictionary is only
+    # ~0.2 core-s — so the r7 default stays and the knob exists for
+    # storage whose economics differ (blobs are already varint-coded;
+    # snappy earns its keep mostly on the block-metadata columns).
+    postings_codec: str = "snappy"
     # multi-field indexing (the reference's per-index template hook with
     # per-field analyzers, BaseESReducer.java:107-132): map of
     # column name → TokenizerConfig. Terms are stored field-prefixed
@@ -786,6 +794,7 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
                                     schema=POSTING_SCHEMA)
         (enc_out.write.mode("overwrite")
                 .option("partitionOverwriteMode", pmode)
+                .option("compression", cfg.postings_codec)
                 .partitionBy("shard")
                 .parquet(storage.path(out_dir, "postings")))
         th.join()
@@ -1176,6 +1185,7 @@ def build_many(spark: SparkSession, df: DataFrame, out_base: str,
                     .join(F.broadcast(gmap), "gshard")
                     .withColumnRenamed("_shard", "shard").drop("gshard")
                     .write.mode("overwrite").partitionBy(index_col, "shard")
+                    .option("compression", cfg0.postings_codec)
                     .parquet(_os.path.join(staging, "postings")))
             th.join()
             if errs:

@@ -221,9 +221,17 @@ def _aggregate_topk(docids: np.ndarray, contribs: np.ndarray, k: int,
         # bit-identical float summation to the np.add.at path.
         off = docids - mn
         dscore = np.bincount(off, weights=contribs, minlength=rng)
-        dhits = np.bincount(off, minlength=rng)
-        uniq = np.flatnonzero(dhits)
-        hits = dhits[uniq]
+        if (req_mask is None and mode != "and"
+                and (min_hits is None or min_hits <= 1)):
+            # pure OR: every contribution is idf*partial > 0 (BM25 idf
+            # is strictly positive for df <= N), so presence == nonzero
+            # summed score — the hits bincount is dead weight here
+            uniq = np.flatnonzero(dscore)
+            hits = None
+        else:
+            dhits = np.bincount(off, minlength=rng)
+            uniq = np.flatnonzero(dhits)
+            hits = dhits[uniq]
         scores = dscore[uniq]
         if req_mask is not None:
             req_hits = np.bincount(off[req_mask], minlength=rng)[uniq]
