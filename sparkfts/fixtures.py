@@ -55,6 +55,9 @@ def vocabulary(size: int = 2000) -> np.ndarray:
     return np.array(words[:size])
 
 
+_GEN_ROWS_PER_CHUNK = 2_000_000   # tests shrink this to pin boundaries
+
+
 def _gen_columns(n_convs: int, seed: int):
     """Shared vectorized generator: identical RNG draw sequence (hence
     identical values) to the original row-at-a-time implementation,
@@ -96,29 +99,47 @@ def _gen_columns(n_convs: int, seed: int):
     # (a 2^16-bucket LUT bounding the binary search was tried and
     # REJECTED: the extra gathers cost 4x the search they saved)
     vocab_pa = pa.array(vocab.tolist(), type=pa.string())
-    flat_pa = pa.DictionaryArray.from_arrays(
-        pa.array(tok_idx.astype(np.int32)), vocab_pa).cast(pa.string())
     offs = np.zeros(total + 1, dtype=np.int64)
     np.cumsum(n_tokens, out=offs[1:])
-    joined = pc.binary_join(
-        pa.ListArray.from_arrays(pa.array(offs.astype(np.int32)),
-                                 flat_pa), " ")
     # sprinkle punctuation and shared phrases deterministically (same
     # draws; the three per-row branches become two whole-column kernels
-    # + one if_else select)
+    # + one if_else select). RNG draws stay single global calls (the
+    # draw sequence is the determinism contract); only the pyarrow
+    # assembly below is chunked by rows so no single string/offset
+    # array approaches Arrow's 2 GiB / int32 limits at large scale
+    # factors.
     punct = rng.random(total)
     phrase_pick = rng.integers(0, len(SHARED_PHRASES), size=total)
-    suffixes = pa.DictionaryArray.from_arrays(
-        pa.array(phrase_pick.astype(np.int32)),
-        pa.array([". " + p + "!" for p in SHARED_PHRASES])
-    ).cast(pa.string())
-    with_phrase = pc.binary_join_element_wise(joined, suffixes, "")
-    with_q = pc.binary_join_element_wise(
-        pc.replace_substring(joined, " ", ", ", max_replacements=1),
-        "?", "")
-    texts = pc.if_else(pa.array(punct < 0.05), with_phrase,
-                       pc.if_else(pa.array(punct < 0.08), with_q,
-                                  joined))
+    suffix_vals = pa.array([". " + p + "!" for p in SHARED_PHRASES])
+    chunks = []
+    rows_per_chunk = _GEN_ROWS_PER_CHUNK
+    for r0 in range(0, total, rows_per_chunk):
+        r1 = min(total, r0 + rows_per_chunk)
+        t0, t1 = int(offs[r0]), int(offs[r1])
+        flat_pa = pa.DictionaryArray.from_arrays(
+            pa.array(tok_idx[t0:t1].astype(np.int32)),
+            vocab_pa).cast(pa.string())
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array((offs[r0:r1 + 1] - t0).astype(np.int32)),
+                flat_pa), " ")
+        suffixes = pa.DictionaryArray.from_arrays(
+            pa.array(phrase_pick[r0:r1].astype(np.int32)),
+            suffix_vals).cast(pa.string())
+        with_phrase = pc.binary_join_element_wise(joined, suffixes, "")
+        with_q = pc.binary_join_element_wise(
+            pc.replace_substring(joined, " ", ", ",
+                                 max_replacements=1), "?", "")
+        pch = punct[r0:r1]
+        chunks.append(pc.if_else(pa.array(pch < 0.05), with_phrase,
+                                 pc.if_else(pa.array(pch < 0.08),
+                                            with_q, joined)))
+    if not chunks:
+        texts = pa.array([], type=pa.string())
+    elif len(chunks) == 1:
+        texts = chunks[0]
+    else:
+        texts = pa.chunked_array(chunks)
 
     tool_codes = rng.integers(0, len(TOOLS), size=total)
     tool = pc.if_else(

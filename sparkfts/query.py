@@ -486,20 +486,62 @@ def score_partials(pp: dict[str, tuple[np.ndarray, np.ndarray]],
     """score_decoded over pre-computed per-term (docids, BM25 partial)
     pairs (the partial-cache serving path): contribution = idf * partial
     in the same ascending-term concatenation order, so results are
-    bit-identical to score_decoded over the raw decoded arrays."""
+    bit-identical to score_decoded over the raw decoded arrays.
+
+    Dense fast path (or/and without must): per-term docids are sorted,
+    so (min, max) across terms is O(#terms); when the covered docid
+    range is near-dense, each term scatter-adds idf*partial straight
+    into one dense score array — no concatenation, no bincount pass.
+    Per-doc accumulation still happens in ascending-term order, so
+    float summation (hence every score bit) matches the concat path."""
+    live = [(t, pp[t][0], pp[t][1]) for t in sorted(pp)
+            if pp[t][0].size]
+    if not live:
+        return _aggregate_topk(np.empty(0, np.int64),
+                               np.empty(0, np.float64), k, mode,
+                               n_query_terms, after=after)
+    if req_terms is None:
+        n = sum(d.shape[0] for _, d, _ in live)
+        mn = min(int(d[0]) for _, d, _ in live)
+        rng = max(int(d[-1]) for _, d, _ in live) - mn + 1
+        if rng <= 16 * n + 65536 and rng <= (1 << 24):
+            dscore = np.zeros(rng, dtype=np.float64)
+            need_hits = (mode == "and"
+                         or (min_hits is not None and min_hits > 1))
+            dhits = np.zeros(rng, dtype=np.int64) if need_hits else None
+            for t, d, part in live:
+                off = d - mn
+                dscore[off] += idf[t] * part
+                if dhits is not None:
+                    dhits[off] += 1
+            if need_hits:
+                uniq = np.flatnonzero(dhits)
+                hits = dhits[uniq]
+            else:
+                uniq = np.flatnonzero(dscore)
+                hits = None
+            scores = dscore[uniq]
+            uniq = uniq + mn
+            if mode == "and":
+                m = hits == n_query_terms
+                uniq, scores = uniq[m], scores[m]
+            elif min_hits is not None and min_hits > 1:
+                m = hits >= min_hits
+                uniq, scores = uniq[m], scores[m]
+            m = _drop_excl(uniq, excl)
+            if m is not None:
+                uniq, scores = uniq[m], scores[m]
+            if after is not None:
+                s0, d0 = float(after[0]), int(after[1])
+                m = (scores < s0) | ((scores == s0) & (uniq > d0))
+                uniq, scores = uniq[m], scores[m]
+            return _topk_frame(uniq, scores, k)
     all_d, all_c, all_r = [], [], []
-    for t in sorted(pp):
-        d, part = pp[t]
-        if d.size == 0:
-            continue
+    for t, d, part in live:
         all_d.append(d)
         all_c.append(idf[t] * part)
         if req_terms is not None:
             all_r.append(np.full(d.shape[0], t in req_terms, dtype=bool))
-    if not all_d:
-        return _aggregate_topk(np.empty(0, np.int64),
-                               np.empty(0, np.float64), k, mode,
-                               n_query_terms, after=after)
     rq = np.concatenate(all_r) if req_terms is not None else None
     return _aggregate_topk(np.concatenate(all_d), np.concatenate(all_c),
                            k, mode, n_query_terms, after=after,

@@ -96,3 +96,14 @@ def test_parquet_writer_matches_pandas_table(tmp_path):
     ])
     ref = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
     assert ref.equals(got)
+
+
+def test_chunked_assembly_boundary_identical(monkeypatch):
+    """The pyarrow text assembly is chunked by rows at large scale;
+    chunk boundaries must not change any value."""
+    import sparkfts.fixtures as fx
+    ref = make_transcripts(200, seed=11)
+    monkeypatch.setattr(fx, "_GEN_ROWS_PER_CHUNK", 37)
+    got = fx.make_transcripts(200, seed=11)
+    for c in ref.columns:
+        assert ref[c].tolist() == got[c].tolist(), c
