@@ -2253,16 +2253,16 @@ class FTSIndex:
         return _routing.possible_shards(org, self.num_shards,
                                         self.shards_per_org)
 
-    def topk(self, query: str, k: int = 10, mode: str = "or",
-             method: str = "wand", org: str | None = None,
-             field: str | None = None,
-             filter: str | Column | None = None,
-             after: tuple[float, int] | None = None,
-             min_should_match: int | None = None,
-             raw_terms: list[str] | None = None,
-             must_not: str | None = None,
-             must: str | None = None,
-             boosts: dict[str, float] | None = None) -> DataFrame:
+    def _topk_pd(self, query: str, k: int = 10, mode: str = "or",
+                 method: str = "wand", org: str | None = None,
+                 field: str | None = None,
+                 filter: str | Column | None = None,
+                 after: tuple[float, int] | None = None,
+                 min_should_match: int | None = None,
+                 raw_terms: list[str] | None = None,
+                 must_not: str | None = None,
+                 must: str | None = None,
+                 boosts: dict[str, float] | None = None) -> pd.DataFrame:
         """Distributed top-k: per-shard scoring via applyInPandas, driver
         merge of num_shards·k candidates. Returns (docid, score).
 
@@ -2342,7 +2342,7 @@ class FTSIndex:
                 "use filter= / match_docids")
         idf = _apply_boosts(self._idf_map(terms, N=self._fieldN(field)),
                             boosts, terms, self.tokenizer, prefix)
-        empty = self.spark.createDataFrame([], "docid long, score double")
+        empty = _EMPTY_TOPK.copy()
         if not terms:
             return empty
         nq = len(terms)
@@ -2434,9 +2434,32 @@ class FTSIndex:
             merged = pd.DataFrame([r.asDict() for r in shard_tops])
         merged = merged.sort_values(["score", "docid"],
                                     ascending=[False, True]).head(k)
-        return self.spark.createDataFrame(merged.astype(
-            {"docid": "int64", "score": "float64"}),
-            schema="docid long, score double")
+        return (merged.astype({"docid": "int64", "score": "float64"})
+                .reset_index(drop=True))
+
+    def topk(self, query: str, k: int = 10, mode: str = "or",
+             method: str = "wand", org: str | None = None,
+             field: str | None = None,
+             filter: str | Column | None = None,
+             after: tuple[float, int] | None = None,
+             min_should_match: int | None = None,
+             raw_terms: list[str] | None = None,
+             must_not: str | None = None,
+             must: str | None = None,
+             boosts: dict[str, float] | None = None) -> DataFrame:
+        """Spark-DataFrame surface over :meth:`_topk_pd` (see its
+        docstring for the full contract — every keyword is forwarded
+        verbatim; results identical)."""
+        pdf = self._topk_pd(query, k, mode, method, org=org,
+                            field=field, filter=filter, after=after,
+                            min_should_match=min_should_match,
+                            raw_terms=raw_terms, must_not=must_not,
+                            must=must, boosts=boosts)
+        if pdf.empty:
+            return self.spark.createDataFrame(
+                [], "docid long, score double")
+        return self.spark.createDataFrame(
+            pdf, schema="docid long, score double")
 
     def topk_pandas(self, query: str, k: int = 10, mode: str = "or",
                     method: str = "wand", org: str | None = None,
@@ -2448,12 +2471,13 @@ class FTSIndex:
                     must: str | None = None,
                     boosts: dict[str, float] | None = None
                     ) -> pd.DataFrame:
-        """Driver-local result as pandas (test/bench convenience)."""
-        return (self.topk(query, k, mode, method, org=org, field=field,
-                          must_not=must_not, must=must, boosts=boosts,
-                          filter=filter, after=after,
-                          min_should_match=min_should_match)
-                .toPandas().reset_index(drop=True))
+        """Driver-local result as pandas (test/bench convenience).
+        Same rows as ``topk(...).toPandas()`` without bouncing the
+        k-row result through a Spark local relation."""
+        return self._topk_pd(query, k, mode, method, org=org,
+                             field=field, must_not=must_not, must=must,
+                             boosts=boosts, filter=filter, after=after,
+                             min_should_match=min_should_match)
 
     # -- multi-term queries: prefix / wildcard / fuzzy ---------------
     def expand_terms(self, pattern: str, kind: str = "prefix",
@@ -3126,8 +3150,8 @@ class FTSIndex:
             hits = self.topk_local(query, k, mode, method, org=org,
                                    field=field)
         else:
-            hits = self.topk(query, k, mode, method, org=org,
-                             field=field, filter=filter).toPandas()
+            hits = self._topk_pd(query, k, mode, method, org=org,
+                                 field=field, filter=filter)
         if hits.empty:
             return hits.assign(
                 fragment=pd.Series(dtype=object),
@@ -4666,7 +4690,7 @@ class FTSIndex:
                                  "composes with org= only")
             hits = self.topk_local(**kw)
         else:
-            hits = self.topk(filter=filter, **kw).toPandas()
+            hits = self._topk_pd(filter=filter, **kw)
         return (hits[hits["docid"] != int(docid)].head(k)
                 .reset_index(drop=True))
 
