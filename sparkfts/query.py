@@ -2263,8 +2263,11 @@ class FTSIndex:
                  must_not: str | None = None,
                  must: str | None = None,
                  boosts: dict[str, float] | None = None) -> pd.DataFrame:
-        """Distributed top-k: per-shard scoring via applyInPandas, driver
-        merge of num_shards·k candidates. Returns (docid, score).
+        """Distributed top-k: per-shard scoring fanned out as one
+        mapInArrow stage of shard-local readers (_shard_map_collect;
+        applyInPandas/cogroup plans for the filter/org-docid-set legs
+        and non-local roots), driver merge of num_shards·k candidates.
+        Returns (docid, score) as pandas.
 
         With ``org`` (routed indexes only): the dictionary read is
         partition-pruned to the org's shards_per_org shards, the org's
