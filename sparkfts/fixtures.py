@@ -55,7 +55,7 @@ def vocabulary(size: int = 2000) -> np.ndarray:
     return np.array(words[:size])
 
 
-_GEN_ROWS_PER_CHUNK = 2_000_000   # tests shrink this to pin boundaries
+_GEN_ROWS_PER_CHUNK = 131_072   # tests shrink this to pin boundaries
 
 
 def _gen_columns(n_convs: int, seed: int):
@@ -94,8 +94,7 @@ def _gen_columns(n_convs: int, seed: int):
     # fixture generation at bench sizes
     cdf = probs.cumsum()
     cdf /= cdf[-1]
-    tok_idx = cdf.searchsorted(rng.random(int(n_tokens.sum())),
-                               side="right")
+    u = rng.random(int(n_tokens.sum()))
     # (a 2^16-bucket LUT bounding the binary search was tried and
     # REJECTED: the extra gathers cost 4x the search they saved)
     vocab_pa = pa.array(vocab.tolist(), type=pa.string())
@@ -104,20 +103,23 @@ def _gen_columns(n_convs: int, seed: int):
     # sprinkle punctuation and shared phrases deterministically (same
     # draws; the three per-row branches become two whole-column kernels
     # + one if_else select). RNG draws stay single global calls (the
-    # draw sequence is the determinism contract); only the pyarrow
-    # assembly below is chunked by rows so no single string/offset
-    # array approaches Arrow's 2 GiB / int32 limits at large scale
-    # factors.
+    # draw sequence is the determinism contract); the assembly below is
+    # chunked by rows so no single string/offset array approaches
+    # Arrow's 2 GiB / int32 limits at large scale factors, and chunks
+    # run on a small thread pool — the searchsorted and arrow string
+    # kernels all release the GIL, and each chunk is a pure function
+    # of its slice, so results are order- and thread-invariant.
     punct = rng.random(total)
     phrase_pick = rng.integers(0, len(SHARED_PHRASES), size=total)
     suffix_vals = pa.array([". " + p + "!" for p in SHARED_PHRASES])
-    chunks = []
     rows_per_chunk = _GEN_ROWS_PER_CHUNK
-    for r0 in range(0, total, rows_per_chunk):
+
+    def assemble(r0: int):
         r1 = min(total, r0 + rows_per_chunk)
         t0, t1 = int(offs[r0]), int(offs[r1])
+        tok_idx = cdf.searchsorted(u[t0:t1], side="right")
         flat_pa = pa.DictionaryArray.from_arrays(
-            pa.array(tok_idx[t0:t1].astype(np.int32)),
+            pa.array(tok_idx.astype(np.int32)),
             vocab_pa).cast(pa.string())
         joined = pc.binary_join(
             pa.ListArray.from_arrays(
@@ -131,9 +133,17 @@ def _gen_columns(n_convs: int, seed: int):
             pc.replace_substring(joined, " ", ", ",
                                  max_replacements=1), "?", "")
         pch = punct[r0:r1]
-        chunks.append(pc.if_else(pa.array(pch < 0.05), with_phrase,
-                                 pc.if_else(pa.array(pch < 0.08),
-                                            with_q, joined)))
+        return pc.if_else(pa.array(pch < 0.05), with_phrase,
+                          pc.if_else(pa.array(pch < 0.08),
+                                     with_q, joined))
+
+    starts = list(range(0, total, rows_per_chunk))
+    if len(starts) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(8, len(starts))) as ex:
+            chunks = list(ex.map(assemble, starts))
+    else:
+        chunks = [assemble(s) for s in starts]
     if not chunks:
         texts = pa.array([], type=pa.string())
     elif len(chunks) == 1:
