@@ -3267,6 +3267,9 @@ class FTSIndex:
         if missing:
             pdf = self._local_term_rows(missing, use_cache=False)
             e = np.empty(0, dtype=np.int64)
+            # (a per-term decode thread pool was tried and REJECTED in
+            # r8: the pandas term filter is GIL-bound, so threads
+            # serialized on it and cold-query walls got WORSE)
             for t in missing:
                 sub = pdf[pdf["term"] == t]
                 dec = _decode_term_rows(sub) if len(sub) else (e, e, e)
