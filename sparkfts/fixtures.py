@@ -196,5 +196,14 @@ def write_transcripts_parquet(path: str, n_convs: int, seed: int = 42) -> int:
     tbl = pa.Table.from_arrays(
         [conv_col, pa.array(turn_idx), role_col, texts, tool,
          pa.array(ts)], schema=schema)
-    pq.write_table(tbl, path)
+    # Row groups sized for parallel scans (~5 MB here): pyarrow's
+    # default writes ONE row group per chunk, and Spark assigns a
+    # parquet byte-split's rows to the task holding the row-group
+    # midpoint — a single-row-group file makes every downstream scan
+    # of the corpus effectively single-task no matter how many splits
+    # exist. 32k rows keeps each group well under
+    # spark.sql.files.maxPartitionBytes so the build's docstore /
+    # postings / assign scans fan out across the executor cores.
+    # Values are unchanged (layout only).
+    pq.write_table(tbl, path, row_group_size=32768)
     return len(tbl)
