@@ -168,6 +168,73 @@ def assign_docids(df: DataFrame, order_cols: list[str],
     return out
 
 
+def _bare_scan_local_files(df: DataFrame) -> list[str] | None:
+    """File paths when ``df`` is a BARE parquet scan of local files —
+    optimizedPlan is a leaf LogicalRelation over a HadoopFsRelation
+    with file: URIs, i.e. no Filter/Project/join can have changed the
+    rows a driver-side read of those files would see. Returns None for
+    anything else (callers keep the distributed path)."""
+    try:
+        p = df._jdf.queryExecution().optimizedPlan()
+        if (p.getClass().getSimpleName() != "LogicalRelation"
+                or p.children().size() != 0
+                or (p.relation().getClass().getSimpleName()
+                    != "HadoopFsRelation")):
+            return None
+        files = df.inputFiles()
+    except Exception:   # noqa: BLE001 — introspection is best-effort
+        return None
+    out = []
+    for f in files:
+        if not f.startswith("file:"):
+            return None
+        from urllib.parse import unquote, urlparse
+        out.append(unquote(urlparse(f).path))
+    return out or None
+
+
+def _conv_sizes_local(files: list[str], conv_col: str, turn_col: str,
+                      max_rows: int = 20_000_000) -> pd.DataFrame | None:
+    """Driver-side twin of the grouped-path conv-sizes aggregation:
+    one multithreaded pyarrow read of (conv, turn) + a hash group-by —
+    the same (conv, n=count(*), lo=min, hi=max) rows the Spark job
+    computes, without burning a Spark job + full scan on a
+    conversation-count-scale table (the r2 "tiny tables don't get
+    Spark jobs" rule applied to docid assignment; at sf0.1 this was
+    ~0.3 s of the 16-core build and ~2.9 s of the pinned 1-CPU wall).
+    Row count is checked against the parquet FOOTERS before any data
+    is read; anything unexpected (missing/partition-only columns,
+    nulls, oversize) returns None and the Spark aggregation runs
+    unchanged."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        total = 0
+        for f in files:
+            md = pq.ParquetFile(f)
+            names = set(md.schema_arrow.names)
+            if conv_col not in names or turn_col not in names:
+                return None
+            total += md.metadata.num_rows
+            if total > max_rows:
+                return None
+        tabs = [pq.read_table(f, columns=[conv_col, turn_col])
+                for f in files]
+        t = pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
+        if (t.column(conv_col).null_count
+                or t.column(turn_col).null_count):
+            return None   # Spark's null-group semantics, unreplicated
+        g = (t.group_by(conv_col)
+             .aggregate([([], "count_all"),
+                         (turn_col, "min"), (turn_col, "max")]))
+        out = g.select([conv_col, "count_all",
+                        f"{turn_col}_min", f"{turn_col}_max"]).to_pandas()
+        out.columns = [conv_col, "n", "lo", "hi"]
+        return out
+    except Exception:   # noqa: BLE001 — any surprise → Spark path
+        return None
+
+
 def assign_docids_grouped(df: DataFrame, conv_col: str, turn_col: str,
                           max_convs: int = 2_000_000) -> DataFrame | None:
     """Fast path for the canonical transcripts ordering
@@ -191,14 +258,23 @@ def assign_docids_grouped(df: DataFrame, conv_col: str, turn_col: str,
       build error (no silent corruption) naming this precondition.
     """
     spark = df.sparkSession
-    agg = (df.groupBy(conv_col)
-           .agg(F.count("*").alias("n"),
-                F.min(turn_col).alias("lo"),
-                F.max(turn_col).alias("hi")))
-    # Arrow-path toPandas + vectorized checks/prefix-sum: collect() of
-    # Row objects plus a Python loop costs ~1s of pure serial floor at
-    # 10^4+ convs
-    sizes = agg.limit(max_convs + 1).toPandas()
+    # Driver-side fast path when df is a bare local parquet scan: same
+    # (conv, n, lo, hi) values from a pyarrow read + hash group-by, no
+    # Spark job (serial-floor win on every build). Falls through to the
+    # identical Spark aggregation otherwise.
+    sizes = None
+    files = _bare_scan_local_files(df)
+    if files is not None:
+        sizes = _conv_sizes_local(files, conv_col, turn_col)
+    if sizes is None:
+        agg = (df.groupBy(conv_col)
+               .agg(F.count("*").alias("n"),
+                    F.min(turn_col).alias("lo"),
+                    F.max(turn_col).alias("hi")))
+        # Arrow-path toPandas + vectorized checks/prefix-sum: collect()
+        # of Row objects plus a Python loop costs ~1s of pure serial
+        # floor at 10^4+ convs
+        sizes = agg.limit(max_convs + 1).toPandas()
     if len(sizes) > max_convs:
         return None
     if ((sizes["lo"] != 0) | (sizes["hi"] != sizes["n"] - 1)).any():
@@ -322,16 +398,29 @@ def _make_shard_kernel(cfg: BuildConfig,
             if len(flat) == 0:
                 return None
             de = flat.dictionary_encode()
-            codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            # token-scale arrays stay at the narrowest width that holds
+            # the values (codes are int32 from arrow; docids/lengths/
+            # positions fit int32 at any per-shard size the memory
+            # contract admits) — the lexsort and the [order] gathers
+            # below are bandwidth-bound, so halving the element width
+            # is a direct ~15% cut of the invert step. Values are
+            # upcast at the collapse boundary, so everything emitted is
+            # bit-identical to the int64 path (pinned by the postings
+            # byte-equality check in tests).
+            codes = de.indices.to_numpy(zero_copy_only=False)
             vocab = de.dictionary.to_pylist()
-            row_idx = np.repeat(np.arange(len(docids), dtype=np.int64),
-                                counts)
-            d_rep = docids[row_idx]
-            l_rep = counts[row_idx]
+            small_ids = len(docids) and int(docids.max()) < 2**31
+            dk = docids.astype(np.int32) if small_ids else docids
+            row_idx = np.repeat(
+                np.arange(len(docids),
+                          dtype=np.int32 if small_ids else np.int64),
+                counts)
+            d_rep = dk[row_idx]
+            l_rep = counts.astype(np.int32)[row_idx]
             # in-doc token offset (over kept tokens) — the positions index
             doc_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
             pos = (np.arange(len(row_idx), dtype=np.int64)
-                   - np.repeat(doc_starts, counts))
+                   - np.repeat(doc_starts, counts)).astype(np.int32)
             order = np.lexsort((d_rep, codes))
             c_s, d_s, l_s = codes[order], d_rep[order], l_rep[order]
             p_s = pos[order]   # ascending within each (term, doc) run
@@ -339,7 +428,12 @@ def _make_shard_kernel(cfg: BuildConfig,
             change = (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])
             idx = np.concatenate(([0], np.flatnonzero(change) + 1))
             tf = np.diff(np.append(idx, len(c_s))).astype(np.int64)
-            c_u, d_u, l_u = c_s[idx], d_s[idx], l_s[idx]
+            # collapse boundary: posting-scale arrays go back to int64
+            # so the codec sees exactly the values/dtypes it always saw
+            c_u = c_s[idx]
+            d_u = d_s[idx].astype(np.int64)
+            l_u = l_s[idx].astype(np.int64)
+            p_s = p_s.astype(np.int64)
             pb = np.concatenate(([0], np.cumsum(tf)))  # posting→pos slice
             # segment starts = term boundaries + max_chunk splits, then
             # ONE vectorized batch encode for the whole field (the

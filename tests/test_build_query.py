@@ -317,3 +317,50 @@ def test_min_should_match_batch_surfaces(spark, tmp_path_factory):
         assert g["docid"].tolist() == want["docid"].tolist(), qid
         np.testing.assert_allclose(g["score"], want["score"], rtol=0,
                                    atol=1e-9, err_msg=qid)
+
+
+def test_conv_sizes_local_matches_spark_agg(spark, tmp_path):
+    """The driver-side conv-sizes fast path (bare parquet scan →
+    pyarrow group-by) must yield exactly the docids the Spark
+    aggregation path yields, and must decline (→ Spark path) for
+    non-bare plans, missing columns, and nulls."""
+    from pyspark.sql import functions as F
+    from sparkfts.build import (_bare_scan_local_files,
+                                assign_docids_grouped)
+    from sparkfts.fixtures import write_transcripts_parquet
+    src = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(src, 30, seed=SEED)
+    bare = spark.read.parquet(src)
+    # detection: bare scan yes; filtered/projected/in-memory no
+    assert _bare_scan_local_files(bare)
+    assert _bare_scan_local_files(bare.select("conv_id", "turn_idx",
+                                              "text")) is None
+    assert _bare_scan_local_files(
+        bare.where(F.col("turn_idx") >= 0)) is None
+    mem = spark.createDataFrame(bare.toPandas())
+    assert _bare_scan_local_files(mem) is None
+    # docids from the local-sizes path == docids from the Spark-agg
+    # path (the same rows via a non-bare plan)
+    fast = assign_docids_grouped(bare, "conv_id", "turn_idx")
+    slow = assign_docids_grouped(mem, "conv_id", "turn_idx")
+    assert fast is not None and slow is not None
+    assert fast._sparkfts_n_docs == slow._sparkfts_n_docs
+    a = (fast.select("conv_id", "turn_idx", "docid").toPandas()
+         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    b = (slow.select("conv_id", "turn_idx", "docid").toPandas()
+         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # null conv/turn values → local derivation declines, grouped path
+    # still behaves exactly as before (falls to Spark agg)
+    from sparkfts.build import _conv_sizes_local
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    nsrc = str(tmp_path / "nulls.parquet")
+    pq.write_table(pa.table({"conv_id": ["a", None], "turn_idx": [0, 0],
+                             "text": ["x", "y"]}), nsrc)
+    assert _conv_sizes_local([nsrc], "conv_id", "turn_idx") is None
+    # missing column → declines
+    assert _conv_sizes_local([nsrc], "conv_id", "nope") is None
+    # footer row-count gate → declines without reading data
+    assert _conv_sizes_local([src], "conv_id", "turn_idx",
+                             max_rows=5) is None
