@@ -194,7 +194,8 @@ def _bare_scan_local_files(df: DataFrame) -> list[str] | None:
 
 
 def _conv_sizes_local(files: list[str], conv_col: str, turn_col: str,
-                      max_rows: int = 20_000_000) -> pd.DataFrame | None:
+                      max_rows: int = 20_000_000
+                      ) -> tuple[pd.DataFrame, dict | None] | None:
     """Driver-side twin of the grouped-path conv-sizes aggregation:
     one multithreaded pyarrow read of (conv, turn) + a hash group-by —
     the same (conv, n=count(*), lo=min, hi=max) rows the Spark job
@@ -205,17 +206,32 @@ def _conv_sizes_local(files: list[str], conv_col: str, turn_col: str,
     Row count is checked against the parquet FOOTERS before any data
     is read; anything unexpected (missing/partition-only columns,
     nulls, oversize) returns None and the Spark aggregation runs
-    unchanged."""
+    unchanged.
+
+    Returns (sizes, direct) — ``direct`` is non-None iff the files'
+    rows are PROVEN to already be in (conv-sorted, turn) order, i.e.
+    the grouped docid of row r equals r for every row (checked
+    exactly, vectorized, against the same data the sizes came from).
+    When that holds the postings kernel can read its own shard row
+    spans straight from the files — docid = row index — and the
+    build's doc-granularity shuffle is pure overhead; ``direct``
+    carries the file/row-group layout the readers need."""
     try:
         import pyarrow as pa
         import pyarrow.parquet as pq
         total = 0
+        file_rows: list[int] = []
+        rg_rows: list[list[int]] = []
         for f in files:
             md = pq.ParquetFile(f)
             names = set(md.schema_arrow.names)
             if conv_col not in names or turn_col not in names:
                 return None
-            total += md.metadata.num_rows
+            m = md.metadata
+            file_rows.append(m.num_rows)
+            rg_rows.append([m.row_group(i).num_rows
+                            for i in range(m.num_row_groups)])
+            total += m.num_rows
             if total > max_rows:
                 return None
         tabs = [pq.read_table(f, columns=[conv_col, turn_col])
@@ -230,7 +246,28 @@ def _conv_sizes_local(files: list[str], conv_col: str, turn_col: str,
         out = g.select([conv_col, "count_all",
                         f"{turn_col}_min", f"{turn_col}_max"]).to_pandas()
         out.columns = [conv_col, "n", "lo", "hi"]
-        return out
+        direct = None
+        try:
+            srt = out.sort_values(conv_col, kind="stable",
+                                  ignore_index=True)
+            offs = np.concatenate(
+                ([0], np.cumsum(srt["n"].to_numpy(np.int64))[:-1]))
+            de = t.column(conv_col).combine_chunks().dictionary_encode()
+            codes = de.indices.to_numpy(zero_copy_only=False)
+            pos = pd.Index(srt[conv_col]).get_indexer(
+                de.dictionary.to_pandas())
+            turns = t.column(turn_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if (pos >= 0).all():
+                docid_file = offs[pos][codes] + turns
+                if np.array_equal(docid_file,
+                                  np.arange(total, dtype=np.int64)):
+                    direct = {"files": list(files),
+                              "file_rows": file_rows,
+                              "rg_rows": rg_rows, "n": int(total)}
+        except Exception:   # noqa: BLE001 — order proof is optional
+            direct = None
+        return out, direct
     except Exception:   # noqa: BLE001 — any surprise → Spark path
         return None
 
@@ -262,10 +299,12 @@ def assign_docids_grouped(df: DataFrame, conv_col: str, turn_col: str,
     # (conv, n, lo, hi) values from a pyarrow read + hash group-by, no
     # Spark job (serial-floor win on every build). Falls through to the
     # identical Spark aggregation otherwise.
-    sizes = None
+    sizes, direct = None, None
     files = _bare_scan_local_files(df)
     if files is not None:
-        sizes = _conv_sizes_local(files, conv_col, turn_col)
+        loc = _conv_sizes_local(files, conv_col, turn_col)
+        if loc is not None:
+            sizes, direct = loc
     if sizes is None:
         agg = (df.groupBy(conv_col)
                .agg(F.count("*").alias("n"),
@@ -296,6 +335,7 @@ def assign_docids_grouped(df: DataFrame, conv_col: str, turn_col: str,
              .drop("_off"))
     out._sparkfts_n_docs = acc            # type: ignore[attr-defined]
     out._sparkfts_cached_parent = None    # type: ignore[attr-defined]
+    out._sparkfts_direct = direct         # type: ignore[attr-defined]
     return out
 
 
@@ -545,6 +585,98 @@ def _make_shard_kernel(cfg: BuildConfig,
     return kernel
 
 
+def _direct_postings_df(spark: SparkSession, direct: dict,
+                        text_col: str, todo_sorted: list[int],
+                        docs_per_shard: int, docid_offset: int,
+                        cfg: BuildConfig, p: int) -> DataFrame:
+    """Postings job as a one-stage shard-span fan-out over the input
+    files: spark.range over shard RANKS (contiguous rank chunks ==
+    repartition_exact's balanced contiguous grouping) → each task
+    reconstructs (shard, docid, text) for its shards by reading only
+    the row groups covering [shard*dps, (shard+1)*dps) — valid because
+    the caller proved docid == file row index — and streams them
+    through the UNCHANGED shard kernel. Output rows are identical to
+    the exchange plan's (same per-shard row sets in docid order; the
+    kernel sorts internally either way)."""
+    import pyarrow as pa
+
+    files = direct["files"]
+    rg_rows = direct["rg_rows"]
+    n = direct["n"]
+    file_starts = np.concatenate(
+        ([0], np.cumsum(direct["file_rows"]))).astype(np.int64)
+    kernel = _make_shard_kernel(cfg)
+    dps = int(docs_per_shard)
+    off = int(docid_offset)
+
+    def reader(batches):
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        open_files: dict[int, object] = {}
+
+        def rows_for(lo: int, hi: int):
+            """Concatenated text array for global rows [lo, hi)."""
+            parts = []
+            for j in range(len(files)):
+                f0, f1 = int(file_starts[j]), int(file_starts[j + 1])
+                a, b = max(lo, f0), min(hi, f1)
+                if a >= b:
+                    continue
+                pf = open_files.get(j)
+                if pf is None:
+                    pf = open_files[j] = _pq.ParquetFile(files[j])
+                # row groups overlapping local rows [a-f0, b-f0)
+                bounds = np.concatenate(
+                    ([0], np.cumsum(rg_rows[j]))).astype(np.int64)
+                g0 = int(np.searchsorted(bounds, a - f0,
+                                         side="right") - 1)
+                g1 = int(np.searchsorted(bounds, b - f0, side="left"))
+                t = pf.read_row_groups(list(range(g0, g1)),
+                                       columns=[text_col])
+                col = t.column(0).slice(int(a - f0 - bounds[g0]),
+                                        int(b - a))
+                parts.append(col.combine_chunks()
+                             if isinstance(col, pa.ChunkedArray)
+                             else col)
+            if not parts:
+                return pa.array([], type=pa.string())
+            out = (pa.concat_arrays(parts) if len(parts) > 1
+                   else parts[0])
+            out = _pc.fill_null(out, "")
+            if out.type != pa.string():
+                out = out.cast(pa.string())
+            return out
+
+        def gen():
+            for rb in batches:
+                for r in rb.column("id").to_pylist():
+                    s = todo_sorted[int(r)]
+                    lo, hi = s * dps, min((s + 1) * dps, n)
+                    if lo >= hi:
+                        continue
+                    texts = rows_for(lo, hi)
+                    for c0 in range(0, hi - lo, 65536):
+                        c1 = min(c0 + 65536, hi - lo)
+                        yield pa.RecordBatch.from_arrays(
+                            [pa.array(np.full(c1 - c0, s,
+                                              dtype=np.int32)),
+                             pa.array(np.arange(lo + c0 + off,
+                                                lo + c1 + off,
+                                                dtype=np.int64)),
+                             texts.slice(c0, c1 - c0)],
+                            # the single-field kernel spec reads the
+                            # field as "text" (the exchange plan
+                            # aliases text_col the same way)
+                            names=["shard", "docid", "text"])
+
+        yield from kernel(gen())
+
+    return (spark.range(0, len(todo_sorted),
+                        numPartitions=max(1, min(p, len(todo_sorted))))
+            .mapInArrow(reader, schema=POSTING_SCHEMA))
+
+
 def _write_org_ranges(spark: SparkSession, out_dir: str,
                       routing_col: str, num_shards: int) -> None:
     """Tenant docid intervals, derived from the ON-DISK docstore so a
@@ -717,6 +849,7 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
     committed: set[int] = set()
     if resume:
         committed = storage.committed_shards(spark, out_dir)
+    direct_meta = None   # set by the grouped bare-scan path below
 
     if cfg.routing_col is not None:
         # Tenant/org routing (ElasticsearchRoutingStrategyV1 analog):
@@ -794,6 +927,7 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
             n_docs = base._sparkfts_n_docs      # dense rank: no extra job
             max_id = n_docs - 1
             cached_parent = base._sparkfts_cached_parent
+            direct_meta = getattr(base, "_sparkfts_direct", None)
             if docid_offset:
                 # delta/streaming indexes live in an id space above the
                 # base
@@ -880,12 +1014,33 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
         else:
             fsel = [F.coalesce(F.col(text_col).cast("string"), F.lit(""))
                     .alias("text")]
-        from .placement import repartition_exact
-        enc_in = (repartition_exact(sub.select("shard", "docid", *fsel),
-                                    todo, min(p, max(1, len(todo))))
-                  .sortWithinPartitions("shard"))
-        enc_out = enc_in.mapInArrow(_make_shard_kernel(cfg),
-                                    schema=POSTING_SCHEMA)
+        # Direct shard-span feed (r8): when the grouped bare-scan path
+        # PROVED docid == file row index (see _conv_sizes_local), each
+        # kernel task pyarrow-reads exactly its own shards' row spans
+        # (row-group pruned) from the input files — same rows, same
+        # kernel, but the scan → broadcast-join → doc-granularity
+        # exchange that existed only to re-group rows the file already
+        # groups is gone (guide §2 "remove shuffles outright"). Tasks
+        # read only their own spans, so there is no read amplification
+        # at any scale; the DataFrame plan below stays for every input
+        # the proof does not cover.
+        use_direct = (direct_meta is not None
+                      and cfg.fields is None
+                      and isinstance(df.schema[text_col].dataType,
+                                     T.StringType))
+        if use_direct:
+            enc_out = _direct_postings_df(
+                spark, direct_meta, text_col, sorted(todo_set),
+                int(docs_per_shard), int(docid_offset), cfg,
+                min(p, max(1, len(todo))))
+        else:
+            from .placement import repartition_exact
+            enc_in = (repartition_exact(
+                          sub.select("shard", "docid", *fsel),
+                          todo, min(p, max(1, len(todo))))
+                      .sortWithinPartitions("shard"))
+            enc_out = enc_in.mapInArrow(_make_shard_kernel(cfg),
+                                        schema=POSTING_SCHEMA)
         (enc_out.write.mode("overwrite")
                 .option("partitionOverwriteMode", pmode)
                 .option("compression", cfg.postings_codec)

@@ -59,6 +59,7 @@ def term_hash(term: str) -> int:
                           "big", signed=True)
 
 _POW128 = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
+_POW128_32 = [np.uint32(1) << np.uint32(7 * i) for i in range(1, 5)]
 
 
 def _varint_encode_with_lengths(values: np.ndarray
@@ -67,8 +68,19 @@ def _varint_encode_with_lengths(values: np.ndarray
     returning (bytes, per-value byte lengths). Bytes are written at
     exact output offsets per 7-bit chunk — no (n, maxlen) dense matrix
     (the old scheme's matrix + boolean-mask extraction thrashed caches
-    past ~10^7 values)."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+    past ~10^7 values). A uint32 input is encoded natively (same
+    output bytes — LEB128 depends only on the values; half the
+    bandwidth through the full-array passes)."""
+    if values.dtype == np.uint32:
+        v = np.ascontiguousarray(values)
+        one, seven, mask7, lim = (np.uint32(1), np.uint32(7),
+                                  np.uint32(0x7F), np.uint32(128))
+        pows = _POW128_32
+    else:
+        v = np.ascontiguousarray(values, dtype=np.uint64)
+        one, seven, mask7, lim = (np.uint64(1), np.uint64(7),
+                                  np.uint64(0x7F), np.uint64(128))
+        pows = _POW128
     n = v.shape[0]
     lengths = np.ones(n, dtype=np.int64)
     if n == 0:
@@ -77,17 +89,17 @@ def _varint_encode_with_lengths(values: np.ndarray
     # small); compute per-value lengths and the multi-byte tail bytes
     # only over the >=128 minority instead of 9 full-array threshold
     # passes + maxlen full-array masked writes
-    big_mask = v >= np.uint64(128)
+    big_mask = v >= lim
     big = np.flatnonzero(big_mask)
     if big.size == 0:
         return v.astype(np.uint8).tobytes(), lengths
     vb = v[big]
-    for p in _POW128:
+    for p in pows:
         lengths[big] += vb >= p
     starts = np.concatenate(([0], np.cumsum(lengths)))
     out = np.empty(int(starts[-1]), dtype=np.uint8)
     # first byte of every value (continuation bit for multi-byte ones)
-    out[starts[:-1]] = ((v & np.uint64(0x7F)).astype(np.uint8)
+    out[starts[:-1]] = ((v & mask7).astype(np.uint8)
                        | (big_mask.astype(np.uint8) << 7))
     # remaining bytes: only the multi-byte minority
     blens = lengths[big]
@@ -96,8 +108,8 @@ def _varint_encode_with_lengths(values: np.ndarray
     tmp = vb
     for j in range(1, maxlen):
         m = blens > j
-        tmp = tmp >> np.uint64(7)
-        byte = (tmp[m] & np.uint64(0x7F)).astype(np.uint8)
+        tmp = tmp >> seven
+        byte = (tmp[m] & mask7).astype(np.uint8)
         cont = (blens[m] > j + 1).astype(np.uint8) << 7
         out[bstarts[m] + j] = byte | cont
     return out.tobytes(), lengths
@@ -366,22 +378,30 @@ def encode_postings_batch_cols(docids: np.ndarray, tfs: np.ndarray,
     gblk = np.cumsum(blk_start) - 1               # block id per posting
     n_g = np.diff(np.append(bfirst, n))           # postings per block
     P_g = np.add.reduceat(tfs, bfirst)            # positions per block
+    # Every encoded value (docid absolutes/gaps, tfs, dls, position
+    # deltas) is bounded by max(docid, dl); when that fits uint32 the
+    # whole scatter-assembly runs at half the element width — LEB128
+    # output bytes are identical (value-determined), pinned by the
+    # dtype-equality leg of the codec golden test.
+    u32 = (n and int(docids.max()) < 2**32
+           and int(dls.max()) < 2**32)
+    ud = np.uint32 if u32 else np.uint64
     # docid gaps: absolute at block starts, else delta to predecessor
     gaps = np.where(blk_start, docids,
-                    docids - np.roll(docids, 1)).astype(np.uint64)
+                    docids - np.roll(docids, 1)).astype(ud)
     # position deltas: absolute at each posting's first position
     tot_pos = positions.shape[0]
-    pos_delta = (positions - np.roll(positions, 1)).astype(np.uint64)
+    pos_delta = (positions - np.roll(positions, 1)).astype(ud)
     pstarts = pbounds[:-1][tfs > 0]
-    pos_delta[pstarts] = positions[pstarts].astype(np.uint64)
+    pos_delta[pstarts] = positions[pstarts].astype(ud)
     # assemble values in final blob order
     vb = np.concatenate(([0], np.cumsum(3 * n_g + P_g)))  # value base/blk
     k = r - r[bfirst][gblk]                        # index within block
-    values = np.empty(int(vb[-1]), dtype=np.uint64)
+    values = np.empty(int(vb[-1]), dtype=ud)
     base = vb[gblk]
     values[base + k] = gaps
-    values[base + n_g[gblk] + k] = tfs.astype(np.uint64)
-    values[base + 2 * n_g[gblk] + k] = dls.astype(np.uint64)
+    values[base + n_g[gblk] + k] = tfs.astype(ud)
+    values[base + 2 * n_g[gblk] + k] = dls.astype(ud)
     if tot_pos:
         pi = np.repeat(np.arange(n), tfs)          # posting id per position
         gb = gblk[pi]

@@ -364,3 +364,55 @@ def test_conv_sizes_local_matches_spark_agg(spark, tmp_path):
     # footer row-count gate → declines without reading data
     assert _conv_sizes_local([src], "conv_id", "turn_idx",
                              max_rows=5) is None
+
+
+def test_direct_postings_feed_matches_exchange_plan(spark, tmp_path):
+    """The no-shuffle shard-span postings feed (engaged when the bare
+    scan's rows are proven to be in grouped-docid order) must produce
+    an index identical to the exchange plan's, and must NOT engage
+    when the file order breaks the proof."""
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+    from sparkfts import BuildConfig, build_index
+    from sparkfts.build import assign_docids_grouped
+    from sparkfts.fixtures import write_transcripts_parquet
+    src = str(tmp_path / "t.parquet")
+    write_transcripts_parquet(src, 60, seed=3)
+    bare = spark.read.parquet(src)
+    # proof holds for the generator's (conv, turn)-ordered file
+    g = assign_docids_grouped(bare, "conv_id", "turn_idx")
+    assert g._sparkfts_direct is not None
+    # a shuffled copy of the same rows fails the order proof
+    shuf = (pq.read_table(src).to_pandas()
+            .sample(frac=1.0, random_state=5).reset_index(drop=True))
+    src2 = str(tmp_path / "shuf.parquet")
+    shuf_tbl = __import__("pyarrow").Table.from_pandas(
+        shuf, preserve_index=False)
+    pq.write_table(shuf_tbl, src2)
+    g2 = assign_docids_grouped(spark.read.parquet(src2),
+                               "conv_id", "turn_idx")
+    assert g2._sparkfts_direct is None
+    # direct vs exchange: identical postings + identical query rows
+    cfg = BuildConfig(num_shards=8, partitions=4)
+    r1, r2 = str(tmp_path / "i1"), str(tmp_path / "i2")
+    build_index(spark, bare, r1, order_cols=["conv_id", "turn_idx"],
+                cfg=cfg)
+    mem = spark.createDataFrame(bare.toPandas())   # non-bare plan
+    build_index(spark, mem, r2, order_cols=["conv_id", "turn_idx"],
+                cfg=cfg)
+
+    def postings(root):
+        t = (ds.dataset(root + "/postings", format="parquet",
+                        partitioning="hive").to_table().to_pandas()
+             .drop(columns=["enc_us"]))
+        for c in ("block_first", "block_last", "block_off", "block_n",
+                  "block_max_tf", "block_min_dl"):
+            t[c] = t[c].map(tuple)
+        return t.sort_values(["shard", "term", "chunk"],
+                             ignore_index=True)
+
+    pd.testing.assert_frame_equal(postings(r1), postings(r2))
+    from sparkfts import FTSIndex
+    a = FTSIndex(spark, r1).topk_pandas("batch window", k=8, mode="or")
+    b = FTSIndex(spark, r2).topk_pandas("batch window", k=8, mode="or")
+    pd.testing.assert_frame_equal(a, b)

@@ -151,3 +151,26 @@ def test_docid_set_roundtrip():
         np.testing.assert_array_equal(got, np.unique(d.astype(np.int64)))
     assert codec.decode_docid_set(b"").size == 0
     assert codec.decode_docid_set(None).size == 0
+
+
+def test_varint_writer_uint32_matches_uint64():
+    """The uint32-native writer path must produce byte-identical LEB128
+    output and lengths for any values that fit uint32 (the encoder
+    feeds it uint32 whenever max(docid, dl) < 2^32)."""
+    from sparkfts.codec import _varint_encode_with_lengths
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 5, 10_000):
+        v = rng.integers(0, 2**32, size=n, dtype=np.uint64)
+        # salt with boundary values
+        if n >= 5:
+            v[:5] = [0, 127, 128, 2**21 - 1, 2**32 - 1]
+        b64, l64 = _varint_encode_with_lengths(v)
+        b32, l32 = _varint_encode_with_lengths(v.astype(np.uint32))
+        assert b64 == b32
+        assert np.array_equal(l64, l32)
+    # values beyond uint32 keep the uint64 path working
+    big = np.array([2**32, 2**63 - 1, 3], dtype=np.uint64)
+    b, ln = _varint_encode_with_lengths(big)
+    from sparkfts.codec import varint_decode
+    dec, _ = varint_decode(b, count=3)
+    assert dec.tolist() == big.tolist()
