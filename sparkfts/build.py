@@ -1029,10 +1029,19 @@ def build_index(spark: SparkSession, df: DataFrame, out_dir: str,
                       and isinstance(df.schema[text_col].dataType,
                                      T.StringType))
         if use_direct:
+            # fan-out width: the direct feed has no exchange, so its
+            # width is a pure task-count choice — follow the session's
+            # available parallelism when that exceeds the configured
+            # exchange width (scale-adaptive: derived from the cluster,
+            # not a local constant; pinned low-core runs are unchanged
+            # because defaultParallelism <= partitions there). More
+            # tasks also means FEWER shards per task, i.e. a smaller
+            # per-task memory footprint than the exchange plan's.
+            dp = spark.sparkContext.defaultParallelism
+            width = max(1, min(len(todo), max(p, dp)))
             enc_out = _direct_postings_df(
                 spark, direct_meta, text_col, sorted(todo_set),
-                int(docs_per_shard), int(docid_offset), cfg,
-                min(p, max(1, len(todo))))
+                int(docs_per_shard), int(docid_offset), cfg, width)
         else:
             from .placement import repartition_exact
             enc_in = (repartition_exact(
