@@ -416,3 +416,46 @@ def test_direct_postings_feed_matches_exchange_plan(spark, tmp_path):
     a = FTSIndex(spark, r1).topk_pandas("batch window", k=8, mode="or")
     b = FTSIndex(spark, r2).topk_pandas("batch window", k=8, mode="or")
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_direct_feed_multi_file_input(spark, tmp_path):
+    """Multi-file inputs: the order proof and the shard-span readers
+    must work across file boundaries (file offsets from the footers),
+    and a directory whose inputFiles order breaks the proof must fall
+    back — correct either way."""
+    import pyarrow.parquet as pq
+    from sparkfts import BuildConfig, FTSIndex, build_index
+    from sparkfts.build import _conv_sizes_local, assign_docids_grouped
+    from sparkfts.fixtures import write_transcripts_parquet
+    one = str(tmp_path / "one.parquet")
+    write_transcripts_parquet(one, 50, seed=9)
+    t = pq.read_table(one)
+    import os
+    d = str(tmp_path / "dir.parquet")
+    os.makedirs(d)
+    half = len(t) // 2
+    pq.write_table(t.slice(0, half), d + "/part-000.parquet")
+    pq.write_table(t.slice(half), d + "/part-001.parquet")
+    # proof holds for the correctly-ordered explicit file list
+    r = _conv_sizes_local([d + "/part-000.parquet",
+                           d + "/part-001.parquet"],
+                          "conv_id", "turn_idx")
+    assert r is not None and r[1] is not None
+    assert r[1]["file_rows"] == [half, len(t) - half]
+    # reversed order breaks the proof (sizes still exact)
+    r2 = _conv_sizes_local([d + "/part-001.parquet",
+                            d + "/part-000.parquet"],
+                           "conv_id", "turn_idx")
+    assert r2 is not None and r2[1] is None
+    # end-to-end: build from the directory (whatever order inputFiles
+    # yields — direct when the proof holds, exchange otherwise) must
+    # match the single-file build exactly
+    cfg = BuildConfig(num_shards=8, partitions=4)
+    rdir, rone = str(tmp_path / "idir"), str(tmp_path / "ione")
+    build_index(spark, spark.read.parquet(d), rdir,
+                order_cols=["conv_id", "turn_idx"], cfg=cfg)
+    build_index(spark, spark.read.parquet(one), rone,
+                order_cols=["conv_id", "turn_idx"], cfg=cfg)
+    a = FTSIndex(spark, rdir).topk_pandas("batch window", k=8, mode="or")
+    b = FTSIndex(spark, rone).topk_pandas("batch window", k=8, mode="or")
+    pd.testing.assert_frame_equal(a, b)
